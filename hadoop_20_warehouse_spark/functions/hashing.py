@@ -1,0 +1,78 @@
+"""Cross-engine deterministic hashing built on md5.
+
+The reference hashed with MD5 for sampling (MD5Hash, io/MD5Hash.java;
+SequenceFileInputFilter.MD5Filter keeps keys with
+``MD5(key) % frequency == 0``, mapred/SequenceFileInputFilter.java:195)
+and with Java ``hashCode`` for partitioning (lib/HashPartitioner.java:36).
+
+We standardize on md5 because it is bit-identical in Spark SQL and
+DuckDB (our correctness oracle), unlike xxhash64/murmur whose seeds and
+byte layouts differ between engines. All dedup/LSH/sampling operators
+route through these helpers so every pipeline stays oracle-checkable.
+
+Hot-path note (100 TB): md5 here is a JVM-side codegen'd expression
+(org.apache.spark.sql.catalyst.expressions.Md5), not a Python UDF; for
+non-oracle production use the same call sites could switch to
+``xxhash64`` (faster) without touching operator logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits — always fits a signed int64, always >= 0.
+_HEX_CHARS = 15
+
+
+def md5_hex(*cols: Column | str) -> Column:
+    """md5 hex digest of the concatenation (null-safe via coalesce('')).
+
+    DuckDB equivalent: ``md5(concat(coalesce(c,''), ...))``.
+    """
+    parts = [F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"), F.lit("")) for c in cols]
+    return F.md5(F.concat(*parts) if len(parts) > 1 else parts[0])
+
+
+def md5_int64(*cols: Column | str) -> Column:
+    """Deterministic non-negative int64 from the md5 digest (top 60 bits).
+
+    DuckDB equivalent:
+    ``CAST('0x' || substring(md5(expr), 1, 15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(md5_hex(*cols), 1, _HEX_CHARS), 16, 10).cast("bigint")
+
+
+def md5_bucket(col: Column | str, n_buckets: int) -> Column:
+    """Deterministic bucket id in [0, n_buckets) — the HashPartitioner
+    analog (lib/HashPartitioner.java:36) with an engine-portable hash.
+
+    DuckDB equivalent: ``md5_int64_sql(expr) % n``.
+    """
+    return md5_int64(col) % n_buckets
+
+
+def md5_sample_keep(col: Column | str, frequency: int) -> Column:
+    """Keep-1-in-f predicate, the MD5Filter semantics
+    (SequenceFileInputFilter.java:195 keeps ``MD5(key) % f == 0``).
+    """
+    return md5_bucket(col, frequency) == 0
+
+
+# --- SQL-string builders for the DuckDB oracle side -----------------------
+
+
+def md5_hex_sql(expr: str) -> str:
+    return f"md5({expr})"
+
+
+def md5_int64_sql(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, {_HEX_CHARS}) AS BIGINT)"
+
+
+def md5_bucket_sql(expr: str, n_buckets: int) -> str:
+    return f"({md5_int64_sql(expr)} % {n_buckets})"
+
+
+def md5_sample_keep_sql(expr: str, frequency: int) -> str:
+    return f"({md5_bucket_sql(expr, frequency)} = 0)"

@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for the warehouse engine.
+
+The reference engine hand-tuned sort/shuffle buffers per job
+(MapTask.java:765,787 io.sort.mb / spill thresholds; ReduceTask.java:1805
+merge factors). Spark's unified memory manager + AQE replace all of that;
+our job is only to turn the right knobs on (SURVEY.md §4.2):
+
+- AQE (adaptive coalescing, skew-join splitting) — the reference's only
+  skew answer was speculative execution (JobInProgress.findSpeculativeTask).
+- A shuffle-partition default sized for the test harness; at cluster scale
+  AQE's coalescing makes the initial number mostly a ceiling.
+- Arrow for the few Pandas-UDF code paths (multimodal decode, pipes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Bumped when tests need a fresh session with different conf.
+_APP_NAME = "hadoop-20-warehouse-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the engine SparkSession.
+
+    At 100 TB the same code runs with ``master`` pointing at a cluster
+    manager and ``shuffle_partitions`` sized ~2-3x total executor cores
+    (AQE coalesces down); nothing else here is local-mode specific.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(_APP_NAME)
+        .master(master or f"local[{cpus}]")
+        # AQE: runtime re-planning — partition coalescing, skew-join
+        # splitting, broadcast-join conversion from runtime stats.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # Arrow transfer for pandas_udf / mapInPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast threshold: reference shipped small tables to every
+        # node via DistributedCache (map-side hash join pattern,
+        # SURVEY.md §2.4); broadcast() hint is the Spark analog, and a
+        # healthy auto threshold catches un-hinted small dims too.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Don't let tiny local runs create thousands of output files.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table stores TIMESTAMP(NANOS) which Spark
+        # has no native type for; read as long and let the catalog
+        # convert to microsecond TimestampType (catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
