@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Query set mirrors BASELINE.md §"Bench query set" (GridMix-derived):
+scan-filter-sample (webdataScan), full sort (javaSort/TeraSort),
+wordcount w/ partial agg (combiner), monsterQuery 3-stage pipeline,
+grep+top-k, n-ary joins (TestDatamerge shapes), aggregate report
+(TestAggregates), plus the flagship pricing summary.
+
+Execution is forced with the noop sink (computes every column, writes
+nothing) so timings measure the whole plan, not an action shortcut.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from hadoop_20_warehouse_spark.catalog import load_table  # noqa: E402
+from hadoop_20_warehouse_spark.inventory import QUERIES  # noqa: E402
+from hadoop_20_warehouse_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _full_sort(spark, sf_dir: str) -> DataFrame:
+    """javaSort/TeraSort shape (GridMixRunner.java:106; TeraSort.java:50):
+    total-order sort of the fact table. Range partition + local sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+
+
+BENCH_QUERIES: dict[str, object] = {
+    # name -> callable(spark, sf_dir) -> DataFrame
+    "pricing_summary": QUERIES["pricing_summary"],
+    "scan_filter_sample": QUERIES["scan_filter_sample"],
+    "full_sort": _full_sort,
+    "wordcount": QUERIES["wordcount"],
+    "monster_query": QUERIES["monster_query"],
+    "grep_topk": QUERIES["grep_topk"],
+    "join_inner": QUERIES["join_inner"],
+    "join_override": QUERIES["join_override"],
+    "aggregate_report": QUERIES["aggregate_report"],
+    "value_histogram": QUERIES["value_histogram"],
+}
+
+
+def _force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = None
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM/codegen/parquet footers, not part of timings
+    _force(load_table(spark, SF_DIR, "lineitem").limit(1000))
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
