@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hadoop_20_warehouse_spark import inventory  # noqa: E402
+from hadoop_20_warehouse_spark import inventory_llm  # noqa: E402,F401
+from hadoop_20_warehouse_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(inventory.QUERIES)
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
-    return dict(inventory.ORACLES)
+    return dict(ORACLES)

@@ -1,0 +1,122 @@
+"""Text analysis for large-scale training-data pipelines.
+
+These extend the reference's text surface (TokenCountMapper,
+RegexMapper, Logalyzer — SURVEY.md §2.3; the Lucene index-build contrib
+that analyzed docs into token streams, contrib/index/.../IndexUpdateMapper)
+into the operations a modern 100 TB text-corpus pipeline needs:
+tokenization, shingling, language ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything is built from JVM-side expressions (split/regexp/aggregate)
+— no Python UDFs — and every stochastic-looking choice (hash functions)
+routes through md5 (functions/hashing.py) so each operator has an exact
+DuckDB oracle. Paired ``*_sql`` builders emit that oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword-hit
+# language-ID heuristic. Deliberately small and hard-coded: the point
+# is the operator shape (profile match + argmax), not lexicon quality.
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"),
+}
+
+# "BPE-ish" pre-tokenizer: word pieces or single non-space punctuation —
+# the usual pre-split a byte-pair encoder runs on.
+BPE_SPLIT_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+_WS = r"\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens with empties removed (StringTokenizer
+    semantics, TokenCountMapper.java:38)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, _WS), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex({expr}, '\\s+'), t -> t <> '')"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+def bpe_piece_count(text: Column | str) -> Column:
+    """Count of BPE-style pre-tokenizer pieces (wordpieces + punct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_REGEX), F.lit(0))).cast("long")
+
+
+def bpe_piece_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{BPE_SPLIT_REGEX}', 0)) AS BIGINT)"
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols.
+    Exact integer counts divided in double → cross-engine stable."""
+    c = F.col(text) if isinstance(text, str) else text
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio_sql(expr: str) -> str:
+    nonspace = f"len(regexp_replace({expr}, '\\s', '', 'g'))"
+    punct = f"len(regexp_replace({expr}, '[A-Za-z0-9\\s]', '', 'g'))"
+    return f"CASE WHEN {nonspace} > 0 THEN CAST({punct} AS DOUBLE) / {nonspace} ELSE 0.0 END"
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of tokens (with multiplicity) matching the language's
+    stopword profile."""
+    stops = STOPWORD_PROFILES[lang]
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))).cast(
+        "long"
+    )
+
+
+def stopword_hits_sql(expr: str, lang: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORD_PROFILES[lang])
+    return (
+        f"CAST(len(list_filter({tokens_sql(expr)}, t -> list_contains([{stops}], lower(t)))) AS BIGINT)"
+    )
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document quality features: char length, token count, mean
+    token length, punctuation ratio, english-stopword ratio — the
+    standard cheap filters a pretraining pipeline applies first."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    return df.withColumns(
+        {
+            "n_chars_q": F.length(c).cast("long"),
+            "n_tokens": n_tok,
+            "mean_token_len": F.when(
+                n_tok > 0,
+                (F.length(F.regexp_replace(c, _WS, "")).cast("double") / n_tok),
+            ).otherwise(F.lit(0.0)),
+            "punct_ratio": punct_ratio(c),
+            "stopword_ratio": F.when(
+                n_tok > 0, stopword_hits(c, "en").cast("double") / n_tok
+            ).otherwise(F.lit(0.0)),
+        }
+    )

@@ -31,21 +31,11 @@ from hadoop_20_warehouse_spark.operators import agg as A
 from hadoop_20_warehouse_spark.operators import join as J
 from hadoop_20_warehouse_spark.operators import select as S
 from hadoop_20_warehouse_spark.operators import sort as SRT
+from hadoop_20_warehouse_spark.registry import ORACLES, QUERIES, register
+
+__all__ = ["QUERIES", "ORACLES", "register"]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle.strip()
-        return fn
-
-    return deco
 
 
 def _dec_sum(col, alias: str, scale="decimal(18,2)"):
@@ -703,3 +693,8 @@ def q_set_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+# Register sibling inventories on import so `from ... import inventory`
+# always exposes the full query surface.
+from hadoop_20_warehouse_spark import inventory_llm  # noqa: E402,F401

@@ -1,0 +1,325 @@
+"""Inventory: LLM-training-data pipeline operators (SURVEY.md §7
+Phase 4 / BASELINE.json north star) — dedup, similarity search, text
+analysis over the ``documents`` and ``embeddings`` tables.
+
+Every query here has a full DuckDB oracle: all hashing is md5-derived
+(functions/hashing.py), all ratios divide exact integers in double,
+and cosine similarities are rounded before ranking (similarity/knn.py
+docstring explains why that is cross-engine stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.dedup import exact as DX
+from hadoop_20_warehouse_spark.dedup import minhash as MH
+from hadoop_20_warehouse_spark.dedup import simhash as SH
+from hadoop_20_warehouse_spark.functions import text as T
+from hadoop_20_warehouse_spark.registry import register
+from hadoop_20_warehouse_spark.similarity import knn as KNN
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    oracle=DX.exact_dedup_groups_sql("documents", "doc_id", "text"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by md5(text), elect min doc_id
+    (dedup/exact.py). One digest-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DX.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MH.minhash_lsh_pairs_sql("documents", "doc_id", "text"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes) + LSH(4 bands) near-dup candidate pairs with
+    signature-estimated Jaccard (dedup/minhash.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MH.minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_simhash",
+    oracle=SH.simhash_sql("documents", "doc_id", "text"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (dedup/simhash.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SH.simhash(docs, "doc_id", "text")
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM toks)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 10
+),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY c.id_a, c.id_b
+)
+SELECT s.id_a, s.id_b,
+       CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared) >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard over blocked candidate pairs (same
+    source, |Δ n_chars| ≤ 10) — the verify stage a MinHash pipeline
+    feeds. Blocking keeps the pair space linear-ish; the gram join is
+    an equi-join on the gram string."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "n_chars", T.tokens(F.col("text")).alias("toks")
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        # sequence guard: Spark sequence(0, -1) counts *down*;
+                        # only generate when there are >= 2 tokens
+                        F.sequence(F.lit(0), F.size("toks") - 2),
+                        lambda i: F.concat(
+                            F.element_at(F.col("toks"), i + 1),
+                            F.lit(" "),
+                            F.element_at(F.col("toks"), i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = toks.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("n_chars").alias("nc_a")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("id_b"), "source", F.col("n_chars").alias("nc_b")
+    )
+    cand = (
+        a.join(b, on="source")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 10))
+        .select("id_a", "id_b")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("gram"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("gram"))
+    shared = (
+        cand.join(ga, on="id_a")
+        .join(gb, on=["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("ng_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("ng_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("ng_a") + F.col("ng_b") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+@register(
+    "knn_cosine_brute",
+    oracle=KNN.brute_force_topk_sql("embeddings", "vec_id % 50 = 0", k=10),
+)
+def q_knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 50th vector as query — the
+    brute-force ANN baseline (similarity/knn.py); query set broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return KNN.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "knn_lsh",
+    oracle=KNN.lsh_topk_sql("embeddings", k=5, n_planes=8),
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5 for every vector — the scale path:
+    bucket equi-join instead of cross join (similarity/knn.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return KNN.lsh_topk(emb, k=5, n_planes=8)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+_LANGS = sorted(T.STOPWORD_PROFILES)
+
+
+def _lang_id_sql() -> str:
+    per_lang = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS cand_lang, {T.stopword_hits_sql('text', lang)} AS hits FROM documents"
+        for lang in _LANGS
+    )
+    return f"""
+WITH scores AS ({per_lang}),
+ranked AS (
+  SELECT doc_id, cand_lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, cand_lang AS predicted_lang, hits AS stopword_hits
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("text_lang_id", oracle=_lang_id_sql())
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (functions/text.py): score each
+    language by stopword hits, argmax with (hits DESC, lang ASC)
+    tiebreak. One pass per language over the token array — no shuffle
+    until the tiny per-doc argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = None
+    for lang in _LANGS:
+        s = docs.select(
+            "doc_id",
+            F.lit(lang).alias("cand_lang"),
+            T.stopword_hits(F.col("text"), lang).alias("hits"),
+        )
+        scores = s if scores is None else scores.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("predicted_lang"),
+            F.col("hits").alias("stopword_hits"),
+        )
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS n_tokens,
+       CASE WHEN {T.token_count_sql('text')} > 0
+            THEN CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / {T.token_count_sql('text')}
+            ELSE 0.0 END AS mean_token_len,
+       {T.punct_ratio_sql('text')} AS punct_ratio,
+       CASE WHEN {T.token_count_sql('text')} > 0
+            THEN CAST({T.stopword_hits_sql('text', 'en')} AS DOUBLE) / {T.token_count_sql('text')}
+            ELSE 0.0 END AS stopword_ratio
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (functions/text.py): token count,
+    mean token length, punctuation ratio, stopword ratio — the cheap
+    first-stage filters of a pretraining pipeline. Pure map, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(docs, "text")
+    return feats.select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio"
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS n_tokens,
+       {T.bpe_piece_count_sql('text')} AS n_bpe_pieces,
+       CAST(len(text) AS BIGINT) AS n_chars_obs
+FROM documents
+""",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer
+    pieces (functions/text.py BPE_SPLIT_REGEX)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_piece_count(F.col("text")).alias("n_bpe_pieces"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, md5(substring(txt, pos, 8)) AS h
+  FROM (
+    SELECT doc_id, text AS txt,
+           unnest(generate_series(1, greatest(len(text) - 7, 1))) AS pos
+    FROM documents
+  )
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN CAST('0x' || substring(h, 1, 15) AS BIGINT) % 16 = 0 THEN h END, '' ORDER BY h) AS sel,
+         COUNT(CASE WHEN CAST('0x' || substring(h, 1, 15) AS BIGINT) % 16 = 0 THEN 1 END) AS n_kept
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, md5(coalesce(sel, '')) AS fingerprint, CAST(n_kept AS BIGINT) AS n_kept
+FROM kept
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-lite): hash all 8-char
+    shingles, keep the deterministic 1/16 subset (md5 mod — the
+    MD5Filter idea, SequenceFileInputFilter.java:195), digest the
+    sorted selection. Robust to small edits, one groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = MH.shingles(docs, "doc_id", "text", 8).select(
+        "doc_id", F.md5(F.col("shingle")).alias("h")
+    )
+    keep = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("bigint") % 16 == 0
+    kept = sh.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.when(keep, F.col("h")))), "").alias("sel"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+    )
+    return kept.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("sel"), F.lit(""))).alias("fingerprint"),
+        F.col("n_kept").alias("n_kept"),
+    )

@@ -1,0 +1,240 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+- ``brute_force_topk``: exact cosine top-k — cross join queries ×
+  corpus, dot/norm folded JVM-side (``aggregate``/``zip_with``), then
+  per-query top-k via window rank. The baseline; exact but
+  O(|Q|·|corpus|). Scales by keeping |Q| bounded per pass and
+  broadcasting the query set.
+- ``lsh_topk``: random-hyperplane (sign) LSH — b pseudo-random
+  hyperplanes derived from md5 (deterministic, oracle-reproducible)
+  give each vector a b-bit bucket; candidates = same-bucket pairs,
+  then exact cosine rank within candidates. Sub-linear candidate sets
+  at the cost of recall; the 100 TB path (bucket join instead of
+  cross join).
+
+Floating point and the oracle: element products of float32 values cast
+to double are *exact* (24-bit × 24-bit < 53-bit mantissa), so the only
+engine divergence is summation order; both engines fold the list
+sequentially, and cosine values are rounded to 6 decimals before
+ranking with an id tiebreak, which makes the rank (and the hash
+comparison) stable across engines.
+
+Lineage: the reference's closest machinery is the Lucene index-build
+contrib (doc → term postings, contrib/index/...) — similarity search
+here generalizes the posting-bucket idea to vector buckets; algorithms
+are public literature (Charikar '02 sign-LSH; PAPERS.md top-k
+similarity entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold of the element products in double — matches the
+    oracle's list_sum over a double list (same order, exact products)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    The query set is broadcast (bounded per pass); rank is over
+    (round(sim, 6) DESC, neighbor_id ASC) so ties — including exact
+    duplicate embeddings — resolve identically everywhere.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_sql(
+    table: str,
+    query_pred: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> str:
+    """DuckDB oracle: same pipeline; ``query_pred`` selects the query
+    rows (e.g. "vec_id % 50 = 0")."""
+    cos = cosine_sql("q.qv", "c.nv")
+    return f"""
+WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table} WHERE {query_pred}),
+c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS nv FROM {table}),
+sims AS (
+  SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS sim
+  FROM c CROSS JOIN q
+  WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketing
+
+
+def _plane_component(plane: Column | int, dim: Column) -> Column:
+    """Pseudo-random hyperplane component in [-1000, 1000], derived
+    from md5(plane, dim) — deterministic and oracle-reproducible."""
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    h = F.conv(
+        F.substring(F.md5(F.concat(p.cast("string"), F.lit("#"), dim.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % 2001 - 1000).cast("double")
+
+
+def bucket_signature(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> DataFrame:
+    """(id, bucket): b-bit sign signature — bit p set iff
+    dot(vec, plane_p) > 0."""
+    sig = None
+    for p in range(n_planes):
+        dot_p = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                    lambda d: _plane_component(p, d),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(dot_p > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k within sign-LSH buckets: (query_id, neighbor_id, sim,
+    rank) for every corpus vector as query, candidates limited to the
+    same bucket. The scale path: bucket equi-join replaces the cross
+    join; recall < 1 by construction."""
+    sig = bucket_signature(corpus, id_col, vec_col, n_planes)
+    vecs = corpus.select(F.col(id_col), F.col(vec_col)).join(sig, on=id_col)
+    a = vecs.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    )
+    sims = (
+        a.join(b, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def lsh_topk_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 10, n_planes: int = 8,
+) -> str:
+    """DuckDB oracle for ``lsh_topk`` (identical planes and buckets)."""
+    plane = (
+        "CAST(CAST('0x' || substring(md5(CAST({p} AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) "
+        "% 2001 - 1000 AS DOUBLE)"
+    )
+
+    def dot_with_plane(p: int) -> str:
+        plane_list = (
+            f"list_transform(generate_series(0, len({vec_col}) - 1), d -> {plane.format(p=p)})"
+        )
+        return (
+            f"list_sum(list_transform(list_zip({vec_col}, {plane_list}), "
+            f"pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE)))"
+        )
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN {dot_with_plane(p)} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    cos = cosine_sql("a.qv", "b.nv")
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS id, {vec_col} AS v, {sig_terms} AS bucket FROM {table}
+),
+a AS (SELECT id AS query_id, v AS qv, bucket FROM sig),
+b AS (SELECT id AS neighbor_id, v AS nv, bucket FROM sig),
+sims AS (
+  SELECT a.query_id, b.neighbor_id, round({cos}, 6) AS sim
+  FROM a JOIN b ON a.bucket = b.bucket
+  WHERE b.neighbor_id <> a.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+""".strip()
