@@ -698,3 +698,5 @@ def q_set_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register sibling inventories on import so `from ... import inventory`
 # always exposes the full query surface.
 from hadoop_20_warehouse_spark import inventory_llm  # noqa: E402,F401
+from hadoop_20_warehouse_spark import inventory_streaming  # noqa: E402,F401
+from hadoop_20_warehouse_spark import inventory_ext  # noqa: E402,F401

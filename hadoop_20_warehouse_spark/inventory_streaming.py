@@ -1,0 +1,100 @@
+"""Inventory: streaming-extension operators (SURVEY.md §2.9 — no
+reference counterpart; the reference is batch-only).
+
+Each entry runs the SAME function a streaming job would use
+(streaming/windows.py, unified batch/stream API) on the batch events
+table, so the DuckDB oracle can check the event-time semantics; the
+incremental/watermark path of the identical plans is exercised by
+tests/test_streaming.py with a real readStream → writeStream run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.registry import register
+from hadoop_20_warehouse_spark.streaming import windows as W
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event_type with exact value
+    sums — ``window()`` epoch-aligned buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_counts(ev, "ts", ["event_type"], "1 hour", value_col="value")
+
+
+@register(
+    "stream_sliding_30m",
+    oracle="""
+WITH starts AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start
+  FROM events
+)
+SELECT event_type,
+       strftime(w_start, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       COUNT(*) AS n_events
+FROM starts
+GROUP BY event_type, w_start
+""",
+)
+def q_stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): every event lands in
+    exactly two windows; the oracle enumerates both bucket starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.sliding_counts(ev, "ts", ["event_type"], "1 hour", "30 minutes")
+
+
+@register(
+    "stream_sessions",
+    oracle=W.session_windows_sql("events", "ts", ["user_id"], 30),
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap
+    (``session_window``); oracle is the classic gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.session_windows(ev, "ts", ["user_id"], "30 minutes")
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       event_id AS first_event_id
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch form of streaming dedup: first event per
+    (user, event_type) by event time (streaming/windows.py
+    dedup_events; the stream path is dropDuplicates under watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = W.dedup_events(
+        ev, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", W.TS_FMT).alias("first_ts"),
+        F.col("event_id").alias("first_event_id"),
+    )

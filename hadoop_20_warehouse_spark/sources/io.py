@@ -1,0 +1,154 @@
+"""Sources and sinks (SURVEY.md §2.1/§2.2).
+
+Parquet is the native table format (the TFile/SequenceFile successor —
+§1.4 decision); everything else is read/write compatibility:
+
+| Reference                              | Here                          |
+|----------------------------------------|-------------------------------|
+| TextInputFormat / TextOutputFormat     | read_text / write_text        |
+| KeyValueTextInputFormat                | read_kv_text (first-sep split)|
+| NLineInputFormat                       | read_text(n_per_partition=N)  |
+| SequenceFile{Input,Output}Format       | read_sequence / write_sequence|
+| DBInputFormat / DBOutputFormat         | read_jdbc / write_jdbc        |
+| MultipleOutputFormat / MultipleOutputs | write_partitioned             |
+| MultiFile/CombineFileInputFormat       | maxPartitionBytes (built in)  |
+| NullOutputFormat                       | write_noop                    |
+
+All readers return DataFrames and preserve Catalyst pushdown; the
+SequenceFile path goes through the RDD API (the format is K/V pairs by
+definition) and converts at the boundary.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --- text ------------------------------------------------------------------
+
+
+def read_text(spark: SparkSession, path: str, n_per_partition: int | None = None) -> DataFrame:
+    """Lines as DataFrame[value string] (TextInputFormat,
+    mapred/TextInputFormat.java; decompression is automatic by
+    extension, same as the reference's codec lookup).
+
+    ``n_per_partition`` reproduces NLineInputFormat
+    (mapred/lib/NLineInputFormat.java:59 — "exactly N lines per split",
+    used for parameter sweeps): repartition to ceil(count/N) slices.
+    That needs a count + shuffle, same cost the reference paid at split
+    time reading the file once to find line offsets."""
+    df = spark.read.text(path)
+    if n_per_partition:
+        n = df.count()
+        df = df.repartition(max(1, math.ceil(n / n_per_partition)))
+    return df
+
+
+def write_text(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """One string column → text files (TextOutputFormat). Multi-column
+    frames should be serialized first (operators/pipe._to_lines)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_kv_text(spark: SparkSession, path: str, separator: str = "\t") -> DataFrame:
+    """KeyValueTextInputFormat (mapred/KeyValueTextInputFormat.java:34):
+    split each line at the FIRST separator; missing separator → whole
+    line is the key, empty value."""
+    lines = spark.read.text(path)
+    has_sep = F.instr(F.col("value"), separator) > 0
+    return lines.select(
+        F.substring_index(F.col("value"), separator, 1).alias("key"),
+        F.when(
+            has_sep,
+            F.expr(
+                f"substring(value, instr(value, '{separator}') + {len(separator)})"
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("value"),
+    )
+
+
+# --- sequence files --------------------------------------------------------
+
+
+def read_sequence(spark: SparkSession, path: str) -> DataFrame:
+    """SequenceFile → DataFrame[key, value]
+    (SequenceFileInputFormat; Writables are converted to their Java
+    boxed forms by sequenceFile(), then to Spark SQL types here —
+    SURVEY.md §1.2 type table)."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, ["key", "value"])
+
+
+def write_sequence(df: DataFrame, path: str) -> None:
+    """DataFrame[key, value] → SequenceFile (SequenceFileOutputFormat).
+    Keys/values must be Writable-convertible primitives (int, long,
+    float, str, bytes)."""
+    if len(df.columns) != 2:
+        raise ValueError("write_sequence expects exactly (key, value) columns")
+    df.rdd.map(tuple).saveAsSequenceFile(path)
+
+
+# --- JDBC ------------------------------------------------------------------
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """DBInputFormat (mapred/lib/db/DBInputFormat.java:49) — the
+    reference built per-split ``LIMIT len OFFSET start`` queries; Spark
+    JDBC splits on a numeric column's range, which is the same idea
+    with sane pushdown. Full predicate/aggregate pushdown comes free."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """DBOutputFormat (lib/db/DBOutputFormat.java:44) — batched INSERTs."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
+
+
+# --- partitioned / multi-output -------------------------------------------
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """MultipleOutputFormat/MultipleOutputs
+    (mapred/lib/MultipleOutputFormat.java, MultipleOutputs.java:116):
+    route records to per-key files. ``partitionBy`` writes
+    ``col=value/`` directories — and unlike the reference, readers get
+    partition *pruning* on those columns for free."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_noop(df: DataFrame) -> None:
+    """NullOutputFormat (mapred/lib/NullOutputFormat.java): execute for
+    side effects/metrics, write nothing."""
+    df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,165 @@
+"""Tier-1/3 operator tests (SURVEY.md §5): spec parsers, TestDatamerge
+join-semantics fixtures, SortValidator-style invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hadoop_20_warehouse_spark.operators import datagen
+from hadoop_20_warehouse_spark.operators.join import (
+    Func,
+    Tbl,
+    compose_join,
+    parse_join_expr,
+)
+from hadoop_20_warehouse_spark.operators.select import FieldSpec, parse_field_spec
+from hadoop_20_warehouse_spark.operators.sort import (
+    KeyFieldPart,
+    parse_keyfield_spec,
+    total_order_sort,
+)
+from hadoop_20_warehouse_spark.types import parse_record_ddl
+
+
+# --- spec parsers ----------------------------------------------------------
+
+
+def test_field_spec_parser():
+    assert parse_field_spec("3,0,2") == FieldSpec((3, 0, 2), None)
+    assert parse_field_spec("0-") == FieldSpec((), 0)
+    assert parse_field_spec("1,3-") == FieldSpec((1,), 3)
+    assert parse_field_spec("-") == FieldSpec((), 0)
+    assert parse_field_spec("") == FieldSpec((), None)
+    with pytest.raises(ValueError):
+        parse_field_spec("3-,1")  # open range must be last
+
+
+def test_keyfield_spec_parser():
+    assert parse_keyfield_spec("-k2,2nr") == [
+        KeyFieldPart(2, 1, 2, None, numeric=True, reverse=True)
+    ]
+    assert parse_keyfield_spec("2.1,2.3n") == [
+        KeyFieldPart(2, 1, 2, 3, numeric=True, reverse=False)
+    ]
+    assert parse_keyfield_spec("-k4,4nr -k1,1") == [
+        KeyFieldPart(4, 1, 4, None, numeric=True, reverse=True),
+        KeyFieldPart(1, 1, 1, None),
+    ]
+
+
+def test_join_expr_parser():
+    e = parse_join_expr("inner(orders, override(c1, c2))")
+    assert e == Func("inner", (Tbl("orders"), Func("override", (Tbl("c1"), Tbl("c2")))))
+    # reference leaf form: class token ignored, quoted path becomes name
+    e2 = parse_join_expr('outer(tbl(SequenceFileInputFormat, "hdfs://x/src0"), s1)')
+    assert e2 == Func("outer", (Tbl("src0"), Tbl("s1")))
+    with pytest.raises(ValueError):
+        parse_join_expr("inner(a,")
+
+
+def test_record_ddl():
+    schemas = parse_record_ddl(
+        """
+        module test {
+          class Inner { int a; ustring b; }
+          class Outer {
+            long id;
+            vector<double> xs;
+            map<ustring, int> kv;
+            Inner nested;  // nested record
+          }
+        }
+        """
+    )
+    outer = schemas["Outer"]
+    assert [f.name for f in outer.fields] == ["id", "xs", "kv", "nested"]
+    assert outer["xs"].dataType.simpleString() == "array<double>"
+    assert outer["kv"].dataType.simpleString() == "map<string,int>"
+    assert outer["nested"].dataType == schemas["Inner"]
+
+
+# --- TestDatamerge-style join fixtures ------------------------------------
+# Interleaved presence pattern (TestDatamerge.java:76-100): source i holds
+# key k iff bit i of (k % 8) is set; duplicate rows in src2 for
+# cross-product/multiplicity checks.
+
+
+@pytest.fixture(scope="module")
+def join_fixture(spark):
+    def rows(i):
+        out = []
+        for k in range(32):
+            if (k % 8) >> i & 1:
+                out.append(Row(key=k, val=i * 1000 + k))
+                if i == 2:  # duplicates in the rightmost source
+                    out.append(Row(key=k, val=i * 1000 + k + 500))
+        return out
+
+    return {f"s{i}": spark.createDataFrame(rows(i)) for i in range(3)}
+
+
+def test_inner_join_semantics(join_fixture):
+    out = compose_join("inner(s0, s1, s2)", join_fixture).collect()
+    # keys present in all three sources: k%8 == 7 → 4 keys in 0..31,
+    # each with 1×1×2 duplicate cross product
+    keys = sorted(r["key"] for r in out)
+    assert keys == [7, 7, 15, 15, 23, 23, 31, 31]
+
+
+def test_outer_join_semantics(join_fixture):
+    out = compose_join("outer(s0, s1, s2)", join_fixture)
+    rows = {(r["key"], r["val_s0"], r["val_s1"], r["val_s2"]) for r in out.collect()}
+    # key with k%8==1: only s0 → others NULL
+    assert (1, 1, None, None) in rows
+    # every key 1..31 except k%8==0 appears
+    assert {k for (k, *_rest) in rows} == {k for k in range(32) if k % 8 != 0}
+
+
+def test_override_join_semantics(join_fixture):
+    out = compose_join("override(s0, s1, s2)", join_fixture).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    # k%8==3: present in s0,s1 → s1 (rightmost) wins, s0 slot NULL
+    assert all(r["val_s1"] is not None and r["val_s0"] is None for r in by_key[3])
+    # k%8==4: only s2 → both its duplicate rows survive (multiplicity!)
+    assert len(by_key[4]) == 2
+    # k%8==7: s2 wins with both duplicates, not 1
+    assert len(by_key[7]) == 2 and all(r["val_s2"] is not None for r in by_key[7])
+
+
+# --- SortValidator-style invariants (mapred/SortValidator.java:97,399) ----
+
+
+def test_total_order_sort_invariants(spark):
+    df = datagen.teragen(spark, 5000, partitions=8)
+    # xor-of-hashes, exactly SortValidator's RecordStatsChecker invariant
+    # (sum would overflow int64 under ANSI mode)
+    xor_checksum = F.expr(
+        "bit_xor(cast(conv(substring(md5(key), 1, 15), 16, 10) as bigint))"
+    ).alias("checksum")
+    before = df.agg(F.count(F.lit(1)).alias("n"), xor_checksum).collect()[0]
+    out = total_order_sort(df, "key", partitions=6)
+    after = out.agg(F.count(F.lit(1)).alias("n"), xor_checksum).collect()[0]
+    # RecordStatsChecker: (#records, checksum) invariant under sort
+    assert (before["n"], before["checksum"]) == (after["n"], after["checksum"])
+    # RecordChecker: global pairwise ordering incl. across partitions
+    keys = [r["key"] for r in out.select("key").collect()]
+    assert keys == sorted(keys)
+    # partition boundaries respect the total order (range partitioning)
+    bounds = (
+        out.select(F.spark_partition_id().alias("p"), "key")
+        .groupBy("p")
+        .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+        .orderBy("p")
+        .collect()
+    )
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_datagen_deterministic(spark):
+    a = datagen.random_text(spark, 50, 5).collect()
+    b = datagen.random_text(spark, 50, 5).collect()
+    assert a == b
