@@ -68,8 +68,12 @@ def main() -> None:
         pass
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JVM/codegen/parquet footers, not part of timings
+    # warmup: JVM JIT, codegen, parquet footers, shuffle machinery —
+    # run a small agg+join so the first timed query isn't absorbing
+    # one-time costs.
     _force(load_table(spark, SF_DIR, "lineitem").limit(1000))
+    _force(QUERIES["pricing_summary"](spark, SF_DIR))
+    _force(QUERIES["join_broadcast_dims"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():

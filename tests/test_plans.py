@@ -1,0 +1,59 @@
+"""Physical-plan assertions (SURVEY.md §4 posture): broadcasts chosen,
+pushdown reaching the scan, no row-at-a-time Python, bounded shuffle
+counts — the '100 TB review' encoded as tests so refactors can't
+regress the plan shape silently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.plans.explain import (
+    count_exchanges,
+    pushed_filters,
+    read_schema,
+    uses_broadcast_join,
+    uses_python_row_eval,
+)
+from hadoop_20_warehouse_spark.registry import QUERIES
+import hadoop_20_warehouse_spark.inventory  # noqa: F401 - registers queries
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = QUERIES["join_broadcast_dims"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_scan_filter_projects_and_pushes(spark, sf_dir):
+    df = QUERIES["scan_filter_sample"](spark, sf_dir)
+    # column pruning: only the 6 referenced columns reach the scan
+    rs = read_schema(df)
+    assert "l_comment" not in rs and "l_orderkey" in rs
+    # a pure filter+project plan has zero shuffles
+    assert count_exchanges(df) == 0
+
+
+def test_predicate_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, f"expected quantity pushdown, got: {pf!r}"
+
+
+def test_single_agg_single_shuffle(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    # one hash-aggregate pair → exactly one exchange
+    assert count_exchanges(df) == 1
+
+
+def test_no_python_row_eval_on_jvm_operators(spark, sf_dir):
+    for name in ("pricing_summary", "wordcount", "join_inner", "dedup_minhash_lsh",
+                 "knn_cosine_brute", "text_lang_id"):
+        df = QUERIES[name](spark, sf_dir)
+        assert not uses_python_row_eval(df), f"{name} fell into BatchEvalPython"
+
+
+def test_override_join_single_shuffle(spark, sf_dir):
+    # union + window max: one shuffle on the key, no join
+    df = QUERIES["join_override"](spark, sf_dir)
+    assert count_exchanges(df) == 1
