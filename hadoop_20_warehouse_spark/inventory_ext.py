@@ -117,3 +117,85 @@ def q_kv_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(line, instr(line, '\t') + 1)"),
         ).otherwise(F.lit("")).alias("value"),
     )
+
+
+@register(
+    "logalyzer_grep_sort",
+    oracle="""
+WITH lines AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || chr(9) || l_returnflag || chr(9) ||
+         CAST(l_quantity AS VARCHAR) || chr(9) || l_linestatus AS line
+  FROM lineitem
+),
+matched AS (SELECT line FROM lines WHERE regexp_matches(line, chr(9) || 'R' || chr(9)))
+SELECT line FROM matched
+ORDER BY CAST(string_split(line, chr(9))[3] AS DOUBLE) DESC,
+         string_split(line, chr(9))[1] ASC
+LIMIT 500
+""",
+)
+def q_logalyzer_grep_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logalyzer (tools/Logalyzer.java:64-145): grep lines by regex,
+    then sort by a chosen column with a separator
+    (mapred.reducer.sort/separator) — filter + KeyField-style column
+    sort, top 500 with orderkey tiebreak."""
+    from hadoop_20_warehouse_spark.operators.sort import keyfield_sort_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat_ws(
+            "\t",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_returnflag"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_linestatus"),
+        ).alias("line")
+    )
+    matched = lines.filter(F.col("line").rlike("\tR\t"))
+    cols = keyfield_sort_columns("line", "-k3,3nr -k1,1", "\t")
+    return matched.orderBy(*cols).limit(500)
+
+
+@register(
+    "inverse_map",
+    oracle="SELECT o_totalprice AS key, o_orderkey AS value FROM orders",
+)
+def q_inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InverseMapper (mapred/lib/InverseMapper.java:33): (k,v)→(v,k) —
+    a pure projection, zero shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_totalprice").alias("key"), F.col("o_orderkey").alias("value")
+    )
+
+
+@register(
+    "agg_uniq_capped",
+    oracle="""
+SELECT event_type, least(COUNT(DISTINCT user_id), 100) AS uniq_capped
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqValueCount with maxNumItems cap
+    (lib/aggregate/UniqValueCount.java:30, cap at :81-85): the
+    reference truncates the distinct SET by insertion order (not
+    parallel-reproducible) but the reported COUNT equals
+    min(cap, true distinct) — which is deterministic, so that is the
+    semantics we implement and oracle-check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.least(F.countDistinct("user_id"), F.lit(100)).alias("uniq_capped")
+    )
+
+
+@register("agg_uniq_approx")  # rows-only: HLL sketch values are engine-specific
+def q_agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (approx_count_distinct / HyperLogLog++) —
+    the bounded-memory mode of UniqValueCount for 100 TB cardinalities.
+    No oracle: sketch estimates are engine-specific by design; the
+    driver records the weaker rows/schema check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("uniq_approx")
+    )
