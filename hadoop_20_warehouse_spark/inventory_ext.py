@@ -199,3 +199,178 @@ def q_agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("uniq_approx")
     )
+
+
+@register(
+    "reduce_apply_weighted",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders GROUP BY o_custkey
+""",
+)
+def q_reduce_apply_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic user Reducer (mapred/Reducer.java:166 →
+    groupBy().applyInPandas, operators/reduce_apply.py): per-customer
+    python aggregation over the full group frame. The function is
+    self-contained (local imports only) so it ships by value to
+    workers. Decimal-exact spend sum keeps the oracle comparable."""
+    from hadoop_20_warehouse_spark.operators.reduce_apply import reduce_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def per_customer(pdf):
+        import decimal as _decimal
+
+        import pandas as _pd
+
+        spend = sum(
+            _decimal.Decimal(str(v)).quantize(_decimal.Decimal("0.01"))
+            for v in pdf["o_totalprice"]
+        )
+        return _pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "total_spend": [float(spend)],
+                "last_order": [max(pdf["o_orderdate"]).strftime("%Y-%m-%d")],
+            }
+        )
+
+    return reduce_apply(
+        orders,
+        ["o_custkey"],
+        per_customer,
+        "o_custkey long, n_orders long, total_spend double, last_order string",
+    )
+
+
+@register(
+    "inverted_index",
+    oracle="""
+SELECT token AS term,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS term_freq,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY doc_id, token
+)
+GROUP BY token
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the Lucene index contrib's analog
+    (contrib/index/.../IndexUpdateMapper→Combiner→Reducer, SURVEY.md
+    §2.10): doc→term explode, per-(doc,term) tf, per-term postings list
+    ordered by doc_id. Two hash aggregations; postings assembled with
+    sort_array(collect_list) exactly matching the oracle's ordered
+    string_agg. This table underpins the similarity-search operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id"))), lambda s: s["doc_id"].cast("string")
+        ),
+        ",",
+    )
+    return tf.groupBy(F.col("token").alias("term")).agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("term_freq"),
+        postings.alias("postings"),
+    )
+
+
+@register(
+    "join_theta_next_order",
+    oracle="""
+SELECT a.o_orderkey AS cur_order,
+       MIN(b.o_orderkey) AS next_order_key
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND (b.o_orderdate > a.o_orderdate
+      OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey > a.o_orderkey))
+GROUP BY a.o_orderkey
+""",
+)
+def q_join_theta_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join — the data_join framework's generality
+    (contrib/data_join/.../DataJoinReducerBase.java:164-230: arbitrary
+    combine over the per-key cross product, inequality filters in
+    collect): each order joined to the customer's strictly-later
+    orders. Spark plans the equi part (custkey) as the shuffle key and
+    applies the inequality as a join residual — the per-key cross
+    product never leaves the join operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("cur_order"),
+        F.col("o_orderdate").alias("d_a"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderdate").alias("d_b"),
+    )
+    later = (F.col("d_b") > F.col("d_a")) | (
+        (F.col("d_b") == F.col("d_a")) & (F.col("bk") > F.col("cur_order"))
+    )
+    return (
+        a.join(b, on="ck")
+        .filter(later)
+        .groupBy("cur_order")
+        .agg(F.min("bk").alias("next_order_key"))
+    )
+
+
+@register(
+    "pi_estimate",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(CAST('0x' || substring(md5('x|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846975.0 AS x,
+         CAST(CAST('0x' || substring(md5('y|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846975.0 AS y
+  FROM (SELECT unnest(generate_series(0, 99999)) AS i)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       4.0 * SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25 THEN 1 ELSE 0 END) / COUNT(*) AS pi_est
+FROM pts
+""",
+)
+def q_pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PiEstimator (examples/PiEstimator.java:66): Monte-Carlo π with
+    counters as the aggregate. The reference used Halton sequences for
+    determinism; we use md5-derived points (same engine-portable
+    determinism), spark.range as the distributed generator, and the
+    inside/total counters as one aggregation — no driver loop."""
+    n = 100_000
+    rng = spark.range(0, n)
+    denom = float((1 << 60) - 1)
+    x = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("x|"), F.col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint").cast("double") / denom
+    )
+    y = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("y|"), F.col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint").cast("double") / denom
+    )
+    inside = ((x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5)) <= 0.25
+    return rng.select(inside.cast("long").alias("inside")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("inside").alias("n_inside"),
+        (F.lit(4.0) * F.sum("inside") / F.count(F.lit(1))).alias("pi_est"),
+    )

@@ -152,3 +152,55 @@ def write_noop(df: DataFrame) -> None:
     """NullOutputFormat (mapred/lib/NullOutputFormat.java): execute for
     side effects/metrics, write nothing."""
     df.write.format("noop").mode("overwrite").save()
+
+
+# --- MapFile analog: sorted table + point lookup ---------------------------
+
+
+def write_sorted_table(df: DataFrame, path: str, key_cols: list[str], partitions: int = 8) -> None:
+    """MapFileOutputFormat analog (mapred/MapFileOutputFormat.java:100):
+    write key-sorted parquet. Range-partitioned + sorted within files,
+    so parquet min/max row-group stats form the sparse index the
+    MapFile side file provided."""
+    (
+        df.repartitionByRange(partitions, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def point_lookup(spark: SparkSession, path: str, key_col: str, key_value) -> DataFrame:
+    """MapFileOutputFormat.getEntry analog: random lookup by key
+    against a sorted table — parquet stats + predicate pushdown skip
+    every row group whose [min,max] excludes the key."""
+    return spark.read.parquet(path).filter(F.col(key_col) == F.lit(key_value))
+
+
+# --- XML / pattern-delimited records --------------------------------------
+
+
+def read_xml_records(
+    spark: SparkSession, path: str, begin: str, end: str
+) -> DataFrame:
+    """StreamXmlRecordReader analog (contrib/streaming/.../
+    StreamXmlRecordReader.java:46): extract records delimited by
+    begin/end patterns → DataFrame[record string].
+
+    Uses wholeTextFiles + regex extraction: records may span lines, so
+    per-file parsing is required (same constraint the reference had —
+    its reader scanned for the begin pattern from each split start).
+    Files must be individually manageable; for huge single-file XML use
+    a splittable layout instead."""
+    import re as _re
+
+    sc = spark.sparkContext
+    pattern = _re.escape(begin) + r"(.*?)" + _re.escape(end)
+
+    def extract(kv):
+        _path, content = kv
+        for m in _re.finditer(pattern, content, _re.DOTALL):
+            yield (begin + m.group(1) + end,)
+
+    rdd = sc.wholeTextFiles(path).flatMap(extract)
+    return spark.createDataFrame(rdd, "record string")

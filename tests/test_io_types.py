@@ -68,3 +68,53 @@ def test_partitioned_write_and_pruning(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert back.count() == 50
+
+
+def test_sorted_table_point_lookup(spark, tmp_path):
+    from hadoop_20_warehouse_spark.sources.io import point_lookup, write_sorted_table
+
+    path = str(tmp_path / "mapfile")
+    df = spark.createDataFrame([Row(key=i, value=f"v{i}") for i in range(1000)])
+    write_sorted_table(df, path, ["key"], partitions=4)
+    hit = point_lookup(spark, path, "key", 437)
+    assert [(r["key"], r["value"]) for r in hit.collect()] == [(437, "v437")]
+    # pushdown reaches the scan (row-group skipping at scale)
+    from hadoop_20_warehouse_spark.plans.explain import pushed_filters
+
+    assert "key" in pushed_filters(hit)
+
+
+def test_xml_record_reader(spark, tmp_path):
+    from hadoop_20_warehouse_spark.sources.io import read_xml_records
+
+    p = tmp_path / "docs.xml"
+    p.write_text(
+        "<junk/>\n<doc>\n  <title>a</title>\n</doc>\nnoise\n<doc><title>b</title></doc>\n"
+    )
+    recs = sorted(
+        r["record"] for r in read_xml_records(spark, str(tmp_path), "<doc>", "</doc>").collect()
+    )
+    assert len(recs) == 2
+    assert "<doc><title>b</title></doc>" in recs
+    assert any("<title>a</title>" in r for r in recs)
+
+
+def test_skip_bad_records_permissive(spark, tmp_path):
+    """SkipBadRecords analog (mapred/SkipBadRecords.java): corrupt
+    inputs are skipped, not fatal, when ignoreCorruptFiles is set."""
+    good = str(tmp_path / "data")
+    df = spark.createDataFrame([Row(a=i) for i in range(10)])
+    df.write.parquet(good)
+    # drop a corrupt file into the same directory
+    with open(f"{good}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet file")
+    bad_read = spark.read.parquet(good)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad_read.count()  # default: corrupt file is fatal
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(good).count() == 10
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
