@@ -53,6 +53,16 @@ BENCH_QUERIES: dict[str, object] = {
     "join_override": QUERIES["join_override"],
     "aggregate_report": QUERIES["aggregate_report"],
     "value_histogram": QUERIES["value_histogram"],
+    # LLM-pipeline + streaming operators (engine extensions; first-class
+    # in the bench so their scaling is tracked round over round)
+    "dedup_minhash_lsh": QUERIES["dedup_minhash_lsh"],
+    "dedup_simhash": QUERIES["dedup_simhash"],
+    "knn_cosine_brute": QUERIES["knn_cosine_brute"],
+    "knn_lsh": QUERIES["knn_lsh"],
+    "text_quality": QUERIES["text_quality"],
+    "inverted_index": QUERIES["inverted_index"],
+    "stream_sessions": QUERIES["stream_sessions"],
+    "stream_tumbling_hourly": QUERIES["stream_tumbling_hourly"],
 }
 
 

@@ -105,8 +105,15 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     token length, punctuation ratio, english-stopword ratio — the
     standard cheap filters a pretraining pipeline applies first."""
     c = F.col(text_col)
-    n_tok = token_count(c)
-    return df.withColumns(
+    # materialize the token array once; every feature derives from it
+    # (split+filter is the expensive part — don't re-evaluate per column)
+    stage = df.withColumn("_toks", tokens(c))
+    n_tok = F.size("_toks").cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORD_PROFILES["en"]])
+    hits = F.size(
+        F.filter(F.col("_toks"), lambda t: F.array_contains(stop_arr, F.lower(t)))
+    ).cast("long")
+    return stage.withColumns(
         {
             "n_chars_q": F.length(c).cast("long"),
             "n_tokens": n_tok,
@@ -116,7 +123,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             "punct_ratio": punct_ratio(c),
             "stopword_ratio": F.when(
-                n_tok > 0, stopword_hits(c, "en").cast("double") / n_tok
+                n_tok > 0, hits.cast("double") / n_tok
             ).otherwise(F.lit(0.0)),
         }
-    )
+    ).drop("_toks")

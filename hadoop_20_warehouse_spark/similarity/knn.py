@@ -75,11 +75,17 @@ def brute_force_topk(
     (round(sim, 6) DESC, neighbor_id ASC) so ties — including exact
     duplicate embeddings — resolve identically everywhere.
     """
+    # norms precomputed once per row (not per pair — at |Q|·|corpus|
+    # pairs that's the difference between 1 and 3 vector folds per pair)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -87,7 +93,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -128,32 +136,28 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
 # Sign-LSH bucketing
 
 
-def _plane_component(plane: Column | int, dim: Column) -> Column:
+def _plane_component_py(plane: int, dim: int) -> float:
     """Pseudo-random hyperplane component in [-1000, 1000], derived
-    from md5(plane, dim) — deterministic and oracle-reproducible."""
-    p = F.lit(plane) if isinstance(plane, int) else plane
-    h = F.conv(
-        F.substring(F.md5(F.concat(p.cast("string"), F.lit("#"), dim.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return (h % 2001 - 1000).cast("double")
+    from md5(plane # dim) — the SAME value the oracle computes in SQL
+    (md5 is md5 everywhere), but evaluated once at plan-build time in
+    Python and embedded as a literal: zero hashing at runtime."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}#{dim}".encode()).hexdigest()[:15], 16)
+    return float(h % 2001 - 1000)
 
 
-def bucket_signature(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> DataFrame:
+def bucket_signature(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
     """(id, bucket): b-bit sign signature — bit p set iff
-    dot(vec, plane_p) > 0."""
+    dot(vec, plane_p) > 0. Plane vectors are literal arrays (constant
+    folding); each signature costs b fused zip-fold passes per row."""
     sig = None
     for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component_py(p, d)) for d in range(dim)])
         dot_p = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                    lambda d: _plane_component(p, d),
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -168,18 +172,23 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """ANN top-k within sign-LSH buckets: (query_id, neighbor_id, sim,
     rank) for every corpus vector as query, candidates limited to the
     same bucket. The scale path: bucket equi-join replaces the cross
     join; recall < 1 by construction."""
-    sig = bucket_signature(corpus, id_col, vec_col, n_planes)
-    vecs = corpus.select(F.col(id_col), F.col(vec_col)).join(sig, on=id_col)
+    sig = bucket_signature(corpus, id_col, vec_col, n_planes, dim)
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    ).join(sig, on=id_col)
     a = vecs.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
     )
     b = vecs.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        F.col("nrm").alias("nn"), "bucket",
     )
     sims = (
         a.join(b, on="bucket")
@@ -187,7 +196,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
