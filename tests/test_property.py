@@ -1,0 +1,138 @@
+"""Property-based tests (tier 3, SURVEY.md §5): parser round-trips via
+Hypothesis; operator semantics cross-checked against pure-Python
+reference implementations on randomized inputs (fixed seeds — one
+Spark job per case set, not per example)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from hadoop_20_warehouse_spark.operators.join import Func, Tbl, parse_join_expr
+from hadoop_20_warehouse_spark.operators.select import parse_field_spec
+from hadoop_20_warehouse_spark.operators.sort import parse_keyfield_spec
+
+
+# --- parser properties -----------------------------------------------------
+
+
+@given(
+    fields=st.lists(st.integers(0, 99), max_size=6),
+    open_from=st.one_of(st.none(), st.integers(0, 99)),
+)
+def test_field_spec_roundtrip(fields, open_from):
+    parts = [str(f) for f in fields]
+    if open_from is not None:
+        parts.append(f"{open_from}-")
+    spec = ",".join(parts)
+    parsed = parse_field_spec(spec)
+    assert parsed.fields == tuple(fields)
+    assert parsed.open_range_from == open_from
+
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(1, 20),                       # start field
+            st.one_of(st.none(), st.integers(1, 9)),  # start char
+            st.booleans(),                            # numeric
+            st.booleans(),                            # reverse
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_keyfield_spec_roundtrip(parts):
+    chunks = []
+    for f, c, num, rev in parts:
+        s = f"-k{f}" + (f".{c}" if c else "") + f",{f}"
+        s += ("n" if num else "") + ("r" if rev else "")
+        chunks.append(s)
+    parsed = parse_keyfield_spec(" ".join(chunks))
+    assert len(parsed) == len(parts)
+    for got, (f, c, num, rev) in zip(parsed, parts):
+        assert got.start_field == f and got.end_field == f
+        assert got.start_char == (c or 1)
+        assert got.numeric == num and got.reverse == rev
+
+
+_expr_leaf = st.sampled_from(["s0", "s1", "s2", "src_a", "tbl_x"])
+
+
+def _expr_trees(depth: int):
+    if depth == 0:
+        return _expr_leaf.map(Tbl)
+    child = _expr_trees(depth - 1)
+    return st.one_of(
+        _expr_leaf.map(Tbl),
+        st.tuples(
+            st.sampled_from(["inner", "outer", "override"]),
+            st.lists(child, min_size=2, max_size=3),
+        ).map(lambda t: Func(t[0], tuple(t[1]))),
+    )
+
+
+def _render(e) -> str:
+    if isinstance(e, Tbl):
+        return e.name
+    return f"{e.op}({', '.join(_render(c) for c in e.children)})"
+
+
+@given(tree=_expr_trees(3))
+@settings(max_examples=200)
+def test_join_expr_roundtrip(tree):
+    assert parse_join_expr(_render(tree)) == tree
+
+
+# --- override-join randomized cross-check ---------------------------------
+
+
+def _reference_override(sources: list[dict[int, list[int]]]) -> set[tuple[int, int, int]]:
+    """Pure-python OverrideRecordReader semantics: per key, the full
+    value stream of the rightmost source holding it."""
+    out = set()
+    keys = set().union(*[set(s) for s in sources])
+    for k in keys:
+        for i in range(len(sources) - 1, -1, -1):
+            if k in sources[i]:
+                for v in sources[i][k]:
+                    out.add((k, i, v))
+                break
+    return out
+
+
+def test_override_join_random_cross_check(spark):
+    from hadoop_20_warehouse_spark.operators.join import override_join
+
+    rng = random.Random(42)
+    for trial in range(3):
+        srcs = []
+        for _i in range(3):
+            d: dict[int, list[int]] = {}
+            for k in range(20):
+                if rng.random() < 0.5:
+                    d[k] = [rng.randrange(1000) for _ in range(rng.randint(1, 3))]
+            srcs.append(d)
+        frames = [
+            spark.createDataFrame(
+                [Row(key=k, val=v) for k, vs in s.items() for v in vs]
+                or [Row(key=-999, val=0)]  # avoid empty frames
+            )
+            for s in srcs
+        ]
+        # align reference with the -999 filler rows
+        ref_srcs = [dict(s) for s in srcs]
+        for s, orig in zip(ref_srcs, srcs):
+            if not orig:
+                s[-999] = [0]
+        want = _reference_override(ref_srcs)
+        got = set()
+        for r in override_join(frames, "key").collect():
+            for i in range(3):
+                v = r[f"val_{i}"]
+                if v is not None:
+                    got.add((r["key"], i, v))
+        assert got == want, f"trial {trial}: {got ^ want}"
