@@ -1,0 +1,130 @@
+"""Connected components over candidate-pair edges → canonical dedup
+groups.
+
+MinHash/SimHash banding emits PAIRS (dedup/minhash.py); a dedup policy
+needs GROUPS: every document labeled with the smallest doc id of its
+duplicate-cluster. That is connected components, computed here by
+iterative min-label propagation (the standard large-graph formulation
+— each round every node adopts the minimum label among itself and its
+neighbors; converges in O(diameter) rounds; dup clusters are
+near-cliques from LSH so the diameter is tiny, 2-4 rounds typical).
+
+Scale notes:
+- Each round is one join + one aggregation on the edge list — all
+  DataFrame ops, shuffles keyed by node id; AQE handles the shrinking
+  frontier. No driver-side data beyond a single convergence count.
+- ``max_iterations`` bounds the loop; ``checkpoint_every`` truncates
+  the lineage (local checkpoint) so long chains don't blow up plan
+  depth at scale.
+- The DuckDB oracle (``connected_components_sql``) is a recursive CTE
+  doing the same propagation — labels only decrease and the state
+  space is finite, so the recursion's UNION-dedup terminates.
+
+The reference has no graph operator (SURVEY.md §1.5); this is part of
+the LLM-pipeline extension (exact/near dedup at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable.
+
+    ``edges`` is an undirected pair list; isolated nodes absent from it
+    simply keep their own id (callers union them back if needed).
+
+    Iterative state is materialized every round (localCheckpoint):
+    without it each round — and the convergence probe — re-executes the
+    whole upstream lineage (e.g. a MinHash pipeline feeding the edges),
+    turning O(diameter) rounds into O(diameter) full recomputations.
+    """
+    # undirected: both directions, plus self-loops so every node keeps
+    # its own id as a candidate label. Materialized once — every round
+    # joins against it.
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _i in range(max_iterations):
+        # candidate labels: own + min neighbor label
+        neighbor_labels = (
+            und.join(labels.withColumnRenamed("node", "v"), on="v")
+            .select(F.col("u").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no label changed (cheap: both sides checkpointed)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def connected_components_sql(edges_cte: str, src: str = "id_a", dst: str = "id_b") -> str:
+    """DuckDB oracle: recursive min-label propagation over the same
+    edges. ``edges_cte`` must define a relation named ``edges``."""
+    return f"""
+WITH RECURSIVE
+{edges_cte},
+und AS (
+  SELECT {src} AS u, {dst} AS v FROM edges
+  UNION
+  SELECT {dst} AS u, {src} AS v FROM edges
+),
+walk(node, component) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.u, walk.component
+  FROM und JOIN walk ON walk.node = und.v
+  WHERE walk.component < und.u
+),
+best AS (
+  SELECT node, MIN(component) AS component FROM walk GROUP BY node
+)
+SELECT node, component FROM best
+""".strip()
+
+
+def dedup_groups_from_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full corpus labeling: every row of ``df`` gets its component
+    (canonical id); rows not in any pair are their own component."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )

@@ -158,6 +158,24 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_sql_parts(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_width: int = DEFAULT_SHINGLE,
+) -> tuple[str, str]:
+    """(cte_list, final_select) for composing the oracle into larger
+    WITH statements (e.g. recursive connected components)."""
+    full = minhash_lsh_pairs_sql(
+        table, id_col, text_col, n_hashes, bands, shingle_width
+    )
+    head, _, tail = full.partition("\nSELECT c.id_a")
+    assert tail, "oracle shape changed; update the partition marker"
+    return head[len("WITH "):].rstrip().rstrip(","), "SELECT c.id_a" + tail
+
+
 def minhash_lsh_pairs_sql(
     table: str,
     id_col: str,

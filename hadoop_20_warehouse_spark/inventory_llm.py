@@ -323,3 +323,42 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.coalesce(F.col("sel"), F.lit(""))).alias("fingerprint"),
         F.col("n_kept").alias("n_kept"),
     )
+
+
+def _components_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.minhash import minhash_lsh_pairs_sql_parts
+
+    ctes, final = minhash_lsh_pairs_sql_parts("documents", "doc_id", "text")
+    return f"""
+WITH RECURSIVE
+{ctes},
+edges AS ({final}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+walk(node, component) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.u, walk.component
+  FROM und JOIN walk ON walk.node = und.v
+  WHERE walk.component < und.u
+),
+best AS (SELECT node, MIN(component) AS component FROM walk GROUP BY node)
+SELECT d.doc_id, COALESCE(b.component, d.doc_id) AS component
+FROM documents d LEFT JOIN best b ON b.node = d.doc_id
+"""
+
+
+@register("dedup_components", oracle=_components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonical groups: MinHash-LSH candidate pairs →
+    iterative min-label connected components (dedup/components.py) →
+    every document labeled with its cluster's smallest doc_id. The
+    oracle runs the identical propagation as a recursive CTE."""
+    from hadoop_20_warehouse_spark.dedup.components import dedup_groups_from_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = MH.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    return dedup_groups_from_pairs(docs, pairs, "doc_id")

@@ -98,3 +98,23 @@ def q_stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", W.TS_FMT).alias("first_ts"),
         F.col("event_id").alias("first_event_id"),
     )
+
+
+@register(
+    "stream_running_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState — per-key
+    running stats across micro-batches; streaming/windows.py
+    running_user_stats). The batch form here is the oracle-checkable
+    fixpoint; tests/test_streaming.py proves the incremental stateful
+    run converges to the same answer."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.running_user_stats(ev)

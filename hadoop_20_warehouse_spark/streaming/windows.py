@@ -161,3 +161,79 @@ def dedup_events(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def running_user_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running (n_events, value_sum, last_ts) maintained across
+    micro-batches — the arbitrary-state surface the built-in windows
+    can't express (counters that never reset, custom eviction, ML
+    feature state, ...).
+
+    State is one small tuple per key; the watermark bounds how long
+    idle keys are kept via the state timeout. On a batch DataFrame this
+    falls back to a plain groupBy aggregation with identical output
+    (unified API, oracle-checkable).
+
+    The user function is self-contained (local imports only) so it
+    ships by value to Python workers (see multimodal/binary.py).
+    """
+    out_schema = f"{key_col} long, n_events long, value_sum double, last_ts string"
+
+    if not df.isStreaming:
+        return (
+            df.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("value_sum"),
+                F.date_format(F.max(ts_col), TS_FMT).alias("last_ts"),
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    kc, tc, vc = key_col, ts_col, value_col
+
+    def update(key, pdfs, state: GroupState):
+        import decimal as _decimal
+
+        import pandas as _pd
+
+        n, total_cents, last = (
+            state.get if state.exists else (0, 0, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer cents: exact accumulation across micro-batches
+            total_cents += int(
+                sum(
+                    _decimal.Decimal(str(v)).quantize(_decimal.Decimal("0.01")) * 100
+                    for v in pdf[vc]
+                )
+            )
+            batch_last = pdf[tc].max()
+            last = batch_last if last is None or batch_last > last else last
+        state.update((n, total_cents, last))
+        yield _pd.DataFrame(
+            {
+                kc: [key[0]],
+                "n_events": [n],
+                "value_sum": [total_cents / 100.0],
+                "last_ts": [_pd.Timestamp(last).strftime("%Y-%m-%d %H:%M:%S.%f")],
+            }
+        )
+
+    df = _maybe_watermark(df, ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n long, total_cents long, last timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

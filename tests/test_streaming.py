@@ -87,3 +87,34 @@ def test_streaming_dedup_bounded_state(spark, events_stream_dir):
     got = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0]["n"]
     want = ev_batch.select("user_id", "event_type").distinct().count()
     assert got == want
+
+
+def test_stateful_running_stats_stream_matches_batch(spark, events_stream_dir):
+    """applyInPandasWithState: the per-key running stats after draining
+    the whole stream equal the batch aggregation (take each key's last
+    update emitted across micro-batches)."""
+    from pyspark.sql import Window as W_
+    from pyspark.sql import functions as F2
+
+    ev_batch = load_table(spark, SF_DIR, "events")
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    q = (
+        W.running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM stateful_stream")
+    # last update per key = final running value (n_events is cumulative)
+    w = W_.partitionBy("user_id").orderBy(F2.desc("n_events"))
+    got = (
+        updates.withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") == 1)
+        .drop("rn")
+        .toPandas()
+    )
+    want = W.running_user_stats(ev_batch).toPandas()
+    assert normalize(got).equals(normalize(want))
