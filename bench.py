@@ -41,11 +41,21 @@ def _full_sort(spark, sf_dir: str) -> DataFrame:
     return li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
 
 
+def _teragen_sort(spark, sf_dir: str) -> DataFrame:
+    """TeraSort proper: generate 1M 100-byte rows (TeraGen shape,
+    examples/terasort/TeraGen.java:60) and total-order sort by the
+    10-char key — raw sort throughput independent of the input tables."""
+    from hadoop_20_warehouse_spark.operators.datagen import teragen
+
+    return teragen(spark, 1_000_000, partitions=32).orderBy("key")
+
+
 BENCH_QUERIES: dict[str, object] = {
     # name -> callable(spark, sf_dir) -> DataFrame
     "pricing_summary": QUERIES["pricing_summary"],
     "scan_filter_sample": QUERIES["scan_filter_sample"],
     "full_sort": _full_sort,
+    "teragen_sort": _teragen_sort,
     "wordcount": QUERIES["wordcount"],
     "monster_query": QUERIES["monster_query"],
     "grep_topk": QUERIES["grep_topk"],

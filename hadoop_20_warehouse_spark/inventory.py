@@ -700,3 +700,4 @@ def q_set_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
 from hadoop_20_warehouse_spark import inventory_llm  # noqa: E402,F401
 from hadoop_20_warehouse_spark import inventory_streaming  # noqa: E402,F401
 from hadoop_20_warehouse_spark import inventory_ext  # noqa: E402,F401
+from hadoop_20_warehouse_spark import inventory_sql  # noqa: E402,F401

@@ -118,3 +118,29 @@ def test_skip_bad_records_permissive(spark, tmp_path):
         assert spark.read.parquet(good).count() == 10
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_compression_codecs_roundtrip(spark, tmp_path):
+    """Codec parity (SURVEY.md §1.4: gzip/bzip2/LZMA in the reference →
+    snappy/zstd/gzip here): same data back from every codec."""
+    df = spark.createDataFrame([Row(k=i, v=f"value{i}" * 10) for i in range(500)])
+    want = sorted((r["k"], r["v"]) for r in df.collect())
+    for codec in ("snappy", "gzip", "zstd"):
+        path = str(tmp_path / f"c_{codec}")
+        df.write.mode("overwrite").option("compression", codec).parquet(path)
+        got = sorted(
+            (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+        )
+        assert got == want, codec
+
+
+def test_distcp_style_copy(spark, tmp_path):
+    """DistCp analog (tools/DistCp.java:76): parallel read→write copy
+    preserving schema and content."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame([Row(a=i, b=str(i)) for i in range(1000)])
+    df.write.parquet(src)
+    spark.read.parquet(src).write.parquet(dst)
+    back = spark.read.parquet(dst)
+    assert back.schema == spark.read.parquet(src).schema
+    assert back.count() == 1000
