@@ -1,0 +1,209 @@
+"""Embedding-cosine near-duplicate detection.
+
+Near-dup pairs over an ``array<float>`` embedding column: candidate
+generation via banded random-hyperplane (sign) LSH — ``n_tables``
+independent b-bit signatures, candidates = pairs agreeing on ANY full
+signature (OR-amplification across tables, AND within a table's
+planes) — then exact cosine on candidates only, keeping pairs with
+``sim >= threshold``.
+
+Scale design (the 100 TB path):
+- All-pairs cosine is O(n²) and never materialized; the only join is
+  the equi-join on (table_idx, bucket), so the shuffle is |docs| ×
+  n_tables rows and work concentrates in genuinely-similar buckets.
+- Plane vectors are md5-derived constants folded into the plan at
+  build time (zero hashing at runtime, bit-identical in the oracle).
+- Recall tuning is (n_tables ↑ ⇒ recall ↑, cost ↑; planes/table ↑ ⇒
+  precision ↑): standard banding trade-off, same knobs as MinHash LSH.
+- Skewed buckets (e.g. near-zero vectors all hashing together) are
+  handled by AQE skew-join splitting.
+
+``brute_force_pairs`` is the exact small-scale baseline used by tests
+to measure recall and verify the LSH path returns a subset.
+
+The reference has no vector operators; lineage is its MD5 sample
+filter (src/mapred/org/apache/hadoop/mapred/SequenceFileInputFilter.java:195)
+generalized per Charikar '02 sign-LSH (public literature; PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.similarity.knn import (
+    _dot,
+    _norm,
+    _plane_component_py,
+    cosine_sql,
+)
+
+DEFAULT_THRESHOLD = 0.4
+DEFAULT_TABLES = 2
+DEFAULT_PLANES = 4  # bits per table
+
+
+def sign_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = DEFAULT_TABLES,
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, table_idx, bucket): one b-bit sign signature per table.
+    Table t uses global plane indices t*n_planes .. t*n_planes+b-1 so
+    every table's hyperplanes are independent."""
+    rows = []
+    for t in range(n_tables):
+        sig = None
+        for p in range(n_planes):
+            gp = t * n_planes + p
+            plane = F.array(*[F.lit(_plane_component_py(gp, d)) for d in range(dim)])
+            dot_p = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            term = (
+                F.when(dot_p > 0, F.lit(1 << p).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            sig = term if sig is None else sig + term
+        rows.append(F.struct(F.lit(t).alias("table_idx"), sig.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("tb")
+    ).select(F.col(id_col), F.col("tb.table_idx"), F.col("tb.bucket"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = DEFAULT_THRESHOLD,
+    n_tables: int = DEFAULT_TABLES,
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, sim) with id_a < id_b and sim >= threshold, sim
+    rounded to 6 decimals; candidates restricted to LSH bucket
+    collisions."""
+    buckets = sign_buckets(df, id_col, vec_col, n_tables, n_planes, dim)
+    a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    cand = (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def brute_force_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Exact all-pairs baseline (id_a < id_b, sim >= threshold) — test
+    yardstick only; O(n²), never the production path."""
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+_PLANE_SQL = (
+    "CAST(CAST('0x' || substring(md5(CAST({p} AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) "
+    "% 2001 - 1000 AS DOUBLE)"
+)
+
+
+def embedding_near_dup_pairs_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = DEFAULT_THRESHOLD,
+    n_tables: int = DEFAULT_TABLES,
+    n_planes: int = DEFAULT_PLANES,
+) -> str:
+    """DuckDB oracle — identical planes, buckets, candidates, cosine."""
+
+    def dot_with_plane(gp: int) -> str:
+        plane_list = (
+            f"list_transform(generate_series(0, len({vec_col}) - 1), "
+            f"d -> {_PLANE_SQL.format(p=gp)})"
+        )
+        return (
+            f"list_sum(list_transform(list_zip({vec_col}, {plane_list}), "
+            f"pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE)))"
+        )
+
+    table_rows = "\n  UNION ALL\n".join(
+        "  SELECT {id} AS id, {t} AS table_idx, {sig} AS bucket FROM {tbl}".format(
+            id=id_col,
+            t=t,
+            tbl=table,
+            sig=" + ".join(
+                f"(CASE WHEN {dot_with_plane(t * n_planes + p)} > 0 "
+                f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+                for p in range(n_planes)
+            ),
+        )
+        for t in range(n_tables)
+    )
+    cos = cosine_sql("va.v", "vb.v")
+    return f"""
+WITH buckets AS (
+{table_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.id < b.id
+),
+vecs AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
+SELECT c.id_a, c.id_b, round({cos}, 6) AS sim
+FROM cand c
+JOIN vecs va ON va.id = c.id_a
+JOIN vecs vb ON vb.id = c.id_b
+WHERE round({cos}, 6) >= {threshold}
+""".strip()

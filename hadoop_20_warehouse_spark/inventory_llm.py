@@ -14,11 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.dedup import embedding as EMB
 from hadoop_20_warehouse_spark.dedup import exact as DX
 from hadoop_20_warehouse_spark.dedup import minhash as MH
 from hadoop_20_warehouse_spark.dedup import simhash as SH
 from hadoop_20_warehouse_spark.functions import text as T
 from hadoop_20_warehouse_spark.registry import register
+from hadoop_20_warehouse_spark.similarity import ivf as IVF
 from hadoop_20_warehouse_spark.similarity import knn as KNN
 
 # ===========================================================================
@@ -89,6 +91,19 @@ JOIN sizes sa ON sa.doc_id = s.id_a
 JOIN sizes sb ON sb.doc_id = s.id_b
 WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared) >= 0.2
 """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=EMB.embedding_near_dup_pairs_sql("embeddings"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup/embedding.py): banded
+    sign-LSH candidates (2 tables × 4 planes, OR-amplified), exact
+    cosine >= 0.4 on candidates only — the vector-space sibling of
+    dedup_minhash_lsh; all-pairs cosine is never materialized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return EMB.embedding_near_dup_pairs(emb)
 
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
@@ -181,6 +196,18 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join instead of cross join (similarity/knn.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return KNN.lsh_topk(emb, k=5, n_planes=8)
+
+
+@register(
+    "knn_ivf",
+    oracle=IVF.ivf_topk_sql("embeddings", k=5),
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5 for every vector (similarity/ivf.py):
+    broadcast sampled centroids, nprobe=2 cell probing — candidate
+    join is an equi-join on centroid_id, never a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return IVF.ivf_topk(emb, k=5)
 
 
 # ===========================================================================

@@ -1,0 +1,169 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The classic coarse-quantizer ANN layout (Sivic/Zisserman "Video
+Google" visual words; Jégou et al. IVFADC — public literature, see
+PAPERS.md): partition the corpus into cells around centroids, search
+only the ``nprobe`` cells nearest each query.
+
+This implementation is IVF-flat with *sampled* centroids: every
+``centroid_stride``-th vector by id is a centroid (deterministic, no
+k-means iterations — reproducible bit-for-bit in the DuckDB oracle;
+a trained quantizer can replace the sampler without touching the
+search plan).
+
+Scale design (the 100 TB path):
+- The centroid table is tiny (n/stride rows) and **broadcast**; both
+  assignment and probe selection are broadcast joins — no shuffle of
+  the corpus for quantization.
+- The only wide op is the equi-join probe→cell on ``centroid_id``:
+  shuffle volume is |corpus| + |queries|·nprobe rows, vs the cross
+  join's |corpus|·|queries| pairs.
+- Cell skew (a hot centroid) is split by AQE skew-join handling.
+- Cosines are rounded to 6 decimals before ranking with id tiebreaks,
+  so ranks are stable across engines (similarity/knn.py docstring).
+
+The reference has no vector operators; lineage is the partitioned
+MapFile point-lookup pattern (src/mapred/org/apache/hadoop/mapred/
+MapFileOutputFormat.java:100 — route a query to one indexed partition)
+generalized to vector cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, cosine_sql
+
+DEFAULT_STRIDE = 50
+DEFAULT_NPROBE = 2
+
+
+def _cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_stride: int,
+    rank_limit_expr,
+) -> DataFrame:
+    """(id, centroid_id, crank): each vector's nearest centroids by
+    rounded cosine, centroid-id tiebreak, ranks <= rank_limit_expr."""
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
+    )
+    sims = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "centroid_id",
+        F.round(
+            _dot(F.col(vec_col), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
+        ).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rank_limit_expr)
+        .select(id_col, "centroid_id", "crank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_stride: int = DEFAULT_STRIDE,
+    nprobe: int = DEFAULT_NPROBE,
+) -> DataFrame:
+    """ANN top-k with every corpus vector as query: (query_id,
+    neighbor_id, sim, rank); candidates = vectors assigned (rank-1
+    cell) to one of the query's ``nprobe`` nearest cells."""
+    assign = _cells(corpus, id_col, vec_col, centroid_stride, F.lit(1)).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    probes = _cells(corpus, id_col, vec_col, centroid_stride, F.lit(nprobe)).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    cand = (
+        probes.join(assign, on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    q = vecs.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("nrm").alias("qn")
+    )
+    n = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), F.col("nrm").alias("nn")
+    )
+    sims = (
+        cand.join(q, on="query_id")
+        .join(n, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_stride: int = DEFAULT_STRIDE,
+    nprobe: int = DEFAULT_NPROBE,
+) -> str:
+    """DuckDB oracle for ``ivf_topk`` — identical centroids, cell
+    ranks, candidates, and rounded-cosine ranking."""
+    ccos = cosine_sql("v.v", "c.cv")
+    cos = cosine_sql("q.qv", "n.nv")
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS centroid_id, {vec_col} AS cv FROM {table}
+  WHERE {id_col} % {centroid_stride} = 0
+),
+v AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+cellranks AS (
+  SELECT id, centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY round({ccos}, 6) DESC, centroid_id ASC
+         ) AS crank
+  FROM v CROSS JOIN cents c
+),
+assign AS (SELECT id AS neighbor_id, centroid_id FROM cellranks WHERE crank = 1),
+probes AS (SELECT id AS query_id, centroid_id FROM cellranks WHERE crank <= {nprobe}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+),
+q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table}),
+n AS (SELECT {id_col} AS neighbor_id, {vec_col} AS nv FROM {table}),
+sims AS (
+  SELECT c.query_id, c.neighbor_id, round({cos}, 6) AS sim
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN n ON n.neighbor_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+""".strip()

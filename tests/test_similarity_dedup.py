@@ -1,0 +1,64 @@
+"""Structural properties of the vector near-dup and ANN operators —
+the oracle gate (test_inventory_oracle) proves engine/oracle identity;
+these prove the *algorithms* behave as advertised (candidate subsets,
+recall vs the exact baseline, no self/duplicate pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.dedup import embedding as EMB
+from hadoop_20_warehouse_spark.similarity import ivf as IVF
+from hadoop_20_warehouse_spark.similarity.knn import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_embedding_near_dup_subset_of_brute(spark, emb):
+    lsh = EMB.embedding_near_dup_pairs(emb)
+    brute = EMB.brute_force_pairs(emb)
+    extra = lsh.exceptAll(brute)
+    assert extra.count() == 0, "LSH near-dup pairs must be a subset of exact pairs"
+
+
+def test_embedding_near_dup_sane(spark, emb):
+    rows = EMB.embedding_near_dup_pairs(emb).collect()
+    assert rows, "threshold should yield at least one pair on testdata"
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.sim >= EMB.DEFAULT_THRESHOLD - 1e-9
+    assert len({(r.id_a, r.id_b) for r in rows}) == len(rows), "no duplicate pairs"
+
+
+def test_embedding_near_dup_recall(spark, emb):
+    """Banded sign-LSH should recover a non-trivial share of the exact
+    pairs at the default knobs (recall < 1 by construction)."""
+    lsh_n = EMB.embedding_near_dup_pairs(emb).count()
+    brute_n = EMB.brute_force_pairs(emb).count()
+    assert brute_n > 0
+    assert lsh_n / brute_n >= 0.25, f"recall collapsed: {lsh_n}/{brute_n}"
+
+
+def test_ivf_topk_matches_brute_on_probed_cells(spark, emb):
+    """Every IVF neighbor must also appear in the exact brute-force
+    ranking for that query with >= its IVF similarity — IVF can only
+    *miss* neighbors (approximation), never invent or inflate them."""
+    ivf = IVF.ivf_topk(emb, k=5).select("query_id", "neighbor_id", "sim")
+    brute_all = brute_force_topk(emb, emb, k=10**9).select(
+        "query_id", "neighbor_id", "sim"
+    )
+    missing = ivf.join(brute_all, on=["query_id", "neighbor_id", "sim"], how="left_anti")
+    assert missing.count() == 0
+
+
+def test_ivf_covers_all_queries(spark, emb):
+    n_vec = emb.count()
+    ivf = IVF.ivf_topk(emb, k=5)
+    assert ivf.select("query_id").distinct().count() == n_vec
+    per_q = ivf.groupBy("query_id").count()
+    assert per_q.agg(F.max("count")).first()[0] <= 5
