@@ -7,7 +7,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_spark.catalog import load_table
-from hadoop_20_warehouse_spark.multimodal.binary import decode_meta
+from hadoop_20_warehouse_spark.multimodal.binary import (
+    decode_meta,
+    frame_sample_stub,
+    frame_sample_stub_sql,
+    resize_stub,
+    resize_stub_sql,
+)
 from hadoop_20_warehouse_spark.operators import pipe as P
 from hadoop_20_warehouse_spark.registry import register
 
@@ -81,6 +87,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.col("text").cast("binary").alias("payload")
     )
     return decode_meta(with_bin, "doc_id", "payload")
+
+
+@register(
+    "multimodal_resize",
+    oracle=resize_stub_sql("documents", "doc_id", "text"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize plumbing (multimodal/binary.py): stub-decoded
+    dims, integer-exact fit math, fake resized digest — the per-image
+    stage of an image-pipeline, Arrow-batched, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = docs.select(
+        F.col("doc_id"), F.col("text").cast("binary").alias("payload")
+    )
+    return resize_stub(with_bin, "doc_id", "payload")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=frame_sample_stub_sql("documents", "doc_id", "text"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal/binary.py): UDTF-shaped
+    mapInPandas emitting every 10th frame of a digest-derived fake
+    video — the demux stage of a video pipeline, 1→N rows, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = docs.select(
+        F.col("doc_id"), F.col("text").cast("binary").alias("payload")
+    )
+    return frame_sample_stub(with_bin, "doc_id", "payload")
 
 
 @register(

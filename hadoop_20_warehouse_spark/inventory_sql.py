@@ -58,6 +58,79 @@ SELECT c_custkey, c_mktsegment, spend, seg_rank FROM (
 """
 
 
+_ORDER_PRIORITY_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+_REVENUE_FORECAST_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_RETURNED_ITEMS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+_SMALL_QTY_REVENUE_SQL = """
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * pa.cnt < pa.sum_qty
+"""
+
+_ROLLUP_REVENUE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, register_views=True)
@@ -70,5 +143,11 @@ for _name, _sql in (
     ("sql_shipping_priority", _SHIPPING_PRIORITY_SQL),
     ("sql_top_suppliers", _TOP_SUPPLIERS_SQL),
     ("sql_customer_rank", _CUSTOMER_RANK_SQL),
+    ("sql_order_priority", _ORDER_PRIORITY_SQL),
+    ("sql_local_supplier_volume", _LOCAL_SUPPLIER_VOLUME_SQL),
+    ("sql_revenue_forecast", _REVENUE_FORECAST_SQL),
+    ("sql_returned_items", _RETURNED_ITEMS_SQL),
+    ("sql_small_qty_revenue", _SMALL_QTY_REVENUE_SQL),
+    ("sql_rollup_revenue", _ROLLUP_REVENUE_SQL),
 ):
     register(_name, oracle=_sql)(_sql_query(_sql))
