@@ -69,6 +69,9 @@ BENCH_QUERIES: dict[str, object] = {
     "dedup_simhash": QUERIES["dedup_simhash"],
     "knn_cosine_brute": QUERIES["knn_cosine_brute"],
     "knn_lsh": QUERIES["knn_lsh"],
+    "knn_ivf": QUERIES["knn_ivf"],
+    "dedup_embedding_cosine": QUERIES["dedup_embedding_cosine"],
+    "multimodal_frame_sample": QUERIES["multimodal_frame_sample"],
     "text_quality": QUERIES["text_quality"],
     "inverted_index": QUERIES["inverted_index"],
     "stream_sessions": QUERIES["stream_sessions"],

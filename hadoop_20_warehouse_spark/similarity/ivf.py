@@ -44,10 +44,13 @@ def _cells(
     id_col: str,
     vec_col: str,
     centroid_stride: int,
-    rank_limit_expr,
+    nprobe: int,
 ) -> DataFrame:
-    """(id, centroid_id, crank): each vector's nearest centroids by
-    rounded cosine, centroid-id tiebreak, ranks <= rank_limit_expr."""
+    """(id, centroid_id, crank): each vector's ``nprobe`` nearest
+    centroids by rounded cosine, centroid-id tiebreak. Computed ONCE —
+    callers derive both the rank-1 assignment and the probe set from
+    this frame, so the centroid cross join and ranking window run a
+    single time."""
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cv"),
@@ -66,7 +69,7 @@ def _cells(
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
     return (
         sims.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= rank_limit_expr)
+        .filter(F.col("crank") <= nprobe)
         .select(id_col, "centroid_id", "crank")
     )
 
@@ -82,17 +85,18 @@ def ivf_topk(
     """ANN top-k with every corpus vector as query: (query_id,
     neighbor_id, sim, rank); candidates = vectors assigned (rank-1
     cell) to one of the query's ``nprobe`` nearest cells."""
-    assign = _cells(corpus, id_col, vec_col, centroid_stride, F.lit(1)).select(
+    cells = _cells(corpus, id_col, vec_col, centroid_stride, nprobe).persist()
+    assign = cells.filter(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"
     )
-    probes = _cells(corpus, id_col, vec_col, centroid_stride, F.lit(nprobe)).select(
-        F.col(id_col).alias("query_id"), "centroid_id"
-    )
+    probes = cells.select(F.col(id_col).alias("query_id"), "centroid_id")
+    # no distinct needed: a neighbor has exactly ONE rank-1 cell and a
+    # query's probe centroids are distinct, so (query, neighbor) pairs
+    # are already unique — skipping distinct saves a full shuffle.
     cand = (
         probes.join(assign, on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
