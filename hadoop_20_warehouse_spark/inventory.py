@@ -490,6 +490,37 @@ def q_join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_composite_nested",
+    oracle=f"""
+WITH {_JOIN_SRC_SQL},
+ij AS (
+  SELECT s0.key AS key, s0.total AS total_src0, s1.cust AS cust_src1
+  FROM src0 s0 JOIN src1 s1 ON s0.key = s1.key
+),
+tagged AS (
+  SELECT key, 0 AS _src, total_src0, cust_src1,
+         NULL::INTEGER AS line, NULL::DOUBLE AS qty FROM ij
+  UNION ALL
+  SELECT key, 1, NULL, NULL, line, qty FROM src2
+),
+ranked AS (SELECT *, MAX(_src) OVER (PARTITION BY key) AS _max_src FROM tagged)
+SELECT key, total_src0, cust_src1, line AS line_src2, qty AS qty_src2
+FROM ranked WHERE _src = _max_src
+""",
+)
+def q_join_composite_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested composite expression ``override(inner(src0, src1), src2)``
+    (the reference grammar's recursive form, CompositeInputFormat.java:61-63,
+    e.g. Join.java:144-146 composes these): keys with lineitems (src2)
+    take the lineitem stream; keys only in the inner(orders∩orders)
+    branch keep that branch's rows — parser → recursive evaluation →
+    one override shuffle on top of the inner join."""
+    return J.compose_join(
+        "override(inner(src0, src1), src2)", _join_sources(spark, sf_dir)
+    )
+
+
+@register(
     "join_broadcast_dims",
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,
