@@ -177,6 +177,52 @@ def point_lookup(spark: SparkSession, path: str, key_col: str, key_value) -> Dat
     return spark.read.parquet(path).filter(F.col(key_col) == F.lit(key_value))
 
 
+def write_bloom_table(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+    fpp: float = 0.01,
+    partitions: int = 8,
+) -> None:
+    """BloomMapFile analog (io/BloomMapFile.java:45): sorted+indexed
+    table plus a bloom filter for fast negative point lookups.
+
+    Parquet-native: per-row-group bloom filters on ``bloom_cols``; a
+    reader probing a key that is absent skips the row group without
+    decoding it — the same "cheap negative" the reference's dynamic
+    bloom filter gave MapFile.get(). Sorting by the bloom column first
+    also tightens min/max stats (most skipping never reaches the bloom)."""
+    w = (
+        df.repartitionByRange(partitions, *bloom_cols)
+        .sortWithinPartitions(*bloom_cols)
+        .write.mode("overwrite")
+    )
+    for c in bloom_cols:
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+            .option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        )
+    w.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Hadoop Archives analog (fs/HarFileSystem.java:48,
+    tools/HadoopArchives.java:73): many small files → few big ones.
+    The har:// index is unnecessary — parquet footers + the file
+    listing serve as the index; ``coalesce`` avoids a shuffle (archive
+    building is pure repacking)."""
+    df = spark.read.format(fmt).load(src_path)
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(dst_path)
+
+
 # --- XML / pattern-delimited records --------------------------------------
 
 

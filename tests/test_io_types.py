@@ -144,3 +144,47 @@ def test_distcp_style_copy(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.schema == spark.read.parquet(src).schema
     assert back.count() == 1000
+
+
+def test_bloom_table_negative_lookup(spark, tmp_path):
+    from hadoop_20_warehouse_spark.sources.io import point_lookup, write_bloom_table
+
+    path = str(tmp_path / "bloom")
+    df = spark.createDataFrame([Row(key=i * 2, value=f"v{i}") for i in range(2000)])
+    write_bloom_table(df, path, ["key"], ndv=2000, partitions=4)
+    # positive lookup returns the row
+    hit = point_lookup(spark, path, "key", 1000)
+    assert [(r["key"], r["value"]) for r in hit.collect()] == [(1000, "v500")]
+    # negative lookup (odd key) returns nothing — bloom/stats skip
+    assert point_lookup(spark, path, "key", 1001).count() == 0
+    # bloom filter metadata actually landed in the parquet footers
+    import pyarrow.parquet as pq
+
+    part = next(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    md = pq.ParquetFile(part).metadata
+    col = next(
+        md.row_group(0).column(i)
+        for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "key"
+    )
+    assert col.is_stats_set  # sorted write → tight min/max stats
+
+
+def test_compact_small_files(spark, tmp_path):
+    from hadoop_20_warehouse_spark.sources.io import compact_small_files
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    df = spark.createDataFrame([Row(k=i, v=i * i) for i in range(500)])
+    df.repartition(32).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src > 16
+    compact_small_files(spark, src, dst, target_files=2)
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst <= 2
+    # content preserved exactly
+    a = sorted((r["k"], r["v"]) for r in spark.read.parquet(src).collect())
+    b = sorted((r["k"], r["v"]) for r in spark.read.parquet(dst).collect())
+    assert a == b
