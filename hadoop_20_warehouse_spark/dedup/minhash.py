@@ -48,17 +48,29 @@ HASH_A = (7, 13, 31, 61, 127, 251, 509, 1021)
 HASH_B = (3, 17, 29, 101, 211, 401, 811, 1601)
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, width: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Distinct character shingles per document. Documents shorter than
-    ``width`` contribute their whole text as a single shingle."""
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = DEFAULT_SHINGLE,
+    distinct: bool = True,
+) -> DataFrame:
+    """Character shingles per document. Documents shorter than
+    ``width`` contribute their whole text as a single shingle.
+
+    ``distinct=True`` (set semantics) costs a full shuffle of the
+    shingle stream — required by consumers that count or aggregate
+    shingles (text_fingerprint). The MinHash path passes ``False``:
+    MIN over hashed shingles is invariant to duplicates, so signatures
+    are identical either way and the shuffle is pure waste there."""
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (width - 1), F.lit(1)))
     ).alias("pos")
-    return (
+    out = (
         df.select(F.col(id_col), F.col(text_col), pos)
         .select(F.col(id_col), F.substring(F.col(text_col), F.col("pos"), width).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _shingle_hash(shingle: Column) -> Column:
@@ -130,7 +142,7 @@ def minhash_lsh_pairs(
     """Full pipeline → (id_a, id_b, est_jaccard) where est_jaccard is
     the fraction of agreeing minhash components (signature estimate of
     the true Jaccard resemblance)."""
-    sh = shingles(df, id_col, text_col, shingle_width)
+    sh = shingles(df, id_col, text_col, shingle_width, distinct=False)
     sig = minhash_signature_cols(sh, id_col, n_hashes)
     if persist_signatures:
         # banding + both sides of the verification join reuse the
@@ -208,7 +220,7 @@ def minhash_lsh_pairs_sql(
     )
     return f"""
 WITH sh AS (
-  SELECT DISTINCT id, substring(txt, pos, {shingle_width}) AS shingle
+  SELECT id, substring(txt, pos, {shingle_width}) AS shingle
   FROM (
     SELECT {id_col} AS id, {text_col} AS txt,
            unnest(generate_series(1, greatest(len({text_col}) - {shingle_width - 1}, 1))) AS pos
