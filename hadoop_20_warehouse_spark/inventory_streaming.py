@@ -118,3 +118,39 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     run converges to the same answer."""
     ev = load_table(spark, sf_dir, "events")
     return W.running_user_stats(ev)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+       CAST(p.value AS DOUBLE) AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/windows.py
+    interval_join): each click paired with same-user purchases within
+    the next 10 minutes. Streaming path bounds join state via
+    watermark + range condition; the batch fixpoint here is the
+    oracle-checked plan (gap in exact microseconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = W.interval_join(clicks, purchases, keys=["user_id"], upper="10 minutes")
+    return out.select(
+        "user_id",
+        F.col("event_id_l").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts_l"))).alias("gap_us"),
+        F.col("value_r").cast("double").alias("purchase_value"),
+    )

@@ -237,3 +237,47 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+    upper: str = "10 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: pair each left
+    row with right rows of the same keys where
+    ``ts_left <= ts_right <= ts_left + upper``.
+
+    On streaming inputs both sides carry watermarks and the range
+    condition bounds the join state (Spark evicts left rows once the
+    right watermark passes ts_left + upper) — without the bound a
+    stream-stream join buffers forever. On batch frames the identical
+    plan is a plain range-condition equi-join the oracle can check.
+
+    Output columns: keys, left/right non-key columns suffixed _l/_r.
+    """
+    l = _maybe_watermark(left, ts_left, watermark).select(
+        *[F.col(k) for k in keys],
+        *[
+            F.col(c).alias(f"{c}_l")
+            for c in left.columns
+            if c not in keys
+        ],
+    )
+    r = _maybe_watermark(right, ts_right, watermark).select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        *[
+            F.col(c).alias(f"{c}_r")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    tl, tr = F.col(f"{ts_left}_l"), F.col(f"{ts_right}_r")
+    cond = [F.col(k) == F.col(f"__rk_{k}") for k in keys]
+    cond += [tr >= tl, tr <= tl + F.expr(f"INTERVAL {upper}")]
+    out = l.join(r, cond, "inner")
+    return out.drop(*[f"__rk_{k}" for k in keys])

@@ -118,3 +118,36 @@ def test_stateful_running_stats_stream_matches_batch(spark, events_stream_dir):
     )
     want = W.running_user_stats(ev_batch).toPandas()
     assert normalize(got).equals(normalize(want))
+
+
+def test_streaming_interval_join_matches_batch(spark, events_stream_dir):
+    """Stream-stream interval join: two watermarked readStream sides,
+    range-bounded state; append output after draining equals the batch
+    fixpoint of the identical plan."""
+    ev_batch = load_table(spark, SF_DIR, "events")
+    schema = ev_batch.schema
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        return clicks, purchases
+
+    sc, sp = sides(spark.readStream.schema(schema).parquet(events_stream_dir))
+    joined = W.interval_join(sc, sp, keys=["user_id"], upper="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ijoin_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ijoin_stream").toPandas()
+    bc, bp = sides(ev_batch)
+    want = W.interval_join(bc, bp, keys=["user_id"], upper="10 minutes").toPandas()
+    assert len(got) == len(want) > 0
+    assert normalize(got).equals(normalize(want))
