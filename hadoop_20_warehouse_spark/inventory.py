@@ -521,6 +521,57 @@ def q_join_composite_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_attribution",
+    oracle="""
+WITH l AS (SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+u AS (
+  SELECT user_id, ts AS __ts, 1 AS __tag, NULL::BIGINT AS __tb,
+         purchase_id, ts, NULL::BIGINT AS event_id_asof, NULL::TIMESTAMP AS ts_asof
+  FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, ts FROM r
+),
+c AS (
+  SELECT user_id, __tag, purchase_id, ts,
+         LAST_VALUE(event_id_asof IGNORE NULLS) OVER w AS event_id_asof,
+         LAST_VALUE(ts_asof IGNORE NULLS) OVER w AS ts_asof
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY __ts, __tag, __tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, purchase_id, epoch_us(ts) AS purchase_us,
+       event_id_asof AS last_click_id,
+       epoch_us(ts) - epoch_us(ts_asof) AS gap_us
+FROM c WHERE __tag = 1
+""",
+)
+def q_join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/join.py asof_join): every purchase gets
+    the same user's most recent click at-or-before it — the
+    attribution shape. Union+window, ONE shuffle of |L|+|R| rows,
+    no range-join blowup; the oracle mirrors the construction."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = J.asof_join(
+        purchases, clicks, on=["user_id"], ts_left="ts", ts_right="ts",
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.col("event_id_asof").alias("last_click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))).alias("gap_us"),
+    )
+
+
+@register(
     "join_broadcast_dims",
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,

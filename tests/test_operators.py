@@ -163,3 +163,46 @@ def test_datagen_deterministic(spark):
     a = datagen.random_text(spark, 50, 5).collect()
     b = datagen.random_text(spark, 50, 5).collect()
     assert a == b
+
+
+def test_asof_join_matches_naive_rank(spark):
+    """asof_join (union+window) must equal the naive range-join + rank
+    construction on interleaved fixtures with ties and keyless rows."""
+    from pyspark.sql import Row, Window as W_
+
+    from hadoop_20_warehouse_spark.operators.join import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=k, lts=t, lid=100 * k + t) for k in (1, 2, 3) for t in (5, 10, 20)]
+    )
+    # key 3 has no right rows at all; key 1 has a tie at t=10
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=4, rid=1),
+            Row(k=1, rts=10, rid=2),
+            Row(k=1, rts=10, rid=3),
+            Row(k=1, rts=15, rid=4),
+            Row(k=2, rts=1, rid=5),
+            Row(k=2, rts=19, rid=6),
+        ]
+    )
+    got = (
+        asof_join(left, right, on=["k"], ts_left="lts", ts_right="rts",
+                  right_tiebreak="rid")
+        .select("k", "lts", "lid", F.col("rid_asof").alias("rid"))
+        .collect()
+    )
+    w = W_.partitionBy("k", "lts", "lid").orderBy(F.desc("rts"), F.desc("rid"))
+    naive = (
+        left.join(right, on=[left.k == right.k, right.rts <= left.lts], how="left")
+        .select(left.k, "lts", "lid", "rts", "rid")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "lts", "lid", "rid")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+    # tie at rts=10 resolved to the larger tiebreak id
+    by_key = {(r.k, r.lts): r.rid for r in got}
+    assert by_key[(1, 10)] == 3
+    assert by_key[(3, 5)] is None
