@@ -572,6 +572,42 @@ def q_join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_band_events",
+    oracle="""
+SELECT e.user_id, e.event_id AS error_id, v.event_id AS view_id,
+       epoch_us(v.ts) - epoch_us(e.ts) AS dt_us
+FROM events e
+JOIN events v
+  ON v.user_id = e.user_id
+ AND abs(epoch_us(v.ts) - epoch_us(e.ts)) <= 300000000
+WHERE e.event_type = 'error' AND v.event_type = 'view'
+""",
+)
+def q_join_band_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join (operators/join.py band_join): error events
+    paired with same-user views within ±5 minutes. Bucketized
+    equi-join (bucket = band width, left replicated to 3 adjacent
+    buckets) + exact filter — never the |L|x|R| theta scan."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = J.band_join(
+        errors, views, on=["user_id"], ts_left="ts", ts_right="ts",
+        band_us=300_000_000,
+    )
+    return out.select(
+        "user_id",
+        "error_id",
+        F.col("event_id_r").alias("view_id"),
+        (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    )
+
+
+@register(
     "join_broadcast_dims",
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,

@@ -316,3 +316,49 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_left: str,
+    ts_right: str,
+    band_us: int,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Range (band) join: pairs with the same keys whose timestamps
+    differ by at most ``band_us`` microseconds.
+
+    Never a theta join: each left row is replicated into its bucket and
+    the two adjacent buckets (bucket width = band), the join is an
+    EQUI-join on (keys, bucket), and the exact band predicate filters
+    the candidates. Shuffle volume 3|L|+|R| rows instead of the
+    |L|x|R| cross product a naive range condition scans — the same
+    bucket-candidate-verify shape as the LSH dedup operators, applied
+    to time. Skewed (key, bucket) cells are split by AQE.
+    """
+    lb = F.floor(F.unix_micros(F.col(ts_left)) / F.lit(band_us))
+    rb = F.floor(F.unix_micros(F.col(ts_right)) / F.lit(band_us))
+    l = left.withColumn(
+        "__bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r = right.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in on],
+        rb.alias("__rbucket"),
+        *[
+            F.col(c).alias(f"{c}{right_suffix}")
+            for c in right.columns
+            if c not in on
+        ],
+    )
+    cond = [F.col(k) == F.col(f"__rk_{k}") for k in on] + [
+        F.col("__bucket") == F.col("__rbucket")
+    ]
+    tl = F.unix_micros(F.col(ts_left))
+    tr = F.unix_micros(F.col(f"{ts_right}{right_suffix}"))
+    return (
+        l.join(r, cond)
+        .filter(F.abs(tl - tr) <= band_us)
+        .drop("__bucket", "__rbucket", *[f"__rk_{k}" for k in on])
+    )

@@ -206,3 +206,38 @@ def test_asof_join_matches_naive_rank(spark):
     by_key = {(r.k, r.lts): r.rid for r in got}
     assert by_key[(1, 10)] == 3
     assert by_key[(3, 5)] is None
+
+
+def test_band_join_matches_theta(spark):
+    """Bucketized band join must equal the naive theta range join,
+    including boundary-exact pairs (|dt| == band)."""
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.operators.join import band_join
+
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [Row(k=1, lid=i, ts=t(s)) for i, s in enumerate([0, 10, 30, 100])]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rid=i, ts=t(s)) for i, s in enumerate([5, 10, 20, 40, 130])]
+        + [Row(k=2, rid=99, ts=t(10))]  # other key never matches
+    )
+    got = sorted(
+        (r.lid, r.rid_r)
+        for r in band_join(
+            left, right, on=["k"], ts_left="ts", ts_right="ts",
+            band_us=10_000_000,
+        ).collect()
+    )
+    naive = sorted(
+        (lrow.lid, rrow.rid)
+        for lrow in left.collect()
+        for rrow in right.collect()
+        if lrow.k == rrow.k and abs((lrow.ts - rrow.ts).total_seconds()) <= 10
+    )
+    assert got == naive and len(got) > 0
