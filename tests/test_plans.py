@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_spark.catalog import load_table
 from hadoop_20_warehouse_spark.plans.explain import (
+    physical_plan,
     count_exchanges,
     pushed_filters,
     read_schema,
@@ -57,3 +58,38 @@ def test_override_join_single_shuffle(spark, sf_dir):
     # union + window max: one shuffle on the key, no join
     df = QUERIES["join_override"](spark, sf_dir)
     assert count_exchanges(df) == 1
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of union+window construction must compile to exactly one
+    key exchange and contain no physical join at all."""
+    df = QUERIES["join_asof_attribution"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    assert "Join" not in plan, f"asof should be join-free, got:\n{plan}"
+
+
+def test_band_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketized band join must be an equi-join (hash or
+    sort-merge) — a BroadcastNestedLoopJoin/CartesianProduct means the
+    range predicate leaked into the join and the bucket trick broke."""
+    df = QUERIES["join_band_events"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_centroids_broadcast(spark, sf_dir):
+    """IVF quantization must broadcast the centroid table; the corpus
+    is never shuffled for assignment."""
+    df = QUERIES["knn_ivf"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_minhash_no_python_and_bounded_shuffles(spark, sf_dir):
+    df = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    assert not uses_python_row_eval(df)
+    # signature agg + band self-join + pair distinct + 2 sig joins:
+    # the whole pipeline must stay under 8 exchanges (no accidental
+    # re-shingling per stage — the signature frame is persisted)
+    assert count_exchanges(df) <= 8, physical_plan(df)
