@@ -340,6 +340,35 @@ _ORDERS_LINE_SQL = (
 )
 
 
+_STRATA_RATES = {"click": 10, "view": 5, "purchase": 50, "signup": 100, "error": 25}
+
+
+@register(
+    "scan_stratified_sample",
+    oracle=f"""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
+      CASE event_type {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())} ELSE 0 END
+""",
+)
+def q_scan_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum keep rates via
+    the md5-bucket idiom (PercentFilter/MD5Filter generalized per key,
+    SequenceFileInputFilter.java:146-195; `sampleBy` analog that is
+    reproducible across engines and runs — no RNG state). Evaluates
+    at the scan, before any wide op."""
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+
+    ev = load_table(spark, sf_dir, "events")
+    rate = F.lit(0)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rate)
+    return ev.filter(md5_int64(F.col("event_id")) % 100 < rate).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
 @register(
     "field_selection",
     oracle=f"""
