@@ -202,6 +202,33 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quartiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per return flag — the ValueHistogram
+    report's median generalized (ValueHistogram.java:78-132). Exact
+    `percentile` is the oracle-checkable form ((1-g)*a + g*b is exact
+    in binary for quarter fractions over integer-valued quantities);
+    at 100 TB swap in `percentile_approx` — same plan shape, sketch
+    merge instead of a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "monster_query",
     oracle=f"""
 WITH stage1 AS (
