@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 from hadoop_20_warehouse_spark.similarity.knn import (
     _dot,
     _norm,
-    _plane_component_py,
+    _safe_div,
+    bucket_sig_column,
+    bucket_sig_sql,
     cosine_sql,
 )
 
@@ -53,24 +55,19 @@ def sign_buckets(
 ) -> DataFrame:
     """(id, table_idx, bucket): one b-bit sign signature per table.
     Table t uses global plane indices t*n_planes .. t*n_planes+b-1 so
-    every table's hyperplanes are independent."""
-    rows = []
-    for t in range(n_tables):
-        sig = None
-        for p in range(n_planes):
-            gp = t * n_planes + p
-            plane = F.array(*[F.lit(_plane_component_py(gp, d)) for d in range(dim)])
-            dot_p = F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            term = (
-                F.when(dot_p > 0, F.lit(1 << p).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            sig = term if sig is None else sig + term
-        rows.append(F.struct(F.lit(t).alias("table_idx"), sig.alias("bucket")))
+    every table's hyperplanes are independent (plane construction is
+    shared with similarity/knn.py — single source for both engines).
+    ``dim`` must equal the actual embedding length (see
+    bucket_sig_column's warning about NULL-padded zips)."""
+    rows = [
+        F.struct(
+            F.lit(t).alias("table_idx"),
+            bucket_sig_column(
+                vec_col, n_planes, dim, plane_offset=t * n_planes
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
     return df.select(
         F.col(id_col), F.explode(F.array(*rows)).alias("tb")
     ).select(F.col(id_col), F.col("tb.table_idx"), F.col("tb.bucket"))
@@ -87,8 +84,11 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, sim) with id_a < id_b and sim >= threshold, sim
     rounded to 6 decimals; candidates restricted to LSH bucket
-    collisions."""
-    buckets = sign_buckets(df, id_col, vec_col, n_tables, n_planes, dim)
+    collisions. The signature and (vector, norm) frames are persisted:
+    each feeds two joins, and without persist the n_tables×n_planes
+    zip-folds and the norm scans would run twice (same reasoning as
+    minhash.py's persisted signatures)."""
+    buckets = sign_buckets(df, id_col, vec_col, n_tables, n_planes, dim).persist()
     a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cand = (
@@ -99,7 +99,7 @@ def embedding_near_dup_pairs(
     )
     vecs = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
-    )
+    ).persist()
     va = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
     )
@@ -113,7 +113,7 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                _safe_div(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
@@ -144,17 +144,11 @@ def brute_force_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                _safe_div(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
-
-
-_PLANE_SQL = (
-    "CAST(CAST('0x' || substring(md5(CAST({p} AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) "
-    "% 2001 - 1000 AS DOUBLE)"
-)
 
 
 def embedding_near_dup_pairs_sql(
@@ -165,28 +159,14 @@ def embedding_near_dup_pairs_sql(
     n_tables: int = DEFAULT_TABLES,
     n_planes: int = DEFAULT_PLANES,
 ) -> str:
-    """DuckDB oracle — identical planes, buckets, candidates, cosine."""
-
-    def dot_with_plane(gp: int) -> str:
-        plane_list = (
-            f"list_transform(generate_series(0, len({vec_col}) - 1), "
-            f"d -> {_PLANE_SQL.format(p=gp)})"
-        )
-        return (
-            f"list_sum(list_transform(list_zip({vec_col}, {plane_list}), "
-            f"pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE)))"
-        )
-
+    """DuckDB oracle — identical planes, buckets, candidates, cosine
+    (plane SQL shared with similarity/knn.py bucket_sig_sql)."""
     table_rows = "\n  UNION ALL\n".join(
         "  SELECT {id} AS id, {t} AS table_idx, {sig} AS bucket FROM {tbl}".format(
             id=id_col,
             t=t,
             tbl=table,
-            sig=" + ".join(
-                f"(CASE WHEN {dot_with_plane(t * n_planes + p)} > 0 "
-                f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-                for p in range(n_planes)
-            ),
+            sig=bucket_sig_sql(vec_col, n_planes, plane_offset=t * n_planes),
         )
         for t in range(n_tables)
     )

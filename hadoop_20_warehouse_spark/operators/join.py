@@ -264,26 +264,25 @@ def asof_join(
 
     Not a join at all physically — the union+window construction: tag
     both sides, union, one shuffle on the keys, per-key time-sorted
-    window carrying the last non-null right values forward, keep left
-    rows. Shuffle volume is |L|+|R| rows and there is no range-join
-    blowup, which is the 100 TB difference vs a band join + rank
-    (the reference had no as-of operator; public pattern, e.g. pandas
-    merge_asof semantics).
+    window carrying the last right ROW forward (packed as one struct so
+    the attached values are row-atomic — a genuine NULL in a right
+    payload column stays NULL, never backfilled from an older right
+    row), keep left rows. Shuffle volume is |L|+|R| rows and there is
+    no range-join blowup, which is the 100 TB difference vs a band
+    join + rank (the reference had no as-of operator; public pattern,
+    e.g. pandas merge_asof semantics).
     """
     rcols = [c for c in right.columns if c not in on and c != ts_right]
+    rstruct_fields = rcols + [ts_right]
+    rstruct_type = F.struct(
+        *[F.col(c) for c in rstruct_fields]
+    )
     lrows = left.select(
         *[F.col(k) for k in on],
         F.col(ts_left).alias("__ts"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("__tb"),
         *[F.col(c) for c in left.columns if c not in on],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{right_suffix}")
-            for c in rcols
-        ],
-        F.lit(None).cast(right.schema[ts_right].dataType).alias(
-            f"{ts_right}{right_suffix}"
-        ),
     )
     rrows = right.select(
         *[F.col(k) for k in on],
@@ -295,8 +294,10 @@ def asof_join(
             for c in left.columns
             if c not in on
         ],
-        *[F.col(c).alias(f"{c}{right_suffix}") for c in rcols],
-        F.col(ts_right).alias(f"{ts_right}{right_suffix}"),
+        rstruct_type.alias("__rrow"),
+    )
+    lrows = lrows.withColumn(
+        "__rrow", F.lit(None).cast(rrows.schema["__rrow"].dataType)
     )
     union = lrows.unionByName(rrows)
     w = (
@@ -308,14 +309,19 @@ def asof_join(
         *on,
         "__tag",
         *[F.col(c) for c in left.columns if c not in on],
-        *[
-            F.last(F.col(f"{c}{right_suffix}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{right_suffix}")
-            for c in rcols + [ts_right]
-        ],
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__carried"),
     )
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .select(
+            *on,
+            *[F.col(c) for c in left.columns if c not in on],
+            *[
+                F.col(f"__carried.{c}").alias(f"{c}{right_suffix}")
+                for c in rstruct_fields
+            ],
+        )
+    )
 
 
 def band_join(

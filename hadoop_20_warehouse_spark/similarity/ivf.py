@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, cosine_sql
+from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, _safe_div, cosine_sql
 
 DEFAULT_STRIDE = 50
 DEFAULT_NPROBE = 2
@@ -63,7 +63,7 @@ def _cells(
         F.col(id_col),
         "centroid_id",
         F.round(
-            _dot(F.col(vec_col), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
+            _safe_div(_dot(F.col(vec_col), F.col("cv")), F.col("vn") * F.col("cn")), 6
         ).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
@@ -84,7 +84,13 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN top-k with every corpus vector as query: (query_id,
     neighbor_id, sim, rank); candidates = vectors assigned (rank-1
-    cell) to one of the query's ``nprobe`` nearest cells."""
+    cell) to one of the query's ``nprobe`` nearest cells.
+
+    The cells frame stays persisted for the session (Spark's cache
+    manager dedupes identical plans, so repeated calls share one
+    entry); callers running many differently-parameterized searches
+    in one long-lived driver should spark.catalog.clearCache()
+    between waves."""
     cells = _cells(corpus, id_col, vec_col, centroid_stride, nprobe).persist()
     assign = cells.filter(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"
@@ -114,7 +120,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+                _safe_div(_dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")), 6
             ).alias("sim"),
         )
     )

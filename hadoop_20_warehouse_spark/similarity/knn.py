@@ -48,8 +48,17 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _safe_div(num: Column, den: Column) -> Column:
+    """NULL on a zero denominator — matching DuckDB, where x/0.0 is
+    NULL. Without the guard Spark returns NaN for 0.0/0.0, and NaN
+    sorts ABOVE every number in a DESC ranking, so one zero-norm
+    vector (e.g. an all-zero embedding) would outrank every real
+    neighbor and diverge from the oracle."""
+    return num / F.nullif(den, F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _safe_div(_dot(a, b), _norm(a) * _norm(b))
 
 
 _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -94,7 +103,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+                _safe_div(_dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")), 6
             ).alias("sim"),
         )
     )
@@ -147,15 +156,30 @@ def _plane_component_py(plane: int, dim: int) -> float:
     return float(h % 2001 - 1000)
 
 
-def bucket_signature(
-    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
-) -> DataFrame:
-    """(id, bucket): b-bit sign signature — bit p set iff
-    dot(vec, plane_p) > 0. Plane vectors are literal arrays (constant
-    folding); each signature costs b fused zip-fold passes per row."""
+# The SQL twin of _plane_component_py — THE single source for every
+# oracle that buckets by sign-LSH (knn + dedup/embedding). The two
+# must stay bit-identical or cross-engine hashing breaks.
+PLANE_SQL = (
+    "CAST(CAST('0x' || substring(md5(CAST({p} AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) "
+    "% 2001 - 1000 AS DOUBLE)"
+)
+
+
+def bucket_sig_column(
+    vec_col: str, n_planes: int, dim: int, plane_offset: int = 0
+):
+    """The b-bit sign-signature expression: bit p set iff
+    dot(vec, plane_{plane_offset+p}) > 0. Plane vectors are literal
+    arrays (constant folding); costs b fused zip-fold passes per row.
+
+    ``dim`` must equal the actual embedding length: a shorter/longer
+    vector NULL-pads the zip, poisons the fold, and collapses every
+    bit to 0 (callers should validate the schema's array length)."""
     sig = None
     for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component_py(p, d)) for d in range(dim)])
+        plane = F.array(
+            *[F.lit(_plane_component_py(plane_offset + p, d)) for d in range(dim)]
+        )
         dot_p = F.aggregate(
             F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -163,7 +187,36 @@ def bucket_signature(
         )
         term = F.when(dot_p > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return df.select(F.col(id_col), sig.alias("bucket"))
+    return sig
+
+
+def bucket_signature(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """(id, bucket): one sign-LSH bucket per vector."""
+    return df.select(
+        F.col(id_col), bucket_sig_column(vec_col, n_planes, dim).alias("bucket")
+    )
+
+
+def bucket_sig_sql(vec_col: str, n_planes: int, plane_offset: int = 0) -> str:
+    """SQL twin of ``bucket_sig_column`` (same planes via PLANE_SQL)."""
+
+    def dot_with_plane(gp: int) -> str:
+        plane_list = (
+            f"list_transform(generate_series(0, len({vec_col}) - 1), "
+            f"d -> {PLANE_SQL.format(p=gp)})"
+        )
+        return (
+            f"list_sum(list_transform(list_zip({vec_col}, {plane_list}), "
+            f"pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE)))"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {dot_with_plane(plane_offset + p)} > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(n_planes)
+    )
 
 
 def lsh_topk(
@@ -197,7 +250,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+                _safe_div(_dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")), 6
             ).alias("sim"),
         )
     )
@@ -212,24 +265,7 @@ def lsh_topk_sql(
     k: int = 10, n_planes: int = 8,
 ) -> str:
     """DuckDB oracle for ``lsh_topk`` (identical planes and buckets)."""
-    plane = (
-        "CAST(CAST('0x' || substring(md5(CAST({p} AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) "
-        "% 2001 - 1000 AS DOUBLE)"
-    )
-
-    def dot_with_plane(p: int) -> str:
-        plane_list = (
-            f"list_transform(generate_series(0, len({vec_col}) - 1), d -> {plane.format(p=p)})"
-        )
-        return (
-            f"list_sum(list_transform(list_zip({vec_col}, {plane_list}), "
-            f"pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE)))"
-        )
-
-    sig_terms = " + ".join(
-        f"(CASE WHEN {dot_with_plane(p)} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        for p in range(n_planes)
-    )
+    sig_terms = bucket_sig_sql(vec_col, n_planes)
     cos = cosine_sql("a.qv", "b.nv")
     return f"""
 WITH sig AS (

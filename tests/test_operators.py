@@ -208,6 +208,28 @@ def test_asof_join_matches_naive_rank(spark):
     assert by_key[(3, 5)] is None
 
 
+def test_asof_join_row_atomic_nulls(spark):
+    """A genuine NULL in a right payload column must come through as
+    NULL — never backfilled from an OLDER right row (the carried match
+    is one row, not per-column last-non-null)."""
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.operators.join import asof_join
+
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=1, rid=1, note="x"),
+            Row(k=1, rts=2, rid=2, note=None),
+        ]
+    )
+    left = spark.createDataFrame([Row(k=1, lts=3, lid=10)])
+    row = asof_join(
+        left, right, on=["k"], ts_left="lts", ts_right="rts", right_tiebreak="rid"
+    ).collect()[0]
+    assert row.rid_asof == 2
+    assert row.note_asof is None, "note must not leak from the rts=1 row"
+
+
 def test_band_join_matches_theta(spark):
     """Bucketized band join must equal the naive theta range join,
     including boundary-exact pairs (|dt| == band)."""
