@@ -202,6 +202,35 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_pandas_udaf",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         DENSE_RANK() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_orderkey DESC
+         ) AS dr
+  FROM (SELECT DISTINCT o_orderpriority, o_orderkey FROM orders)
+)
+SELECT o_orderpriority, o_orderkey AS second_max_key
+FROM ranked WHERE dr = 2
+""",
+)
+def q_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate through the Arrow path (operators/agg.py
+    second_max_udaf — pandas_udf GROUPED_AGG): second-largest distinct
+    order key per priority. The plugin surface for aggregators the
+    expression registry can't express; Arrow batches, never
+    row-at-a-time Python."""
+    from hadoop_20_warehouse_spark.operators.agg import second_max_udaf
+
+    orders = load_table(spark, sf_dir, "orders")
+    udaf = second_max_udaf()
+    return orders.groupBy("o_orderpriority").agg(
+        udaf(F.col("o_orderkey")).alias("second_max_key")
+    )
+
+
+@register(
     "agg_quartiles",
     oracle="""
 SELECT l_returnflag,

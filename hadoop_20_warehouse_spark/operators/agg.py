@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -203,3 +204,28 @@ SELECT {keys}{", " if keys else ""}
 FROM counts
 GROUP BY {keys}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched user-defined aggregation (pandas_udf GROUPED_AGG)
+
+
+def second_max_udaf() -> Callable[[Column], Column]:
+    """User-defined aggregate via ``pandas_udf`` — the Arrow-batched
+    plugin surface for aggregators the expression registry can't write
+    (UserDefinedValueAggregatorDescriptor analog for genuinely custom
+    logic, lib/aggregate/UserDefinedValueAggregatorDescriptor.java).
+
+    Second-largest DISTINCT value per group (NULL when the group has
+    fewer than two distinct values). NOTE: Spark does not allow mixing
+    GROUPED_AGG pandas UDFs with builtin aggregates in one ``agg()``
+    call — keep UDAF-only aggregations separate from aggregate_job's
+    single-pass conditional branches.
+    """
+    # Series -> scalar type hints mark this as a GROUPED_AGG UDF.
+    @F.pandas_udf("long")
+    def _second_max(v: pd.Series) -> int:
+        s = v.dropna().drop_duplicates().nlargest(2)
+        return int(s.iloc[1]) if len(s) > 1 else None
+
+    return _second_max
