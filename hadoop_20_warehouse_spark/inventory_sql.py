@@ -121,6 +121,29 @@ WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
   AND 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * pa.cnt < pa.sum_qty
 """
 
+_PROMO_REVENUE_SQL = """
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+"""
+
+_STATUS_PRIORITY_SQL = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY l.l_linestatus
+"""
+
 _ROLLUP_REVENUE_SQL = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -149,5 +172,7 @@ for _name, _sql in (
     ("sql_returned_items", _RETURNED_ITEMS_SQL),
     ("sql_small_qty_revenue", _SMALL_QTY_REVENUE_SQL),
     ("sql_rollup_revenue", _ROLLUP_REVENUE_SQL),
+    ("sql_promo_revenue", _PROMO_REVENUE_SQL),
+    ("sql_status_priority", _STATUS_PRIORITY_SQL),
 ):
     register(_name, oracle=_sql)(_sql_query(_sql))

@@ -154,3 +154,29 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts_l"))).alias("gap_us"),
         F.col("value_r").cast("double").alias("purchase_value"),
     )
+
+
+@register(
+    "stream_enrich_static",
+    oracle="""
+SELECT e.event_id, e.event_type, e.user_id, c.c_name, c.c_mktsegment,
+       CAST(e.value AS DOUBLE) AS value
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/windows.py enrich_stream):
+    events enriched with broadcast customer attributes — on a stream
+    this is the stateless per-micro-batch dim probe; here the batch
+    fixpoint is oracle-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    out = W.enrich_stream(
+        ev, cust, on_left="user_id", on_right="c_custkey",
+        dim_cols=["c_name", "c_mktsegment"],
+    )
+    return out.select(
+        "event_id", "event_type", "user_id", "c_name", "c_mktsegment",
+        F.col("value").cast("double").alias("value"),
+    )

@@ -281,3 +281,24 @@ def interval_join(
     cond += [tr >= tl, tr <= tl + F.expr(f"INTERVAL {upper}")]
     out = l.join(r, cond, "inner")
     return out.drop(*[f"__rk_{k}" for k in keys])
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on_left: str,
+    on_right: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    (possibly streaming) fact frame. The static side is broadcast —
+    stream-static joins never shuffle the stream and keep no state
+    (each micro-batch probes the dim hash table); the same plan on a
+    batch frame is an ordinary broadcast hash join."""
+    d = dim.select(
+        F.col(on_right).alias("__dimkey"),
+        *[F.col(c) for c in dim_cols],
+    )
+    return stream.join(
+        F.broadcast(d), stream[on_left] == F.col("__dimkey"), "left"
+    ).drop("__dimkey")

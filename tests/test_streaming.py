@@ -151,3 +151,31 @@ def test_streaming_interval_join_matches_batch(spark, events_stream_dir):
     want = W.interval_join(bc, bp, keys=["user_id"], upper="10 minutes").toPandas()
     assert len(got) == len(want) > 0
     assert normalize(got).equals(normalize(want))
+
+
+def test_streaming_enrich_static_matches_batch(spark, events_stream_dir):
+    """Stream-static broadcast enrichment: stateless per-micro-batch
+    dim probe equals the batch join."""
+    ev_batch = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer")
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+
+    def enrich(df):
+        return W.enrich_stream(
+            df, cust, on_left="user_id", on_right="c_custkey",
+            dim_cols=["c_name", "c_mktsegment"],
+        ).select("event_id", "c_name", "c_mktsegment")
+
+    q = (
+        enrich(stream)
+        .writeStream.format("memory")
+        .queryName("enrich_stream_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enrich_stream_q").toPandas()
+    want = enrich(ev_batch).toPandas()
+    assert len(got) == len(want) > 0
+    assert normalize(got).equals(normalize(want))
