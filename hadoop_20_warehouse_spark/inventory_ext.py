@@ -410,3 +410,69 @@ def q_pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("inside").alias("n_inside"),
         (F.lit(4.0) * F.sum("inside") / F.count(F.lit(1))).alias("pi_est"),
     )
+
+
+@register(
+    "json_extract_histogram",
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+""",
+)
+def q_json_extract_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: extract a JSON field from the
+    events ``props`` string and histogram it in decade buckets. The
+    reference's analog is user map() code parsing record payloads by
+    hand (no JSON operator existed); Spark's ``get_json_object`` keeps
+    the parse JVM-side and Catalyst prunes the scan to the one column.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.expr("k DIV 10").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators/skew.py): the
+    5-value ``event_type`` key would land whole on 5 reducers at 100 TB;
+    salting scatters each key over 16 sub-keys before the final merge.
+    Result is exactly the plain groupBy's (mergeable aggregates only) —
+    the oracle IS the plain groupBy."""
+    from hadoop_20_warehouse_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )

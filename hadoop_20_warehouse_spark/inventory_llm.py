@@ -389,3 +389,40 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = MH.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
     return dedup_groups_from_pairs(docs, pairs, "doc_id")
+
+
+@register(
+    "text_bigram_topk",
+    oracle="""
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+b AS (
+  SELECT words[t.i] || ' ' || words[t.i+1] AS bigram
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams over the corpus — the n-gram generalization of
+    wordcount (TokenCountMapper, mapred/lib/TokenCountMapper.java:38).
+    `transform(sequence(...))` builds the sliding pairs JVM-side (no
+    UDF); partial aggregation absorbs the explode fan-out before the
+    shuffle, so the wire carries one row per distinct bigram per
+    partition — the combiner pattern at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.split("text", " ").alias("w")).where(F.size("w") >= 2)
+    bigrams = pairs.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -335,6 +335,21 @@ FROM (
 GROUP BY decile
 """
 
+_EVENT_FUNNEL_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+) funnel
+"""
+
 _SESSIONIZE_EVENTS_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -391,5 +406,6 @@ for _name, _sql in (
     ("sql_moving_avg_revenue", _MOVING_AVG_REVENUE_SQL),
     ("sql_ntile_spend", _NTILE_SPEND_SQL),
     ("sql_sessionize_events", _SESSIONIZE_EVENTS_SQL),
+    ("sql_event_funnel", _EVENT_FUNNEL_SQL),
 ):
     register(_name, oracle=_sql)(_sql_query(_sql))
