@@ -41,8 +41,18 @@ from hadoop_20_warehouse_spark.similarity.knn import (
 )
 
 DEFAULT_THRESHOLD = 0.4
-DEFAULT_TABLES = 2
-DEFAULT_PLANES = 4  # bits per table
+# 4 tables × 8-bit signatures: 256 buckets/table keeps candidate sets
+# ~C(n/256, 2) per bucket instead of C(n/16, 2) (the 4-bit config's
+# all-pairs-in-16-buckets blowup — unusable at 100 TB). Recall for
+# moderate-similarity pairs is recovered by MULTI-PROBE (Lv et al.
+# VLDB'07): each vector also probes the n_planes buckets at Hamming
+# distance 1 from its signature, so a pair is a candidate when some
+# table's signatures differ in ≤1 bit — P = p^8 + 8·p^7(1−p) per
+# table (p = 1−θ/π). The probe factor is a CONSTANT ×(1+n_planes)
+# regardless of n; widening buckets instead would grow per-bucket
+# pair counts quadratically with n.
+DEFAULT_TABLES = 4
+DEFAULT_PLANES = 8  # bits per table
 
 
 def sign_buckets(
@@ -83,16 +93,25 @@ def embedding_near_dup_pairs(
     dim: int = 64,
 ) -> DataFrame:
     """(id_a, id_b, sim) with id_a < id_b and sim >= threshold, sim
-    rounded to 6 decimals; candidates restricted to LSH bucket
-    collisions. The signature and (vector, norm) frames are persisted:
-    each feeds two joins, and without persist the n_tables×n_planes
-    zip-folds and the norm scans would run twice (same reasoning as
-    minhash.py's persisted signatures)."""
+    rounded to 6 decimals; candidates = pairs whose signatures differ
+    in ≤1 bit in at least one table (multi-probe: the left join side
+    fans each vector out to its own bucket plus the n_planes
+    single-bit-flip buckets). The signature and (vector, norm) frames
+    are persisted: each feeds two joins, and without persist the
+    n_tables×n_planes zip-folds and the norm scans would run twice
+    (same reasoning as minhash.py's persisted signatures)."""
     buckets = sign_buckets(df, id_col, vec_col, n_tables, n_planes, dim).persist()
-    a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    flips = [0] + [1 << j for j in range(n_planes)]
+    probes = buckets.select(
+        F.col(id_col).alias("id_a"),
+        "table_idx",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(f)) for f in flips])
+        ).alias("bucket"),
+    )
     b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cand = (
-        a.join(b, on=["table_idx", "bucket"])
+        probes.join(b, on=["table_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -159,8 +178,9 @@ def embedding_near_dup_pairs_sql(
     n_tables: int = DEFAULT_TABLES,
     n_planes: int = DEFAULT_PLANES,
 ) -> str:
-    """DuckDB oracle — identical planes, buckets, candidates, cosine
-    (plane SQL shared with similarity/knn.py bucket_sig_sql)."""
+    """DuckDB oracle — identical planes, buckets, multi-probe
+    candidates, cosine (plane SQL shared with similarity/knn.py
+    bucket_sig_sql)."""
     table_rows = "\n  UNION ALL\n".join(
         "  SELECT {id} AS id, {t} AS table_idx, {sig} AS bucket FROM {tbl}".format(
             id=id_col,
@@ -170,14 +190,19 @@ def embedding_near_dup_pairs_sql(
         )
         for t in range(n_tables)
     )
+    flips = ", ".join(f"({f})" for f in [0] + [1 << j for j in range(n_planes)])
     cos = cosine_sql("va.v", "vb.v")
     return f"""
 WITH buckets AS (
 {table_rows}
 ),
+probes AS (
+  SELECT id, table_idx, xor(bucket, f.flip) AS bucket
+  FROM buckets, (VALUES {flips}) AS f(flip)
+),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM buckets a JOIN buckets b
+  FROM probes a JOIN buckets b
     ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.id < b.id
 ),
 vecs AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})

@@ -91,6 +91,33 @@ def minhash_signature_cols(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+def minhash_signature_rowlocal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    width: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(id, m0..m{k-1}) computed entirely row-local — no explode, no
+    shuffle: shingle positions, md5 hashes, and all k minima are
+    higher-order-function expressions inside one whole-stage-codegen
+    projection. At 100 TB this removes the aggregation exchange the
+    explode+groupBy form needs; signatures flow straight into banding
+    partition-local. Identical output to ``minhash_signature_cols``."""
+    p = MERSENNE_P
+    hs = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)), "
+        f"pos -> cast(conv(substring(md5(substring({text_col}, pos, {width})), 1, 15), 16, 10) as bigint) % {p})"
+    ).alias("_hs")
+    mins = [
+        F.array_min(
+            F.expr(f"transform(_hs, h -> ({HASH_A[i]} * h + {HASH_B[i]}) % {p})")
+        ).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return df.select(F.col(id_col), hs).select(F.col(id_col), *mins)
+
+
 def band_signatures(
     sig: DataFrame, id_col: str, n_hashes: int = DEFAULT_N_HASHES, bands: int = DEFAULT_BANDS
 ) -> DataFrame:
@@ -142,11 +169,11 @@ def minhash_lsh_pairs(
     """Full pipeline → (id_a, id_b, est_jaccard) where est_jaccard is
     the fraction of agreeing minhash components (signature estimate of
     the true Jaccard resemblance)."""
-    sh = shingles(df, id_col, text_col, shingle_width, distinct=False)
-    sig = minhash_signature_cols(sh, id_col, n_hashes)
+    sig = minhash_signature_rowlocal(df, id_col, text_col, n_hashes, shingle_width)
     if persist_signatures:
         # banding + both sides of the verification join reuse the
-        # signature frame; without persist the shingle scan runs 3x.
+        # signature frame; without persist the text scan + md5 pass
+        # runs 3x. The frame is |docs| rows × k ints — tiny.
         sig = sig.persist()
     bands_df = band_signatures(sig, id_col, n_hashes, bands)
     cand = candidate_pairs(bands_df, id_col)

@@ -30,22 +30,37 @@ DEFAULT_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = DEFAULT_BITS) -> DataFrame:
-    """(id, simhash): one fingerprint per document."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).select(F.col(id_col), md5_int64(F.col("token")).alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    """(id, simhash): one fingerprint per document.
+
+    Row-local plan: token md5s are materialized once per row as an
+    array column, then each bit's ±1 sum is a fold over that array and
+    the fingerprint assembles in the same projection — everything in
+    one whole-stage-codegen pass, NO explode and NO shuffle (a document
+    never needs other documents' tokens). The explode+groupBy form
+    shuffles |tokens| rows at 100 TB for no semantic gain."""
+    hs = F.expr(
+        f"transform(filter(split({text_col}, '\\\\s+'), t -> t <> ''), "
+        f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    ).alias("_hs")
+    sums = [
+        F.expr(
+            f"aggregate(_hs, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END))"
         ).alias(f"b{j}")
         for j in range(n_bits)
     ]
-    agged = tok.groupBy(id_col).agg(*bit_sums)
-    fp = None
-    for j in range(n_bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return agged.select(F.col(id_col), fp.alias("simhash"))
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(n_bits)
+    )
+    return (
+        df.select(F.col(id_col), hs)
+        # the explode form emitted no row for token-less documents;
+        # keep that contract (and the oracle's)
+        .where(F.size("_hs") > 0)
+        .select(F.col(id_col), *sums)
+        .select(F.col(id_col), F.expr(fp).alias("simhash"))
+    )
 
 
 def simhash_sql(table: str, id_col: str, text_col: str, n_bits: int = DEFAULT_BITS) -> str:

@@ -226,7 +226,8 @@ GROUP BY c_count
 """
 
 _LARGE_VOLUME_CUSTOMERS_SQL = """
-SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS STRING) AS o_orderdate,
        CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
        CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM customer c
@@ -313,7 +314,8 @@ WITH daily AS (
     AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
   GROUP BY DATE_TRUNC('day', l_shipdate)
 )
-SELECT ship_day, CAST(revenue AS DOUBLE) AS revenue, n_lines,
+SELECT CAST(CAST(ship_day AS DATE) AS STRING) AS ship_day,
+       CAST(revenue AS DOUBLE) AS revenue, n_lines,
        CAST(CAST(SUM(revenue) OVER w AS DOUBLE)
             / CAST(COUNT(*) OVER w AS DOUBLE) AS DOUBLE) AS revenue_7d_avg
 FROM daily
@@ -368,7 +370,8 @@ WITH flagged AS (
 )
 SELECT user_id, session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       CAST(MIN(ts) AS STRING) AS session_start,
+       CAST(MAX(ts) AS STRING) AS session_end
 FROM numbered
 GROUP BY user_id, session_id
 """

@@ -174,20 +174,24 @@ def bucket_sig_column(
 
     ``dim`` must equal the actual embedding length: a shorter/longer
     vector NULL-pads the zip, poisons the fold, and collapses every
-    bit to 0 (callers should validate the schema's array length)."""
-    sig = None
+    bit to 0 (callers should validate the schema's array length).
+
+    Built as ONE SQL string through a single ``F.expr`` — the
+    column-algebra form issued ~n_planes×dim py4j calls for the plane
+    literals, which dominated wall-clock (driver-side) for 32-plane
+    configs; the string form is one parser call for the whole
+    signature."""
+    terms = []
     for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(_plane_component_py(plane_offset + p, d)) for d in range(dim)]
+        ws = ",".join(f"{_plane_component_py(plane_offset + p, d)!r}D" for d in range(dim))
+        dot_p = (
+            f"aggregate(zip_with({vec_col}, array({ws}), (x, w) -> cast(x as double) * w), "
+            f"0.0D, (acc, v) -> acc + v)"
         )
-        dot_p = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        terms.append(
+            f"(CASE WHEN {dot_p} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
-        term = F.when(dot_p > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return sig
+    return F.expr(" + ".join(terms))
 
 
 def bucket_signature(
