@@ -69,6 +69,9 @@ def sign_buckets(
     shared with similarity/knn.py — single source for both engines).
     ``dim`` must equal the actual embedding length (see
     bucket_sig_column's warning about NULL-padded zips)."""
+    from hadoop_20_warehouse_spark.session import scatter
+
+    df = scatter(df)
     rows = [
         F.struct(
             F.lit(t).alias("table_idx"),
@@ -116,7 +119,9 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = df.select(
+    from hadoop_20_warehouse_spark.session import scatter
+
+    vecs = scatter(df).select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
     ).persist()
     va = vecs.select(

@@ -104,6 +104,9 @@ def minhash_signature_rowlocal(
     projection. At 100 TB this removes the aggregation exchange the
     explode+groupBy form needs; signatures flow straight into banding
     partition-local. Identical output to ``minhash_signature_cols``."""
+    from hadoop_20_warehouse_spark.session import scatter
+
+    df = scatter(df)
     p = MERSENNE_P
     hs = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)), "

@@ -38,6 +38,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = DEFAULT_BIT
     one whole-stage-codegen pass, NO explode and NO shuffle (a document
     never needs other documents' tokens). The explode+groupBy form
     shuffles |tokens| rows at 100 TB for no semantic gain."""
+    from hadoop_20_warehouse_spark.session import scatter
+
+    df = scatter(df)
     hs = F.expr(
         f"transform(filter(split({text_col}, '\\\\s+'), t -> t <> ''), "
         f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"

@@ -105,9 +105,11 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     token length, punctuation ratio, english-stopword ratio — the
     standard cheap filters a pretraining pipeline applies first."""
     c = F.col(text_col)
+    from hadoop_20_warehouse_spark.session import scatter
+
     # materialize the token array once; every feature derives from it
     # (split+filter is the expensive part — don't re-evaluate per column)
-    stage = df.withColumn("_toks", tokens(c))
+    stage = scatter(df).withColumn("_toks", tokens(c))
     n_tok = F.size("_toks").cast("long")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORD_PROFILES["en"]])
     hits = F.size(

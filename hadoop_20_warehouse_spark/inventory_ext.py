@@ -308,7 +308,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by doc_id. Two hash aggregations; postings assembled with
     sort_array(collect_list) exactly matching the oracle's ordered
     string_agg. This table underpins the similarity-search operators."""
-    docs = load_table(spark, sf_dir, "documents")
+    from hadoop_20_warehouse_spark.session import scatter
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     tf = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")

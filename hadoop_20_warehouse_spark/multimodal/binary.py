@@ -93,7 +93,9 @@ def decode_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+    from hadoop_20_warehouse_spark.session import scatter
+
+    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
         run, schema=DECODE_META_SCHEMA
     )
 
@@ -154,7 +156,9 @@ def resize_stub(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+    from hadoop_20_warehouse_spark.session import scatter
+
+    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
         run, schema=RESIZE_SCHEMA
     )
 
@@ -226,7 +230,9 @@ def frame_sample_stub(
                 {"id": ids, "n_frames": counts, "frame_idx": idxs, "frame_md5": fmd5}
             )
 
-    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+    from hadoop_20_warehouse_spark.session import scatter
+
+    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
     )
 

@@ -75,3 +75,22 @@ def stop_session() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def scatter(df, min_partitions: int | None = None):
+    """Spread a narrow input across the cluster before CPU-dense
+    per-row work (hashing, LSH signatures, decode UDFs).
+
+    A 100 TB scan arrives pre-split into thousands of tasks, but a
+    small dimension-sized input (or a single-row-group parquet file)
+    plans as ONE task, serializing compute that should use every core
+    — the same problem the reference solved with NLineInputFormat
+    (mapred/lib/NLineInputFormat.java:59: force N records per split so
+    CPU-bound mappers parallelize). ``scatter`` is that operator in
+    Spark terms: a round-robin repartition applied ONLY when the frame
+    has fewer partitions than the target, so well-partitioned
+    production inputs pass through unchanged (no shuffle)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

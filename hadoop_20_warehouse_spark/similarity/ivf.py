@@ -91,6 +91,9 @@ def ivf_topk(
     entry); callers running many differently-parameterized searches
     in one long-lived driver should spark.catalog.clearCache()
     between waves."""
+    from hadoop_20_warehouse_spark.session import scatter
+
+    corpus = scatter(corpus)
     cells = _cells(corpus, id_col, vec_col, centroid_stride, nprobe).persist()
     assign = cells.filter(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"

@@ -84,6 +84,9 @@ def brute_force_topk(
     (round(sim, 6) DESC, neighbor_id ASC) so ties — including exact
     duplicate embeddings — resolve identically everywhere.
     """
+    from hadoop_20_warehouse_spark.session import scatter
+
+    corpus = scatter(corpus)
     # norms precomputed once per row (not per pair — at |Q|·|corpus|
     # pairs that's the difference between 1 and 3 vector folds per pair)
     q = queries.select(
@@ -235,10 +238,16 @@ def lsh_topk(
     rank) for every corpus vector as query, candidates limited to the
     same bucket. The scale path: bucket equi-join replaces the cross
     join; recall < 1 by construction."""
-    sig = bucket_signature(corpus, id_col, vec_col, n_planes, dim)
-    vecs = corpus.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
-    ).join(sig, on=id_col)
+    from hadoop_20_warehouse_spark.session import scatter
+
+    # signature, vector, and norm in ONE projection (the join-with-sig
+    # form paid an id-shuffle to reattach a column computable in place)
+    vecs = scatter(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("nrm"),
+        bucket_sig_column(vec_col, n_planes, dim).alias("bucket"),
+    )
     a = vecs.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("nrm").alias("qn"), "bucket",
