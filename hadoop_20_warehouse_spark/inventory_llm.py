@@ -426,3 +426,121 @@ def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle=f"""
+WITH flags AS (
+  SELECT source,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+         ({T.token_count_sql('text')} BETWEEN 20 AND 1000
+          AND len(text) >= 100) AS ok_quality
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN NOT keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN keeper AND NOT ok_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN keeper AND ok_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flags
+GROUP BY source
+""",
+)
+def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus filter: exact-dedup election
+    (min doc_id per content digest) composed with integer-exact quality
+    gates (token count in [20,1000], >=100 chars), reported as per-source
+    keep/drop counts — the one-pass shape of a real data-prep job.
+    One digest window + one source aggregation; all gates are integer
+    comparisons so the oracle is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    flags = docs.select(
+        "source",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keeper"),
+        (
+            T.token_count("text").between(20, 1000)
+            & (F.length("text") >= 100)
+        ).alias("ok_quality"),
+    )
+    k, q = F.col("keeper"), F.col("ok_quality")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~k, 1).otherwise(0)).alias("n_dup"),
+        F.sum(F.when(k & ~q, 1).otherwise(0)).alias("n_low_quality"),
+        F.sum(F.when(k & q, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@register(
+    "doc_shard_assignment",
+    oracle="""
+SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY 1
+""",
+)
+def q_doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: shard =
+    md5(doc_id) % 32 (functions/hashing.py — the engine-portable
+    HashPartitioner, lib/HashPartitioner.java:36) with per-shard doc
+    and char totals. The same expression feeds
+    ``df.write.partitionBy``/``repartition(col)`` to materialize
+    shards; the totals are the balance check a sharded export needs."""
+    from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(md5_bucket(F.col("doc_id"), 32).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "text_top_terms_per_lang",
+    oracle="""
+WITH tf AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY lang, token
+)
+SELECT lang, token, n, rank FROM (
+  SELECT lang, token, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+  FROM tf
+) WHERE rank <= 5
+""",
+)
+def q_text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode → two-level agg → windowed
+    top-k with full tiebreak (count desc, token asc). Partial
+    aggregation absorbs the token fan-out before the shuffle; the
+    window's per-lang top-k replaces the reference's single-reducer
+    head-of-file pattern (Grep.java:79)."""
+    from hadoop_20_warehouse_spark.session import scatter
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("lang", F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -337,6 +337,15 @@ FROM (
 GROUP BY decile
 """
 
+_CUBE_EVENT_STATS_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS user_mod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
+"""
+
 _EVENT_FUNNEL_SQL = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
@@ -410,5 +419,6 @@ for _name, _sql in (
     ("sql_ntile_spend", _NTILE_SPEND_SQL),
     ("sql_sessionize_events", _SESSIONIZE_EVENTS_SQL),
     ("sql_event_funnel", _EVENT_FUNNEL_SQL),
+    ("sql_cube_event_stats", _CUBE_EVENT_STATS_SQL),
 ):
     register(_name, oracle=_sql)(_sql_query(_sql))
