@@ -337,6 +337,39 @@ FROM (
 GROUP BY decile
 """
 
+_FIRST_LAST_ORDER_SQL = """
+SELECT DISTINCT o_custkey,
+       CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+       CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS last_price,
+       CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_order,
+       CAST(LAST_VALUE(o_orderkey) OVER w AS BIGINT) AS last_order
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+_EVENT_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week_start
+  FROM events
+),
+flags AS (
+  SELECT a.user_id, a.week_start,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM active b
+           WHERE b.user_id = a.user_id AND b.week_start = a.week_start + 7
+         ) THEN 1 ELSE 0 END AS retained
+  FROM active a
+)
+SELECT CAST(week_start AS STRING) AS week_start,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(retained) AS BIGINT) AS n_retained
+FROM flags
+GROUP BY week_start
+"""
+
 _CUBE_EVENT_STATS_SQL = """
 SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS user_mod,
@@ -420,5 +453,7 @@ for _name, _sql in (
     ("sql_sessionize_events", _SESSIONIZE_EVENTS_SQL),
     ("sql_event_funnel", _EVENT_FUNNEL_SQL),
     ("sql_cube_event_stats", _CUBE_EVENT_STATS_SQL),
+    ("sql_first_last_order", _FIRST_LAST_ORDER_SQL),
+    ("sql_event_retention", _EVENT_RETENTION_SQL),
 ):
     register(_name, oracle=_sql)(_sql_query(_sql))
