@@ -337,6 +337,21 @@ FROM (
 GROUP BY decile
 """
 
+_BAD_RECORDS_SQL = """
+WITH parsed AS (
+  SELECT TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_num,
+         TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+         o_totalprice
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN prio_num IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_prio,
+       CAST(SUM(CASE WHEN status_num IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+       CAST(SUM(CASE WHEN prio_num IS NOT NULL
+                 THEN CAST(prio_num AS BIGINT) ELSE 0 END) AS BIGINT) AS prio_sum
+FROM parsed
+"""
+
 _FIRST_LAST_ORDER_SQL = """
 SELECT DISTINCT o_custkey,
        CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
@@ -455,5 +470,6 @@ for _name, _sql in (
     ("sql_cube_event_stats", _CUBE_EVENT_STATS_SQL),
     ("sql_first_last_order", _FIRST_LAST_ORDER_SQL),
     ("sql_event_retention", _EVENT_RETENTION_SQL),
+    ("sql_bad_records_skip", _BAD_RECORDS_SQL),
 ):
     register(_name, oracle=_sql)(_sql_query(_sql))
