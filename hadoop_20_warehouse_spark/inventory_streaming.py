@@ -180,3 +180,21 @@ def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "user_id", "c_name", "c_mktsegment",
         F.col("value").cast("double").alias("value"),
     )
+
+
+@register(
+    "stream_distinct_users",
+    oracle="""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per hourly window, streaming-legal
+    construction (dropDuplicates under watermark → count;
+    streaming/windows.tumbling_distinct_ids)."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_distinct_ids(ev, "ts", ["event_type"], "user_id", "1 hour")

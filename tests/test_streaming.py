@@ -179,3 +179,17 @@ def test_streaming_enrich_static_matches_batch(spark, events_stream_dir):
     want = enrich(ev_batch).toPandas()
     assert len(got) == len(want) > 0
     assert normalize(got).equals(normalize(want))
+
+
+def test_streaming_distinct_ids_matches_batch(spark, events_stream_dir):
+    ev_batch = load_table(spark, SF_DIR, "events")
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    got = _run_stream(
+        spark,
+        W.tumbling_distinct_ids(stream, "ts", ["event_type"], "user_id", "1 hour"),
+        "distinct_stream",
+    ).toPandas()
+    want = W.tumbling_distinct_ids(
+        ev_batch, "ts", ["event_type"], "user_id", "1 hour"
+    ).toPandas()
+    assert normalize(got).equals(normalize(want))
