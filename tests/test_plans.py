@@ -95,3 +95,21 @@ def test_minhash_no_python_and_bounded_shuffles(spark, sf_dir):
     # static plan prints the un-materialized branch under each of its
     # three consumers — hence the budget is 8 + 3 printed copies.
     assert count_exchanges(df) <= 11, physical_plan(df)
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_dir):
+    """The flagship's shipdate predicate must reach the parquet scan
+    (scan-time filtering is the reference's SequenceFileInputFilter
+    idea — free in Spark only if the filter stays below the agg)."""
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, f"expected shipdate pushdown, got: {pf!r}"
+
+
+def test_sql_entrypoint_pushdown_and_no_python(spark, sf_dir):
+    """spark.sql over the catalog views keeps full Catalyst treatment:
+    filters pushed to scans, no Python in the plan."""
+    df = QUERIES["sql_shipping_priority"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "c_mktsegment" in pf or "o_orderdate" in pf, pf
+    assert not uses_python_row_eval(df)
