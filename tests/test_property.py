@@ -136,3 +136,24 @@ def test_override_join_random_cross_check(spark):
                 if v is not None:
                     got.add((r["key"], i, v))
         assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_minhash_rowlocal_equals_explode_form(spark):
+    """The row-local HOF signature (minhash_signature_rowlocal) must be
+    bit-identical to the explode+groupBy construction on random text —
+    the two paths share only the math, so equality pins both."""
+    import random as _r
+
+    from hadoop_20_warehouse_spark.dedup import minhash as MH
+
+    rng = _r.Random(7)
+    alpha = "ab cd"
+    rows = [
+        Row(id=i, txt="".join(rng.choice(alpha) for _ in range(rng.randint(1, 60))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows)
+    a = MH.minhash_signature_rowlocal(df, "id", "txt").orderBy("id").collect()
+    sh = MH.shingles(df, "id", "txt", MH.DEFAULT_SHINGLE, distinct=False)
+    b = MH.minhash_signature_cols(sh, "id").orderBy("id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
