@@ -95,35 +95,20 @@ def main() -> None:
     # run a small agg+join so the first timed query isn't absorbing
     # one-time costs.
     _force(load_table(spark, SF_DIR, "lineitem").limit(1000))
-    _force(QUERIES["pricing_summary"](spark, SF_DIR))
     _force(QUERIES["join_broadcast_dims"](spark, SF_DIR))
-    # higher-order-function expressions (transform/aggregate/zip_with in
-    # the minhash/simhash/LSH paths) JIT-compile large generated classes
-    # on first use — run them once on tiny inputs so timed queries
-    # measure steady-state throughput, not one-time codegen.
-    from hadoop_20_warehouse_spark.dedup import embedding as _EMB
-    from hadoop_20_warehouse_spark.dedup import minhash as _MH
-    from hadoop_20_warehouse_spark.dedup import simhash as _SH
-
-    _docs100 = load_table(spark, SF_DIR, "documents").limit(100)
-    _emb100 = load_table(spark, SF_DIR, "embeddings").limit(100)
-    _force(_MH.minhash_lsh_pairs(_docs100, "doc_id", "text"))
-    _force(_SH.simhash(_docs100, "doc_id", "text"))
-    _force(_EMB.embedding_near_dup_pairs(_emb100))
-    # mapInPandas paths fork one Python worker per core on first use;
-    # pay that + Arrow init here, not inside a timed query.
-    from hadoop_20_warehouse_spark.multimodal.binary import frame_sample_stub as _fss
-    from pyspark.sql import functions as _F
-
-    _force(
-        _fss(
-            load_table(spark, SF_DIR, "documents")
-            .limit(3200)  # enough rows that every core's worker forks
-            .select("doc_id", _F.col("text").cast("binary").alias("payload")),
-            "doc_id",
-            "payload",
-        )
-    )
+    # Steady-state warmup: run EVERY timed query once at the smallest
+    # available scale factor. This compiles each query's whole-stage /
+    # higher-order-function generated classes, forks the Python worker
+    # pool for mapInPandas paths, and touches parquet footers — all the
+    # one-time costs that would otherwise be charged to whichever timed
+    # query happened to hit them first. Timed runs then measure
+    # per-plan throughput at SF_DIR, which is the number that scales.
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for _fn in BENCH_QUERIES.values():
+        _force(_fn(spark, warm_dir))
+    spark.catalog.clearCache()  # drop warmup persists; timed runs recompute
 
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
