@@ -68,20 +68,31 @@ def sign_buckets(
     every table's hyperplanes are independent (plane construction is
     shared with similarity/knn.py — single source for both engines).
     ``dim`` must equal the actual embedding length (see
-    bucket_sig_column's warning about NULL-padded zips)."""
+    bucket_sig_column's warning about NULL-padded zips).
+
+    All n_tables×n_planes plane dots come from ONE vector traversal
+    (knn.plane_dots_expr — bit-identical to the per-plane folds); the
+    per-table buckets are then cheap sign/shift arithmetic over the
+    dots array."""
     from hadoop_20_warehouse_spark.session import scatter
+    from hadoop_20_warehouse_spark.similarity.knn import plane_dots_expr
 
     df = scatter(df)
+    dots = F.expr(plane_dots_expr(vec_col, n_tables * n_planes, dim)).alias("_dots")
     rows = [
         F.struct(
             F.lit(t).alias("table_idx"),
-            bucket_sig_column(
-                vec_col, n_planes, dim, plane_offset=t * n_planes
+            F.expr(
+                " + ".join(
+                    f"(CASE WHEN element_at(_dots, {t * n_planes + j + 1}) > 0 "
+                    f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                    for j in range(n_planes)
+                )
             ).alias("bucket"),
         )
         for t in range(n_tables)
     ]
-    return df.select(
+    return df.select(F.col(id_col), dots).select(
         F.col(id_col), F.explode(F.array(*rows)).alias("tb")
     ).select(F.col(id_col), F.col("tb.table_idx"), F.col("tb.bucket"))
 

@@ -197,6 +197,30 @@ def bucket_sig_column(
     return F.expr(" + ".join(terms))
 
 
+def plane_dots_expr(vec_col: str, n_planes_total: int, dim: int) -> str:
+    """SQL expression: array of dot(vec, plane_p) for p in
+    [0, n_planes_total), computed in ONE traversal of the vector.
+
+    The per-plane folds in ``bucket_sig_column`` re-walk the vector
+    once per plane (32 traversals for a 4-table×8-bit config); here the
+    plane matrix is embedded TRANSPOSED (planes_d[d][p]) and a single
+    ``aggregate`` over element index d updates all plane accumulators
+    per step. Addition order per plane is d-ascending — identical
+    associativity to the per-plane fold, so every dot (and therefore
+    every sign bit) is bit-identical to the slow form; a property test
+    pins the equality."""
+    rows = []
+    for d in range(dim):
+        ws = ",".join(f"{_plane_component_py(p, d)!r}D" for p in range(n_planes_total))
+        rows.append(f"array({ws})")
+    planes_d = "array(" + ",".join(rows) + ")"
+    return (
+        f"aggregate(sequence(1, {dim}), array_repeat(0.0D, {n_planes_total}), "
+        f"(acc, d) -> zip_with(acc, element_at({planes_d}, d), "
+        f"(a, w) -> a + cast(element_at({vec_col}, d) as double) * w))"
+    )
+
+
 def bucket_signature(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
 ) -> DataFrame:

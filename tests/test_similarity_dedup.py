@@ -62,3 +62,29 @@ def test_ivf_covers_all_queries(spark, emb):
     assert ivf.select("query_id").distinct().count() == n_vec
     per_q = ivf.groupBy("query_id").count()
     assert per_q.agg(F.max("count")).first()[0] <= 5
+
+
+def test_single_pass_buckets_equal_per_plane_folds(spark, emb):
+    """sign_buckets' one-traversal plane dots must be bit-identical to
+    the per-plane fold construction (same addition order per plane) —
+    pins the fast path to the oracle-shared math."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.similarity.knn import bucket_sig_column
+
+    fast = EMB.sign_buckets(emb, "vec_id", "embedding", 4, 8).orderBy(
+        "vec_id", "table_idx"
+    )
+    slow_rows = [
+        F.struct(
+            F.lit(t).alias("table_idx"),
+            bucket_sig_column("embedding", 8, 64, plane_offset=t * 8).alias("bucket"),
+        )
+        for t in range(4)
+    ]
+    slow = (
+        emb.select(F.col("vec_id"), F.explode(F.array(*slow_rows)).alias("tb"))
+        .select("vec_id", "tb.table_idx", "tb.bucket")
+        .orderBy("vec_id", "table_idx")
+    )
+    assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in slow.collect()]
