@@ -56,6 +56,18 @@ def test_ivf_topk_matches_brute_on_probed_cells(spark, emb):
     assert missing.count() == 0
 
 
+def test_ivf_centroid_count_fixed_in_corpus_size(spark, emb):
+    """The centroid table must be O(k), NOT O(n): doubling the corpus
+    must not change the centroid count (round-1 stride sampling made it
+    n/stride — the VERDICT scale defect)."""
+    doubled = emb.union(
+        emb.select((F.col("vec_id") + 10**9).alias("vec_id"), *emb.columns[1:])
+    )
+    for corpus in (emb, doubled):
+        got = IVF.centroids(corpus, "vec_id", "embedding", 16).count()
+        assert got == 16
+
+
 def test_ivf_covers_all_queries(spark, emb):
     n_vec = emb.count()
     ivf = IVF.ivf_topk(emb, k=5)
