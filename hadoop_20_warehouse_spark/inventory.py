@@ -605,6 +605,60 @@ def q_join_composite_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTIFILTER_SRC_SQL = """
+m0 AS (SELECT o_orderkey AS key, o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+m1 AS (SELECT o_orderkey AS key, CAST(o_custkey AS DOUBLE) AS v FROM orders WHERE o_orderkey % 3 = 0),
+m2 AS (SELECT l_orderkey AS key, l_quantity AS v FROM lineitem WHERE l_orderkey % 5 = 0)
+"""
+
+
+def _multifilter_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The TestDatamerge interleaved-presence fixture narrowed to one
+    DOUBLE value per source (MultiFilter children must share a value
+    class, MultiFilterRecordReader.java:92-101); m2 keeps duplicate
+    keys (one row per lineitem) so the cross-product multiplicity of
+    the tuple stream is exercised."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return {
+        "m0": orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("v")
+        ),
+        "m1": orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_custkey").cast("double").alias("v"),
+        ),
+        "m2": li.filter(F.col("l_orderkey") % 5 == 0).select(
+            F.col("l_orderkey").alias("key"), F.col("l_quantity").alias("v")
+        ),
+    }
+
+
+@register(
+    "join_multifilter",
+    oracle=f"""
+WITH {_MULTIFILTER_SRC_SQL},
+tuples AS (
+  SELECT COALESCE(m0.key, m1.key, m2.key) AS key, m0.v AS v0, m1.v AS v1, m2.v AS v2
+  FROM m0
+  FULL OUTER JOIN m1 ON m0.key = m1.key
+  FULL OUTER JOIN m2 ON COALESCE(m0.key, m1.key) = m2.key
+)
+SELECT key, COALESCE(v0, v1, v2) AS v_m0 FROM tuples
+WHERE COALESCE(v0, v1, v2) IS NOT NULL
+""",
+)
+def q_join_multifilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multifilter(m0, m1, m2): the composite outer-join tuple stream
+    with each tuple collapsed to one emitted value — leftmost non-null
+    slot — keeping duplicate-key cross-product multiplicity
+    (MultiFilterRecordReader.java:36-87; the 4th op of the composite
+    family, CompositeInputFormat.java:82-85)."""
+    return J.compose_join(
+        "multifilter(m0, m1, m2)", _multifilter_sources(spark, sf_dir)
+    )
+
+
 @register(
     "join_asof_attribution",
     oracle="""

@@ -25,6 +25,10 @@ language:
 - ``override(a, b, ...)`` → per-key priority coalesce: emit the value
   stream of the **rightmost** source holding the key, with its full
   duplicate multiplicity (OverrideRecordReader.java:36,49-60).
+- ``multifilter(a, b, ...)`` → the outer-join tuple stream collapsed
+  to ONE value per tuple by an emit function over same-class child
+  values (MultiFilterRecordReader.java:36-101, the base of the
+  filter-join family registered at CompositeInputFormat.java:82-85).
 
 ``compose_join`` evaluates a parsed expression over named DataFrames.
 Each source frame must have the join key column ``key_col`` plus value
@@ -56,6 +60,7 @@ __all__ = [
     "parse_join_expr",
     "compose_join",
     "override_join",
+    "multifilter_join",
     "semi_join",
     "anti_join",
     "broadcast",
@@ -85,7 +90,7 @@ class Func:
 
 JoinExpr = Tbl | Func
 
-_TOKEN = re.compile(r'\s*(?:(inner|outer|override|tbl)\s*\(|(\))|(,)|"([^"]*)"|([A-Za-z_][A-Za-z0-9_.]*))')
+_TOKEN = re.compile(r'\s*(?:(inner|outer|override|multifilter|tbl)\s*\(|(\))|(,)|"([^"]*)"|([A-Za-z_][A-Za-z0-9_.]*))')
 
 
 def parse_join_expr(expr: str) -> JoinExpr:
@@ -190,6 +195,8 @@ def compose_join(
         children = [ev(c) for c in node.children]
         if node.op == "override":
             return _override_frames(children, key_col)
+        if node.op == "multifilter":
+            return _multifilter_frames(children, key_col)
         out = children[0]
         for child in children[1:]:
             out = out.join(child, on=key_col, how=how)
@@ -235,6 +242,63 @@ def override_join(frames: list[DataFrame], key_col: str = "key") -> DataFrame:
     """Public entry for the override (priority-coalesce) join."""
     leafed = [_leaf_frame(f, str(i), key_col) for i, f in enumerate(frames)]
     return _override_frames(leafed, key_col)
+
+
+def _multifilter_frames(frames: list[DataFrame], key_col: str, emit=None) -> DataFrame:
+    """MultiFilter join core over already-leafed frames: the full-outer
+    composite tuple stream collapsed to ONE value per tuple.
+
+    Mirrors MultiFilterRecordReader.java:36-87 — the JoinCollector's
+    outer join of the child readers feeds ``emit(tuple)`` which returns
+    a single value "typically one of the values in the tuple"
+    (MultiFilterRecordReader.java:50-56); child value classes must
+    agree (createValue check, MultiFilterRecordReader.java:92-101).
+    Default emit is leftmost-non-null (COALESCE); tuples whose emitted
+    value is NULL are dropped. Physically this is n-1 full-outer
+    equi-joins plus a projection — no extra shuffle beyond the joins,
+    and duplicate keys keep their full cross-product multiplicity.
+    """
+    slots = []
+    out_name: str | None = None
+    out_type = None
+    narrowed = []
+    for i, f in enumerate(frames):
+        vcols = [c for c in f.columns if c != key_col]
+        if len(vcols) != 1:
+            raise ValueError(
+                f"multifilter child {i} must expose exactly one value column "
+                f"(got {vcols}) — MultiFilterRecordReader children share a "
+                "single value class"
+            )
+        vtype = f.schema[vcols[0]].dataType
+        if out_name is None:
+            out_name, out_type = vcols[0], vtype
+        elif vtype != out_type:
+            raise TypeError(
+                f"multifilter child value classes disagree: {out_type} vs "
+                f"{vtype} (MultiFilterRecordReader.java:95-99 ClassCastException)"
+            )
+        narrowed.append(
+            f.select(F.col(key_col), F.col(vcols[0]).alias(f"__mfv{i}"))
+        )
+        slots.append(F.col(f"__mfv{i}"))
+    joined = narrowed[0]
+    for f in narrowed[1:]:
+        joined = joined.join(f, on=key_col, how="full_outer")
+    value = (emit or (lambda s: F.coalesce(*s)))(slots)
+    return joined.select(F.col(key_col), value.alias(out_name)).filter(
+        F.col(out_name).isNotNull()
+    )
+
+
+def multifilter_join(
+    frames: list[DataFrame], key_col: str = "key", emit=None
+) -> DataFrame:
+    """Public entry for the MultiFilter composite join: each frame is
+    (key, single value column of one agreed type); output one emitted
+    value per outer-join tuple. ``emit`` takes the list of slot Columns
+    and returns one Column (default COALESCE — leftmost non-null)."""
+    return _multifilter_frames(list(frames), key_col, emit)
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:

@@ -129,6 +129,36 @@ def test_override_join_semantics(join_fixture):
     assert len(by_key[7]) == 2 and all(r["val_s2"] is not None for r in by_key[7])
 
 
+def test_multifilter_join_semantics(join_fixture):
+    """MultiFilterRecordReader contract: outer-join tuple stream, one
+    emitted value per tuple (leftmost non-null), duplicate-key
+    cross-product multiplicity preserved."""
+    out = compose_join("multifilter(s0, s1, s2)", join_fixture).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r["val_s0"])
+    # k%8==1: only s0 → one tuple, s0's value emitted
+    assert by_key[1] == [1]
+    # k%8==4: only s2 (duplicated) → two tuples, both emit the s2 slot
+    assert sorted(by_key[4]) == [2004, 2504]
+    # k%8==7: 1×1×2 cross product → TWO rows both emitting s0's value
+    # (multiplicity survives even though the emitted value repeats)
+    assert by_key[7] == [7, 7]
+    # key 0 in no source → absent entirely
+    assert 0 not in by_key and 8 not in by_key
+
+
+def test_multifilter_value_class_check(spark, join_fixture):
+    """Disagreeing child value classes must raise — the analog of
+    MultiFilterRecordReader.java:95-99's ClassCastException."""
+    from hadoop_20_warehouse_spark.operators.join import multifilter_join
+
+    s0 = join_fixture["s0"]
+    bad = join_fixture["s1"].select("key", F.col("val").cast("string").alias("val"))
+    with pytest.raises(TypeError, match="value classes disagree"):
+        multifilter_join([s0, bad])
+
+
 # --- SortValidator-style invariants (mapred/SortValidator.java:97,399) ----
 
 
