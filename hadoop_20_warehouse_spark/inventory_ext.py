@@ -14,6 +14,7 @@ from hadoop_20_warehouse_spark.multimodal.binary import (
     resize_stub,
     resize_stub_sql,
 )
+from hadoop_20_warehouse_spark.operators import agg as AGG
 from hadoop_20_warehouse_spark.operators import pipe as P
 from hadoop_20_warehouse_spark.registry import register
 
@@ -208,21 +209,32 @@ def q_inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_uniq_capped",
     oracle="""
-SELECT event_type, least(COUNT(DISTINCT user_id), 100) AS uniq_capped
-FROM events GROUP BY event_type
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+r AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(user_id AS VARCHAR)), user_id
+         ) AS rn
+  FROM d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS uniq_capped,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS uniq_members
+FROM r WHERE rn <= 10 GROUP BY event_type
 """,
 )
 def q_agg_uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UniqValueCount with maxNumItems cap
+    """UniqValueCount with the maxNumItems cap
     (lib/aggregate/UniqValueCount.java:30, cap at :81-85): the
     reference truncates the distinct SET by insertion order (not
-    parallel-reproducible) but the reported COUNT equals
-    min(cap, true distinct) — which is deterministic, so that is the
-    semantics we implement and oracle-check."""
+    parallel-reproducible); we keep the bounded-memory contract but
+    deterministically — cap winners are the N distinct values smallest
+    by (md5(value), value), so count AND surviving members are
+    parallel-reproducible and oracle-checked
+    (operators/agg.uniq_value_count_capped)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.least(F.countDistinct("user_id"), F.lit(100)).alias("uniq_capped")
-    )
+    return AGG.uniq_value_count_capped(ev, ["event_type"], "user_id", cap=10)
 
 
 @register("agg_uniq_approx")  # rows-only: HLL sketch values are engine-specific

@@ -35,7 +35,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -99,6 +99,43 @@ def register_aggregator(name: str, fn: Callable[[Column], Column]) -> None:
     a custom aggregate expression by name.
     """
     AGGREGATORS[name] = fn
+
+
+def uniq_value_count_capped(
+    df: DataFrame, key_cols: list[str], value_col: str, cap: int
+) -> DataFrame:
+    """UniqValueCount with the ``maxNumItems`` cap made deterministic.
+
+    The reference caps the distinct set by INSERTION order
+    (lib/aggregate/UniqValueCount.java:81-85) — not reproducible under
+    parallel input order. We keep its bounded-memory contract but pick
+    the cap winners by a total order independent of arrival: the
+    ``cap`` distinct values smallest by (md5(value), value). Output per
+    key: ``uniq_capped`` = min(cap, true distinct count) and
+    ``uniq_members`` = the surviving members, value-sorted and
+    comma-joined (the analog of the capped TreeMap's contents).
+
+    Scale shape: distinct (one key+value shuffle with partial distinct
+    map-side) → per-key window top-``cap`` → one final per-key agg;
+    never collects more than ``cap`` members per key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.md5(F.col(value_col).cast("string")), F.col(value_col)
+    )
+    capped = (
+        df.select(*key_cols, value_col)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+    )
+    members = F.expr(
+        f"array_join(transform(array_sort(collect_list({value_col})),"
+        " x -> cast(x as string)), ',')"
+    )
+    return capped.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("uniq_capped"),
+        members.alias("uniq_members"),
+    )
 
 
 def aggregate_job(descriptors: DataFrame) -> DataFrame:
