@@ -13,9 +13,9 @@ Scale notes:
 - Each round is one join + one aggregation on the edge list — all
   DataFrame ops, shuffles keyed by node id; AQE handles the shrinking
   frontier. No driver-side data beyond a single convergence count.
-- ``max_iterations`` bounds the loop; ``checkpoint_every`` truncates
-  the lineage (local checkpoint) so long chains don't blow up plan
-  depth at scale.
+- ``max_iterations`` bounds the loop; every round is checkpointed so
+  long chains don't blow up plan depth at scale — executor-local by
+  default, reliable (``checkpoint_dir``) for fault-tolerant runs.
 - The DuckDB oracle (``connected_components_sql``) is a recursive CTE
   doing the same propagation — labels only decrease and the state
   space is finite, so the recursion's UNION-dedup terminates.
@@ -35,29 +35,43 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
     ``edges`` is an undirected pair list; isolated nodes absent from it
     simply keep their own id (callers union them back if needed).
 
-    Iterative state is materialized every round (localCheckpoint):
-    without it each round — and the convergence probe — re-executes the
-    whole upstream lineage (e.g. a MinHash pipeline feeding the edges),
-    turning O(diameter) rounds into O(diameter) full recomputations.
+    Iterative state is materialized every round: without it each round
+    — and the convergence probe — re-executes the whole upstream
+    lineage (e.g. a MinHash pipeline feeding the edges), turning
+    O(diameter) rounds into O(diameter) full recomputations.
+
+    ``checkpoint_dir``: when set, rounds use RELIABLE ``checkpoint()``
+    into that directory (HDFS/object-store path on a cluster) so a lost
+    executor replays from the last round, not from scratch. The default
+    ``localCheckpoint`` keeps blocks executor-local — fine on one box,
+    but on a 100 TB run an executor failure restarts the whole loop, so
+    pass a checkpoint_dir there (VERDICT r1 item 5).
     """
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # undirected: both directions, plus self-loops so every node keeps
     # its own id as a candidate label. Materialized once — every round
     # joins against it.
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = fwd.unionByName(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    und = _materialize(
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = _materialize(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _i in range(max_iterations):
         # candidate labels: own + min neighbor label
@@ -65,11 +79,10 @@ def connected_components(
             und.join(labels.withColumnRenamed("node", "v"), on="v")
             .select(F.col("u").alias("node"), F.col("component"))
         )
-        new_labels = (
+        new_labels = _materialize(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         # converged when no label changed (cheap: both sides checkpointed)
         changed = (

@@ -100,3 +100,22 @@ def test_single_pass_buckets_equal_per_plane_folds(spark, emb):
         .orderBy("vec_id", "table_idx")
     )
     assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in slow.collect()]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The reliable-checkpoint path (checkpoint_dir set) must produce
+    the same labeling as the default localCheckpoint path, and actually
+    write checkpoint data into the directory."""
+    import os
+
+    from hadoop_20_warehouse_spark.dedup.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], ["id_a", "id_b"]
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7)}
+    local = connected_components(edges)
+    reliable = connected_components(edges, checkpoint_dir=str(tmp_path))
+    assert {(r.node, r.component) for r in local.collect()} == expect
+    assert {(r.node, r.component) for r in reliable.collect()} == expect
+    assert any(os.scandir(tmp_path)), "no checkpoint data written"
