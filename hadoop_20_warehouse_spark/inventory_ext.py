@@ -16,6 +16,7 @@ from hadoop_20_warehouse_spark.multimodal.binary import (
 )
 from hadoop_20_warehouse_spark.operators import agg as AGG
 from hadoop_20_warehouse_spark.operators import pipe as P
+from hadoop_20_warehouse_spark.operators import sort as SORT
 from hadoop_20_warehouse_spark.registry import register
 
 
@@ -65,6 +66,35 @@ def q_pipe_reduce_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("line", r"^\s*(\d+)\s+(.*)$", 2).alias("key"),
         F.regexp_extract("line", r"^\s*(\d+)\s+(.*)$", 1).cast("long").alias("cnt"),
     )
+
+
+@register(
+    "pipe_keyfield_partition",
+    oracle="""
+SELECT DISTINCT o_orderpriority AS key, o_orderstatus AS value FROM orders
+""",
+)
+def q_pipe_keyfield_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyFieldBasedPartitioner + KeyFieldBasedComparator + external
+    reducer: lines ``priority<TAB>status`` hash-partitioned on field 1
+    (``-k1,1``, KeyFieldBasedPartitioner.java:43) and sorted within
+    partitions on the full key (``-k1,1 -k2,2``,
+    KeyFieldBasedComparator.java:46), then piped through ``uniq`` —
+    per-partition adjacent dedup equals GLOBAL distinct because the
+    partitioner co-locates every copy of a field-1 key and the
+    comparator makes equal lines adjacent (the classic Streaming
+    partition-on-prefix / compare-on-more config)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(
+            "\t", F.col("o_orderpriority"), F.col("o_orderstatus")
+        ).alias("line")
+    )
+    parted = SORT.keyfield_partition(
+        lines, "line", "-k1,1", sort_spec="-k1,1 -k2,2"
+    )
+    piped = P.pipe_map(parted, "uniq")
+    return P.split_kv(piped)
 
 
 @register(

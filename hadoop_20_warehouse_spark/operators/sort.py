@@ -131,6 +131,60 @@ def parse_keyfield_spec(spec: str) -> list[KeyFieldPart]:
     return parts
 
 
+def _keyfield_substring(
+    line: Column, arr: Column, p: KeyFieldPart, separator: str
+) -> Column:
+    """The exact sub-string one ``-k`` part selects — offsets per
+    KeyFieldHelper.getStartOffset/getEndOffset
+    (KeyFieldHelper.java:118-157), which are computed over the WHOLE
+    line: start = line-offset of ``start_field`` + ``start_char``;
+    end = line-offset of ``end_field`` + ``end_char`` (inclusive) or
+    the end of ``end_field`` when no end_char. Because the offsets are
+    line-global, an end_char larger than the field LEAKS into the
+    separator and following fields, and an end past the line clamps to
+    the line end — semantics pinned by the property test against a
+    pure-Python port of the reference byte logic."""
+
+    def field_offset(f: int) -> Column:
+        # 0-based line offset where field f starts
+        if f <= 1:
+            return F.lit(0)
+        return F.length(
+            F.array_join(F.slice(arr, 1, f - 1), separator)
+        ) + F.lit(len(separator))
+
+    end_f = p.end_field or p.start_field
+    nfields = F.size(arr)
+    start_pos = field_offset(p.start_field) + F.lit(p.start_char)  # 1-based
+    if p.end_char is None:
+        end_pos = field_offset(end_f) + F.length(F.element_at(arr, end_f))
+    else:
+        end_pos = field_offset(end_f) + F.lit(p.end_char)
+    # getEndOffset: end field absent, or end past the line → line end
+    end_pos = F.when(
+        (F.lit(end_f) > nfields) | (end_pos > F.length(line)), F.length(line)
+    ).otherwise(end_pos)
+    sub = F.substring(
+        line, start_pos, F.greatest(end_pos - start_pos + 1, F.lit(0))
+    )
+    # getStartOffset returns -1 (no key) when the start field is absent
+    return F.when(F.lit(p.start_field) > nfields, F.lit("")).otherwise(sub)
+
+
+def keyfield_substrings(
+    line_col: str | Column, spec: str | list[KeyFieldPart], separator: str = "\t"
+) -> list[Column]:
+    """The raw key sub-strings a spec selects, in spec order — no sort
+    direction, no numeric cast. This is what KeyFieldBasedPartitioner
+    hashes (KeyFieldBasedPartitioner.java:64-98 concatenates each key
+    spec's bytes into one rolling hash)."""
+    if isinstance(spec, str):
+        spec = parse_keyfield_spec(spec)
+    line = F.col(line_col) if isinstance(line_col, str) else line_col
+    arr = F.split(line, re.escape(separator))
+    return [_keyfield_substring(line, arr, p, separator) for p in spec]
+
+
 def keyfield_sort_columns(
     line_col: str | Column, spec: str | list[KeyFieldPart], separator: str = "\t"
 ) -> list[Column]:
@@ -148,23 +202,38 @@ def keyfield_sort_columns(
     arr = F.split(line, re.escape(separator))
     out: list[Column] = []
     for p in spec:
-        end_f = p.end_field or p.start_field
-        if p.start_field == end_f:
-            field = F.element_at(arr, p.start_field)
-            sub = F.substring(
-                field, p.start_char, 0x7FFFFFF if p.end_char is None else p.end_char - p.start_char + 1
-            )
-        else:
-            # span multiple fields: rejoin the slice, then char-trim ends
-            span = F.array_join(
-                F.slice(arr, p.start_field, end_f - p.start_field + 1), separator
-            )
-            sub = F.substring(span, p.start_char, 0x7FFFFFF)
-            # end_char on multi-field spans: trim by computing length up
-            # to end_field.end_char — rarely used; approximate by full span.
+        sub = _keyfield_substring(line, arr, p, separator)
         key: Column = sub.cast("double") if p.numeric else sub
         out.append(key.desc() if p.reverse else key.asc())
     return out
+
+
+def keyfield_partition(
+    df: DataFrame,
+    line_col: str,
+    partition_spec: str | list[KeyFieldPart],
+    sort_spec: str | list[KeyFieldPart] | None = None,
+    separator: str = "\t",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """KeyFieldBasedPartitioner analog
+    (mapred/lib/KeyFieldBasedPartitioner.java:43): hash-co-locate lines
+    by the key-field subset ``partition_spec`` selects, optionally
+    sorting within partitions by ``sort_spec`` (the partitioner +
+    comparator pair a Streaming reducer consumes — partition on -k1,1
+    while comparing on -k1,2n, the classic config). One shuffle; the
+    sort is partition-local (no range exchange)."""
+    keys = keyfield_substrings(line_col, partition_spec, separator)
+    parted = (
+        df.repartition(num_partitions, *keys)
+        if num_partitions
+        else df.repartition(*keys)
+    )
+    if sort_spec is None:
+        return parted
+    return parted.sortWithinPartitions(
+        *keyfield_sort_columns(line_col, sort_spec, separator)
+    )
 
 
 def keyfield_sort(

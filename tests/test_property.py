@@ -157,3 +157,80 @@ def test_minhash_rowlocal_equals_explode_form(spark):
     sh = MH.shingles(df, "id", "txt", MH.DEFAULT_SHINGLE, distinct=False)
     b = MH.minhash_signature_cols(sh, "id").orderBy("id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --- keyfield substring extraction vs the reference byte logic ------------
+
+
+def _ref_keyfield_substring(line: str, p, separator: str) -> str:
+    """Pure-Python port of KeyFieldHelper.getStartOffset/getEndOffset
+    (KeyFieldHelper.java:118-157): 1-based fields/chars, end inclusive,
+    separators inside a multi-field span belong to the key, end past
+    the line clamps to line end."""
+    fields = line.split(separator)
+    if p.start_field > len(fields):
+        return ""
+    start = sum(len(f) + len(separator) for f in fields[: p.start_field - 1])
+    start += p.start_char - 1
+    end_f = p.end_field or p.start_field
+    if p.end_char is None or end_f > len(fields):
+        end = len(line) - 1
+        if end_f <= len(fields):
+            end = (
+                sum(len(f) + len(separator) for f in fields[:end_f])
+                - len(separator)
+                - 1
+            )
+    else:
+        end = sum(len(f) + len(separator) for f in fields[: end_f - 1])
+        end += p.end_char - 1
+        end = min(end, len(line) - 1)
+    if start > end:
+        return ""
+    return line[start : end + 1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nfields=st.integers(1, 5),
+    lens=st.lists(st.integers(0, 6), min_size=5, max_size=5),
+    sf=st.integers(1, 5),
+    sc=st.integers(1, 4),
+    espan=st.integers(0, 3),
+    ec=st.one_of(st.none(), st.integers(1, 5)),
+    data=st.data(),
+)
+def test_keyfield_substring_matches_reference_offsets(
+    spark, nfields, lens, sf, sc, espan, ec, data
+):
+    """keyfield_substrings must reproduce the reference's byte-offset
+    selection exactly — including multi-field spans with end_char, the
+    round-1 approximation gap (operators/sort.py)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.operators.sort import (
+        KeyFieldPart,
+        keyfield_substrings,
+    )
+
+    def extract(line: str, part: KeyFieldPart) -> str:
+        df = spark.createDataFrame([(line,)], "line string")
+        (col,) = keyfield_substrings("line", [part])
+        got = df.select(col.alias("k")).first()["k"]
+        return "" if got is None else got
+    if sf > nfields:
+        sf = nfields
+    ef = min(sf + espan, nfields)
+    fields = [
+        "".join(
+            data.draw(
+                st.lists(
+                    st.sampled_from("abc12"), min_size=lens[i], max_size=lens[i]
+                )
+            )
+        )
+        for i in range(nfields)
+    ]
+    line = "\t".join(fields)
+    p = KeyFieldPart(start_field=sf, start_char=sc, end_field=ef, end_char=ec)
+    assert extract(line, p) == _ref_keyfield_substring(line, p, "\t")
