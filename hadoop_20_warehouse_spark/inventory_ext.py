@@ -69,6 +69,36 @@ def q_pipe_reduce_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_combiner_wordcount",
+    oracle="""
+SELECT token AS key, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+""",
+)
+def q_pipe_combiner_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``-combiner`` path (StreamJob -combiner; combiner runs
+    over each map partition's key-sorted stream BEFORE the shuffle):
+    tokens → awk partial counts per input partition → shuffle on the
+    leading key field → same awk as reducer over the co-located
+    partials. Same totals as the reducer-only pipe_reduce_uniq, with
+    shuffle volume |distinct tokens per partition| instead of
+    |tokens|."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    agg_awk = (
+        "awk -F'\\t' '{c[$1]+=($2==\"\"?1:$2)} END "
+        '{for (t in c) printf "%s\\t%d\\n", t, c[t]}\''
+    )
+    out = P.pipe_reduce(toks, agg_awk, ["token"], combiner=agg_awk)
+    kv = P.split_kv(out)
+    return kv.select(F.col("key"), F.col("value").cast("long").alias("cnt"))
+
+
+@register(
     "pipe_keyfield_partition",
     oracle="""
 SELECT DISTINCT o_orderpriority AS key, o_orderstatus AS value FROM orders

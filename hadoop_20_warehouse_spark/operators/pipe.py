@@ -25,8 +25,14 @@ further relational processing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import shlex
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+# stream.stderr.reporter.prefix default (PipeMapRed.java:428-430)
+REPORTER_PREFIX = "reporter:"
+COUNTER_PREFIX = REPORTER_PREFIX + "counter:"
 
 
 def _to_lines(df: DataFrame, separator: str) -> DataFrame:
@@ -57,15 +63,101 @@ def pipe_reduce(
     sort_cols: list[str] | None = None,
     separator: str = "\t",
     num_partitions: int | None = None,
+    combiner: str | None = None,
 ) -> DataFrame:
     """Reduce-side pipe: co-locate and sort by key first so ``cmd``
-    sees the reference's reducer contract (grouped, sorted stdin)."""
+    sees the reference's reducer contract (grouped, sorted stdin).
+
+    ``combiner`` is Streaming's ``-combiner`` (StreamJob.java "-combiner"
+    option; combiner runs on each map task's sorted output BEFORE the
+    shuffle): the command consumes each ORIGINAL partition's key-sorted
+    line stream and its stdout — keys still leading fields, the
+    ``stream.num.map.output.key.fields`` rule — is what shuffles to the
+    reducer. Map-side partial aggregation: shuffle volume drops from
+    |rows| to |distinct keys per input partition|, which is the whole
+    point at 100 TB fan-in."""
     spark = df.sparkSession
+    if combiner is not None:
+        from hadoop_20_warehouse_spark.operators.sort import keyfield_partition
+
+        # streaming wire format: key = leading fields
+        rest = [c for c in df.columns if c not in key_cols]
+        ordered = df.select(*key_cols, *rest)
+        pre = ordered.sortWithinPartitions(*key_cols, *(sort_cols or []))
+        clines = _to_lines(pre, separator)
+        crdd = clines.rdd.map(lambda r: r["line"]).pipe(combiner)
+        cdf = spark.createDataFrame(crdd.map(lambda s: (s,)), "line string")
+        spec = f"-k1,{len(key_cols)}"
+        parted = keyfield_partition(
+            cdf,
+            "line",
+            spec,
+            sort_spec=spec,
+            separator=separator,
+            num_partitions=num_partitions,
+        )
+        piped = parted.rdd.map(lambda r: r["line"]).pipe(cmd)
+        return spark.createDataFrame(piped.map(lambda s: (s,)), "line string")
     parted = df.repartition(num_partitions, *key_cols) if num_partitions else df.repartition(*key_cols)
     sorted_df = parted.sortWithinPartitions(*key_cols, *(sort_cols or []))
     lines = _to_lines(sorted_df, separator)
     piped = lines.rdd.map(lambda r: r["line"]).pipe(cmd)
     return spark.createDataFrame(piped.map(lambda s: (s,)), "line string")
+
+
+def pipe_with_counters(
+    df: DataFrame,
+    cmd: str,
+    counters: list[tuple[str, str]],
+    separator: str = "\t",
+    observation_name: str = "pipe_counters",
+) -> tuple[DataFrame, Observation]:
+    """Map-side pipe speaking the Streaming reporter protocol: stderr
+    lines ``reporter:counter:<group>,<name>,<amount>`` increment
+    counters (MRErrorThread, PipeMapRed.java:425-514); everything on
+    stdout is data.
+
+    ``rdd.pipe`` exposes only stdout, so the command is wrapped to
+    spool stderr to a per-process temp file and append it AFTER the
+    command exits — no interleave corruption from block-buffered
+    stdout, and counter placement doesn't matter because they
+    aggregate. The appended lines are split back out by the reporter
+    prefix, the same line-prefix parse the reference's stderr thread
+    applies. Counter totals are collected via
+    ``df.observe`` in the SAME pass as the data (Counters semantics —
+    no second subprocess run): returns ``(data_df, observation)`` where
+    the observation carries one ``<group>_<name>`` long per requested
+    counter plus ``reporter_lines`` (all reporter-prefixed lines seen).
+    Unrequested counter groups still count toward ``reporter_lines``.
+    """
+    wrapped = "bash -c " + shlex.quote(
+        f't="$(mktemp)"; {cmd} 2>"$t"; s=$?; cat "$t"; rm -f "$t"; exit $s'
+    )
+    merged = pipe_map(df, wrapped, separator)
+    body = F.expr(f"substring(line, {len(COUNTER_PREFIX) + 1})")
+    parts = F.split(body, ",")
+    is_counter = F.col("line").startswith(COUNTER_PREFIX) & (F.size(parts) == 3)
+    amount = F.element_at(parts, 3).cast("long")
+    obs = Observation(observation_name)
+    metrics = [
+        F.sum(
+            F.when(
+                is_counter
+                & (F.element_at(parts, 1) == group)
+                & (F.element_at(parts, 2) == name),
+                amount,
+            ).otherwise(F.lit(0))
+        ).alias(f"{group}_{name}")
+        for group, name in counters
+    ]
+    metrics.append(
+        F.count(
+            F.when(F.col("line").startswith(REPORTER_PREFIX), F.lit(1))
+        ).alias("reporter_lines")
+    )
+    observed = merged.observe(obs, *metrics)
+    data = observed.filter(~F.col("line").startswith(REPORTER_PREFIX))
+    return data, obs
 
 
 def split_kv(

@@ -48,3 +48,57 @@ def test_counters_observe(spark):
     got = obs.get
     assert got["n_rows"] == total
     assert got["n_high_qty"] == li.filter(F.col("l_quantity") > 45).count()
+
+
+# --- Streaming pipe extras: -combiner stage + reporter:counter: -----------
+
+
+def test_pipe_reduce_with_combiner(spark):
+    """The -combiner path must produce the same global aggregate as the
+    no-combiner reducer-only path (Streaming -combiner contract:
+    map-sorted stream -> combiner -> shuffle on leading key fields ->
+    reducer)."""
+    from hadoop_20_warehouse_spark.operators import pipe as P
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    agg_awk = (
+        "awk -F'\\t' '{c[$1]+=($2==\"\"?1:$2)} END "
+        '{for (t in c) printf "%s\\t%d\\n", t, c[t]}\''
+    )
+    out = P.pipe_reduce(toks, agg_awk, ["token"], combiner=agg_awk)
+    got = {
+        (r["key"], int(r["value"]))
+        for r in P.split_kv(out).collect()
+    }
+    want = {
+        (r["token"], r["cnt"])
+        for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_pipe_reporter_counters_propagate(spark):
+    """Real-subprocess e2e for the reporter:counter: stderr protocol:
+    an awk that echoes rows to stdout and one counter line per row to
+    stderr; the observation must see the exact row count and the data
+    frame must carry only the data lines."""
+    from hadoop_20_warehouse_spark.operators import pipe as P
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").cast("string"), F.col("o_orderpriority")
+    )
+    n = orders.count()
+    cmd = (
+        "awk -F'\\t' '{print; "
+        'print "reporter:counter:wc,rows,1" > "/dev/stderr"}\''
+    )
+    data, obs = P.pipe_with_counters(
+        orders, cmd, counters=[("wc", "rows")]
+    )
+    rows = data.count()
+    assert rows == n
+    assert obs.get["wc_rows"] == n
+    assert obs.get["reporter_lines"] == n
