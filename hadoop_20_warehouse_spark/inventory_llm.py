@@ -99,9 +99,10 @@ WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared) >= 0.2
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup/embedding.py): banded
-    sign-LSH candidates (2 tables × 4 planes, OR-amplified), exact
-    cosine >= 0.4 on candidates only — the vector-space sibling of
-    dedup_minhash_lsh; all-pairs cosine is never materialized."""
+    sign-LSH candidates (4 tables × 8-bit signatures, OR-amplified,
+    multi-probe over all 1-bit flips), exact cosine >= 0.4 on
+    candidates only — the vector-space sibling of dedup_minhash_lsh;
+    all-pairs cosine is never materialized."""
     emb = load_table(spark, sf_dir, "embeddings")
     return EMB.embedding_near_dup_pairs(emb)
 
@@ -204,7 +205,8 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-5 for every vector (similarity/ivf.py):
-    broadcast sampled centroids, nprobe=2 cell probing — candidate
+    broadcast fixed-k centroid table (smallest-k by md5(id), count
+    independent of corpus size), nprobe=2 cell probing — candidate
     join is an equi-join on centroid_id, never a cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
     return IVF.ivf_topk(emb, k=5)
