@@ -90,10 +90,46 @@ def read_sequence(spark: SparkSession, path: str) -> DataFrame:
 def write_sequence(df: DataFrame, path: str) -> None:
     """DataFrame[key, value] → SequenceFile (SequenceFileOutputFormat).
     Keys/values must be Writable-convertible primitives (int, long,
-    float, str, bytes)."""
+    float, str, bytes) — or maps of them, which Spark's
+    JavaToWritableConverter writes as MapWritable
+    (io/MapWritable.java:35)."""
     if len(df.columns) != 2:
         raise ValueError("write_sequence expects exactly (key, value) columns")
     df.rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequence_composite(
+    spark: SparkSession, path: str, schema: str, value_cast=None
+) -> DataFrame:
+    """SequenceFile with COMPOSITE Writable values → typed DataFrame.
+
+    Spark's WritableConverter recursively unwraps composite Writables
+    (MapWritable/SortedMapWritable → dict, ArrayWritable *subclasses* →
+    list — io/MapWritable.java:35, io/SortedMapWritable.java:34,
+    io/ArrayWritable.java:26); this surfaces the result under an
+    explicit ``schema`` (e.g. ``"key string, value map<string,string>"``)
+    instead of primitive-only inference.
+
+    A MapWritable's entries are heterogeneous Writables while a SQL map
+    is homogeneous — ``value_cast`` (e.g. ``str``) normalizes entry
+    values before the schema applies. Bare ``ArrayWritable`` has no
+    no-arg constructor, so such files are unreadable by ANY Hadoop
+    reader without the user's subclass on the classpath; the same
+    subclass-on-classpath requirement applies here (pass it via
+    spark.jars)."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    if value_cast is not None:
+
+        def _norm(kv):
+            k, v = kv
+            if isinstance(v, dict):
+                return k, {mk: value_cast(mv) for mk, mv in v.items()}
+            if isinstance(v, (list, tuple)):
+                return k, [value_cast(x) for x in v]
+            return k, value_cast(v)
+
+        rdd = rdd.map(_norm)
+    return spark.createDataFrame(rdd, schema)
 
 
 # --- JDBC ------------------------------------------------------------------

@@ -43,6 +43,13 @@ WRITABLE_TO_SPARK: dict[str, T.DataType] = {
     "BytesWritable": T.BinaryType(),
     "MD5Hash": T.BinaryType(),
     "NullWritable": T.NullType(),
+    # composite Writables (value type per element; MapWritable entries
+    # are heterogeneous — readers normalize, sources/io.py
+    # read_sequence_composite)
+    "ArrayWritable": T.ArrayType(T.StringType()),
+    "TwoDArrayWritable": T.ArrayType(T.ArrayType(T.StringType())),
+    "MapWritable": T.MapType(T.StringType(), T.StringType()),
+    "SortedMapWritable": T.MapType(T.StringType(), T.StringType()),
 }
 
 # Record I/O primitive types (record/package.html:129-137).

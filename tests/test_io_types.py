@@ -188,3 +188,50 @@ def test_compact_small_files(spark, tmp_path):
     a = sorted((r["k"], r["v"]) for r in spark.read.parquet(src).collect())
     b = sorted((r["k"], r["v"]) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_sequence_composite_mapwritable(spark, tmp_path):
+    """MapWritable round-trip: a JVM-written SequenceFile of Text ->
+    MapWritable (heterogeneous entry values) reads back as a typed map
+    column; the dict write path (JavaToWritableConverter -> MapWritable)
+    reads back identically."""
+    from hadoop_20_warehouse_spark.sources.io import (
+        read_sequence_composite,
+        write_sequence,
+    )
+
+    # write a real MapWritable file with the hadoop API (the shape a
+    # reference job would produce, io/MapWritable.java:35)
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(str(tmp_path / "mw.seq"))
+    fs = jpath.getFileSystem(conf)
+    Text = jvm.org.apache.hadoop.io.Text
+    IntWritable = jvm.org.apache.hadoop.io.IntWritable
+    MapWritable = jvm.org.apache.hadoop.io.MapWritable
+    w = jvm.org.apache.hadoop.io.SequenceFile.createWriter(
+        fs, conf, jpath, Text().getClass(), MapWritable().getClass()
+    )
+    for i in range(3):
+        mw = MapWritable()
+        mw.put(Text("n"), IntWritable(i))
+        mw.put(Text("s"), Text(f"v{i}"))
+        w.append(Text(f"k{i}"), mw)
+    w.close()
+
+    df = read_sequence_composite(
+        spark,
+        str(tmp_path / "mw.seq"),
+        "key string, value map<string,string>",
+        value_cast=str,
+    )
+    got = {r["key"]: dict(r["value"]) for r in df.collect()}
+    assert got == {f"k{i}": {"n": str(i), "s": f"v{i}"} for i in range(3)}
+
+    # dict write path round-trips through MapWritable
+    out = str(tmp_path / "mw_rt.seq")
+    write_sequence(df, out)
+    back = read_sequence_composite(
+        spark, out, "key string, value map<string,string>", value_cast=str
+    )
+    assert {r["key"]: dict(r["value"]) for r in back.collect()} == got
