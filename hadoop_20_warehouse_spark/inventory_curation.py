@@ -1,0 +1,387 @@
+"""Inventory: corpus-curation operators (round 2) — the data-quality
+stages a pretraining pipeline runs between raw scrape and shard
+export: repetition-based quality filtering, train/eval n-gram
+decontamination, stopword scrubbing, deterministic fixed-k sampling,
+int8 embedding quantization, and a trained-quantizer ANN.
+
+Design rules shared with inventory_llm.py: every computed value is
+either an exact integer, a boolean derived from integer comparisons,
+a digest, or a division of exact integers in double — so every query
+(except the iterative k-means one) has a bit-exact DuckDB oracle.
+All per-document statistics are row-local array expressions in
+whole-stage codegen (no explode, no shuffle) — at 100 TB each stage
+is a pure map over the scan except where a join is the semantics
+(decontamination's gram join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.functions import text as T
+from hadoop_20_warehouse_spark.registry import register
+
+# ===========================================================================
+# Repetition-based quality filtering (the Gopher-style repetition gates:
+# most-frequent-token fraction and repeated-bigram count, reduced to
+# integer thresholds so the flag is bit-reproducible)
+# ===========================================================================
+
+
+def _top_freq(arr) -> F.Column:
+    """Highest multiplicity of any element in ``arr`` (0 for empty),
+    computed row-locally: count occurrences of each distinct element
+    with a nested filter — O(distinct·n) per row inside codegen, no
+    explode/shuffle."""
+    return (
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda x: F.size(F.filter(arr, lambda t: t == x)),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+    )
+
+
+def _bigrams(arr) -> F.Column:
+    """Adjacent-token bigram array (empty when < 2 tokens)."""
+    return F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(
+                F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bg
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(COALESCE(list_aggregate(
+             list_transform(list_distinct(toks),
+                            x -> len(list_filter(toks, t -> t = x))), 'max'), 0)
+           AS BIGINT) AS top_token_n,
+         CAST(len(bg) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(list_aggregate(
+             list_transform(list_distinct(bg),
+                            x -> len(list_filter(bg, t -> t = x))), 'max'), 0)
+           AS BIGINT) AS top_bigram_n
+  FROM b
+)
+SELECT doc_id, n_tokens, n_distinct, top_token_n, n_bigrams, top_bigram_n,
+       (top_token_n * 8 >= n_tokens OR top_bigram_n >= 2) AS is_repetitive
+FROM s
+"""
+
+
+@register("text_repetition_stats", oracle=_REPETITION_SQL)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gates (the Gopher-report family of filters,
+    public literature — PAPERS.md): per-document most-frequent-token
+    multiplicity and most-repeated-bigram multiplicity, flagged with
+    integer-threshold rules (top token >= 1/8 of tokens, any bigram
+    repeated).  Entirely row-local array math — one pass over the
+    scan, no shuffle, no explode: at 100 TB this is a pure map."""
+    docs = load_table(spark, sf_dir, "documents")
+    stage = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    ).withColumn("bg", _bigrams(F.col("toks")))
+    stats = stage.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        _top_freq(F.col("toks")).alias("top_token_n"),
+        F.size("bg").cast("long").alias("n_bigrams"),
+        _top_freq(F.col("bg")).alias("top_bigram_n"),
+    )
+    return stats.withColumn(
+        "is_repetitive",
+        (F.col("top_token_n") * 8 >= F.col("n_tokens"))
+        | (F.col("top_bigram_n") >= 2),
+    )
+
+
+# ===========================================================================
+# Train/eval decontamination (n-gram overlap)
+# ===========================================================================
+
+_DECONTAMINATE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM tr JOIN ev USING (gram)
+  GROUP BY tr.doc_id
+)
+SELECT h.doc_id, s.n_grams, h.n_overlap,
+       CAST(h.n_overlap AS DOUBLE) / s.n_grams AS frac_contaminated
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+@register("decontaminate_ngram", oracle=_DECONTAMINATE_SQL)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag train documents sharing any
+    word trigram with the held-out eval slice (doc_id % 20 == 0 — the
+    stand-in for a benchmark suite).  Shape at 100 TB: distinct grams
+    per doc are built row-locally then exploded straight into a
+    partial-aggregated distinct; the overlap is a gram equi-join with
+    the (small) eval gram set broadcast — the train corpus is never
+    shuffled on anything wider than its own gram output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    grams = (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    tr = grams.filter(F.col("doc_id") % 20 != 0)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tr.join(F.broadcast(ev), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(sizes, on="doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_grams")).alias(
+            "frac_contaminated"
+        ),
+    )
+
+
+# ===========================================================================
+# Normalization: stopword scrubbing
+# ===========================================================================
+
+_SCRUB_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORD_PROFILES["en"])
+
+_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+         list_filter(toks, t -> NOT list_contains([{_SCRUB_STOPS}], lower(t))) AS kept
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, ' ')) AS clean_digest
+FROM k
+"""
+
+
+@register("text_stopword_scrub", oracle=_SCRUB_SQL)
+def q_text_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level normalization: drop english stopwords, report the
+    removal count and an md5 digest of the cleaned text (the digest is
+    what a downstream exact-dedup stage would key on — scrub-then-dedup
+    composes).  Row-local filter + join, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORD_PROFILES["en"]])
+    stage = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    ).withColumn(
+        "kept",
+        F.filter(
+            F.col("toks"), lambda t: ~F.array_contains(stop_arr, F.lower(t))
+        ),
+    )
+    return stage.select(
+        "doc_id",
+        (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.md5(F.array_join("kept", " ")).alias("clean_digest"),
+    )
+
+
+# ===========================================================================
+# Deterministic fixed-k sampling
+# ===========================================================================
+
+_SAMPLE_K = 100
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {_SAMPLE_K}
+"""
+
+
+@register("sample_fixed_k", oracle=_SAMPLE_SQL)
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample: the k documents with the smallest
+    (md5(doc_id), doc_id) — reservoir-sampling semantics made
+    engine-portable and re-runnable (same k docs every run, any
+    parallelism).  Spark plans TakeOrdered: per-partition partial
+    top-k then a k-row shuffle — O(n log k) scan work, never a full
+    sort; the percent-sampling sibling is scan_filter_sample
+    (SequenceFileInputFilter.PercentFilter lineage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(_SAMPLE_K)
+        .drop("_h")
+    )
+
+
+# ===========================================================================
+# Embedding int8 quantization
+# ===========================================================================
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') AS mx
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, mx,
+         CASE WHEN mx > 0
+              THEN list_transform(embedding,
+                     v -> CAST(floor(CAST(v AS DOUBLE) * 127 / mx) AS BIGINT))
+              ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS qs,
+         CAST(len(embedding) AS BIGINT) AS n_dims
+  FROM m
+)
+SELECT vec_id, n_dims,
+       CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max,
+       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum
+FROM q
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANTIZE_SQL)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max |v|, code =
+    floor(v·127/scale)) with integer summary stats — the compression
+    step before shipping embeddings to an ANN index.  floor (not
+    round) keeps the codes engine-exact; all outputs are integers.
+    Row-local array math, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stage = emb.withColumn(
+        "mx",
+        F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double")))),
+    ).withColumn(
+        "qs",
+        F.when(
+            F.col("mx") > 0,
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 127 / F.col("mx")).cast("long"),
+            ),
+        ).otherwise(
+            F.transform("embedding", lambda v: F.lit(0).cast("long"))
+        ),
+    )
+    return stage.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.array_min("qs").cast("long").alias("q_min"),
+        F.array_max("qs").cast("long").alias("q_max"),
+        F.aggregate(
+            "qs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+    )
+
+
+# ===========================================================================
+# Trained-quantizer ANN (iterative k-means — no SQL oracle by nature;
+# the driver records the weaker rows-only check)
+# ===========================================================================
+
+
+@register("knn_ivf_trained")
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a Lloyd-trained quantizer (similarity/ivf.py
+    train_centroids): 3 k-means rounds from a deterministic md5 seed,
+    then the cluster-occupancy histogram of the final assignment —
+    exactly k rows.  Iterative float means aren't SQL-reproducible, so
+    this query is rows-only by design; the *search* path it feeds
+    (ivf_topk(cents=...)) reuses the oracle-checked knn_ivf plan
+    unchanged."""
+    from hadoop_20_warehouse_spark.similarity.ivf import train_centroids
+    from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, _safe_div
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, "vec_id", "embedding", k=16, iters=3)
+    vecs = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("vn"))
+    sims = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            _safe_div(_dot(F.col("embedding"), F.col("cv")), F.col("vn") * F.col("cn")),
+            6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assign = (
+        sims.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+    )
+    return assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -66,19 +66,82 @@ def centroids(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd-trained centroid table (k-means on cosine assignment,
+    per-dimension mean update) — the trained quantizer the sampled
+    ``centroids()`` table anticipates.  Deterministic init (smallest-k
+    by md5(id)); each round is one broadcast assignment (|corpus| × k
+    cosines, no corpus shuffle) plus one (centroid, dim)-keyed mean —
+    shuffle volume |corpus|·d rows with full partial aggregation, the
+    standard distributed-Lloyd shape.  At 100 TB you train on a
+    deterministic md5-sample of the corpus and assign the full corpus
+    once; k and iters are O(1) in corpus size.  Means are rounded to 6
+    decimals per round so centroid drift across runs is bounded to
+    float-sum noise at the rounding boundary (hence callers that need
+    bit-reproducibility use the sampled quantizer instead).
+
+    Returns (centroid_id, cv, cn) like ``centroids()`` — plug-in
+    compatible with ``ivf_topk(cents=...)``."""
+    init = centroids(corpus, id_col, vec_col, k)
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    cents = init
+    for _ in range(iters):
+        sims = vecs.crossJoin(F.broadcast(cents)).select(
+            "_vid",
+            "_v",
+            "centroid_id",
+            F.round(
+                _safe_div(_dot(F.col("_v"), F.col("cv")), F.col("_vn") * F.col("cn")), 6
+            ).alias("csim"),
+        )
+        w = Window.partitionBy("_vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+        members = (
+            sims.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select("centroid_id", "_v")
+        )
+        dims = members.select(
+            "centroid_id", F.posexplode(F.col("_v")).alias("pos", "x")
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("m")
+        )
+        newc = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        # k-row frame: checkpoint to cut the per-iteration lineage so
+        # the plan doesn't grow O(iters) joins deep
+        cents = newc.withColumn("cn", _norm(F.col("cv"))).localCheckpoint(eager=True)
+    return cents
+
+
 def _cells(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     num_centroids: int,
     nprobe: int,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(id, centroid_id, crank): each vector's ``nprobe`` nearest
     centroids by rounded cosine, centroid-id tiebreak. Computed ONCE —
     callers derive both the rank-1 assignment and the probe set from
     this frame, so the centroid cross join and ranking window run a
     single time."""
-    cents = centroids(corpus, id_col, vec_col, num_centroids)
+    if cents is None:
+        cents = centroids(corpus, id_col, vec_col, num_centroids)
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
     )
@@ -104,10 +167,13 @@ def ivf_topk(
     k: int = 10,
     num_centroids: int = DEFAULT_NUM_CENTROIDS,
     nprobe: int = DEFAULT_NPROBE,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k with every corpus vector as query: (query_id,
     neighbor_id, sim, rank); candidates = vectors assigned (rank-1
-    cell) to one of the query's ``nprobe`` nearest cells.
+    cell) to one of the query's ``nprobe`` nearest cells.  ``cents``
+    swaps in an external quantizer table (e.g. ``train_centroids``)
+    without changing the search plan.
 
     The cells frame stays persisted for the session (Spark's cache
     manager dedupes identical plans, so repeated calls share one
@@ -117,7 +183,7 @@ def ivf_topk(
     from hadoop_20_warehouse_spark.session import scatter
 
     corpus = scatter(corpus)
-    cells = _cells(corpus, id_col, vec_col, num_centroids, nprobe).persist()
+    cells = _cells(corpus, id_col, vec_col, num_centroids, nprobe, cents).persist()
     assign = cells.filter(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"
     )

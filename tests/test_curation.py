@@ -1,0 +1,80 @@
+"""Curation-operator specifics beyond the oracle gate: signal checks
+(flags actually vary), trained-k-means shape/determinism, and the
+plug-in contract between train_centroids and ivf_topk."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.inventory import QUERIES
+from hadoop_20_warehouse_spark.similarity.ivf import ivf_topk, train_centroids
+
+
+def test_repetition_flag_has_signal(spark, sf_dir):
+    out = QUERIES["text_repetition_stats"](spark, sf_dir)
+    flags = {r.is_repetitive for r in out.select("is_repetitive").distinct().collect()}
+    assert flags == {True, False}, "repetition flag should split the corpus"
+
+
+def test_decontaminate_finds_overlap(spark, sf_dir):
+    out = QUERIES["decontaminate_ngram"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "eval/train trigram overlap should be non-empty"
+    assert all(0 < r.frac_contaminated <= 1.0 for r in rows)
+    assert all(r.doc_id % 20 != 0 for r in rows), "eval docs must not be flagged"
+
+
+def test_scrub_digest_matches_rebuilt_text(spark, sf_dir):
+    out = QUERIES["text_stopword_scrub"](spark, sf_dir)
+    assert out.filter(F.col("n_removed") > 0).count() > 0
+    # n_removed + n_kept == token count
+    docs = load_table(spark, sf_dir, "documents")
+    from hadoop_20_warehouse_spark.functions.text import token_count
+
+    n = docs.select(token_count("text").alias("n"), "doc_id")
+    bad = (
+        out.join(n, on="doc_id")
+        .filter(F.col("n_removed") + F.col("n_kept") != F.col("n"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_sample_fixed_k_stable_and_exact(spark, sf_dir):
+    a = {r.doc_id for r in QUERIES["sample_fixed_k"](spark, sf_dir).collect()}
+    b = {r.doc_id for r in QUERIES["sample_fixed_k"](spark, sf_dir).collect()}
+    assert a == b and len(a) == 100
+
+
+def test_quantize_codes_in_int8_range(spark, sf_dir):
+    out = QUERIES["embedding_quantize_int8"](spark, sf_dir)
+    bad = out.filter((F.col("q_min") < -128) | (F.col("q_max") > 127)).count()
+    assert bad == 0
+    assert out.filter(F.col("q_max") == 127).count() > 0, (
+        "the max-|v| dimension must hit the top code when positive"
+    )
+
+
+def test_train_centroids_shape_and_plugin(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=8, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 8
+    d = emb.select(F.size("embedding").alias("d")).first().d
+    assert all(len(r.cv) == d for r in rows)
+    # centroid count is O(k), not O(n): double the corpus, same k
+    doubled = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    assert train_centroids(doubled, k=8, iters=1).count() == 8
+    # plug-in contract: trained table drives the same search plan
+    out = ivf_topk(emb, k=3, cents=cents)
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    assert out.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 3
+
+
+def test_ivf_trained_histogram_covers_corpus(spark, sf_dir):
+    out = QUERIES["knn_ivf_trained"](spark, sf_dir).collect()
+    assert len(out) == 16
+    total = sum(r.n_members for r in out)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert total == emb.count()

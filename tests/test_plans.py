@@ -113,3 +113,25 @@ def test_sql_entrypoint_pushdown_and_no_python(spark, sf_dir):
     pf = pushed_filters(df)
     assert "c_mktsegment" in pf or "o_orderdate" in pf, pf
     assert not uses_python_row_eval(df)
+
+
+def test_curation_maps_are_shuffle_free(spark, sf_dir):
+    """The per-document curation stats (repetition, scrub, quantize)
+    and the fixed-k sample must stay pure maps / TakeOrdered: zero
+    exchanges, no Python, and only the referenced columns read — at
+    100 TB these are single-pass scans."""
+    for name in ("text_repetition_stats", "text_stopword_scrub",
+                 "embedding_quantize_int8", "sample_fixed_k"):
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) == 0, f"{name}: {physical_plan(df)}"
+        assert not uses_python_row_eval(df), name
+    rs = read_schema(QUERIES["text_repetition_stats"](spark, sf_dir))
+    assert "lang" not in rs and "source" not in rs, rs
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-slice gram set is the small side — it must broadcast
+    so the train corpus is never shuffled by the contamination join."""
+    df = QUERIES["decontaminate_ngram"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert not uses_python_row_eval(df)
