@@ -73,6 +73,9 @@ BENCH_QUERIES: dict[str, object] = {
     "dedup_embedding_cosine": QUERIES["dedup_embedding_cosine"],
     "multimodal_frame_sample": QUERIES["multimodal_frame_sample"],
     "text_quality": QUERIES["text_quality"],
+    "text_repetition_stats": QUERIES["text_repetition_stats"],
+    "decontaminate_ngram": QUERIES["decontaminate_ngram"],
+    "knn_ivf_trained": QUERIES["knn_ivf_trained"],
     "inverted_index": QUERIES["inverted_index"],
     "stream_sessions": QUERIES["stream_sessions"],
     "stream_tumbling_hourly": QUERIES["stream_tumbling_hourly"],

@@ -385,3 +385,150 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# ===========================================================================
+# Corpus-frequency scoring (two-pass: corpus stats -> per-doc score)
+# ===========================================================================
+
+_RARE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_corpus FROM tok GROUP BY token),
+total AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS total_tokens FROM vocab)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.n_corpus * 200 < t.total_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN v.n_corpus * 200 < t.total_tokens THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS rare_ratio
+FROM tok JOIN vocab v USING (token) CROSS JOIN total t
+GROUP BY tok.doc_id
+"""
+
+
+@register("text_rare_token_ratio", oracle=_RARE_SQL)
+def q_text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score — the two-pass shape every
+    statistical quality filter shares (build corpus stats, score each
+    document against them): a token is 'rare' when its corpus count is
+    under 1/200 of all tokens (integer rule, bit-reproducible).  Pass 1
+    is wordcount (partial agg absorbs the explode); pass 2 re-joins
+    tokens to the vocab on the token key — an equi-join AQE will
+    broadcast while the vocab fits and shuffle-join beyond that, both
+    correct at 100 TB.  The scalar corpus total rides along as a
+    broadcast single-row cross join, never a collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_corpus"))
+    total = vocab.agg(F.sum("n_corpus").alias("total_tokens"))
+    rare = F.col("n_corpus") * 200 < F.col("total_tokens")
+    return (
+        tok.join(vocab, on="token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(rare, 1).otherwise(0)).alias("n_rare"),
+            (
+                F.sum(F.when(rare, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_ratio"),
+        )
+    )
+
+
+# ===========================================================================
+# Per-group quota sampling
+# ===========================================================================
+
+_QUOTA_K = 20
+
+_QUOTA_SQL = f"""
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {_QUOTA_K}
+"""
+
+
+@register("sample_per_group", oracle=_QUOTA_SQL)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-group sampling: an exact quota of K documents per
+    language, chosen by (md5(doc_id), doc_id) rank — how a pipeline
+    rebalances a skewed corpus into a capped per-language mix.  One
+    hash-partitioned window on the group key; no global sort.  The
+    percent-based sibling is scan_stratified_sample."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= _QUOTA_K)
+    )
+
+
+# ===========================================================================
+# Exact corpus summary (scale-safe percentiles: aggregate first, then a
+# tiny window over the distinct-value histogram)
+# ===========================================================================
+
+_SUMMARY_SQL = """
+WITH tc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens FROM tc),
+hist AS (SELECT n, COUNT(*) AS cnt FROM tc GROUP BY n),
+cum AS (SELECT n, SUM(cnt) OVER (ORDER BY n) AS cum FROM hist)
+SELECT t.n_docs, t.total_tokens,
+       (SELECT MIN(n) FROM cum WHERE cum * 2 >= t.n_docs) AS p50_tokens,
+       (SELECT MIN(n) FROM cum WHERE cum * 10 >= t.n_docs * 9) AS p90_tokens,
+       (SELECT MIN(n) FROM cum WHERE cum * 100 >= t.n_docs * 99) AS p99_tokens
+FROM tot t
+"""
+
+
+@register("corpus_token_summary", oracle=_SUMMARY_SQL)
+def q_corpus_token_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level token statistics with scale-safe exact
+    percentiles: per-doc counts collapse into a distinct-count
+    histogram FIRST (bounded rows), then the percentile is the
+    smallest count whose cumulative frequency crosses the quantile —
+    integer percentile_disc semantics, identical in both engines.  No
+    global sort of the corpus, no single-partition window over data:
+    the only window runs over the tiny histogram."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select(T.token_count(F.col("text")).alias("n"))
+    tot = tc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("total_tokens")
+    )
+    hist = tc.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).select("n", "cum")
+    joined = cum.crossJoin(F.broadcast(tot))
+    def pick(pred, name):
+        return (
+            joined.filter(pred)
+            .agg(F.min("n").alias(name))
+        )
+    p50 = pick(F.col("cum") * 2 >= F.col("n_docs"), "p50_tokens")
+    p90 = pick(F.col("cum") * 10 >= F.col("n_docs") * 9, "p90_tokens")
+    p99 = pick(F.col("cum") * 100 >= F.col("n_docs") * 99, "p99_tokens")
+    return (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(p99))
+    )
