@@ -86,6 +86,54 @@ def _force(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Repetitions per timed query; the median is reported. Single-shot
+# timings in a shared 25-query JVM are dominated by GC/compaction noise
+# (r2 recorded two phantom 2.5-3.2x "regressions" whose warmed re-runs
+# matched r1) — the median of 3 is stable to one noisy run.
+BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def load_prior_queries(path: str) -> dict:
+    """Per-query timings from a committed BENCH_r*.json.
+
+    Driver-written files nest our printed JSON under ``"parsed"``
+    (top level is n/rc/cpus/sf/tail/parsed); files we print directly
+    carry ``"queries"`` at top level. Handle both."""
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(data, dict):
+        return {}
+    inner = data.get("parsed")
+    if not isinstance(inner, dict):
+        inner = data
+    queries = inner.get("queries")
+    return queries if isinstance(queries, dict) else {}
+
+
+def find_regressions(
+    prior: dict,
+    timings: dict,
+    ratio: float = 1.3,
+    abs_floor: float = 0.5,
+) -> dict[str, list[float]]:
+    """Queries slower than ``ratio``× their prior time AND by more than
+    ``abs_floor`` seconds absolute (sub-second jitter is ignored)."""
+    out: dict[str, list[float]] = {}
+    for name, secs in timings.items():
+        before = prior.get(name)
+        if (
+            isinstance(before, (int, float))
+            and before > 0
+            and secs > ratio * before
+            and secs - before > abs_floor
+        ):
+            out[name] = [before, secs]
+    return out
+
+
 def main() -> None:
     sf = None
     try:
@@ -115,30 +163,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(BENCH_REPS):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     # Round-over-round regression guard: compare against the newest
     # committed BENCH_r*.json and flag any query >1.3x its prior time
     # (and >0.5s absolute, to ignore sub-second jitter) on stderr so
     # the bench itself catches regressions, not the judge.
-    regressions: dict[str, list[float]] = {}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     prior_files = sorted(
         f
-        for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        for f in os.listdir(repo_dir)
         if f.startswith("BENCH_r") and f.endswith(".json")
     )
     if prior_files:
-        try:
-            with open(prior_files[-1]) as fh:
-                prior = json.load(fh).get("queries", {})
-        except (OSError, ValueError):
-            prior = {}
-        for name, secs in timings.items():
-            before = prior.get(name)
-            if before and secs > 1.3 * before and secs - before > 0.5:
-                regressions[name] = [before, secs]
+        prior = load_prior_queries(os.path.join(repo_dir, prior_files[-1]))
+        regressions = find_regressions(prior, timings)
         if regressions:
             print(
                 f"REGRESSIONS vs {prior_files[-1]}: "
