@@ -128,6 +128,50 @@ def q_pipe_keyfield_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_stream_job_e2e",
+    oracle="""
+SELECT token AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+UNION ALL
+SELECT '__counter__:wc:map_lines', CAST(COUNT(*) AS BIGINT) FROM documents
+""",
+)
+def q_pipe_stream_job_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE StreamJob wiring in one job (operators/pipe.py
+    stream_job; StreamJob.java:457-486,725): an external awk mapper
+    that tokenizes documents and reports a ``reporter:counter:`` line
+    per input record on stderr, a ``-combiner`` summing counts over
+    each map partition's output before the shuffle, the
+    KeyFieldBasedPartitioner + comparator shuffle on the token key,
+    and an external awk reducer producing global counts.  The output
+    unions the reduced data with the aggregated counter total (one
+    ``__counter__:wc:map_lines`` row == |documents|), so the oracle
+    checks the data path AND the counter protocol in one row set."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(F.col("text"))
+    mapper = (
+        "awk '{for (i = 1; i <= NF; i++) printf \"%s\\t1\\n\", $i; "
+        'print "reporter:counter:wc,map_lines,1" > "/dev/stderr"}\''
+    )
+    agg_awk = (
+        "awk -F'\\t' '{c[$1]+=($2==\"\"?1:$2)} END "
+        '{for (t in c) printf "%s\\t%d\\n", t, c[t]}\''
+    )
+    data, counters = P.stream_job(
+        lines, mapper, agg_awk, combiner=agg_awk
+    )
+    kv = P.split_kv(data)
+    counts = kv.select("key", F.col("value").cast("long").alias("cnt"))
+    crows = counters.select(
+        F.concat_ws(":", F.lit("__counter__"), "group", "name").alias("key"),
+        F.col("amount").alias("cnt"),
+    )
+    return counts.unionByName(crows)
+
+
+@register(
     "multimodal_meta",
     oracle="""
 SELECT doc_id AS id,

@@ -105,6 +105,76 @@ def pipe_reduce(
     return spark.createDataFrame(piped.map(lambda s: (s,)), "line string")
 
 
+def _wrap_stderr_append(cmd: str) -> str:
+    """Wrap ``cmd`` so its stderr is spooled to a temp file and
+    appended to stdout AFTER it exits — ``rdd.pipe`` exposes only
+    stdout, and appending after exit avoids interleave corruption from
+    block-buffered stdout. Reporter lines are recovered downstream by
+    the same line-prefix parse the reference's MRErrorThread applies
+    (PipeMapRed.java:425-514)."""
+    return "bash -c " + shlex.quote(
+        f't="$(mktemp)"; {cmd} 2>"$t"; s=$?; cat "$t"; rm -f "$t"; exit $s'
+    )
+
+
+def stream_job(
+    df: DataFrame,
+    mapper: str,
+    reducer: str,
+    num_key_fields: int = 1,
+    combiner: str | None = None,
+    separator: str = "\t",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The full Hadoop Streaming job wiring in one call — exactly what
+    ``bin/hadoop jar streaming.jar -mapper m -combiner c -reducer r
+    -partitioner KeyFieldBasedPartitioner`` assembles
+    (StreamJob.java:457-486 option wiring, :725 job submit):
+
+    1. ``mapper``: external process per input partition; stdout lines
+       are map output (``key<SEP>value``, leading ``num_key_fields``
+       fields are the key), stderr ``reporter:counter:g,n,amt`` lines
+       increment counters (PipeMapRed.java:425-514).
+    2. ``combiner`` (optional): runs over each map partition's
+       key-sorted output BEFORE the shuffle — shuffle volume drops to
+       |distinct keys per partition|.
+    3. KeyFieldBasedPartitioner shuffle on the leading key fields +
+       KeyFieldBasedComparator sort within partitions (inside
+       ``pipe_reduce``).
+    4. ``reducer``: external process over the grouped, sorted stream.
+
+    Returns ``(data, counters)``: ``data`` is the reducer's stdout as a
+    line DataFrame; ``counters`` is (group, name, amount) with amounts
+    summed across all map tasks. The map output is persisted so the
+    mapper runs ONCE even though both returned frames read it."""
+    mapped = pipe_map(df, _wrap_stderr_append(mapper), separator).persist()
+    is_rep = F.col("line").startswith(REPORTER_PREFIX)
+    body = F.expr(f"substring(line, {len(COUNTER_PREFIX) + 1})")
+    parts = F.split(body, ",")
+    counters = (
+        mapped.filter(
+            F.col("line").startswith(COUNTER_PREFIX) & (F.size(parts) == 3)
+        )
+        .select(
+            F.element_at(parts, 1).alias("group"),
+            F.element_at(parts, 2).alias("name"),
+            F.element_at(parts, 3).cast("long").alias("amount"),
+        )
+        .groupBy("group", "name")
+        .agg(F.sum("amount").alias("amount"))
+    )
+    kv = split_kv(mapped.filter(~is_rep), separator, num_key_fields)
+    data = pipe_reduce(
+        kv,
+        reducer,
+        ["key"],
+        separator=separator,
+        num_partitions=num_partitions,
+        combiner=combiner,
+    )
+    return data, counters
+
+
 def pipe_with_counters(
     df: DataFrame,
     cmd: str,
@@ -130,10 +200,7 @@ def pipe_with_counters(
     counter plus ``reporter_lines`` (all reporter-prefixed lines seen).
     Unrequested counter groups still count toward ``reporter_lines``.
     """
-    wrapped = "bash -c " + shlex.quote(
-        f't="$(mktemp)"; {cmd} 2>"$t"; s=$?; cat "$t"; rm -f "$t"; exit $s'
-    )
-    merged = pipe_map(df, wrapped, separator)
+    merged = pipe_map(df, _wrap_stderr_append(cmd), separator)
     body = F.expr(f"substring(line, {len(COUNTER_PREFIX) + 1})")
     parts = F.split(body, ",")
     is_counter = F.col("line").startswith(COUNTER_PREFIX) & (F.size(parts) == 3)

@@ -102,3 +102,39 @@ def test_pipe_reporter_counters_propagate(spark):
     assert rows == n
     assert obs.get["wc_rows"] == n
     assert obs.get["reporter_lines"] == n
+
+
+def test_stream_job_full_wiring(spark):
+    """stream_job = mapper (with stderr counters) -> combiner ->
+    keyfield-partitioned shuffle -> reducer, in one call. Counter
+    totals sum across map tasks; data totals are global counts."""
+    from hadoop_20_warehouse_spark.operators import pipe as P
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    lines = docs.select(F.col("text"))
+    mapper = (
+        "awk '{for (i = 1; i <= NF; i++) printf \"%s\\t1\\n\", $i; "
+        'print "reporter:counter:wc,map_lines,1" > "/dev/stderr"}\''
+    )
+    agg_awk = (
+        "awk -F'\\t' '{c[$1]+=($2==\"\"?1:$2)} END "
+        '{for (t in c) printf "%s\\t%d\\n", t, c[t]}\''
+    )
+    data, counters = P.stream_job(lines, mapper, agg_awk, combiner=agg_awk)
+    kv = P.split_kv(data)
+    got = {
+        r.key: int(r.value) for r in kv.collect()
+    }
+    expected = {
+        r.token: r.cnt
+        for r in docs.select(
+            F.explode(F.split("text", r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+    crows = {(r.group, r.name): r.amount for r in counters.collect()}
+    assert crows == {("wc", "map_lines"): 50}
