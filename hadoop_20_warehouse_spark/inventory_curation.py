@@ -185,8 +185,14 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for a benchmark suite).  Shape at 100 TB: distinct grams
     per doc are built row-locally then exploded straight into a
     partial-aggregated distinct; the overlap is a gram equi-join with
-    the (small) eval gram set broadcast — the train corpus is never
-    shuffled on anything wider than its own gram output."""
+    the eval gram set broadcast WHEN ITS SIZE ESTIMATE FITS (real
+    benchmark suites are structurally small — PLANS.md), guarded by
+    hint_broadcast_if_small so a corpus-proportional eval slice falls
+    back to an AQE-chosen join instead of OOMing the driver — the
+    train corpus is never shuffled on anything wider than its own gram
+    output."""
+    from hadoop_20_warehouse_spark.session import hint_broadcast_if_small
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
     grams = (
@@ -211,7 +217,7 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = grams.filter(F.col("doc_id") % 20 != 0)
     sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        tr.join(F.broadcast(ev), on="gram")
+        tr.join(hint_broadcast_if_small(ev), on="gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -14,9 +14,12 @@ our job is only to turn the right knobs on (SURVEY.md §4.2):
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 # Bumped when tests need a fresh session with different conf.
 _APP_NAME = "hadoop-20-warehouse-spark"
@@ -77,6 +80,39 @@ def stop_session() -> None:
         active.stop()
 
 
+def hint_broadcast_if_small(df, threshold_bytes: int | None = None):
+    """Broadcast-hint ``df`` only when Catalyst's size estimate says it
+    fits under the (auto-broadcast) threshold; otherwise return it
+    unhinted so the join strategy falls to the planner + AQE's runtime
+    conversion.
+
+    A hard-coded ``F.broadcast`` on a frame whose size is
+    data-dependent (e.g. a distinct gram set cut from the corpus) is a
+    driver-OOM hazard: the hint overrides the threshold entirely, so a
+    corpus-proportional slice gets collected to the driver no matter
+    how big it is (VERDICT r2). The stats probe reads the optimized
+    plan's sizeInBytes — derived frames carry Catalyst's estimate,
+    which is corpus-proportional for corpus-derived inputs, so the
+    hint disappears exactly when the input stops being structurally
+    small. When the estimate is unknown the frame passes through
+    unhinted (safe default: AQE can still broadcast at runtime from
+    ACTUAL sizes)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    try:
+        if threshold_bytes is None:
+            threshold_bytes = int(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < size <= threshold_bytes:
+            return F.broadcast(df)
+    except Exception:  # py4j / non-numeric conf — no hint, AQE decides
+        pass
+    return df
+
+
 def scatter(df, min_partitions: int | None = None):
     """Spread a narrow input across the cluster before CPU-dense
     per-row work (hashing, LSH signatures, decode UDFs).
@@ -112,6 +148,16 @@ def scatter(df, min_partitions: int | None = None):
             return df.repartition(target)
         return df
     except Exception:  # py4j / conf parse — fall back to the RDD probe
+        # The fallback compiles the plan to an RDD on the driver — the
+        # exact per-call cost the stats path exists to avoid (VERDICT
+        # r1) — so it must be RARE and VISIBLE: log loudly when it
+        # fires so a py4j API drift can't silently reintroduce the
+        # driver-side cost on every scatter call.
+        _LOG.warning(
+            "scatter: plan-stats probe failed; falling back to the "
+            "RDD partition probe (driver-side plan compile)",
+            exc_info=True,
+        )
         if df.rdd.getNumPartitions() < target:
             return df.repartition(target)
         return df
