@@ -39,7 +39,9 @@ def _top_freq(arr) -> F.Column:
     distinct×filter scan was O(distinct·n) per row — 10^8+ comparisons
     on a 10^4-token web document, a single-row straggler hazard at
     100 TB even with a shuffle-free plan (VERDICT r2).  Still no
-    explode, no shuffle."""
+    explode, no shuffle.  The whole aggregate is coalesced to 0 so a
+    NULL input array yields 0, matching the oracle's COALESCE(...,0)
+    contract (F.aggregate over NULL returns NULL)."""
     zero = F.lit(0).cast("long")
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
@@ -59,7 +61,10 @@ def _top_freq(arr) -> F.Column:
             F.greatest(acc["best"], run).alias("best"),
         )
 
-    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+    return F.coalesce(
+        F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"]),
+        F.lit(0).cast("long"),
+    )
 
 
 def _bigrams(arr) -> F.Column:

@@ -80,6 +80,39 @@ def stop_session() -> None:
         active.stop()
 
 
+_SIZE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
+def parse_byte_size(value: str | int) -> int:
+    """Parse a Spark byte-size conf value — plain ints AND the
+    unit-suffixed forms Spark accepts ('10MB', '10m', '1g', ...).
+    ``int()`` alone raises on suffixed values, which previously
+    silently disabled the broadcast hint on every call (ADVICE r3)."""
+    if isinstance(value, int):
+        return value
+    s = value.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if suffix not in _SIZE_SUFFIXES:
+        raise ValueError(f"unrecognized byte-size suffix in {value!r}")
+    return int(num) * _SIZE_SUFFIXES[suffix]
+
+
 def hint_broadcast_if_small(df, threshold_bytes: int | None = None):
     """Broadcast-hint ``df`` only when Catalyst's size estimate says it
     fits under the (auto-broadcast) threshold; otherwise return it
@@ -102,14 +135,22 @@ def hint_broadcast_if_small(df, threshold_bytes: int | None = None):
     spark = df.sparkSession
     try:
         if threshold_bytes is None:
-            threshold_bytes = int(
+            threshold_bytes = parse_byte_size(
                 spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             )
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         if 0 < size <= threshold_bytes:
             return F.broadcast(df)
-    except Exception:  # py4j / non-numeric conf — no hint, AQE decides
-        pass
+    except Exception:  # py4j API drift / unparseable conf
+        # No hint is a SAFE fallback (AQE can still broadcast at
+        # runtime), but it must be VISIBLE — a silent pass here
+        # disabled the hint on every call when the conf carried a
+        # unit suffix (ADVICE r3), mirroring scatter's loud fallback.
+        _LOG.warning(
+            "hint_broadcast_if_small: size probe failed; returning "
+            "the frame unhinted (AQE decides)",
+            exc_info=True,
+        )
     return df
 
 

@@ -17,6 +17,23 @@ def test_repetition_flag_has_signal(spark, sf_dir):
     assert flags == {True, False}, "repetition flag should split the corpus"
 
 
+def test_top_freq_null_and_empty_arrays_yield_zero(spark):
+    """The documented '0 for empty/NULL' contract (ADVICE r3): the
+    oracle COALESCEs to 0, so a NULL text column must not propagate
+    NULL through the F.aggregate run-length pass."""
+    from hadoop_20_warehouse_spark.inventory_curation import _top_freq
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a"]), (2, []), (3, None)],
+        "id int, toks array<string>",
+    )
+    rows = {
+        r.id: r.top
+        for r in df.select("id", _top_freq(F.col("toks")).alias("top")).collect()
+    }
+    assert rows == {1: 2, 2: 0, 3: 0}
+
+
 def test_decontaminate_finds_overlap(spark, sf_dir):
     out = QUERIES["decontaminate_ngram"](spark, sf_dir)
     rows = out.collect()

@@ -9,8 +9,14 @@ import logging
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from hadoop_20_warehouse_spark.catalog import load_table
-from hadoop_20_warehouse_spark.session import scatter
+from hadoop_20_warehouse_spark.session import (
+    hint_broadcast_if_small,
+    parse_byte_size,
+    scatter,
+)
 from tests.conftest import SF_DIR
 
 
@@ -77,3 +83,67 @@ def test_scatter_fallback_fires_loudly_on_py4j_failure(spark, caplog):
         docs._jdf = real
     assert [r for r in caplog.records if "falling back" in r.getMessage()]
     assert out.rdd.getNumPartitions() >= 8
+
+
+def test_parse_byte_size_accepts_spark_conf_forms():
+    """Spark's autoBroadcastJoinThreshold accepts '10485760', '10MB',
+    '10m', '1g' — int() alone raised on the suffixed forms and silently
+    disabled the broadcast hint (ADVICE r3)."""
+    assert parse_byte_size(10485760) == 10485760
+    assert parse_byte_size("10485760") == 10485760
+    assert parse_byte_size("10485760b") == 10485760
+    assert parse_byte_size("10MB") == 10 * 1024**2
+    assert parse_byte_size("10m") == 10 * 1024**2
+    assert parse_byte_size(" 1G ") == 1024**3
+    assert parse_byte_size("2k") == 2048
+    with pytest.raises(ValueError):
+        parse_byte_size("10 bananas")
+
+
+def test_broadcast_hint_survives_suffixed_threshold_conf(spark, caplog):
+    """With the conf set to a unit-suffixed value, the hint must still
+    fire for a small frame (and not log the failure warning)."""
+    nation = load_table(spark, SF_DIR, "nation")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    try:
+        with caplog.at_level(
+            logging.WARNING, "hadoop_20_warehouse_spark.session"
+        ):
+            hinted = hint_broadcast_if_small(nation)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not [
+        r for r in caplog.records if "hint_broadcast" in r.getMessage()
+    ], caplog.text
+    plan = hinted._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" in plan or "UnresolvedHint" in plan
+
+
+def test_broadcast_hint_probe_failure_is_loud(spark, caplog):
+    """A py4j drift in the size probe must fall back unhinted AND warn
+    (the silent-pass failure mode ADVICE r3 flagged)."""
+    nation = load_table(spark, SF_DIR, "nation")
+
+    class _Broken:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            if name == "queryExecution":
+                raise RuntimeError("simulated py4j drift")
+            return getattr(self._real, name)
+
+    real = nation._jdf
+    nation._jdf = _Broken(real)
+    try:
+        with caplog.at_level(
+            logging.WARNING, "hadoop_20_warehouse_spark.session"
+        ):
+            out = hint_broadcast_if_small(nation)
+    finally:
+        nation._jdf = real
+    assert out is nation
+    assert [
+        r for r in caplog.records if "hint_broadcast_if_small" in r.getMessage()
+    ]
