@@ -25,7 +25,9 @@ further relational processing.
 
 from __future__ import annotations
 
+import contextlib
 import shlex
+import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -105,15 +107,30 @@ def pipe_reduce(
     return spark.createDataFrame(piped.map(lambda s: (s,)), "line string")
 
 
-def _wrap_stderr_append(cmd: str) -> str:
+def _wrap_stderr_append(cmd: str) -> tuple[str, str]:
     """Wrap ``cmd`` so its stderr is spooled to a temp file and
     appended to stdout AFTER it exits — ``rdd.pipe`` exposes only
     stdout, and appending after exit avoids interleave corruption from
-    block-buffered stdout. Reporter lines are recovered downstream by
-    the same line-prefix parse the reference's MRErrorThread applies
-    (PipeMapRed.java:425-514)."""
-    return "bash -c " + shlex.quote(
-        f't="$(mktemp)"; {cmd} 2>"$t"; s=$?; cat "$t"; rm -f "$t"; exit $s'
+    block-buffered stdout.
+
+    Every appended stderr line is prefixed with a per-wrap random
+    sentinel so the two streams stay unambiguous after the merge
+    (ADVICE r3): a stdout data line that happens to start with
+    ``reporter:`` stays data, and a non-reporter stderr line (awk
+    warning, shell diagnostic) can never leak into the data path —
+    the reference routes stderr to task logs only (MRErrorThread,
+    PipeMapRed.java:425-514) and parses reporter lines off that
+    stream alone.  Returns ``(wrapped_cmd, sentinel)``; downstream
+    splits on the sentinel, then applies the reporter-prefix parse to
+    the stderr side only."""
+    sentinel = f"__SJERR_{uuid.uuid4().hex}__:"
+    return (
+        "bash -c "
+        + shlex.quote(
+            f't="$(mktemp)"; {cmd} 2>"$t"; s=$?; '
+            f'sed "s/^/{sentinel}/" "$t"; rm -f "$t"; exit $s'
+        ),
+        sentinel,
     )
 
 
@@ -146,15 +163,74 @@ def stream_job(
     Returns ``(data, counters)``: ``data`` is the reducer's stdout as a
     line DataFrame; ``counters`` is (group, name, amount) with amounts
     summed across all map tasks. The map output is persisted so the
-    mapper runs ONCE even though both returned frames read it."""
-    mapped = pipe_map(df, _wrap_stderr_append(mapper), separator).persist()
-    is_rep = F.col("line").startswith(REPORTER_PREFIX)
-    body = F.expr(f"substring(line, {len(COUNTER_PREFIX) + 1})")
-    parts = F.split(body, ",")
+    mapper runs ONCE even though both returned frames read it — the
+    caller owns that cached lineage; use ``stream_job_scoped`` in a
+    long-lived session to release it deterministically (ADVICE r3)."""
+    data, counters, _mapped = _stream_job_frames(
+        df,
+        mapper,
+        reducer,
+        num_key_fields=num_key_fields,
+        combiner=combiner,
+        separator=separator,
+        num_partitions=num_partitions,
+    )
+    return data, counters
+
+
+@contextlib.contextmanager
+def stream_job_scoped(
+    df: DataFrame,
+    mapper: str,
+    reducer: str,
+    num_key_fields: int = 1,
+    combiner: str | None = None,
+    separator: str = "\t",
+    num_partitions: int | None = None,
+):
+    """``stream_job`` with cache hygiene for library use: yields
+    ``(data, counters)`` and unpersists the shared map output on exit,
+    so repeated jobs in one long-lived session don't accumulate cached
+    partitions until LRU eviction (ADVICE r3).  Materialize (collect/
+    write) both frames INSIDE the block; after exit they recompute the
+    mapper on access."""
+    data, counters, mapped = _stream_job_frames(
+        df,
+        mapper,
+        reducer,
+        num_key_fields=num_key_fields,
+        combiner=combiner,
+        separator=separator,
+        num_partitions=num_partitions,
+    )
+    try:
+        yield data, counters
+    finally:
+        mapped.unpersist()
+
+
+def _stream_job_frames(
+    df: DataFrame,
+    mapper: str,
+    reducer: str,
+    num_key_fields: int,
+    combiner: str | None,
+    separator: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    wrapped, sentinel = _wrap_stderr_append(mapper)
+    mapped = pipe_map(df, wrapped, separator).persist()
+    is_err = F.col("line").startswith(sentinel)
+    # stderr side only: strip the sentinel, then the reference's
+    # reporter-prefix parse (stdout 'reporter:' lines stay data).
+    err_body = F.expr(f"substring(line, {len(sentinel) + 1})")
+    counter_payload = F.expr(
+        f"substring(line, {len(sentinel) + len(COUNTER_PREFIX) + 1})"
+    )
+    parts = F.split(counter_payload, ",")
     counters = (
-        mapped.filter(
-            F.col("line").startswith(COUNTER_PREFIX) & (F.size(parts) == 3)
-        )
+        mapped.filter(is_err)
+        .filter(err_body.startswith(COUNTER_PREFIX) & (F.size(parts) == 3))
         .select(
             F.element_at(parts, 1).alias("group"),
             F.element_at(parts, 2).alias("name"),
@@ -163,7 +239,7 @@ def stream_job(
         .groupBy("group", "name")
         .agg(F.sum("amount").alias("amount"))
     )
-    kv = split_kv(mapped.filter(~is_rep), separator, num_key_fields)
+    kv = split_kv(mapped.filter(~is_err), separator, num_key_fields)
     data = pipe_reduce(
         kv,
         reducer,
@@ -172,7 +248,7 @@ def stream_job(
         num_partitions=num_partitions,
         combiner=combiner,
     )
-    return data, counters
+    return data, counters, mapped
 
 
 def pipe_with_counters(
@@ -191,19 +267,29 @@ def pipe_with_counters(
     spool stderr to a per-process temp file and append it AFTER the
     command exits — no interleave corruption from block-buffered
     stdout, and counter placement doesn't matter because they
-    aggregate. The appended lines are split back out by the reporter
-    prefix, the same line-prefix parse the reference's stderr thread
-    applies. Counter totals are collected via
-    ``df.observe`` in the SAME pass as the data (Counters semantics —
-    no second subprocess run): returns ``(data_df, observation)`` where
-    the observation carries one ``<group>_<name>`` long per requested
-    counter plus ``reporter_lines`` (all reporter-prefixed lines seen).
+    aggregate. Appended stderr lines carry a per-wrap sentinel prefix
+    so the streams stay unambiguous (ADVICE r3); the reporter-prefix
+    parse (the reference's stderr-thread parse) applies to the stderr
+    side only, and stdout data is passed through untouched even when a
+    line happens to start with ``reporter:``. Counter totals are
+    collected via ``df.observe`` in the SAME pass as the data
+    (Counters semantics — no second subprocess run): returns
+    ``(data_df, observation)`` where the observation carries one
+    ``<group>_<name>`` long per requested counter plus
+    ``reporter_lines`` (all reporter-prefixed stderr lines seen).
     Unrequested counter groups still count toward ``reporter_lines``.
     """
-    merged = pipe_map(df, _wrap_stderr_append(cmd), separator)
-    body = F.expr(f"substring(line, {len(COUNTER_PREFIX) + 1})")
-    parts = F.split(body, ",")
-    is_counter = F.col("line").startswith(COUNTER_PREFIX) & (F.size(parts) == 3)
+    wrapped, sentinel = _wrap_stderr_append(cmd)
+    merged = pipe_map(df, wrapped, separator)
+    is_err = F.col("line").startswith(sentinel)
+    err_body = F.expr(f"substring(line, {len(sentinel) + 1})")
+    counter_payload = F.expr(
+        f"substring(line, {len(sentinel) + len(COUNTER_PREFIX) + 1})"
+    )
+    parts = F.split(counter_payload, ",")
+    is_counter = (
+        is_err & err_body.startswith(COUNTER_PREFIX) & (F.size(parts) == 3)
+    )
     amount = F.element_at(parts, 3).cast("long")
     obs = Observation(observation_name)
     metrics = [
@@ -219,11 +305,11 @@ def pipe_with_counters(
     ]
     metrics.append(
         F.count(
-            F.when(F.col("line").startswith(REPORTER_PREFIX), F.lit(1))
+            F.when(is_err & err_body.startswith(REPORTER_PREFIX), F.lit(1))
         ).alias("reporter_lines")
     )
     observed = merged.observe(obs, *metrics)
-    data = observed.filter(~F.col("line").startswith(REPORTER_PREFIX))
+    data = observed.filter(~is_err)
     return data, obs
 
 

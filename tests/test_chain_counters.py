@@ -138,3 +138,85 @@ def test_stream_job_full_wiring(spark):
     assert got == expected
     crows = {(r.group, r.name): r.amount for r in counters.collect()}
     assert crows == {("wc", "map_lines"): 50}
+
+
+def test_stream_job_no_combiner_e2e(spark):
+    """The combiner is optional (StreamJob only wires -combiner when
+    given); the mapper->shuffle->reducer path must produce identical
+    global aggregates without one."""
+    from hadoop_20_warehouse_spark.operators import pipe as P
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    lines = docs.select(F.col("text"))
+    mapper = "awk '{for (i = 1; i <= NF; i++) printf \"%s\\t1\\n\", $i}'"
+    agg_awk = (
+        "awk -F'\\t' '{c[$1]+=($2==\"\"?1:$2)} END "
+        '{for (t in c) printf "%s\\t%d\\n", t, c[t]}\''
+    )
+    data, counters = P.stream_job(lines, mapper, agg_awk, combiner=None)
+    got = {r.key: int(r.value) for r in P.split_kv(data).collect()}
+    expected = {
+        r.token: r.cnt
+        for r in docs.select(
+            F.explode(F.split("text", r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+    assert counters.count() == 0  # mapper emitted no reporter lines
+
+
+def test_stream_sentinel_keeps_streams_unambiguous(spark):
+    """ADVICE r3: (a) a stdout DATA line that happens to start with
+    'reporter:' must stay data, not be dropped or miscounted; (b) a
+    non-reporter stderr line (diagnostic) must NOT leak into the data
+    path — the reference routes stderr to task logs only."""
+    from hadoop_20_warehouse_spark.operators import pipe as P
+
+    rows = spark.createDataFrame([("reporter:is_my_data",), ("plain",)], "v string")
+    # mapper: echoes input to stdout, writes one diagnostic AND one
+    # counter line to stderr per partition
+    cmd = (
+        "bash -c 'cat; echo \"some awk warning\" >&2; "
+        "echo \"reporter:counter:g,n,1\" >&2'"
+    )
+    data, obs = P.pipe_with_counters(rows, cmd, counters=[("g", "n")])
+    got = sorted(r.line for r in data.collect())
+    assert got == ["plain", "reporter:is_my_data"]
+    nparts = rows.rdd.getNumPartitions()
+    assert obs.get["g_n"] == nparts
+    assert obs.get["reporter_lines"] == nparts  # warning line not counted
+
+    # same contract through stream_job: identity reducer (reducer sees
+    # key<TAB>value lines, so keys carry the payload here)
+    data2, counters2 = P.stream_job(rows, cmd, "cat")
+    vals = sorted(r.key for r in P.split_kv(data2).collect())
+    assert "reporter:is_my_data" in vals
+    assert not any("awk warning" in v for v in vals)
+    crows = {(r.group, r.name): r.amount for r in counters2.collect()}
+    assert crows == {("g", "n"): nparts}
+
+
+def test_stream_job_scoped_releases_cache(spark):
+    """stream_job persists the map output (mapper runs once for data +
+    counters); stream_job_scoped must unpersist it on exit so repeated
+    jobs in one session don't leak cached RDDs (ADVICE r3)."""
+    from hadoop_20_warehouse_spark.operators import pipe as P
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    rows = spark.createDataFrame([("a",), ("b",), ("a",)], "v string")
+    agg_awk = (
+        "awk -F'\\t' '{c[$1]+=1} END "
+        '{for (t in c) printf "%s\\t%d\\n", t, c[t]}\''
+    )
+    for _ in range(3):
+        with P.stream_job_scoped(rows, "cat", agg_awk) as (data, counters):
+            got = {r.key: int(r.value) for r in P.split_kv(data).collect()}
+            assert got == {"a": 2, "b": 1}
+            assert counters.count() == 0
+    assert jsc.getPersistentRDDs().size() == base
