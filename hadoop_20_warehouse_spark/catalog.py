@@ -56,18 +56,30 @@ def _prepare_read(spark: SparkSession, name: str) -> None:
 def _normalize(name: str, df: DataFrame) -> DataFrame:
     """Schema fixups at load time.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as long
-    (spark.sql.legacy.parquet.nanosAsLong — session.py) and we truncate
-    ns → µs TimestampType here, matching DuckDB's own ns→µs handling so
-    oracle comparisons agree.
+    ``events.ts`` must surface as µs TimestampType whatever the driver
+    generated, since downstream operators use ``unix_micros`` (asof /
+    band / interval joins):
+
+    - parquet TIMESTAMP(NANOS): Spark reads it as long
+      (spark.sql.legacy.parquet.nanosAsLong — _prepare_read) and we
+      truncate ns → µs here, matching DuckDB's own ns→µs handling so
+      oracle comparisons agree.
+    - parquet TIMESTAMP(MICROS) isAdjustedToUTC=false (the layout the
+      driver regenerated in round 4): Spark infers TIMESTAMP_NTZ, which
+      ``unix_micros`` rejects — cast to TimestampType. The harness and
+      driver both run with a UTC system/session zone, so the cast's
+      naive-in-session-zone reading equals DuckDB's naive-as-UTC epoch.
     """
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             # integer DIV: ns values (~1.7e18) overflow double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
