@@ -74,6 +74,79 @@ def test_guard_ignores_subsecond_jitter_and_new_queries():
     assert bench.find_regressions(prior, timings) == {}
 
 
+def test_newest_prior_file_sorts_by_round_number():
+    files = ["BENCH_r02.json", "BENCH_r100.json", "BENCH_r99.json", "notes.txt"]
+    # lexicographic sorted()[-1] would pick r99; the integer sort must not
+    assert bench.newest_prior_file(files) == "BENCH_r100.json"
+    assert bench.newest_prior_file(["README.md"]) is None
+    assert bench.newest_prior_file([]) is None
+
+
+def test_load_anchor_parses_marked_table(tmp_path):
+    p = tmp_path / "BASELINE.md"
+    p.write_text(
+        "# BASELINE\n\nprose | with | pipes\n\n"
+        "<!-- anchors:begin -->\n"
+        "| query | seconds |\n"
+        "|---|---|\n"
+        "| wordcount | 0.33 |\n"
+        "| monster_query | 1.84 |\n"
+        "<!-- anchors:end -->\n\n"
+        "| trailing | 9.9 |\n"  # outside markers: ignored
+    )
+    assert bench.load_anchor(str(p)) == {"wordcount": 0.33, "monster_query": 1.84}
+
+
+def test_load_anchor_missing_file_or_markers(tmp_path):
+    assert bench.load_anchor(str(tmp_path / "nope.md")) == {}
+    p = tmp_path / "BASELINE.md"
+    p.write_text("# no markers\n| wordcount | 0.33 |\n")
+    assert bench.load_anchor(str(p)) == {}
+
+
+def test_committed_baseline_anchors_cover_bench_set():
+    """The committed BASELINE.md anchor table must parse and cover every
+    bench query, so the guard always compares against the steady-state
+    anchor rather than a noisy one-shot driver file."""
+    anchors = bench.load_anchor("/root/repo/BASELINE.md")
+    assert anchors, "BASELINE.md must carry a parseable anchor table"
+    missing = set(bench.BENCH_QUERIES) - set(anchors)
+    assert not missing, f"anchor table missing bench queries: {missing}"
+
+
+def test_adjudicate_confirms_and_clears_flags():
+    """A flag whose isolated re-run is fast again is phantom; one whose
+    re-run is still slow is confirmed — the r3 judge adjudication, now
+    done by the harness itself."""
+    flagged = {"phantom_q": [1.0, 3.0], "real_q": [1.0, 3.0]}
+    reruns = {"phantom_q": 0.9, "real_q": 2.9}
+    out = bench.adjudicate(flagged, lambda n: reruns[n])
+    assert out["phantom_q"]["confirmed"] is False
+    assert out["real_q"]["confirmed"] is True
+    assert out["phantom_q"]["rerun"] == 0.9
+    assert out["phantom_q"]["prior"] == 1.0
+    assert out["phantom_q"]["recorded"] == 3.0
+
+
+def test_adjudicate_rerun_must_clear_both_thresholds():
+    # rerun 1.2s is >1.3x? no (1.2 < 1.3) -> phantom even though recorded 3x
+    out = bench.adjudicate({"q": [1.0, 3.0]}, lambda n: 1.2)
+    assert out["q"]["confirmed"] is False
+    # rerun 1.7s: ratio yes (1.7 > 1.3) but absolute delta 0.7 > 0.5 -> confirmed
+    out = bench.adjudicate({"q": [1.0, 3.0]}, lambda n: 1.7)
+    assert out["q"]["confirmed"] is True
+
+
+def test_find_superlinear_flags_only_beyond_slack():
+    scaling = {
+        "linear": {"small_s": 1.0, "large_s": 10.0, "data_ratio": 10.0, "time_ratio": 10.0},
+        "sublinear": {"small_s": 1.0, "large_s": 4.0, "data_ratio": 10.0, "time_ratio": 4.0},
+        "quadratic": {"small_s": 1.0, "large_s": 100.0, "data_ratio": 10.0, "time_ratio": 100.0},
+    }
+    out = bench.find_superlinear(scaling)
+    assert set(out) == {"quadratic"}
+
+
 def test_guard_end_to_end_against_committed_r02():
     """The exact scenario the broken guard missed: parse the real
     committed BENCH_r02.json and check a 3x slowdown would now fire."""
