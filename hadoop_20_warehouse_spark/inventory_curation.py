@@ -644,3 +644,187 @@ def q_corpus_token_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(p90))
         .crossJoin(F.broadcast(p99))
     )
+
+
+# ===========================================================================
+# PII redaction
+# ===========================================================================
+
+# Java regex (Spark) and RE2 (DuckDB) agree on these ASCII-only
+# constructs; keep them that way (no lookarounds, no unicode classes).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b555-\\d{4}\\b"
+
+# The synthetic corpus contains no PII (word-salad, zero digits), so
+# both programs append identical deterministic PII derived from doc_id
+# before redacting — the oracle then genuinely checks the regexes and
+# the replace-ALL semantics (doc_id % 3 / % 5 rows carry a second
+# email/phone, so a first-match-only replace or count diverges).
+_PII_AUG_SQL = """
+text || ' contact user' || CAST(doc_id AS VARCHAR)
+     || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+     || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+     || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+     || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+     || CASE WHEN doc_id % 5 = 0 THEN ' or 555-0000' ELSE '' END
+"""
+
+_PII_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IP}', '[IP]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_digest
+FROM aug
+"""
+
+
+@register("pii_redact", oracle=_PII_SQL)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage every training-data pipeline
+    runs before anything else ships.  Email / IPv4 / phone patterns are
+    counted then replaced with typed placeholders; the digest of the
+    fully-redacted text is what downstream stages (dedup, sharding) key
+    on.  Pure JVM ``regexp_replace``/``regexp_count`` expressions:
+    row-local, zero shuffles, scales linearly to 100 TB.  (Reference
+    analog: RegexMapper's match machinery,
+    src/mapred/org/apache/hadoop/mapred/lib/RegexMapper.java:36, turned
+    from extraction to redaction.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            F.expr("(doc_id div 7) % 256").cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" or 555-0000")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(_PII_IP),
+            F.lit("[IP]"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("[PHONE]"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
+
+
+# ===========================================================================
+# Exact paragraph-level corpus dedup (C4-style)
+# ===========================================================================
+
+# Chunk width in tokens. The C4 pipeline (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning", §2.2) deduplicates
+# exact three-sentence spans corpus-wide; the synthetic corpus has no
+# sentence boundaries, so fixed 4-token chunks play that role (small
+# enough that the ~30-word vocabulary yields real cross-doc duplicate
+# chunks to remove).
+_PARA_W = 4
+
+_PARA_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[(i*{_PARA_W}+1):(i*{_PARA_W}+{_PARA_W})], ' ') AS chunk
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / {_PARA_W}.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+                    '')) AS kept_digest
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@register("dedup_paragraph_exact", oracle=_PARA_SQL)
+def q_dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact span-level corpus dedup, the C4 recipe: split every
+    document into fixed token chunks, keep only the GLOBALLY first
+    occurrence of each distinct chunk (ordered by doc_id, then
+    position), and reassemble.  Distinct from near-dup (MinHash/SimHash
+    drop whole similar DOCUMENTS; this removes repeated SPANS —
+    boilerplate, licenses, navigation — from otherwise-unique docs).
+
+    Scale shape: first-occurrence is ``min(struct(doc_id, pos))`` per
+    chunk — a partial-aggregable min, so a boilerplate chunk appearing
+    in 10M docs is combined map-side instead of sorting one giant
+    window partition (deliberately NOT row_number-over-chunk, which has
+    no skew escape).  Then one chunk-keyed equi-join marks keepers and
+    one doc-keyed agg reassembles.  All shuffles are keyed, no
+    all-pairs anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    chunked = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / _PARA_W).cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * _PARA_W + 1, _PARA_W), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    firsts = chunked.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ")
+    )
+    marked = chunked.join(firsts, "chunk").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("pos") == F.col("first_occ.pos")),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )

@@ -622,3 +622,86 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("value_sum").cast("double").alias("value_sum"),
     )
+
+
+# --- write-path round-trips (MapFile / har analogs) ------------------------
+
+
+def _scratch_dir(tag: str) -> str:
+    """Fresh session-lifetime scratch dir for write+read-back queries.
+
+    The returned DataFrames read from it lazily (the driver collects
+    after the query returns), so cleanup is deferred to process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"h20w_{tag}_")
+    atexit.register(shutil.rmtree, path, True)
+    return path
+
+
+@register(
+    "mapfile_point_lookup",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey = 1234
+""",
+)
+def q_mapfile_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapFileOutputFormat write + ``getEntry`` read-back round-trip
+    (mapred/MapFileOutputFormat.java:100, io/MapFile.java:428): the
+    orders table is written key-sorted (range-partitioned, sorted
+    within files — parquet min/max row-group stats form the sparse
+    index MapFile kept in its side file), then one key is point-read
+    back; pushdown skips every row group whose [min,max] excludes it.
+    The oracle reads the ORIGINAL table: equality proves the write→read
+    round-trip is lossless, upgrading the write path from test-only to
+    driver-checked."""
+    from hadoop_20_warehouse_spark.sources.io import point_lookup, write_sorted_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+    path = _scratch_dir("mapfile")
+    write_sorted_table(orders, path, ["o_orderkey"], partitions=8)
+    return point_lookup(spark, path, "o_orderkey", 1234)
+
+
+@register(
+    "compact_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop Archives round-trip (tools/HadoopArchives.java:73,
+    fs/HarFileSystem.java:48): scatter the events table into 32 small
+    files (the NameNode-pressure shape har was built for), compact them
+    to 4 with a shuffle-free ``coalesce``, and aggregate the compacted
+    copy. The oracle aggregates the ORIGINAL table — equality proves
+    repacking preserved every record."""
+    from hadoop_20_warehouse_spark.sources.io import compact_small_files
+
+    ev = load_table(spark, sf_dir, "events")
+    small = _scratch_dir("har_small")
+    compacted = _scratch_dir("har_big")
+    ev.repartition(32).write.mode("overwrite").parquet(small)
+    compact_small_files(spark, small, compacted, target_files=4)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )

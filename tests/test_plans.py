@@ -176,3 +176,36 @@ def test_decontaminate_hint_guarded_by_size(spark, sf_dir):
     ev = QUERIES["decontaminate_ngram"](spark, sf_dir).select("doc_id")
     hinted = hint_broadcast_if_small(ev, threshold_bytes=1)
     assert hinted is ev
+
+
+def test_point_lookup_pushes_key_to_parquet(spark, sf_dir, tmp_path):
+    """MapFile.getEntry analog: the point-lookup key must reach the
+    parquet scan as a pushed filter so min/max row-group stats (the
+    sparse-index analog) can skip non-matching groups."""
+    from hadoop_20_warehouse_spark.sources.io import point_lookup, write_sorted_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "sorted_orders")
+    write_sorted_table(orders, path, ["o_orderkey"], partitions=4)
+    df = point_lookup(spark, path, "o_orderkey", 1234)
+    pf = pushed_filters(df)
+    assert "o_orderkey" in pf, f"expected key pushdown, got: {pf!r}"
+    assert count_exchanges(df) == 0
+
+
+def test_pii_redact_is_row_local(spark, sf_dir):
+    """Redaction is a pure regexp_replace chain: zero exchanges, no
+    Python row eval — linear at any scale."""
+    df = QUERIES["pii_redact"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert not uses_python_row_eval(df)
+
+
+def test_dedup_paragraph_bounded_shuffles_no_python(spark, sf_dir):
+    """C4-style span dedup: chunk-agg + chunk-join + doc-agg — a fixed
+    number of keyed exchanges (no all-pairs, no window-over-chunk), all
+    JVM-side."""
+    df = QUERIES["dedup_paragraph_exact"](spark, sf_dir)
+    assert not uses_python_row_eval(df)
+    n = count_exchanges(df)
+    assert n <= 4, f"expected <=4 keyed exchanges, plan has {n}"
