@@ -705,3 +705,84 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
+
+
+@register(
+    "xml_records_roundtrip",
+    oracle="""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey < 500
+GROUP BY o_orderpriority
+""",
+)
+def q_xml_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamXmlRecordReader round-trip (contrib/streaming/.../
+    StreamXmlRecordReader.java:46): serialize rows as <rec>...</rec>
+    records to text files, re-extract the records with the
+    begin/end-pattern reader, parse a field back out, and aggregate.
+    The oracle aggregates the ORIGINAL table — equality proves the
+    record framing and extraction are lossless.  Interop path, not a
+    hot path: per-file parsing is inherent to pattern-delimited XML
+    (records span lines), exactly the constraint the reference's
+    reader had."""
+    from hadoop_20_warehouse_spark.sources.io import read_xml_records, write_text
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    xml_lines = orders.select(
+        F.concat(
+            F.lit("<rec><id>"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</id><pri>"),
+            F.col("o_orderpriority"),
+            F.lit("</pri></rec>"),
+        ).alias("value")
+    )
+    path = _scratch_dir("xml")
+    write_text(xml_lines, path)
+    recs = read_xml_records(spark, path, "<rec>", "</rec>")
+    return (
+        recs.select(
+            F.regexp_extract(F.col("record"), "<pri>(.*?)</pri>", 1).alias("priority")
+        )
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "sequence_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile write→read round-trip (SequenceFileOutputFormat →
+    SequenceFileInputFormat; io/SequenceFile.java:83): orders keyed
+    (LongWritable, Text), written and read back via the Writable
+    converters, then aggregated.  The oracle aggregates the ORIGINAL
+    table — equality proves the Writable conversion is lossless both
+    ways.  Interop path (RDD sequenceFile API is the only route to the
+    format); at 100 TB the engine's native format is parquet and this
+    exists to exchange data with Hadoop deployments."""
+    from hadoop_20_warehouse_spark.sources.io import read_sequence, write_sequence
+
+    orders = load_table(spark, sf_dir, "orders")
+    kv = orders.select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderstatus").alias("value"),
+    )
+    path = _scratch_dir("seqrt") + "/seq"
+    write_sequence(kv, path)
+    back = read_sequence(spark, path)
+    return (
+        back.select(F.col("value").alias("status"), F.col("key"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("key").cast("long").alias("key_sum"),
+        )
+    )
