@@ -786,3 +786,110 @@ def q_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key").cast("long").alias("key_sum"),
         )
     )
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompositeInputFormat's zero-shuffle premise, end to end
+    (mapred/join/CompositeInputFormat.java:48): both sides are written
+    bucketed+sorted on their join key, then joined through the catalog
+    — SortMergeJoin reads buckets directly, no Exchange on either side
+    (shape pinned by test_bucketing_skew).  The oracle joins the
+    ORIGINAL tables: equality proves the bucketed layout round-trip is
+    lossless.  At 100 TB this is the pay-layout-once-at-ingest trade
+    the reference's co-sorted warehouse sources made."""
+    from hadoop_20_warehouse_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = _scratch_dir("bucketed")
+    write_bucketed(
+        orders, "bq_orders", ["o_custkey"], n_buckets=8, path=base + "/orders"
+    )
+    write_bucketed(
+        cust, "bq_customer", ["c_custkey"], n_buckets=8, path=base + "/customer"
+    )
+    joined = bucketed_join(
+        spark,
+        "bq_orders",
+        "bq_customer",
+        on=[F.col("o_custkey") == F.col("c_custkey")],
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "bloom_table_lookup",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN c_custkey = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN c_custkey = 987654321 THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+FROM customer
+""",
+)
+def q_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BloomMapFile round-trip (io/BloomMapFile.java:45): the customer
+    table is written sorted with a parquet bloom filter on the key,
+    then probed for one present and one absent key.  The absent probe
+    is the whole point — the bloom filter (plus min/max stats) lets the
+    reader skip every row group without decoding, the reference's
+    'cheap negative' MapFile.get().  Oracle computes both counts from
+    the ORIGINAL table."""
+    from hadoop_20_warehouse_spark.sources.io import write_bloom_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch_dir("bloom")
+    write_bloom_table(cust, path, ["c_custkey"], ndv=10_000, partitions=4)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.sum((F.col("c_custkey") == 7).cast("int")).cast("long").alias("n_present"),
+        F.sum((F.col("c_custkey") == 987654321).cast("int"))
+        .cast("long")
+        .alias("n_absent"),
+    )
+
+
+@register(
+    "partitioned_output_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def q_partitioned_output_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleOutputFormat/MultipleOutputs round-trip
+    (mapred/lib/MultipleOutputFormat.java, MultipleOutputs.java:116):
+    events are fanned out to per-event_type directories, then ONE
+    partition is read back through a partition-pruned scan and
+    aggregated.  The oracle filters the ORIGINAL table — equality
+    proves the routed write is lossless, and unlike the reference's
+    per-key files the reader gets partition PRUNING for free (only the
+    event_type=purchase directory is listed)."""
+    from hadoop_20_warehouse_spark.sources.io import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _scratch_dir("multi_out")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
