@@ -828,3 +828,80 @@ def q_dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_digest"),
     )
+
+
+# ===========================================================================
+# Token-budget sequence packing
+# ===========================================================================
+
+# Training batches pack documents until a token budget is hit (T5 /
+# GPT-style "sequence packing" — Raffel et al. 2020 §3.1.2 pack their
+# 512-token inputs the same way).  Deterministic variant: shard by
+# portable hash, order within the shard by (md5, doc_id), and cut
+# batches at every _PACK_BUDGET tokens of running offset.  The window
+# runs PER SHARD — the shard count is the scale knob (thousands at
+# 100 TB, each window partition executor-sized), never a corpus-wide
+# window.
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS tok_len,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, tok_len,
+         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM d
+)
+SELECT doc_id, shard, tok_len,
+       CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS batch_id,
+       CAST(start_off % {_PACK_BUDGET} AS BIGINT) AS batch_offset
+FROM c
+"""
+
+
+@register("pack_token_budget", oracle=_PACK_SQL)
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sequence packing: every document gets
+    a (shard, batch_id, batch_offset) placement such that each batch
+    carries ~_PACK_BUDGET tokens of consecutive running offset within
+    its shard.  The cumulative-sum window is partitioned by the
+    portable md5 shard (functions/hashing.md5_bucket — the
+    HashPartitioner analog, lib/HashPartitioner.java:36), so partition
+    sizes are corpus/shards and the shard count scales the op to any
+    corpus; ordering by (md5, doc_id) makes placement reproducible
+    across runs and engines.  All integer arithmetic — exact
+    cross-engine."""
+    from pyspark.sql import Window
+
+    from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("tok_len"),
+        md5_bucket(F.col("doc_id"), _PACK_SHARDS).cast("long").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = base.withColumn(
+        "start_off", F.sum("tok_len").over(w) - F.col("tok_len")
+    )
+    return staged.select(
+        "doc_id",
+        "shard",
+        "tok_len",
+        F.expr(f"CAST(start_off DIV {_PACK_BUDGET} AS BIGINT)").alias("batch_id"),
+        F.expr(f"CAST(start_off % {_PACK_BUDGET} AS BIGINT)").alias("batch_offset"),
+    )

@@ -893,3 +893,53 @@ def q_partitioned_output_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "map_writable_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey < 2000
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_map_writable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-Writable round-trip (io/MapWritable.java:35): rows are
+    written as (Text key, MapWritable value) SequenceFile records via
+    the dict write path, read back through the recursive Writable
+    converter under an explicit map schema, and the map entries are
+    pulled out and aggregated.  The oracle aggregates the ORIGINAL
+    table — equality proves dict→MapWritable→map<string,string> is
+    lossless both ways.  Interop path for exchanging keyed composite
+    records with Hadoop deployments; parquet structs are the native
+    equivalent at scale."""
+    from hadoop_20_warehouse_spark.sources.io import (
+        read_sequence_composite,
+        write_sequence,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    kv = orders.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("status"),
+            F.col("o_orderstatus"),
+            F.lit("pri"),
+            F.col("o_orderpriority"),
+        ).alias("value"),
+    )
+    path = _scratch_dir("mapwr") + "/seq"
+    write_sequence(kv, path)
+    back = read_sequence_composite(
+        spark, path, "key string, value map<string,string>", value_cast=str
+    )
+    return (
+        back.select(
+            F.col("value")["status"].alias("status"),
+            F.col("value")["pri"].alias("priority"),
+        )
+        .groupBy("status", "priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
