@@ -119,6 +119,8 @@ BENCH_QUERIES: dict[str, object] = {
     "text_quality": QUERIES["text_quality"],
     "text_repetition_stats": QUERIES["text_repetition_stats"],
     "decontaminate_ngram": QUERIES["decontaminate_ngram"],
+    "pii_redact": QUERIES["pii_redact"],
+    "dedup_paragraph_exact": QUERIES["dedup_paragraph_exact"],
     "knn_ivf_trained": QUERIES["knn_ivf_trained"],
     "inverted_index": QUERIES["inverted_index"],
     "stream_sessions": QUERIES["stream_sessions"],
@@ -196,11 +198,17 @@ def newest_prior_file(files: list[str]) -> str | None:
 def find_regressions(
     prior: dict,
     timings: dict,
-    ratio: float = 1.3,
+    ratio: float = 2.0,
     abs_floor: float = 0.5,
 ) -> dict[str, list[float]]:
     """Queries slower than ``ratio``× their prior time AND by more than
-    ``abs_floor`` seconds absolute (sub-second jitter is ignored)."""
+    ``abs_floor`` seconds absolute (sub-second jitter is ignored).
+
+    ``ratio`` is calibrated to the host: five same-code runs spanned up
+    to 2.9× per query on this shared VM (BASELINE.md has the numbers),
+    so 1.3× flags were ambient noise that same-window re-runs falsely
+    confirmed. 2.0× matches the driver's own "within 2× of BASELINE"
+    budget."""
     out: dict[str, list[float]] = {}
     for name, secs in timings.items():
         before = prior.get(name)
@@ -217,7 +225,7 @@ def find_regressions(
 def adjudicate(
     regressions: dict[str, list[float]],
     retime: Callable[[str], float],
-    ratio: float = 1.3,
+    ratio: float = 2.0,
     abs_floor: float = 0.5,
 ) -> dict[str, dict]:
     """Re-run each flagged query once (isolated, via ``retime``) and keep
@@ -237,9 +245,11 @@ def adjudicate(
     return out
 
 
-def find_superlinear(scaling: dict[str, dict], slack: float = 1.3) -> dict[str, dict]:
+def find_superlinear(scaling: dict[str, dict], slack: float = 2.0) -> dict[str, dict]:
     """Scaling probes whose time grew more than ``slack``× the data
-    growth — a super-linear shape no one-point bench can see."""
+    growth — a super-linear shape no one-point bench can see. Slack 2.0
+    absorbs this host's ambient variance while still catching anything
+    quadratic (10× data ⇒ ~100× time vs the 20× threshold)."""
     return {
         name: s
         for name, s in scaling.items()
@@ -313,7 +323,11 @@ def main() -> None:
     except ValueError:
         small_sf = None
     if os.path.isdir(small_dir) and sf and small_sf and sf > small_sf:
-        for name in ("text_repetition_stats", "dedup_minhash_lsh"):
+        for name in (
+            "text_repetition_stats",
+            "dedup_minhash_lsh",
+            "dedup_paragraph_exact",
+        ):
             scaling[name] = {
                 "small_s": round(steady_time(BENCH_QUERIES[name], small_dir), 3),
                 "large_s": timings[name],
@@ -335,7 +349,7 @@ def main() -> None:
 
     # Regression guard: compare against the committed steady-state
     # anchor table (BASELINE.md) in preference to the newest committed
-    # BENCH_r*.json; flags >1.3x prior AND >0.5s absolute. Every flag is
+    # BENCH_r*.json; flags >2x prior AND >0.5s absolute. Every flag is
     # re-run once in isolation and only confirmed flags survive.
     prior = load_anchor(ANCHOR_PATH)
     prior_src = "BASELINE.md anchors"

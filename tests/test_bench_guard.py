@@ -130,11 +130,14 @@ def test_adjudicate_confirms_and_clears_flags():
 
 def test_adjudicate_rerun_must_clear_both_thresholds():
     # rerun 1.2s is >1.3x? no (1.2 < 1.3) -> phantom even though recorded 3x
-    out = bench.adjudicate({"q": [1.0, 3.0]}, lambda n: 1.2)
+    out = bench.adjudicate({"q": [1.0, 3.0]}, lambda n: 1.2, ratio=1.3)
     assert out["q"]["confirmed"] is False
-    # rerun 1.7s: ratio yes (1.7 > 1.3) but absolute delta 0.7 > 0.5 -> confirmed
-    out = bench.adjudicate({"q": [1.0, 3.0]}, lambda n: 1.7)
+    # rerun 1.7s: ratio yes (1.7 > 1.3) and absolute delta 0.7 > 0.5 -> confirmed
+    out = bench.adjudicate({"q": [1.0, 3.0]}, lambda n: 1.7, ratio=1.3)
     assert out["q"]["confirmed"] is True
+    # at the host-calibrated default (2.0x) the same 1.7s rerun is phantom
+    out = bench.adjudicate({"q": [1.0, 3.0]}, lambda n: 1.7)
+    assert out["q"]["confirmed"] is False
 
 
 def test_find_superlinear_flags_only_beyond_slack():

@@ -209,3 +209,13 @@ def test_dedup_paragraph_bounded_shuffles_no_python(spark, sf_dir):
     assert not uses_python_row_eval(df)
     n = count_exchanges(df)
     assert n <= 4, f"expected <=4 keyed exchanges, plan has {n}"
+
+
+def test_pack_token_budget_single_exchange_no_python(spark, sf_dir):
+    """Sequence packing is one shard-keyed window: exactly one exchange
+    (by shard), no Python row eval — the shard count, not the corpus
+    size, bounds every window partition."""
+    df = QUERIES["pack_token_budget"](spark, sf_dir)
+    assert not uses_python_row_eval(df)
+    n = count_exchanges(df)
+    assert n == 1, f"expected 1 shard exchange, plan has {n}"
