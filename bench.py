@@ -351,13 +351,24 @@ def main() -> None:
     # anchor table (BASELINE.md) in preference to the newest committed
     # BENCH_r*.json; flags >2x prior AND >0.5s absolute. Every flag is
     # re-run once in isolation and only confirmed flags survive.
-    prior = load_anchor(ANCHOR_PATH)
-    prior_src = "BASELINE.md anchors"
-    if not prior:
-        f = newest_prior_file(os.listdir(REPO_DIR))
-        if f:
-            prior = load_prior_queries(os.path.join(REPO_DIR, f))
-            prior_src = f
+    # Anchors (and the committed BENCH_r*.json files) were measured at
+    # sf0.1 — comparing a different-SF run against them would flag the
+    # whole set and the same-SF re-runs would "confirm" by construction.
+    prior: dict = {}
+    prior_src = ""
+    if sf == 0.1:
+        prior = load_anchor(ANCHOR_PATH)
+        prior_src = "BASELINE.md anchors"
+        if not prior:
+            f = newest_prior_file(os.listdir(REPO_DIR))
+            if f:
+                prior = load_prior_queries(os.path.join(REPO_DIR, f))
+                prior_src = f
+    else:
+        print(
+            f"regression guard skipped: sf={sf} but anchors are sf0.1",
+            file=sys.stderr,
+        )
     adjudicated: dict[str, dict] = {}
     if prior:
         flagged = find_regressions(prior, timings)

@@ -51,6 +51,11 @@ def _prepare_read(spark: SparkSession, name: str) -> None:
         # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos
         # type and errors at scan unless told to surface it as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # _normalize may cast a TIMESTAMP_NTZ ts to TimestampType; that
+        # cast reads the naive wall-time in the SESSION zone, and the
+        # DuckDB oracles read it naive-as-UTC — pin the zone so a
+        # caller-provided session on a non-UTC host agrees.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _normalize(name: str, df: DataFrame) -> DataFrame:

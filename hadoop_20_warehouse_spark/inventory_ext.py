@@ -627,8 +627,14 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- write-path round-trips (MapFile / har analogs) ------------------------
 
 
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
 def _scratch_dir(tag: str) -> str:
-    """Fresh session-lifetime scratch dir for write+read-back queries.
+    """Session-lifetime scratch dir for write+read-back queries, ONE
+    per tag — every writer here uses overwrite mode (the SequenceFile
+    writers pre-delete), so reuse caps disk at one table copy per query
+    however often a long-lived session re-invokes it.
 
     The returned DataFrames read from it lazily (the driver collects
     after the query returns), so cleanup is deferred to process exit."""
@@ -636,8 +642,20 @@ def _scratch_dir(tag: str) -> str:
     import shutil
     import tempfile
 
-    path = tempfile.mkdtemp(prefix=f"h20w_{tag}_")
-    atexit.register(shutil.rmtree, path, True)
+    if tag not in _SCRATCH_DIRS:
+        path = tempfile.mkdtemp(prefix=f"h20w_{tag}_")
+        atexit.register(shutil.rmtree, path, True)
+        _SCRATCH_DIRS[tag] = path
+    return _SCRATCH_DIRS[tag]
+
+
+def _fresh_subdir(parent: str, name: str) -> str:
+    """Pre-deleted subdir for writers with no overwrite mode
+    (``saveAsSequenceFile`` refuses an existing target)."""
+    import shutil
+
+    path = parent + "/" + name
+    shutil.rmtree(path, ignore_errors=True)
     return path
 
 
@@ -775,7 +793,7 @@ def q_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("key"),
         F.col("o_orderstatus").alias("value"),
     )
-    path = _scratch_dir("seqrt") + "/seq"
+    path = _fresh_subdir(_scratch_dir("seqrt"), "seq")
     write_sequence(kv, path)
     back = read_sequence(spark, path)
     return (
@@ -930,7 +948,7 @@ def q_map_writable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         ).alias("value"),
     )
-    path = _scratch_dir("mapwr") + "/seq"
+    path = _fresh_subdir(_scratch_dir("mapwr"), "seq")
     write_sequence(kv, path)
     back = read_sequence_composite(
         spark, path, "key string, value map<string,string>", value_cast=str

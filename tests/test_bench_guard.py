@@ -108,7 +108,7 @@ def test_committed_baseline_anchors_cover_bench_set():
     """The committed BASELINE.md anchor table must parse and cover every
     bench query, so the guard always compares against the steady-state
     anchor rather than a noisy one-shot driver file."""
-    anchors = bench.load_anchor("/root/repo/BASELINE.md")
+    anchors = bench.load_anchor(bench.ANCHOR_PATH)
     assert anchors, "BASELINE.md must carry a parseable anchor table"
     missing = set(bench.BENCH_QUERIES) - set(anchors)
     assert not missing, f"anchor table missing bench queries: {missing}"
