@@ -1,0 +1,119 @@
+"""Exact span-level corpus dedup (C4-style) and token-budget sequence
+packing — the two corpus-layout stages between cleaning and shard
+export.
+
+Both are library forms of the registered `dedup_paragraph_exact` /
+`pack_token_budget` inventory queries (inventory_curation.py carries
+the DuckDB oracle twins); extracted here so pipelines can run them on
+arbitrary DataFrames and so property tests can drive them on synthetic
+corpora with shapes the driver tables lack (empty docs, heavy
+duplication).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.functions import text as T
+from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+
+
+def exact_span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_w: int = 4,
+) -> DataFrame:
+    """Keep only the GLOBALLY first occurrence (ordered by id, then
+    position) of every distinct ``chunk_w``-token chunk; report per-doc
+    chunk counts and the digest of the surviving text.  The C4 recipe
+    (Raffel et al. 2020 §2.2) applied to fixed token chunks.
+
+    Output: (id_col, n_chunks, n_removed, kept_digest).  Docs with
+    zero tokens are dropped (they have no chunks to place).
+
+    Scale shape: first-occurrence is ``min(struct(id, pos))`` per chunk
+    — partial-aggregable, so a boilerplate chunk appearing in millions
+    of docs is combined map-side instead of sorting one giant window
+    partition (deliberately NOT row_number-over-chunk, which has no
+    skew escape).  Then one chunk-keyed equi-join marks keepers and one
+    id-keyed agg reassembles.  All shuffles keyed; no all-pairs."""
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    chunked = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / chunk_w).cast("int") - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * chunk_w + 1, chunk_w), " "),
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    firsts = chunked.groupBy("chunk").agg(
+        F.min(F.struct(id_col, "pos")).alias("first_occ")
+    )
+    marked = chunked.join(firsts, "chunk").withColumn(
+        "kept",
+        (F.col(id_col) == F.col(f"first_occ.{id_col}"))
+        & (F.col("pos") == F.col("first_occ.pos")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("kept"), F.struct("pos", "chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic token-budget sequence packing: assign every doc a
+    (shard, batch_id, batch_offset) placement such that each batch
+    carries ~``budget`` tokens of consecutive running offset within its
+    shard (T5-style packing, Raffel et al. 2020 §3.1.2).
+
+    Output: (id_col, shard, tok_len, batch_id, batch_offset).
+
+    The cumulative-sum window is partitioned by the portable md5 shard
+    (functions/hashing.md5_bucket — the HashPartitioner analog,
+    lib/HashPartitioner.java:36): every window partition is
+    corpus/``n_shards`` rows, so the shard count scales the op to any
+    corpus; ordering by (md5, id) makes placement reproducible across
+    runs and engines.  All integer arithmetic — exact cross-engine."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        id_col,
+        T.token_count(F.col(text_col)).alias("tok_len"),
+        md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = base.withColumn("start_off", F.sum("tok_len").over(w) - F.col("tok_len"))
+    return staged.select(
+        id_col,
+        "shard",
+        "tok_len",
+        F.expr(f"CAST(start_off DIV {budget} AS BIGINT)").alias("batch_id"),
+        F.expr(f"CAST(start_off % {budget} AS BIGINT)").alias("batch_offset"),
+    )

@@ -1,8 +1,10 @@
-"""Inventory: corpus-curation operators (round 2) — the data-quality
-stages a pretraining pipeline runs between raw scrape and shard
-export: repetition-based quality filtering, train/eval n-gram
-decontamination, stopword scrubbing, deterministic fixed-k sampling,
-int8 embedding quantization, and a trained-quantizer ANN.
+"""Inventory: corpus-curation operators — the data-quality stages a
+pretraining pipeline runs between raw scrape and shard export:
+repetition-based quality filtering, train/eval n-gram decontamination,
+stopword scrubbing, deterministic fixed-k sampling, int8 embedding
+quantization, a trained-quantizer ANN, PII redaction, C4-style exact
+span dedup, and token-budget sequence packing (the last two backed by
+dedup/spans.py library functions).
 
 Design rules shared with inventory_llm.py: every computed value is
 either an exact integer, a boolean derived from integer comparisons,
@@ -787,47 +789,13 @@ def q_dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partition (deliberately NOT row_number-over-chunk, which has
     no skew escape).  Then one chunk-keyed equi-join marks keepers and
     one doc-keyed agg reassembles.  All shuffles are keyed, no
-    all-pairs anywhere."""
+    all-pairs anywhere.  Library form: dedup/spans.exact_span_dedup
+    (property-tested against a pure-Python reference on synthetic
+    corpora)."""
+    from hadoop_20_warehouse_spark.dedup.spans import exact_span_dedup
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).filter(
-        F.size("t") > 0
-    )
-    chunked = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.ceil(F.size("t") / _PARA_W).cast("int") - 1),
-                lambda i: F.array_join(
-                    F.slice(F.col("t"), i * _PARA_W + 1, _PARA_W), " "
-                ),
-            )
-        ).alias("pos", "chunk"),
-    ).withColumn("pos", F.col("pos").cast("long"))
-    firsts = chunked.groupBy("chunk").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first_occ")
-    )
-    marked = chunked.join(firsts, "chunk").withColumn(
-        "kept",
-        (F.col("doc_id") == F.col("first_occ.doc_id"))
-        & (F.col("pos") == F.col("first_occ.pos")),
-    )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_chunks"),
-        F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("kept"), F.struct("pos", "chunk"))
-                        )
-                    ),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            )
-        ).alias("kept_digest"),
-    )
+    return exact_span_dedup(docs, chunk_w=_PARA_W)
 
 
 # ===========================================================================
@@ -878,30 +846,9 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes are corpus/shards and the shard count scales the op to any
     corpus; ordering by (md5, doc_id) makes placement reproducible
     across runs and engines.  All integer arithmetic — exact
-    cross-engine."""
-    from pyspark.sql import Window
-
-    from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+    cross-engine.  Library form: dedup/spans.pack_token_budget
+    (property-tested: contiguous global offsets per shard)."""
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        T.token_count(F.col("text")).alias("tok_len"),
-        md5_bucket(F.col("doc_id"), _PACK_SHARDS).cast("long").alias("shard"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = base.withColumn(
-        "start_off", F.sum("tok_len").over(w) - F.col("tok_len")
-    )
-    return staged.select(
-        "doc_id",
-        "shard",
-        "tok_len",
-        F.expr(f"CAST(start_off DIV {_PACK_BUDGET} AS BIGINT)").alias("batch_id"),
-        F.expr(f"CAST(start_off % {_PACK_BUDGET} AS BIGINT)").alias("batch_offset"),
-    )
+    return pack_token_budget(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)

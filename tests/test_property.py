@@ -234,3 +234,89 @@ def test_keyfield_substring_matches_reference_offsets(
     line = "\t".join(fields)
     p = KeyFieldPart(start_field=sf, start_char=sc, end_field=ef, end_char=ec)
     assert extract(line, p) == _ref_keyfield_substring(line, p, "\t")
+
+
+def test_exact_span_dedup_matches_python_reference(spark):
+    """dedup/spans.exact_span_dedup vs a straightforward Python model
+    on a synthetic corpus with shapes the driver tables lack: empty
+    docs, whitespace runs, and a tiny vocab forcing heavy cross-doc
+    chunk duplication."""
+    import hashlib
+    import math
+
+    from hadoop_20_warehouse_spark.dedup.spans import exact_span_dedup
+
+    rng = random.Random(407)
+    vocab = ["aa", "bb", "cc"]
+    rows = []
+    for i in range(80):
+        n = rng.randint(0, 11)
+        sep = "  " if rng.random() < 0.2 else " "
+        rows.append((i, sep.join(rng.choice(vocab) for _ in range(n))))
+    w = 3
+
+    # pure-Python reference: global first occurrence per chunk in
+    # (doc_id, pos) order
+    first: dict[str, tuple[int, int]] = {}
+    expected = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue  # no chunks to place; absent from output
+        chunks = [
+            " ".join(toks[j * w : j * w + w])
+            for j in range(math.ceil(len(toks) / w))
+        ]
+        for pos, c in enumerate(chunks):
+            first.setdefault(c, (doc_id, pos))
+        kept = [
+            c for pos, c in enumerate(chunks) if first[c] == (doc_id, pos)
+        ]
+        expected[doc_id] = (
+            len(chunks),
+            len(chunks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["kept_digest"])
+        for r in exact_span_dedup(df, chunk_w=w).collect()
+    }
+    assert got == expected
+    # the synthetic corpus must actually exercise removal
+    assert sum(v[1] for v in expected.values()) > 0
+
+
+def test_pack_token_budget_offsets_contiguous(spark):
+    """Placement invariant provable from outputs alone: within each
+    shard, ordering rows by (batch_id, batch_offset) must give
+    contiguous global offsets starting at 0 — row k's global offset
+    (batch_id*budget + batch_offset) equals the sum of tok_len of rows
+    0..k-1. Checked on a synthetic corpus including empty docs."""
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget
+
+    rng = random.Random(31)
+    rows = [
+        (i, " ".join("tok" for _ in range(rng.randint(0, 40))))
+        for i in range(120)
+    ]
+    budget = 16
+    out = pack_token_budget(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        budget=budget,
+        n_shards=4,
+    ).collect()
+    assert len(out) == len(rows)  # empty docs still get a placement
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["batch_offset"] < budget
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        # several zero-len docs may share one offset with the single
+        # nonzero doc placed there; zero-len first keeps `running` valid
+        shard_rows.sort(key=lambda r: (r["batch_id"], r["batch_offset"], r["tok_len"]))
+        running = 0
+        for r in shard_rows:
+            assert r["batch_id"] * budget + r["batch_offset"] == running
+            running += r["tok_len"]
