@@ -40,13 +40,24 @@ Measurement methodology (post r2/r3 phantom-regression postmortems):
     is re-run once, isolated, and the flag is kept only if the re-run
     confirms it. r2 and r3 each shipped phantom flags the judge had to
     adjudicate manually; now the harness does it.
+  * watch tier — queries between WATCH_RATIO (1.5x) and the 2.0x
+    regression bar get the same isolated re-run, reported under
+    ``"watch"`` (not ``"regressions"``). The r4 postmortem found
+    ``dedup_minhash_lsh`` at 1.79x its anchor with nothing
+    adjudicating it: the 2.0x bar is calibrated to this host's
+    ambient variance, which leaves a 1.5-2.0x band where real drift
+    could accumulate silently across rounds. The watch tier closes
+    that blind spot without re-inflating the phantom-flag noise the
+    2.0x calibration fixed.
   * scaling probe — two-point data-scale ratios for representative
     queries (GridMix's small/medium/large job classes are the same
     idea: GridMixRunner.java:48-50); super-linear growth is flagged.
 
-The regression anchor is the committed table in BASELINE.md (steady
-state, median-of-3, warmed) in preference to the newest BENCH_r*.json
-(driver one-shot files carry shared-JVM noise).
+The regression anchor is the committed table in BASELINE.md (per-query
+MEDIAN across five independent runs, each run's number being the min
+of 3 cache-cold reps after a settle run — see BASELINE.md "Anchor
+methodology") in preference to the newest BENCH_r*.json (driver
+one-shot files carry shared-JVM noise).
 """
 
 from __future__ import annotations
@@ -222,6 +233,34 @@ def find_regressions(
     return out
 
 
+WATCH_RATIO = 1.5
+
+
+def find_watch(
+    prior: dict,
+    timings: dict,
+    flagged: dict[str, list[float]],
+    ratio: float = WATCH_RATIO,
+    abs_floor: float = 0.5,
+) -> dict[str, list[float]]:
+    """Queries in the guard's former blind spot: slower than
+    ``ratio``× (1.5×) their anchor but under the 2.0× regression bar
+    (those are in ``flagged`` and handled by the regression path).
+    Same abs_floor so sub-second jitter is ignored."""
+    out: dict[str, list[float]] = {}
+    for name, secs in timings.items():
+        before = prior.get(name)
+        if (
+            name not in flagged
+            and isinstance(before, (int, float))
+            and before > 0
+            and secs > ratio * before
+            and secs - before > abs_floor
+        ):
+            out[name] = [before, secs]
+    return out
+
+
 def adjudicate(
     regressions: dict[str, list[float]],
     retime: Callable[[str], float],
@@ -327,6 +366,13 @@ def main() -> None:
             "text_repetition_stats",
             "dedup_minhash_lsh",
             "dedup_paragraph_exact",
+            # join probe: GridMix's job classes deliberately include
+            # join-shaped pipelines (GridMixRunner.java:230) and a join
+            # is where a 100x blow-up bites first — a super-linear
+            # time-vs-data curve here means the join degenerated
+            # (broadcast fell back to shuffle, or key skew collapsed a
+            # partition), which no single-point timing can see.
+            "join_inner",
         ):
             scaling[name] = {
                 "small_s": round(steady_time(BENCH_QUERIES[name], small_dir), 3),
@@ -369,13 +415,14 @@ def main() -> None:
             f"regression guard skipped: sf={sf} but anchors are sf0.1",
             file=sys.stderr,
         )
-    adjudicated: dict[str, dict] = {}
+    confirmed: dict[str, dict] = {}
+    phantom: dict[str, dict] = {}
+    watch: dict[str, dict] = {}
     if prior:
+        retime = lambda n: steady_time(BENCH_QUERIES[n], SF_DIR)  # noqa: E731
         flagged = find_regressions(prior, timings)
         if flagged:
-            adjudicated = adjudicate(
-                flagged, lambda n: steady_time(BENCH_QUERIES[n], SF_DIR)
-            )
+            adjudicated = adjudicate(flagged, retime)
             confirmed = {n: a for n, a in adjudicated.items() if a["confirmed"]}
             phantom = {n: a for n, a in adjudicated.items() if not a["confirmed"]}
             if confirmed:
@@ -398,6 +445,22 @@ def main() -> None:
                     ),
                     file=sys.stderr,
                 )
+        watched = find_watch(prior, timings, flagged)
+        if watched:
+            # Same isolated re-run as the regression path, judged
+            # against the 1.5x watch bar; reported separately so a
+            # non-empty "regressions" stays meaningful.
+            watch = adjudicate(watched, retime, ratio=WATCH_RATIO)
+            print(
+                f"watch (1.5-2.0x anchor, re-run adjudicated) vs {prior_src}: "
+                + ", ".join(
+                    f"{n} {a['prior']:.2f}s -> {a['recorded']:.2f}s "
+                    f"(rerun {a['rerun']:.2f}s, "
+                    f"{'drift confirmed' if a['confirmed'] else 'cleared'})"
+                    for n, a in watch.items()
+                ),
+                file=sys.stderr,
+            )
 
     print(
         json.dumps(
@@ -408,7 +471,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "scaling": scaling,
-                "regressions": adjudicated,
+                # only confirmed flags — a consumer checking for a
+                # non-empty dict sees real regressions, not cleared
+                # ones (cleared flags land in "phantom_flags")
+                "regressions": confirmed,
+                "phantom_flags": phantom,
+                "watch": watch,
             }
         )
     )

@@ -24,14 +24,19 @@ def exact_span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_w: int = 4,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Keep only the GLOBALLY first occurrence (ordered by id, then
     position) of every distinct ``chunk_w``-token chunk; report per-doc
     chunk counts and the digest of the surviving text.  The C4 recipe
     (Raffel et al. 2020 §2.2) applied to fixed token chunks.
 
-    Output: (id_col, n_chunks, n_removed, kept_digest).  Docs with
-    zero tokens are dropped (they have no chunks to place).
+    Output: (id_col, n_chunks, n_removed, kept_digest); with
+    ``keep_text=True`` also ``kept_text`` (surviving chunks joined by
+    a space, in original position order — '' if every chunk was
+    removed), so downstream pipeline stages (quality gates, packing)
+    can consume the deduped corpus.  Docs with zero tokens are dropped
+    (they have no chunks to place).
 
     Scale shape: first-occurrence is ``min(struct(id, pos))`` per chunk
     — partial-aggregable, so a boilerplate chunk appearing in millions
@@ -59,21 +64,23 @@ def exact_span_dedup(
         (F.col(id_col) == F.col(f"first_occ.{id_col}"))
         & (F.col("pos") == F.col("first_occ.pos")),
     )
-    return marked.groupBy(id_col).agg(
+    agged = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(F.col("kept"), F.struct("pos", "chunk")))
-                    ),
-                    lambda s: s["chunk"],
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "chunk")))
                 ),
-                " ",
-            )
-        ).alias("kept_digest"),
-    )
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    ).withColumn("kept_digest", F.md5("kept_text"))
+    cols = [id_col, "n_chunks", "n_removed", "kept_digest"]
+    if keep_text:
+        cols.append("kept_text")
+    return agged.select(*cols)
 
 
 def pack_token_budget(
@@ -82,13 +89,28 @@ def pack_token_budget(
     text_col: str = "text",
     budget: int = 512,
     n_shards: int = 8,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic token-budget sequence packing: assign every doc a
     (shard, batch_id, batch_offset) placement such that each batch
     carries ~``budget`` tokens of consecutive running offset within its
     shard (T5-style packing, Raffel et al. 2020 §3.1.2).
 
-    Output: (id_col, shard, tok_len, batch_id, batch_offset).
+    Output: (id_col, *passthrough, shard, tok_len, batch_id,
+    batch_offset) — ``passthrough`` columns ride along unchanged so a
+    pipeline can carry upstream stats (dedup counts, quality scores)
+    into the packed layout without a second corpus-sized join.
+
+    Boundary semantics — pack WITHOUT splitting: a doc is never split
+    across batches.  ``batch_id = start_offset DIV budget``, so a doc
+    whose tokens straddle a budget boundary stays whole in the batch
+    where it starts, and a batch's total may exceed ``budget`` by up
+    to one doc's length minus one: the guaranteed bound is
+    ``sum(tok_len per batch) < budget + max(tok_len)`` (property-
+    tested in tests/test_property.py).  A T5-style packer that
+    truncates or splits boundary docs (emitting (doc, slice) rows so
+    every batch is exactly ``budget``) is a possible ``split=True``
+    extension; the oracle checks the no-split contract.
 
     The cumulative-sum window is partitioned by the portable md5 shard
     (functions/hashing.md5_bucket — the HashPartitioner analog,
@@ -100,6 +122,7 @@ def pack_token_budget(
 
     base = docs.select(
         id_col,
+        *passthrough,
         T.token_count(F.col(text_col)).alias("tok_len"),
         md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
         F.md5(F.col(id_col).cast("string")).alias("h"),
@@ -112,6 +135,7 @@ def pack_token_budget(
     staged = base.withColumn("start_off", F.sum("tok_len").over(w) - F.col("tok_len"))
     return staged.select(
         id_col,
+        *passthrough,
         "shard",
         "tok_len",
         F.expr(f"CAST(start_off DIV {budget} AS BIGINT)").alias("batch_id"),

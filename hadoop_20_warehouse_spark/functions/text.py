@@ -32,6 +32,19 @@ STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
 # the usual pre-split a byte-pair encoder runs on.
 BPE_SPLIT_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
+# PII patterns → typed placeholders, applied in this order.  Java
+# regex (Spark) and RE2 (DuckDB) agree on these ASCII-only constructs;
+# keep them that way (no lookarounds, no unicode classes).  The
+# redaction stage every training-data pipeline runs before anything
+# ships (reference analog: RegexMapper's match machinery,
+# src/mapred/org/apache/hadoop/mapred/lib/RegexMapper.java:36, turned
+# from extraction to redaction).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b555-\\d{4}\\b", "[PHONE]"),
+)
+
 _WS = r"\s+"
 
 
@@ -53,6 +66,42 @@ def token_count(text: Column | str) -> Column:
 
 def token_count_sql(expr: str) -> str:
     return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace ALL occurrences of every PII_PATTERNS entry with its
+    typed placeholder.  Pure JVM ``regexp_replace`` chain: row-local,
+    zero shuffles, linear to 100 TB.  Takes any string column — the
+    library form behind the ``pii_redact`` inventory query (which adds
+    synthetic augmentation because the test corpus carries no PII)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _name, pattern, placeholder in PII_PATTERNS:
+        c = F.regexp_replace(c, F.lit(pattern), F.lit(placeholder))
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB twin of :func:`redact_pii` ('g' = replace all)."""
+    for _name, pattern, placeholder in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{placeholder}', 'g')"
+    return expr
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-pattern match counts, aliased ``n_{name}s`` (n_emails, …)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pattern)).cast("long").alias(f"n_{name}s")
+        for name, pattern, _ph in PII_PATTERNS
+    ]
+
+
+def pii_counts_sql(expr: str) -> list[str]:
+    """DuckDB twins of :func:`pii_counts`, same aliases."""
+    return [
+        f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT) AS n_{name}s"
+        for name, pattern, _ph in PII_PATTERNS
+    ]
 
 
 def bpe_piece_count(text: Column | str) -> Column:

@@ -652,11 +652,9 @@ def q_corpus_token_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PII redaction
 # ===========================================================================
 
-# Java regex (Spark) and RE2 (DuckDB) agree on these ASCII-only
-# constructs; keep them that way (no lookarounds, no unicode classes).
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-_PII_PHONE = "\\b555-\\d{4}\\b"
+# Patterns + placeholders live in functions/text.py (PII_PATTERNS);
+# redact_pii / pii_counts are the library forms and *_sql their DuckDB
+# twins — this query adds only the synthetic augmentation.
 
 # The synthetic corpus contains no PII (word-salad, zero digits), so
 # both programs append identical deterministic PII derived from doc_id
@@ -672,16 +670,30 @@ text || ' contact user' || CAST(doc_id AS VARCHAR)
      || CASE WHEN doc_id % 5 = 0 THEN ' or 555-0000' ELSE '' END
 """
 
+def _pii_augment() -> F.Column:
+    """Spark twin of _PII_AUG_SQL (expects columns text, doc_id)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        F.expr("(doc_id div 7) % 256").cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" or 555-0000")).otherwise(F.lit("")),
+    )
+
+
 _PII_SQL = f"""
 WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
-       md5(regexp_replace(regexp_replace(regexp_replace(t,
-           '{_PII_EMAIL}', '[EMAIL]', 'g'),
-           '{_PII_IP}', '[IP]', 'g'),
-           '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_digest
+       {", ".join(T.pii_counts_sql("t"))},
+       md5({T.redact_pii_sql("t")}) AS redacted_digest
 FROM aug
 """
 
@@ -692,47 +704,18 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before anything else ships.  Email / IPv4 / phone patterns are
     counted then replaced with typed placeholders; the digest of the
     fully-redacted text is what downstream stages (dedup, sharding) key
-    on.  Pure JVM ``regexp_replace``/``regexp_count`` expressions:
-    row-local, zero shuffles, scales linearly to 100 TB.  (Reference
-    analog: RegexMapper's match machinery,
+    on.  Library forms: functions/text.redact_pii + pii_counts — pure
+    JVM ``regexp_replace``/``regexp_count`` expressions: row-local,
+    zero shuffles, scales linearly to 100 TB.  (Reference analog:
+    RegexMapper's match machinery,
     src/mapred/org/apache/hadoop/mapred/lib/RegexMapper.java:36, turned
     from extraction to redaction.)"""
     docs = load_table(spark, sf_dir, "documents")
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit("."),
-            F.expr("(doc_id div 7) % 256").cast("string"),
-            F.lit(" call 555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(
-                F.lit("")
-            ),
-            F.when(F.col("doc_id") % 5 == 0, F.lit(" or 555-0000")).otherwise(
-                F.lit("")
-            ),
-        ).alias("t"),
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
-            F.lit(_PII_IP),
-            F.lit("[IP]"),
-        ),
-        F.lit(_PII_PHONE),
-        F.lit("[PHONE]"),
-    )
+    aug = docs.select("doc_id", _pii_augment().alias("t"))
     return aug.select(
         "doc_id",
-        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(F.col("t"), F.lit(_PII_IP)).cast("long").alias("n_ips"),
-        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
-        F.md5(redacted).alias("redacted_digest"),
+        *T.pii_counts("t"),
+        F.md5(T.redact_pii("t")).alias("redacted_digest"),
     )
 
 
@@ -852,3 +835,112 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_token_budget(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+# ===========================================================================
+# Composed curation pipeline: redact -> span-dedup -> quality gate -> pack
+# ===========================================================================
+
+# Minimum surviving tokens for a doc to stay in the corpus after span
+# dedup; paired with an integer removal-ratio gate (less than half the
+# chunks removed). Both all-integer so the gate is bit-reproducible.
+_CURATE_MIN_TOKENS = 8
+
+_CURATE_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+),
+red AS (
+  SELECT doc_id, {T.redact_pii_sql("t")} AS text FROM aug
+),
+toks AS (
+  SELECT doc_id, {T.tokens_sql("text")} AS t FROM red
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[(i*{_PARA_W}+1):(i*{_PARA_W}+{_PARA_W})], ' ') AS chunk
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / {_PARA_W}.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM chunks
+),
+deduped AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+                  '') AS kept_text
+  FROM ranked
+  GROUP BY doc_id
+),
+gated AS (
+  SELECT doc_id, n_chunks, n_removed,
+         {T.token_count_sql("kept_text")} AS tok_len
+  FROM deduped
+  WHERE {T.token_count_sql("kept_text")} >= {_CURATE_MIN_TOKENS}
+    AND n_removed * 2 < n_chunks
+),
+sharded AS (
+  SELECT doc_id, n_chunks, n_removed, tok_len,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM gated
+),
+packed AS (
+  SELECT doc_id, n_chunks, n_removed, tok_len, shard,
+         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM sharded
+)
+SELECT doc_id, n_chunks, n_removed, tok_len, shard,
+       CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS batch_id,
+       CAST(start_off % {_PACK_BUDGET} AS BIGINT) AS batch_offset
+FROM packed
+"""
+
+
+@register("pipeline_curate_pack", oracle=_CURATE_SQL)
+def q_pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE query, chained through the
+    library forms a real pipeline would call: redact PII
+    (functions/text.redact_pii) -> exact span dedup
+    (dedup/spans.exact_span_dedup, keep_text=True) -> all-integer
+    quality gate (min surviving tokens + removal-ratio) -> token-budget
+    packing (dedup/spans.pack_token_budget with stats passthrough).
+
+    Every stage is individually driver-checked (pii_redact,
+    dedup_paragraph_exact, pack_token_budget); this row proves the
+    library CONTRACTS COMPOSE — column names, empty-doc handling, and
+    text round-tripping between stages — the way the reference chains
+    jobs (examples/Grep.java:48-84 two-job pipeline; GridMix
+    MONSTERQUERY, benchmarks/gridmix2/.../GridMixRunner.java:230).
+
+    Scale shape is the union of the stages' shapes: redaction and the
+    gate are row-local map work; dedup is keyed shuffles only
+    (partial-agg min, no windows over unbounded partitions); packing
+    windows per md5 shard.  The stats passthrough in pack avoids a
+    second corpus-sized join — the pipeline adds ZERO operators beyond
+    its stages."""
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        exact_span_dedup,
+        pack_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select(
+        "doc_id", T.redact_pii(_pii_augment()).alias("text")
+    )
+    deduped = exact_span_dedup(red, chunk_w=_PARA_W, keep_text=True)
+    gated = deduped.filter(
+        (T.token_count(F.col("kept_text")) >= _CURATE_MIN_TOKENS)
+        & (F.col("n_removed") * 2 < F.col("n_chunks"))
+    ).select("doc_id", "n_chunks", "n_removed", F.col("kept_text").alias("text"))
+    return pack_token_budget(
+        gated,
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        passthrough=("n_chunks", "n_removed"),
+    )

@@ -3,6 +3,8 @@ metadata, and text-format semantics (KeyValueTextInputFormat)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -636,14 +638,28 @@ def _scratch_dir(tag: str) -> str:
     writers pre-delete), so reuse caps disk at one table copy per query
     however often a long-lived session re-invokes it.
 
+    Cluster locality: the default (a driver-local tempdir) is only
+    correct on local[*], where driver and executors share a
+    filesystem.  On a real cluster, set ``SPARK_GRAFT_SCRATCH`` to a
+    shared path (HDFS/NFS/object-store mount visible to every
+    executor) and the round-trips write/read there instead.
+
     The returned DataFrames read from it lazily (the driver collects
-    after the query returns), so cleanup is deferred to process exit."""
+    after the query returns), so cleanup is deferred to process exit —
+    and assumes the caller collects each result before re-invoking the
+    same query (concurrent re-invocation would race on the shared
+    per-tag dir)."""
     import atexit
     import shutil
     import tempfile
 
     if tag not in _SCRATCH_DIRS:
-        path = tempfile.mkdtemp(prefix=f"h20w_{tag}_")
+        root = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if root:
+            path = os.path.join(root, f"h20w_{tag}")
+            os.makedirs(path, exist_ok=True)
+        else:
+            path = tempfile.mkdtemp(prefix=f"h20w_{tag}_")
         atexit.register(shutil.rmtree, path, True)
         _SCRATCH_DIRS[tag] = path
     return _SCRATCH_DIRS[tag]

@@ -140,6 +140,30 @@ def test_adjudicate_rerun_must_clear_both_thresholds():
     assert out["q"]["confirmed"] is False
 
 
+def test_find_watch_covers_the_blind_spot():
+    """The r4 case: dedup_minhash_lsh at 1.79x anchor was under the
+    2.0x regression bar and nothing adjudicated it. The watch tier
+    must catch 1.5-2.0x, exclude <1.5x and sub-second jitter, and
+    exclude anything already flagged as a regression."""
+    prior = {"minhash": 1.188, "fast": 1.0, "small": 0.1, "reg": 1.0}
+    timings = {"minhash": 2.123, "fast": 1.3, "small": 0.19, "reg": 3.0}
+    flagged = bench.find_regressions(prior, timings)
+    assert flagged == {"reg": [1.0, 3.0]}
+    watch = bench.find_watch(prior, timings, flagged)
+    # minhash: 1.79x and +0.94s -> watched; fast: 1.3x -> below bar;
+    # small: 1.9x but +0.09s absolute -> jitter; reg: regression path
+    assert watch == {"minhash": [1.188, 2.123]}
+
+
+def test_watch_adjudication_uses_watch_ratio():
+    """Watch flags re-run against the 1.5x bar, not the 2.0x one."""
+    watched = {"drift": [1.0, 1.8], "noise": [1.0, 1.8]}
+    reruns = {"drift": 1.7, "noise": 1.1}
+    out = bench.adjudicate(watched, lambda n: reruns[n], ratio=bench.WATCH_RATIO)
+    assert out["drift"]["confirmed"] is True  # 1.7 > 1.5x and +0.7s
+    assert out["noise"]["confirmed"] is False
+
+
 def test_find_superlinear_flags_only_beyond_slack():
     scaling = {
         "linear": {"small_s": 1.0, "large_s": 10.0, "data_ratio": 10.0, "time_ratio": 10.0},

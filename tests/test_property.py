@@ -320,3 +320,12 @@ def test_pack_token_budget_offsets_contiguous(spark):
         for r in shard_rows:
             assert r["batch_id"] * budget + r["batch_offset"] == running
             running += r["tok_len"]
+    # Documented pack-without-splitting bound (dedup/spans.py): a batch
+    # may exceed the budget only by the straddling doc's tail, so
+    # sum(tok_len) per batch < budget + max(tok_len) over the corpus.
+    max_doc = max(r["tok_len"] for r in out)
+    batch_tokens: dict[tuple, int] = {}
+    for r in out:
+        key = (r["shard"], r["batch_id"])
+        batch_tokens[key] = batch_tokens.get(key, 0) + r["tok_len"]
+    assert all(tot < budget + max_doc for tot in batch_tokens.values())
