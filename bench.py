@@ -132,6 +132,7 @@ BENCH_QUERIES: dict[str, object] = {
     "decontaminate_ngram": QUERIES["decontaminate_ngram"],
     "pii_redact": QUERIES["pii_redact"],
     "dedup_paragraph_exact": QUERIES["dedup_paragraph_exact"],
+    "pipeline_curate_pack": QUERIES["pipeline_curate_pack"],
     "knn_ivf_trained": QUERIES["knn_ivf_trained"],
     "inverted_index": QUERIES["inverted_index"],
     "stream_sessions": QUERIES["stream_sessions"],

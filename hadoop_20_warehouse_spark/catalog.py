@@ -89,6 +89,18 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table with schema fixups.
+
+    Side effect: loading ``events`` sets two SESSION-WIDE configs
+    (``spark.sql.legacy.parquet.nanosAsLong`` and
+    ``spark.sql.session.timeZone=UTC`` — see ``_prepare_read``) so the
+    nanos/NTZ timestamp layouts the driver has shipped read back as µs
+    UTC TimestampType everywhere.  The zone pin changes how OTHER
+    timestamp expressions in a caller-provided session render naive
+    times; callers embedding this catalog in a non-UTC app should
+    save/restore ``spark.sql.session.timeZone`` around event loads (the
+    build driver and every oracle here assume UTC, so inside this repo
+    the pin is the correct global)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     _prepare_read(spark, name)

@@ -235,3 +235,26 @@ def test_sequence_composite_mapwritable(spark, tmp_path):
         spark, out, "key string, value map<string,string>", value_cast=str
     )
     assert {r["key"]: dict(r["value"]) for r in back.collect()} == got
+
+
+def test_scratch_dir_honors_env_override(tmp_path, monkeypatch):
+    """Cluster-honest round-trips: SPARK_GRAFT_SCRATCH points the
+    write+read-back scratch at shared storage (HDFS/NFS mount) so
+    executors on other nodes can read what the query wrote; default
+    stays a driver-local tempdir (correct on local[*])."""
+    from hadoop_20_warehouse_spark import inventory_ext as ext
+
+    monkeypatch.setattr(ext, "_SCRATCH_DIRS", {})
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "shared"))
+    p = ext._scratch_dir("unit")
+    assert p == str(tmp_path / "shared" / "h20w_unit")
+    assert os.path.isdir(p)
+    # per-tag reuse still applies under the override
+    assert ext._scratch_dir("unit") == p
+
+    # default (no env): a driver-local tempdir, one per tag
+    monkeypatch.setattr(ext, "_SCRATCH_DIRS", {})
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH")
+    q = ext._scratch_dir("unit")
+    assert "h20w_unit" in os.path.basename(q) and os.path.isdir(q)
+    assert not q.startswith(str(tmp_path))
