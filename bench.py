@@ -285,6 +285,26 @@ def adjudicate(
     return out
 
 
+def adjudicate_superlinear(
+    scaling: dict[str, dict],
+    rerun_large: Callable[[str], float],
+) -> dict[str, dict]:
+    """Same policy as the regression guard, applied to scaling probes:
+    a flagged probe's LARGE point is re-run once in isolation; the min
+    of recorded and re-run is the honest observation (all noise here
+    is additive), and only a still-super-linear ratio survives as a
+    confirmed flag. Both numbers ship in the JSON either way (r5
+    recorded the 10M teragen sort at 33.7s in-sequence vs 5.6s
+    isolated — a contention burst, not a quadratic plan)."""
+    for name in list(find_superlinear(scaling)):
+        s = scaling[name]
+        s["large_rerun_s"] = round(rerun_large(name), 3)
+        s["time_ratio"] = round(
+            min(s["large_s"], s["large_rerun_s"]) / max(s["small_s"], 0.01), 3
+        )
+    return find_superlinear(scaling)
+
+
 def find_superlinear(scaling: dict[str, dict], slack: float = 2.0) -> dict[str, dict]:
     """Scaling probes whose time grew more than ``slack``× the data
     growth — a super-linear shape no one-point bench can see. Slack 2.0
@@ -352,11 +372,16 @@ def main() -> None:
     # workload whose honest curve is SUB-linear (1/2/4/10M measured
     # 1.33/1.35/1.74/5.71s).
     scaling: dict[str, dict] = {}
+    # large-point thunk per probe, for the super-linear adjudication
+    # re-run (the large point is where a contention burst lands — r5
+    # recorded the 10M sort at 33.7s in-sequence vs 5.6s isolated)
+    probe_large: dict[str, Callable[[], float]] = {}
     scaling["teragen_sort"] = {
         "small_s": timings["teragen_sort"],
         "large_s": round(steady_time(_teragen_sort_10m, SF_DIR), 3),
         "data_ratio": 10.0,
     }
+    probe_large["teragen_sort"] = lambda: steady_time(_teragen_sort_10m, SF_DIR)
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     try:
         small_sf = float(os.path.basename(small_dir).replace("sf", ""))
@@ -380,16 +405,34 @@ def main() -> None:
                 "large_s": timings[name],
                 "data_ratio": round(sf / small_sf, 3),
             }
+            probe_large[name] = (
+                lambda fn=BENCH_QUERIES[name]: steady_time(fn, SF_DIR)
+            )
     for s in scaling.values():
         # epsilon floor: a sub-10ms small point would make the ratio noise
         s["time_ratio"] = round(s["large_s"] / max(s["small_s"], 0.01), 3)
-    superlinear = find_superlinear(scaling)
+    superlinear = adjudicate_superlinear(scaling, lambda n: probe_large[n]())
     if superlinear:
         print(
-            "SUPERLINEAR SCALING: "
+            "SUPERLINEAR SCALING (confirmed by isolated re-run): "
             + ", ".join(
                 f"{n} time x{s['time_ratio']} for data x{s['data_ratio']}"
                 for n, s in superlinear.items()
+            ),
+            file=sys.stderr,
+        )
+    cleared = {
+        n: s
+        for n, s in scaling.items()
+        if "large_rerun_s" in s and n not in superlinear
+    }
+    if cleared:
+        print(
+            "superlinear flags cleared by isolated re-run: "
+            + ", ".join(
+                f"{n} recorded {s['large_s']}s but rerun {s['large_rerun_s']}s "
+                f"(x{s['time_ratio']} for data x{s['data_ratio']})"
+                for n, s in cleared.items()
             ),
             file=sys.stderr,
         )

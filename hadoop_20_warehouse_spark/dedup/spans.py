@@ -141,3 +141,49 @@ def pack_token_budget(
         F.expr(f"CAST(start_off DIV {budget} AS BIGINT)").alias("batch_id"),
         F.expr(f"CAST(start_off % {budget} AS BIGINT)").alias("batch_offset"),
     )
+
+
+def global_shuffle_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every doc a
+    dense ``global_pos`` (0..N-1) in pseudo-random order — equivalent
+    to ``ROW_NUMBER() OVER (ORDER BY shard, md5(id), id) - 1`` —
+    WITHOUT ever forming a corpus-wide window.
+
+    Output: (id_col, shard, global_pos).
+
+    Scale shape (the TotalOrderPartitioner idea,
+    src/mapred/org/apache/hadoop/mapred/lib/TotalOrderPartitioner.java:40,
+    turned from sampled key ranges into exact hash shards): rank
+    per-shard (every window partition is corpus/``n_shards`` rows),
+    then lift ranks to global positions by adding per-shard prefix
+    offsets.  The offsets frame is ``n_shards`` ROWS — metadata, not
+    data — so its single-partition prefix-sum window and the broadcast
+    join that applies it are O(shards), never O(corpus).  A naive
+    ``row_number() OVER (ORDER BY ...)`` funnels the whole corpus
+    through ONE sort partition; this is the plan that survives
+    100 TB."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        id_col,
+        md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    ranked = base.withColumn("rn", F.row_number().over(w).cast("long"))
+    counts = ranked.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    # single-partition window over n_shards rows — metadata-sized by
+    # construction (the corpus never flows through it)
+    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wo), F.lit(0)).cast("long")
+    )
+    return ranked.join(F.broadcast(offsets.select("shard", "offset")), "shard").select(
+        id_col,
+        "shard",
+        (F.col("offset") + F.col("rn") - 1).cast("long").alias("global_pos"),
+    )

@@ -944,3 +944,35 @@ def q_pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_PACK_SHARDS,
         passthrough=("n_chunks", "n_removed"),
     )
+
+
+# ===========================================================================
+# Deterministic global training-order shuffle
+# ===========================================================================
+
+_SHUFFLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) - 1 AS BIGINT) AS global_pos
+FROM d
+"""
+
+
+@register("corpus_global_shuffle", oracle=_SHUFFLE_SQL)
+def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — every training run
+    starts by enumerating the corpus in pseudo-random order.  The
+    oracle states the semantics as one global ROW_NUMBER; the engine
+    computes the identical positions with per-shard ranks plus an
+    O(shards) prefix-offset broadcast (dedup/spans.global_shuffle_order)
+    — the corpus never passes through a single sort partition.  The
+    hash-match against the oracle proves the decomposition is exact."""
+    from hadoop_20_warehouse_spark.dedup.spans import global_shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle_order(docs, n_shards=_PACK_SHARDS)

@@ -174,6 +174,25 @@ def test_find_superlinear_flags_only_beyond_slack():
     assert set(out) == {"quadratic"}
 
 
+def test_adjudicate_superlinear_clears_and_confirms():
+    """A probe whose large-point re-run is linear again was a
+    contention burst (cleared, rerun recorded); one still super-linear
+    is confirmed. The r5 case: 10M teragen 33.7s in-sequence, 5.6s
+    isolated."""
+    scaling = {
+        "burst": {"small_s": 0.8, "large_s": 33.7, "data_ratio": 10.0, "time_ratio": 42.1},
+        "quad": {"small_s": 1.0, "large_s": 100.0, "data_ratio": 10.0, "time_ratio": 100.0},
+        "fine": {"small_s": 1.0, "large_s": 6.0, "data_ratio": 10.0, "time_ratio": 6.0},
+    }
+    reruns = {"burst": 5.6, "quad": 98.0}
+    out = bench.adjudicate_superlinear(scaling, lambda n: reruns[n])
+    assert set(out) == {"quad"}
+    assert scaling["burst"]["large_rerun_s"] == 5.6
+    assert scaling["burst"]["time_ratio"] == 7.0  # min(33.7, 5.6)/0.8
+    assert scaling["quad"]["time_ratio"] == 98.0
+    assert "large_rerun_s" not in scaling["fine"]  # unflagged: no re-run
+
+
 def test_guard_end_to_end_against_committed_r02():
     """The exact scenario the broken guard missed: parse the real
     committed BENCH_r02.json and check a 3x slowdown would now fire."""

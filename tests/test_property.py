@@ -329,3 +329,26 @@ def test_pack_token_budget_offsets_contiguous(spark):
         key = (r["shard"], r["batch_id"])
         batch_tokens[key] = batch_tokens.get(key, 0) + r["tok_len"]
     assert all(tot < budget + max_doc for tot in batch_tokens.values())
+
+
+def test_global_shuffle_order_is_dense_permutation(spark):
+    """global_pos must be a dense permutation 0..N-1 consistent with
+    the declared total order (shard, md5(id), id) — i.e. the per-shard
+    rank + prefix-offset decomposition must agree exactly with the
+    single global window it replaces."""
+    import hashlib
+
+    from hadoop_20_warehouse_spark.dedup.spans import global_shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(257)], "doc_id long")
+    out = global_shuffle_order(df, n_shards=5).collect()
+    assert sorted(r["global_pos"] for r in out) == list(range(257))
+    ordered = sorted(
+        out,
+        key=lambda r: (
+            r["shard"],
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest(),
+            r["doc_id"],
+        ),
+    )
+    assert [r["global_pos"] for r in ordered] == list(range(257))
