@@ -219,3 +219,32 @@ def test_pack_token_budget_single_exchange_no_python(spark, sf_dir):
     assert not uses_python_row_eval(df)
     n = count_exchanges(df)
     assert n == 1, f"expected 1 shard exchange, plan has {n}"
+
+
+def test_pipeline_curate_pack_bounded_exchanges_no_python(spark, sf_dir):
+    """The composed pipeline must be exactly the union of its stages'
+    plans: keyed exchanges for (chunk firsts, doc reassembly, pack
+    shard window) plus at most a broadcast for the firsts side and
+    the scatter under the scan — no extra shuffle from composition
+    (the stats passthrough replaces a corpus-sized join) and no
+    Python fallback anywhere."""
+    df = QUERIES["pipeline_curate_pack"](spark, sf_dir)
+    assert not uses_python_row_eval(df)
+    assert count_exchanges(df) <= 5, physical_plan(df)
+
+
+def test_global_shuffle_windows_are_sharded(spark, sf_dir):
+    """corpus_global_shuffle's corpus-side window must be PARTITIONED
+    (by shard) — the only unpartitioned window allowed is the prefix
+    sum over the n_shards-row offsets frame, and the offsets must
+    reach the corpus via broadcast, not a shuffled join."""
+    df = QUERIES["corpus_global_shuffle"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert not uses_python_row_eval(df)
+    assert uses_broadcast_join(df), plan
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, plan
+    corpus_wins = [l for l in win_lines if "row_number" in l]
+    assert corpus_wins and all(
+        "windowspecdefinition(shard" in l for l in corpus_wins
+    ), f"corpus window must partition by shard:\n{plan}"
