@@ -107,10 +107,10 @@ def pack_token_budget(
     where it starts, and a batch's total may exceed ``budget`` by up
     to one doc's length minus one: the guaranteed bound is
     ``sum(tok_len per batch) < budget + max(tok_len)`` (property-
-    tested in tests/test_property.py).  A T5-style packer that
-    truncates or splits boundary docs (emitting (doc, slice) rows so
-    every batch is exactly ``budget``) is a possible ``split=True``
-    extension; the oracle checks the no-split contract.
+    tested in tests/test_property.py).  The strict-budget counterpart
+    that SPLITS boundary docs so every batch fills exactly is
+    :func:`pack_token_budget_split`; this form's oracle checks the
+    no-split contract.
 
     The cumulative-sum window is partitioned by the portable md5 shard
     (functions/hashing.md5_bucket — the HashPartitioner analog,
@@ -186,4 +186,75 @@ def global_shuffle_order(
         id_col,
         "shard",
         (F.col("offset") + F.col("rn") - 1).cast("long").alias("global_pos"),
+    )
+
+
+def pack_token_budget_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """T5-style packing WITH splitting — the strict-budget counterpart
+    of :func:`pack_token_budget`: a doc whose tokens straddle a budget
+    boundary is SPLIT, emitting one row per (doc, batch) slice so that
+    every batch in a shard carries exactly ``budget`` tokens (the last
+    batch of each shard may be partial).  Raffel et al. 2020 §3.1.2
+    pack-and-split to fixed 512-token inputs this way.
+
+    Output: (id_col, shard, tok_len, batch_id, slice_id, batch_offset,
+    slice_len): ``slice_id`` numbers a doc's slices from 0,
+    ``batch_offset`` is where the slice starts inside its batch, and
+    per doc ``sum(slice_len) == tok_len`` (zero-token docs emit one
+    zero-length slice, keeping the row count audit-friendly).
+
+    Scale shape: identical to the no-split packer (per-md5-shard cumsum
+    window, shard count is the scale knob) plus one ROW-LOCAL explode
+    of each doc's boundary crossings — output rows = docs + crossings,
+    no new shuffle.  All integer arithmetic — exact cross-engine."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        id_col,
+        T.token_count(F.col(text_col)).alias("tok_len"),
+        md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = base.withColumn("start_off", F.sum("tok_len").over(w) - F.col("tok_len"))
+    b = F.lit(budget).cast("long")
+    first_b = F.expr(f"start_off div {budget}").cast("long")
+    # when-guarded so the zero-length case never divides a negative
+    # (Spark div truncates toward zero, DuckDB // floors — they only
+    # agree on non-negative operands)
+    last_b = (
+        F.when(F.col("tok_len") == 0, first_b)
+        .otherwise(F.expr(f"(start_off + tok_len - 1) div {budget}"))
+        .cast("long")
+    )
+    ex = staged.select(
+        id_col,
+        "shard",
+        "tok_len",
+        "start_off",
+        first_b.alias("first_b"),
+        F.explode(F.sequence(first_b, last_b)).alias("batch_id"),
+    )
+    slice_start = F.greatest(F.col("start_off"), F.col("batch_id") * b)
+    slice_end = F.least(
+        F.col("start_off") + F.col("tok_len"), (F.col("batch_id") + 1) * b
+    )
+    return ex.select(
+        id_col,
+        "shard",
+        "tok_len",
+        F.col("batch_id").cast("long").alias("batch_id"),
+        (F.col("batch_id") - F.col("first_b")).cast("long").alias("slice_id"),
+        (slice_start - F.col("batch_id") * b).cast("long").alias("batch_offset"),
+        (slice_end - slice_start).cast("long").alias("slice_len"),
     )

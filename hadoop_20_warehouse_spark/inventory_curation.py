@@ -976,3 +976,54 @@ def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return global_shuffle_order(docs, n_shards=_PACK_SHARDS)
+
+
+# ===========================================================================
+# Token-budget packing WITH splitting (strict-budget variant)
+# ===========================================================================
+
+_PACK_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS tok_len,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, tok_len,
+         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM d
+),
+s AS (
+  SELECT doc_id, shard, tok_len, start_off,
+         CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS first_b,
+         CAST(CASE WHEN tok_len = 0 THEN start_off // {_PACK_BUDGET}
+              ELSE (start_off + tok_len - 1) // {_PACK_BUDGET} END AS BIGINT) AS last_b
+  FROM c
+)
+SELECT doc_id, shard, tok_len,
+       CAST(i AS BIGINT) AS batch_id,
+       CAST(i - first_b AS BIGINT) AS slice_id,
+       CAST(GREATEST(start_off, i*{_PACK_BUDGET}) - i*{_PACK_BUDGET} AS BIGINT) AS batch_offset,
+       CAST(LEAST(start_off + tok_len, (i+1)*{_PACK_BUDGET})
+            - GREATEST(start_off, i*{_PACK_BUDGET}) AS BIGINT) AS slice_len
+FROM s, UNNEST(generate_series(first_b, last_b)) AS u(i)
+"""
+
+
+@register("pack_token_split", oracle=_PACK_SPLIT_SQL)
+def q_pack_token_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-budget sequence packing: boundary-straddling documents
+    are SPLIT into per-batch slices so every batch carries exactly
+    _PACK_BUDGET tokens (last batch per shard partial) — the
+    counterpart of pack_token_budget's pack-without-splitting
+    semantics.  Library form: dedup/spans.pack_token_budget_split
+    (property-tested: slices reassemble to tok_len, full batches fill
+    exactly)."""
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_budget_split(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)

@@ -352,3 +352,51 @@ def test_global_shuffle_order_is_dense_permutation(spark):
         ),
     )
     assert [r["global_pos"] for r in ordered] == list(range(257))
+
+
+def test_pack_token_split_fills_batches_exactly(spark):
+    """Split-packing invariants provable from outputs alone: each
+    doc's slices reassemble to tok_len (slice_ids dense from 0,
+    offsets consistent), and every batch except the last per shard
+    carries EXACTLY the budget."""
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget_split
+
+    rng = random.Random(47)
+    rows = [
+        (i, " ".join("tok" for _ in range(rng.randint(0, 40))))
+        for i in range(150)
+    ]
+    budget = 16
+    out = pack_token_budget_split(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        budget=budget,
+        n_shards=4,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["batch_offset"] < budget
+        assert 0 <= r["slice_len"] <= budget
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == len(rows)  # zero-len docs still emit a slice
+    want_len = {i: len(t.split()) if t else 0 for i, t in rows}
+    for doc, slices in by_doc.items():
+        slices.sort(key=lambda r: r["slice_id"])
+        assert [r["slice_id"] for r in slices] == list(range(len(slices)))
+        assert sum(r["slice_len"] for r in slices) == want_len[doc]
+        # consecutive slices: next batch, offset 0 (continuation slices
+        # always start at a batch boundary)
+        for a, b in zip(slices, slices[1:]):
+            assert b["batch_id"] == a["batch_id"] + 1
+            assert b["batch_offset"] == 0
+    batch_fill: dict[tuple, int] = {}
+    for r in out:
+        key = (r["shard"], r["batch_id"])
+        batch_fill[key] = batch_fill.get(key, 0) + r["slice_len"]
+    last_per_shard = {}
+    for (shard, b) in batch_fill:
+        last_per_shard[shard] = max(last_per_shard.get(shard, -1), b)
+    for (shard, b), tot in batch_fill.items():
+        if b == last_per_shard[shard]:
+            assert tot <= budget
+        else:
+            assert tot == budget, f"shard {shard} batch {b}: {tot}"
