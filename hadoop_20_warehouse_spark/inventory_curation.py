@@ -424,27 +424,25 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     row the oracle can verify exactly (see block comment above).  The
     *search* path the trained table feeds (ivf_topk(cents=...)) reuses
     the oracle-checked knn_ivf plan unchanged."""
-    from hadoop_20_warehouse_spark.similarity.ivf import train_centroids
-    from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, _safe_div
-    from pyspark.sql import Window
+    from hadoop_20_warehouse_spark.similarity.ivf import (
+        _centroid_array,
+        _scorer,
+        train_centroids,
+    )
+    from hadoop_20_warehouse_spark.similarity.knn import _norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(
         emb, "vec_id", "embedding", k=_IVF_TRAINED_K, iters=3
     )
     vecs = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("vn"))
-    sims = vecs.crossJoin(F.broadcast(cents)).select(
+    # row-local rank-1 assignment (array-HOF argmax over the broadcast
+    # centroid array — similarity/ivf.py r5 rewrite, no corpus shuffle)
+    assign = vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
         "vec_id",
-        "centroid_id",
-        F.round(
-            _safe_div(_dot(F.col("embedding"), F.col("cv")), F.col("vn") * F.col("cn")),
-            6,
-        ).alias("csim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    assign = (
-        sims.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
+        F.array_min(
+            F.transform(F.col("cs"), _scorer(F.col("embedding"), F.col("vn")))
+        )["cid"].alias("centroid_id"),
     )
     n_vec = assign.agg(F.count(F.lit(1)).alias("n_vectors"))
     seeds = (

@@ -66,6 +66,40 @@ def centroids(
     )
 
 
+def _centroid_array(cents: DataFrame) -> DataFrame:
+    """The centroid table folded into ONE row carrying an array of
+    (centroid_id, cv, cn) structs, sorted by centroid_id — the shape
+    that makes quantization row-local: broadcast this single row and
+    every vector scores all k centroids inside one projection, no
+    per-vector explode, no window, no shuffle."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cv", "cn"))
+        ).alias("cs")
+    )
+
+
+def _scorer(vec, vnorm):
+    """Per-centroid scoring lambda for the array HOFs: maps a centroid
+    struct to (negsim, cid) so array_min/array_sort order by rounded
+    cosine DESC with centroid-id ASC tiebreaks — identical to the old
+    row_number(desc csim, asc centroid_id) ranking."""
+
+    def score(c):
+        # NULL cosine (zero norm) → +inf so it sorts LAST under min /
+        # ascending sort, matching the old desc(csim) NULLS-LAST
+        # ranking exactly (a bare NULL struct field would sort FIRST)
+        return F.struct(
+            F.coalesce(
+                -F.round(_safe_div(_dot(vec, c["cv"]), vnorm * c["cn"]), 6),
+                F.lit(float("inf")),
+            ).alias("negsim"),
+            c["centroid_id"].alias("cid"),
+        )
+
+    return score
+
+
 def train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -96,19 +130,17 @@ def train_centroids(
     )
     cents = init
     for _ in range(iters):
-        sims = vecs.crossJoin(F.broadcast(cents)).select(
-            "_vid",
+        # rank-1 assignment is ROW-LOCAL: the k centroids travel as ONE
+        # array row (broadcast), and each vector takes the argmax with
+        # array HOFs — no exchange of the |corpus|×k sims frame (the r5
+        # rewrite; the prior window-over-_vid shuffled corpus×k rows
+        # per iteration).  min(struct(-csim, cid)) == the old
+        # row_number(desc csim, asc cid) tiebreak exactly.
+        members = vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
+            F.array_min(
+                F.transform(F.col("cs"), _scorer(F.col("_v"), F.col("_vn")))
+            )["cid"].alias("centroid_id"),
             "_v",
-            "centroid_id",
-            F.round(
-                _safe_div(_dot(F.col("_v"), F.col("cv")), F.col("_vn") * F.col("cn")), 6
-            ).alias("csim"),
-        )
-        w = Window.partitionBy("_vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
-        members = (
-            sims.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") == 1)
-            .select("centroid_id", "_v")
         )
         dims = members.select(
             "centroid_id", F.posexplode(F.col("_v")).alias("pos", "x")
@@ -138,25 +170,35 @@ def _cells(
     """(id, centroid_id, crank): each vector's ``nprobe`` nearest
     centroids by rounded cosine, centroid-id tiebreak. Computed ONCE —
     callers derive both the rank-1 assignment and the probe set from
-    this frame, so the centroid cross join and ranking window run a
-    single time."""
+    this frame.
+
+    ROW-LOCAL (r5 rewrite): the k centroids travel as ONE broadcast
+    array row; each vector sorts its k scores with array HOFs and
+    explodes only the ``nprobe`` survivors.  Quantization therefore
+    shuffles NOTHING — the prior form windowed over a |corpus|×k
+    exploded frame, an Exchange that grew 40× the corpus at the
+    default centroid count."""
     if cents is None:
         cents = centroids(corpus, id_col, vec_col, num_centroids)
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
     )
-    sims = vecs.crossJoin(F.broadcast(cents)).select(
+    top = vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
         F.col(id_col),
-        "centroid_id",
-        F.round(
-            _safe_div(_dot(F.col(vec_col), F.col("cv")), F.col("vn") * F.col("cn")), 6
-        ).alias("csim"),
+        F.slice(
+            F.array_sort(
+                F.transform(F.col("cs"), _scorer(F.col(vec_col), F.col("vn")))
+            ),
+            1,
+            nprobe,
+        ).alias("probes"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
-    return (
-        sims.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= nprobe)
-        .select(id_col, "centroid_id", "crank")
+    return top.select(
+        F.col(id_col), F.posexplode(F.col("probes")).alias("pos", "p")
+    ).select(
+        id_col,
+        F.col("p")["cid"].alias("centroid_id"),
+        (F.col("pos") + 1).cast("int").alias("crank"),
     )
 
 
