@@ -240,26 +240,27 @@ FROM ranked WHERE rn = 1
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (functions/text.py): score each
     language by stopword hits, argmax with (hits DESC, lang ASC)
-    tiebreak. One pass per language over the token array — no shuffle
-    until the tiny per-doc argmax."""
+    tiebreak.  FULLY ROW-LOCAL (r5 rewrite): the per-language scores
+    form an in-row array and ``array_min`` over (-hits, lang) structs
+    takes the argmax inside one projection — zero shuffles, a pure map
+    over the scan (the prior union-4-frames + row_number form shuffled
+    |corpus|×4 rows just to rank 4 values per doc)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = None
-    for lang in _LANGS:
-        s = docs.select(
-            "doc_id",
-            F.lit(lang).alias("cand_lang"),
-            T.stopword_hits(F.col("text"), lang).alias("hits"),
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-T.stopword_hits(F.col("text"), lang)).alias("neg"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in _LANGS
+            ]
         )
-        scores = s if scores is None else scores.unionByName(s)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("cand_lang").alias("predicted_lang"),
-            F.col("hits").alias("stopword_hits"),
-        )
+    )
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("predicted_lang"),
+        (-best["neg"]).cast("long").alias("stopword_hits"),
     )
 
 
@@ -454,17 +455,29 @@ def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id per content digest) composed with integer-exact quality
     gates (token count in [20,1000], >=100 chars), reported as per-source
     keep/drop counts — the one-pass shape of a real data-prep job.
-    One digest window + one source aggregation; all gates are integer
-    comparisons so the oracle is bit-exact."""
+    All gates are integer comparisons so the oracle is bit-exact.
+
+    The keeper election is a partial-aggregable ``groupBy(digest).min``
+    + digest-keyed equi-join (r5 rewrite) — NOT ``min().over(digest
+    window)``: a viral duplicate (one text in millions of rows) makes
+    that window's partition a straggler with no escape, while the agg
+    combines it map-side and AQE can skew-split the join (the same
+    reasoning as dedup/spans.exact_span_dedup)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text"))
-    flags = docs.select(
+    staged = docs.select(
         "source",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keeper"),
+        "doc_id",
+        F.md5("text").alias("dg"),
         (
             T.token_count("text").between(20, 1000)
             & (F.length("text") >= 100)
         ).alias("ok_quality"),
+    )
+    firsts = staged.groupBy("dg").agg(F.min("doc_id").alias("first_id"))
+    flags = staged.join(firsts, "dg").select(
+        "source",
+        (F.col("doc_id") == F.col("first_id")).alias("keeper"),
+        "ok_quality",
     )
     k, q = F.col("keeper"), F.col("ok_quality")
     return flags.groupBy("source").agg(
@@ -527,11 +540,20 @@ SELECT lang, token, n, rank FROM (
 """,
 )
 def q_text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 terms per language: explode → two-level agg → windowed
+    """Top-5 terms per language: explode → two-level agg → two-level
     top-k with full tiebreak (count desc, token asc). Partial
     aggregation absorbs the token fan-out before the shuffle; the
-    window's per-lang top-k replaces the reference's single-reducer
-    head-of-file pattern (Grep.java:79)."""
+    per-lang top-k replaces the reference's single-reducer
+    head-of-file pattern (Grep.java:79).
+
+    Top-k is SALTED two-level (r5 rewrite, same construction as the
+    per-group quota sample): rank within (lang, token-hash salt)
+    first — window partitions are vocabulary/32 rows — then rank the
+    ≤32×5 per-lang survivors.  A single per-lang window ranks the
+    WHOLE vocabulary in ~#langs partitions: at 100 TB that's a
+    handful of 10^8-row sort partitions, the low-cardinality-window
+    straggler this repo bans elsewhere.  Top-5-of-per-salt-top-5s is
+    exactly global top-5 (every global winner wins its salt too)."""
     from hadoop_20_warehouse_spark.session import scatter
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
@@ -541,8 +563,15 @@ def q_text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    w1 = Window.partitionBy("lang", "_salt").orderBy(F.desc("n"), F.asc("token"))
+    cand = (
+        tf.withColumn("_salt", F.pmod(F.hash("token"), F.lit(32)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 5)
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
     return (
-        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", "rank")
     )

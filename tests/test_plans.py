@@ -248,3 +248,12 @@ def test_global_shuffle_windows_are_sharded(spark, sf_dir):
     assert corpus_wins and all(
         "windowspecdefinition(shard" in l for l in corpus_wins
     ), f"corpus window must partition by shard:\n{plan}"
+
+
+def test_lang_id_is_pure_map(spark, sf_dir):
+    """Language ID is an in-row argmax over the per-language stopword
+    scores — zero exchanges, a pure map over the scan (the union+
+    window form this replaced shuffled |corpus| x #langs rows)."""
+    df = QUERIES["text_lang_id"](spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+    assert not uses_python_row_eval(df)
