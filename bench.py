@@ -350,34 +350,29 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
-    for name, fn in BENCH_QUERIES.items():
-        time_once(fn, SF_DIR)  # untimed settle run at the target SF
-        runs = [time_once(fn, SF_DIR) for _ in range(BENCH_REPS)]
-        timings[name] = round(min(runs), 3)
-
     def steady_time(fn, sf_dir: str, reps: int = 2) -> float:
         """Settle run + min of ``reps`` cold reps — the same statistic
         as the main timings, for scaling points and adjudication."""
         time_once(fn, sf_dir)
         return min(time_once(fn, sf_dir) for _ in range(reps))
 
-    # Scaling probe: two-point time-vs-data ratios. The large point for
-    # the sf-driven probes IS the main timing above (no extra run); only
-    # the small points and the 10M teragen are new work. Every point
-    # uses the same settle+min-of-2 statistic — the r4 shakedown showed
-    # cheaper statistics (single cold run; settle+1 rep) inflate the
-    # large point up to 2x in-sequence (11.9s vs 5.7s isolated for the
-    # 10M sort), enough to false-trip the super-linear guard on a
-    # workload whose honest curve is SUB-linear (1/2/4/10M measured
-    # 1.33/1.35/1.74/5.71s).
+    # Scaling probe: two-point time-vs-data ratios. Runs FIRST (before
+    # the timed set) and measures each probe's small and large point
+    # BACK-TO-BACK: a ratio is only meaningful if both points share
+    # measurement conditions, and the r5 shakedown showed ~1300 stages
+    # of JVM aging (GC/fragmentation late in the session) inflating
+    # end-of-session points ~3x vs a fresh process — enough to
+    # "confirm" a super-linear flag whose fresh-process truth is
+    # sub-linear (10M sort: 14-17s late-session, 5.0-5.6s fresh;
+    # earlier same-session probes never saw it). Every point uses the
+    # same settle+min-of-2 statistic (the r4 shakedown showed cheaper
+    # statistics inflate the large point up to 2x in-sequence).
     scaling: dict[str, dict] = {}
     # large-point thunk per probe, for the super-linear adjudication
-    # re-run (the large point is where a contention burst lands — r5
-    # recorded the 10M sort at 33.7s in-sequence vs 5.6s isolated)
+    # re-run (the large point is where a contention burst lands)
     probe_large: dict[str, Callable[[], float]] = {}
     scaling["teragen_sort"] = {
-        "small_s": timings["teragen_sort"],
+        "small_s": round(steady_time(_teragen_sort, SF_DIR), 3),
         "large_s": round(steady_time(_teragen_sort_10m, SF_DIR), 3),
         "data_ratio": 10.0,
     }
@@ -402,7 +397,7 @@ def main() -> None:
         ):
             scaling[name] = {
                 "small_s": round(steady_time(BENCH_QUERIES[name], small_dir), 3),
-                "large_s": timings[name],
+                "large_s": round(steady_time(BENCH_QUERIES[name], SF_DIR), 3),
                 "data_ratio": round(sf / small_sf, 3),
             }
             probe_large[name] = (
@@ -436,6 +431,14 @@ def main() -> None:
             ),
             file=sys.stderr,
         )
+
+    # Timed set (after the probes — see the scaling comment above for
+    # why the probe ratios must not straddle the session).
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        time_once(fn, SF_DIR)  # untimed settle run at the target SF
+        runs = [time_once(fn, SF_DIR) for _ in range(BENCH_REPS)]
+        timings[name] = round(min(runs), 3)
 
     # Regression guard: compare against the committed steady-state
     # anchor table (BASELINE.md) in preference to the newest committed
