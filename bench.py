@@ -432,6 +432,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Cooldown between probes and the timed set: the 10M-row probe
+    # leaves ~1 GB of shuffle files whose async cleanup (and the GC of
+    # their buffers) bleeds into whatever runs next — the r5 shakedown
+    # measured the first two timed queries 1.4x their anchors right
+    # after the probes, with their settle runs absorbed into the same
+    # window. A couple of untimed spacer runs plus a short sleep lets
+    # the cleanup drain off-clock.
+    spark.catalog.clearCache()
+    for _ in range(2):
+        _force(QUERIES["join_broadcast_dims"](spark, SF_DIR))
+        time.sleep(1.5)
+
     # Timed set (after the probes — see the scaling comment above for
     # why the probe ratios must not straddle the session).
     timings: dict[str, float] = {}
