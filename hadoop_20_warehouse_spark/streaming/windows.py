@@ -333,3 +333,20 @@ def enrich_stream(
     return stream.join(
         F.broadcast(d), stream[on_left] == F.col("__dimkey"), "left"
     ).drop("__dimkey")
+
+
+def redact_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """In-flight PII redaction — the curation stage applied on the
+    stream path: per-pattern match counts plus the redacted text,
+    via the same functions/text.redact_pii / pii_counts expressions
+    the batch pii_redact query uses.  STATELESS (a pure projection):
+    streaming-legal with no watermark, no state store, and identical
+    semantics to the batch form by construction — at 100 TB this runs
+    as a map over micro-batches with zero shuffle."""
+    from hadoop_20_warehouse_spark.functions import text as T
+
+    return df.select(
+        "*",
+        *T.pii_counts(F.col(text_col)),
+        T.redact_pii(F.col(text_col)).alias("redacted_text"),
+    )

@@ -193,3 +193,50 @@ def test_streaming_distinct_ids_matches_batch(spark, events_stream_dir):
         ev_batch, "ts", ["event_type"], "user_id", "1 hour"
     ).toPandas()
     assert normalize(got).equals(normalize(want))
+
+
+def test_streaming_redaction_matches_batch(spark, tmp_path):
+    """Stream-path curation: redact_stream over a file-source stream of
+    the documents table must produce exactly the batch projection —
+    stateless map, no watermark, no state store (plan-visible: the
+    query finishes in one availableNow pass with no state rows)."""
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.streaming.windows import redact_stream
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # synthetic PII so the redaction path is actually exercised
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.1.2.3 call 555-0199"),
+        ).alias("text"),
+    )
+    src = str(tmp_path / "docs_stream")
+    aug.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(aug.schema).parquet(src)
+    q = (
+        redact_stream(stream)
+        .writeStream.format("memory")
+        .queryName("redacted_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"], r["redacted_text"])
+        for r in spark.sql("SELECT * FROM redacted_docs").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"], r["redacted_text"])
+        for r in redact_stream(aug).collect()
+    }
+    assert got == want
+    assert len(got) == docs.count()
+    # every row was actually redacted
+    assert all("[EMAIL]" in v[3] and "[IP]" in v[3] and "[PHONE]" in v[3]
+               for v in got.values())
