@@ -237,6 +237,26 @@ def find_regressions(
 WATCH_RATIO = 1.5
 
 
+def demote_phantoms_to_watch(
+    phantom: dict[str, dict],
+    watch: dict[str, dict],
+    ratio: float = WATCH_RATIO,
+    abs_floor: float = 0.5,
+) -> None:
+    """Route >2.0x flags whose isolated re-run landed in the 1.5-2.0x
+    band into the watch report as drift-confirmed (mutating both dicts).
+
+    Without this, such a query is reported only as a cleared phantom —
+    ``find_watch`` excludes anything in ``flagged``, so confirmed
+    1.5-2.0x drift could slip past the watch tier via the regression
+    path (ADVICE r5). The isolated re-run already happened; its verdict
+    stands without another one."""
+    for n, a in list(phantom.items()):
+        before = a["prior"]
+        if a["rerun"] > ratio * before and a["rerun"] - before > abs_floor:
+            watch[n] = dict(phantom.pop(n), confirmed=True)
+
+
 def find_watch(
     prior: dict,
     timings: dict,
@@ -484,6 +504,7 @@ def main() -> None:
             adjudicated = adjudicate(flagged, retime)
             confirmed = {n: a for n, a in adjudicated.items() if a["confirmed"]}
             phantom = {n: a for n, a in adjudicated.items() if not a["confirmed"]}
+            demote_phantoms_to_watch(phantom, watch)
             if confirmed:
                 print(
                     f"REGRESSIONS (confirmed by isolated re-run) vs {prior_src}: "
@@ -508,8 +529,11 @@ def main() -> None:
         if watched:
             # Same isolated re-run as the regression path, judged
             # against the 1.5x watch bar; reported separately so a
-            # non-empty "regressions" stays meaningful.
-            watch = adjudicate(watched, retime, ratio=WATCH_RATIO)
+            # non-empty "regressions" stays meaningful. update(), not
+            # assignment — drift demoted from the >2.0x path above is
+            # already in ``watch`` and must survive.
+            watch.update(adjudicate(watched, retime, ratio=WATCH_RATIO))
+        if watch:
             print(
                 f"watch (1.5-2.0x anchor, re-run adjudicated) vs {prior_src}: "
                 + ", ".join(

@@ -893,7 +893,7 @@ packed AS (
            - tok_len AS start_off
   FROM sharded
 )
-SELECT doc_id, n_chunks, n_removed, tok_len, shard,
+SELECT doc_id, n_chunks, n_removed, shard, tok_len,
        CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS batch_id,
        CAST(start_off % {_PACK_BUDGET} AS BIGINT) AS batch_offset
 FROM packed

@@ -656,8 +656,13 @@ def _scratch_dir(tag: str) -> str:
     if tag not in _SCRATCH_DIRS:
         root = os.environ.get("SPARK_GRAFT_SCRATCH")
         if root:
-            path = os.path.join(root, f"h20w_{tag}")
-            os.makedirs(path, exist_ok=True)
+            # mkdtemp UNDER the shared root: keeps shared-FS visibility
+            # (every executor sees the path) while restoring per-process
+            # uniqueness — a deterministic root/h20w_{tag} path would be
+            # shared by concurrent processes, and the first to exit
+            # would rmtree it out from under the others (ADVICE r5).
+            os.makedirs(root, exist_ok=True)
+            path = tempfile.mkdtemp(dir=root, prefix=f"h20w_{tag}_")
         else:
             path = tempfile.mkdtemp(prefix=f"h20w_{tag}_")
         atexit.register(shutil.rmtree, path, True)

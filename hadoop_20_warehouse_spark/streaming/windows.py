@@ -342,9 +342,17 @@ def redact_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
     the batch pii_redact query uses.  STATELESS (a pure projection):
     streaming-legal with no watermark, no state store, and identical
     semantics to the batch form by construction — at 100 TB this runs
-    as a map over micro-batches with zero shuffle."""
+    as a map over micro-batches with zero shuffle.
+
+    Idempotent under re-application: any pre-existing output columns
+    (``n_{pattern}s`` counts, ``redacted_text``) are dropped first, so
+    re-running the stage — or feeding it a stream that already carries
+    those names — recomputes them instead of emitting duplicate
+    (ambiguous) columns."""
     from hadoop_20_warehouse_spark.functions import text as T
 
+    emitted = [f"n_{name}s" for name, _pat, _ph in T.PII_PATTERNS]
+    df = df.drop(*emitted, "redacted_text")
     return df.select(
         "*",
         *T.pii_counts(F.col(text_col)),

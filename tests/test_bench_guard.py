@@ -164,6 +164,25 @@ def test_watch_adjudication_uses_watch_ratio():
     assert out["noise"]["confirmed"] is False
 
 
+def test_demote_phantoms_routes_watch_band_drift():
+    """A >2.0x flag whose isolated re-run lands in the 1.5-2.0x band
+    must move from phantom_flags to watch as drift-confirmed — the
+    one path where real 1.5-2.0x drift could previously vanish into
+    "cleared" (find_watch excludes anything in flagged; ADVICE r5).
+    Re-runs below the watch bar (or sub-second) stay phantom."""
+    phantom = {
+        "drift": {"prior": 1.0, "recorded": 2.6, "rerun": 1.8, "confirmed": False},
+        "noise": {"prior": 1.0, "recorded": 2.6, "rerun": 1.2, "confirmed": False},
+        "small": {"prior": 0.1, "recorded": 0.9, "rerun": 0.19, "confirmed": False},
+    }
+    watch: dict = {}
+    bench.demote_phantoms_to_watch(phantom, watch)
+    assert set(phantom) == {"noise", "small"}
+    assert set(watch) == {"drift"}
+    assert watch["drift"]["confirmed"] is True
+    assert watch["drift"]["rerun"] == 1.8
+
+
 def test_find_superlinear_flags_only_beyond_slack():
     scaling = {
         "linear": {"small_s": 1.0, "large_s": 10.0, "data_ratio": 10.0, "time_ratio": 10.0},

@@ -132,10 +132,23 @@ def test_aqe_skew_join_splitting_engages(spark):
         joined = left.join(right, "k")
         assert len(joined.collect()) == 126_000
         # the FINAL adaptive plan (post-execution) must carry the skew
-        # marker on the SMJ / shuffle-read nodes
+        # marker ON the SMJ / AQE shuffle-read nodes themselves — a
+        # whole-plan substring match on 'skewed' could vacuously pass
+        # (or a format change could silently fail) without any
+        # behavior change (ADVICE r5). Known per-version markers:
+        # SortMergeJoin prints ', skew=true' on its own line; the AQE
+        # read node prints 'AQEShuffleRead skewed' (and in some
+        # versions 'coalesced and skewed').
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in plan or "skewed" in plan, (
-            f"AQE skew-join splitting did not engage:\n{plan}"
+        marked = [
+            line
+            for line in plan.splitlines()
+            if ("SortMergeJoin" in line and "skew=true" in line)
+            or ("AQEShuffleRead" in line and "skew" in line)
+        ]
+        assert marked, (
+            f"AQE skew-join splitting did not engage (no skew marker on "
+            f"any SortMergeJoin/AQEShuffleRead node):\n{plan}"
         )
     finally:
         for k, v in saved.items():

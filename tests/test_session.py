@@ -56,8 +56,10 @@ def test_scatter_stats_path_no_fallback(spark, caplog):
 
 def test_scatter_fallback_fires_loudly_on_py4j_failure(spark, caplog):
     """If the py4j internals drift (queryExecution API change), scatter
-    must still work via the RDD probe AND warn — a silent fallback
-    reintroduces a per-call driver-side plan compile invisibly."""
+    must pass the frame through UNTOUCHED and warn — there is no RDD
+    fallback (``df.rdd`` compiles the plan driver-side on every call,
+    the cost the stats probe exists to avoid; VERDICT r5), and the
+    unknown-width case is defined as large ⇒ pass through."""
     docs = load_table(spark, SF_DIR, "documents").select("doc_id")
 
     class _Broken:
@@ -81,8 +83,8 @@ def test_scatter_fallback_fires_loudly_on_py4j_failure(spark, caplog):
             out = scatter(docs, min_partitions=8)
     finally:
         docs._jdf = real
-    assert [r for r in caplog.records if "falling back" in r.getMessage()]
-    assert out.rdd.getNumPartitions() >= 8
+    assert [r for r in caplog.records if "passing it through" in r.getMessage()]
+    assert out is docs
 
 
 def test_parse_byte_size_accepts_spark_conf_forms():
