@@ -844,8 +844,11 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunks removed). Both all-integer so the gate is bit-reproducible.
 _CURATE_MIN_TOKENS = 8
 
-_CURATE_SQL = f"""
-WITH aug AS (
+# Shared CTE chain: raw documents -> PII-redacted -> C4 span-dedup ->
+# integer quality gate. Ends at ``gated`` (doc_id, n_chunks, n_removed,
+# tok_len). Both the curate-pack oracle and the corpus-export oracle
+# chain from this prefix so the two queries pin the SAME curated corpus.
+_CURATE_GATED_CTES = f"""aug AS (
   SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
 ),
 red AS (
@@ -879,7 +882,10 @@ gated AS (
   FROM deduped
   WHERE {T.token_count_sql("kept_text")} >= {_CURATE_MIN_TOKENS}
     AND n_removed * 2 < n_chunks
-),
+)"""
+
+_CURATE_SQL = f"""
+WITH {_CURATE_GATED_CTES},
 sharded AS (
   SELECT doc_id, n_chunks, n_removed, tok_len,
          CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS BIGINT) AS shard,
@@ -1025,3 +1031,159 @@ def q_pack_token_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_token_budget_split(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+# ===========================================================================
+# Corpus-export endgame: curate -> global shuffle -> split-pack ->
+# partitioned shard write -> readback digest
+# ===========================================================================
+
+from hadoop_20_warehouse_spark.functions.hashing import (  # noqa: E402
+    md5_bucket_sql,
+    md5_int64_sql,
+)
+
+_EXPORT_ROW_SQL = md5_int64_sql(
+    "concat_ws('|', doc_id, batch_id, slice_id, batch_offset, "
+    "slice_len, global_pos)"
+)
+
+_EXPORT_SQL = f"""
+WITH {_CURATE_GATED_CTES},
+sharded AS (
+  SELECT doc_id, tok_len,
+         CAST({md5_bucket_sql("CAST(doc_id AS VARCHAR)", _PACK_SHARDS)} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM gated
+),
+shuffled AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) - 1 AS BIGINT) AS global_pos
+  FROM sharded
+),
+c AS (
+  SELECT doc_id, shard, tok_len,
+         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM sharded
+),
+s AS (
+  SELECT doc_id, shard, tok_len, start_off,
+         CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS first_b,
+         CAST(CASE WHEN tok_len = 0 THEN start_off // {_PACK_BUDGET}
+              ELSE (start_off + tok_len - 1) // {_PACK_BUDGET} END AS BIGINT) AS last_b
+  FROM c
+),
+slices AS (
+  SELECT doc_id, shard,
+         CAST(i AS BIGINT) AS batch_id,
+         CAST(i - first_b AS BIGINT) AS slice_id,
+         CAST(GREATEST(start_off, i*{_PACK_BUDGET}) - i*{_PACK_BUDGET} AS BIGINT) AS batch_offset,
+         CAST(LEAST(start_off + tok_len, (i+1)*{_PACK_BUDGET})
+              - GREATEST(start_off, i*{_PACK_BUDGET}) AS BIGINT) AS slice_len
+  FROM s, UNNEST(generate_series(first_b, last_b)) AS u(i)
+),
+export AS (
+  SELECT sl.doc_id, sl.shard, sl.batch_id, sl.slice_id, sl.batch_offset,
+         sl.slice_len, sh.global_pos
+  FROM slices sl JOIN shuffled sh ON sl.doc_id = sh.doc_id
+)
+SELECT shard,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_slices,
+       CAST(SUM(slice_len) AS BIGINT) AS total_tokens,
+       CAST(MIN(global_pos) AS BIGINT) AS first_pos,
+       CAST(MAX(global_pos) AS BIGINT) AS last_pos,
+       CAST(bit_xor({_EXPORT_ROW_SQL}) AS BIGINT) AS digest
+FROM export
+GROUP BY shard
+"""
+
+
+@register("corpus_export_roundtrip", oracle=_EXPORT_SQL)
+def q_corpus_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-scrape -> training-shards endgame as ONE pipeline:
+    redact PII -> C4 span-dedup -> integer quality gate (the
+    pipeline_curate_pack stages) -> deterministic global training-order
+    shuffle (dedup/spans.global_shuffle_order) -> strict-budget split
+    packing (dedup/spans.pack_token_budget_split) -> PHYSICAL
+    partitioned shard write (MultipleOutputFormat fan-out analog,
+    mapred/lib/MultipleOutputFormat.java:47) -> readback of the written
+    shards reduced to one audit row per shard (doc/slice counts, token
+    totals, global-position range, and an order-insensitive bit_xor
+    content digest over every slice tuple).
+
+    The oracle rebuilds the same corpus with chained CTEs and digests
+    it the same way — a hash-match proves the full export path
+    (compose, place, split, WRITE, read back) is bit-faithful, the way
+    the reference chains jobs into a materialized output dir
+    (examples/Grep.java:48-84 two-job temp-dir handoff; GridMix
+    MONSTERQUERY GridMixRunner.java:230).
+
+    Scale shape: the curated frame is persisted once (at 100 TB this
+    is the staging checkpoint every export job materializes) because
+    BOTH the order branch and the pack branch consume it; everything
+    else is the stages' own shapes — per-md5-shard cumsum windows,
+    O(shards) offset broadcast, row-local boundary explode, one
+    doc_id equi-join to attach global_pos, and a partitionBy(shard)
+    write whose fan-out is exactly n_shards dirs.  The readback digest
+    is one keyed agg over the written files."""
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        exact_span_dedup,
+        global_shuffle_order,
+        pack_token_budget_split,
+    )
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select("doc_id", T.redact_pii(_pii_augment()).alias("text"))
+    deduped = exact_span_dedup(red, chunk_w=_PARA_W, keep_text=True)
+    gated = (
+        deduped.filter(
+            (T.token_count(F.col("kept_text")) >= _CURATE_MIN_TOKENS)
+            & (F.col("n_removed") * 2 < F.col("n_chunks"))
+        )
+        .select("doc_id", F.col("kept_text").alias("text"))
+        .persist()
+    )
+    try:
+        order = global_shuffle_order(gated, n_shards=_PACK_SHARDS).select(
+            "doc_id", "global_pos"
+        )
+        packed = pack_token_budget_split(
+            gated, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+        )
+        export = packed.join(order, "doc_id").select(
+            "doc_id", "shard", "batch_id", "slice_id", "batch_offset",
+            "slice_len", "global_pos",
+        )
+        path = _fresh_subdir(_scratch_dir("corpus_export"), "shards")
+        export.write.partitionBy("shard").parquet(path)
+    finally:
+        gated.unpersist()
+    back = spark.read.parquet(path)
+    row_fp = md5_int64(
+        F.concat_ws(
+            "|",
+            *[
+                F.col(c).cast("string")
+                for c in (
+                    "doc_id", "batch_id", "slice_id", "batch_offset",
+                    "slice_len", "global_pos",
+                )
+            ],
+        )
+    )
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_slices"),
+        F.sum("slice_len").cast("long").alias("total_tokens"),
+        F.min("global_pos").cast("long").alias("first_pos"),
+        F.max("global_pos").cast("long").alias("last_pos"),
+        F.bit_xor(row_fp).cast("long").alias("digest"),
+    )

@@ -982,3 +982,53 @@ def q_map_writable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "priority")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "bad_files_skip",
+    oracle="""
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderkey % 4 <> 3
+GROUP BY o_orderkey % 4
+""",
+)
+def q_bad_files_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level corrupt-input skipping — the OTHER half of
+    SkipBadRecords (mapred/SkipBadRecords.java:31: narrow down and skip
+    over the bad range instead of failing the job; record-level
+    TRY_CAST skipping is ``sql_bad_records_skip``): the orders table is
+    written as one parquet file per key bucket, one file is then
+    TRUNCATED on disk (footer destroyed — a torn write / bad block, the
+    failure HDFS surfaces as a corrupt replica), and the read back runs
+    with ``ignoreCorruptFiles`` so the scan skips the dead file and the
+    job completes on the surviving ones.
+
+    The oracle aggregates the ORIGINAL table MINUS the corrupted
+    bucket — equality proves the reader skipped exactly the corrupt
+    file, losing no intact row.  At 100 TB this is per-file (per-split)
+    behavior in the scan itself: no driver-side listing pass, no retry
+    storm, the lost data is bounded by one file."""
+    import glob as _glob
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 4).alias("bucket")
+    )
+    path = _fresh_subdir(_scratch_dir("badfiles"), "orders")
+    orders.repartition(4, "bucket").write.partitionBy("bucket").parquet(path)
+    victims = _glob.glob(os.path.join(path, "bucket=3", "*.parquet"))
+    assert victims, f"expected a bucket=3 data file under {path}"
+    for victim in victims:
+        with open(victim, "r+b") as fh:
+            fh.truncate(16)  # keeps the PAR1 magic, destroys the footer
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

@@ -247,7 +247,11 @@ def test_scratch_dir_honors_env_override(tmp_path, monkeypatch):
     monkeypatch.setattr(ext, "_SCRATCH_DIRS", {})
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "shared"))
     p = ext._scratch_dir("unit")
-    assert p == str(tmp_path / "shared" / "h20w_unit")
+    # mkdtemp UNDER the shared root (not a deterministic shared path —
+    # two processes sharing the env var must not rmtree each other's
+    # data at exit; ADVICE r5)
+    assert os.path.dirname(p) == str(tmp_path / "shared")
+    assert os.path.basename(p).startswith("h20w_unit_")
     assert os.path.isdir(p)
     # per-tag reuse still applies under the override
     assert ext._scratch_dir("unit") == p
