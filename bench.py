@@ -133,6 +133,13 @@ BENCH_QUERIES: dict[str, object] = {
     "pii_redact": QUERIES["pii_redact"],
     "dedup_paragraph_exact": QUERIES["dedup_paragraph_exact"],
     "pipeline_curate_pack": QUERIES["pipeline_curate_pack"],
+    "corpus_global_shuffle": QUERIES["corpus_global_shuffle"],
+    "pack_token_split": QUERIES["pack_token_split"],
+    # the endgame pipeline: curate -> shuffle -> split-pack -> physical
+    # partitioned write -> readback digest. Timed end-to-end INCLUDING
+    # the parquet write (the write is the point; see PLANS.md
+    # §corpus_export_roundtrip).
+    "corpus_export_roundtrip": QUERIES["corpus_export_roundtrip"],
     "knn_ivf_trained": QUERIES["knn_ivf_trained"],
     "inverted_index": QUERIES["inverted_index"],
     "stream_sessions": QUERIES["stream_sessions"],

@@ -1032,3 +1032,149 @@ def q_bad_files_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@register(
+    "recordio_binary_roundtrip",
+    oracle="""
+SELECT c_custkey AS custkey, c_name AS name,
+       CAST(c_acctbal AS DOUBLE) AS acctbal,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS sum_orders,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS sum_status
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_recordio_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record I/O BINARY wire-format round-trip
+    (record/BinaryRecordOutput.java:70-118; DDL grammar
+    record/package.html:189-200): build a nested record per customer
+    — vlong key, ustring name, big-endian double balance, a vector of
+    order keys, and a map of order-status counts — write it in the
+    zero-compressed binary format (io/WritableUtils.java:261-288 vints),
+    read the raw bytes back through the schema-driven decoder, and
+    reduce the collections to scalars.  The oracle computes the same
+    scalars straight from the base tables, so a hash-match proves every
+    field type (vlong, ustring, double, vector, map, empty collections
+    for order-less customers) survived the wire format bit-exactly.
+
+    Interop boundary, not a hot path: the per-record Python codec is
+    the cost of speaking the reference's exact byte format (the
+    reference pays the same per-record serialization in generated
+    Java).  Parallelism is per-file — the writer emits one file per
+    partition and the reader schedules one task per file (no sync
+    markers, the reference's isSplitable=false contract)."""
+    from hadoop_20_warehouse_spark.sources.recordio import (
+        read_record_binary,
+        write_record_binary,
+    )
+    from hadoop_20_warehouse_spark.types import parse_record_ddl
+
+    schema = parse_record_ddl(
+        """
+        module interop {
+          class CustOrders {
+            long custkey;
+            ustring name;
+            double acctbal;
+            vector<long> orderkeys;
+            map<ustring, long> status_n;
+          }
+        }
+        """
+    )["CustOrders"]
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys")
+    )
+    status = (
+        orders.groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .groupBy("o_custkey")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+            ).alias("status_n")
+        )
+    )
+    records = (
+        cust.join(keys, cust.c_custkey == keys.o_custkey, "left")
+        .drop(keys.o_custkey)
+        .join(status, cust.c_custkey == status.o_custkey, "left")
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.coalesce(
+                "orderkeys", F.expr("CAST(array() AS array<bigint>)")
+            ).alias("orderkeys"),
+            F.coalesce(
+                "status_n", F.expr("CAST(map() AS map<string,bigint>)")
+            ).alias("status_n"),
+        )
+    )
+    path = _fresh_subdir(_scratch_dir("recbin"), "custorders")
+    write_record_binary(records, path, schema)
+    back = read_record_binary(spark, path, schema)
+    return back.select(
+        "custkey",
+        "name",
+        "acctbal",
+        F.size("orderkeys").cast("long").alias("n_orders"),
+        F.aggregate(
+            "orderkeys", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_orders"),
+        F.size(F.map_keys("status_n")).cast("long").alias("n_status"),
+        F.aggregate(
+            F.map_values("status_n"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_status"),
+    )
+
+
+@register(
+    "recordio_csv_roundtrip",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(LENGTH(COALESCE(text, '')) AS BIGINT) AS text_chars,
+       md5(COALESCE(text, '')) AS digest
+FROM documents
+""",
+)
+def q_recordio_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record I/O CSV wire-format round-trip
+    (record/CsvRecordOutput.java:57-140): serialize each document as a
+    CSV record — vlong id, ustring lang, ustring text with the
+    %-escape alphabet of record/Utils.java:108-144 (NUL/LF/CR/comma/
+    '}'/'%') — through text files and back, then digest the text.  The
+    oracle digests the ORIGINAL table: a hash-match proves the escape/
+    unescape cycle preserved every byte of free text (documents contain
+    the delimiters and newlines the escaping exists for).  Unlike the
+    binary format, CSV records are line-framed (newlines are escaped),
+    so the files keep Spark's normal line-splittable scan planning."""
+    from hadoop_20_warehouse_spark.sources.recordio import (
+        read_record_csv,
+        write_record_csv,
+    )
+    from hadoop_20_warehouse_spark.types import parse_record_ddl
+
+    schema = parse_record_ddl(
+        "class Doc { long doc_id; ustring lang; ustring text; }"
+    )["Doc"]
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    path = _fresh_subdir(_scratch_dir("reccsv"), "docs")
+    write_record_csv(docs, path, schema)
+    back = read_record_csv(spark, path, schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("text_chars"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+    )
