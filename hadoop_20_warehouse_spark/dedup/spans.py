@@ -258,3 +258,82 @@ def pack_token_budget_split(
         (slice_start - F.col("batch_id") * b).cast("long").alias("batch_offset"),
         (slice_end - slice_start).cast("long").alias("slice_len"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: greedily fill each
+    domain's token budget in a pseudo-random but reproducible order —
+    the data-mixing stage of a training-corpus pipeline (the Pile
+    composes weighted source mixtures this way; Gao et al. 2020 §1,
+    and T5's proportional mixing, Raffel et al. 2020 §3.5.2).
+
+    ``budgets`` maps domain value -> token budget.  Within each domain
+    docs are ordered by (md5 shard, md5(id), id); a doc is kept while
+    the cumulative token count BEFORE it is under the budget, so the
+    boundary-crossing doc is included and the kept total is
+    budget <= total < budget + max(tok_len) (or everything, when the
+    domain holds fewer tokens than its budget).  Domains absent from
+    ``budgets`` are dropped; upsampling (repeat factors for
+    over-weighted small domains) is a separate stage by design —
+    this op never duplicates a doc.
+
+    Output: (id_col, domain_col, tok_len, start_off) where start_off
+    is the domain-wide cumulative token offset — exact integers,
+    reproducible cross-engine.
+
+    Scale shape: the cumsum window is per (domain, shard) — every
+    partition is |domain|/``n_shards`` rows regardless of how skewed
+    the domain mix is (a naive PARTITION BY domain window funnels the
+    dominant domain — often >80% of a web corpus — through one sort
+    partition).  Shard-to-domain offsets come from a domains x shards
+    metadata frame lifted exactly like :func:`global_shuffle_order`'s
+    prefix offsets and broadcast back.  The budget table itself is a
+    literal map — metadata, never a shuffle."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        id_col,
+        domain_col,
+        T.token_count(F.col(text_col)).alias("tok_len"),
+        md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    ).filter(F.col(domain_col).isin(*budgets.keys()))
+    w = (
+        Window.partitionBy(domain_col, "shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn(
+        "local_off", F.sum("tok_len").over(w) - F.col("tok_len")
+    )
+    counts = base.groupBy(domain_col, "shard").agg(
+        F.sum("tok_len").cast("long").alias("n")
+    )
+    # domains x shards rows — metadata, not data
+    wo = (
+        Window.partitionBy(domain_col)
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wo), F.lit(0)).cast("long")
+    )
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select(domain_col, "shard", "offset")),
+            [domain_col, "shard"],
+        )
+        .withColumn("start_off", (F.col("offset") + F.col("local_off")).cast("long"))
+        .filter(F.col("start_off") < budget_expr[F.col(domain_col)])
+        .select(id_col, domain_col, "tok_len", "start_off")
+    )

@@ -1187,3 +1187,61 @@ def q_corpus_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("global_pos").cast("long").alias("last_pos"),
         F.bit_xor(row_fp).cast("long").alias("digest"),
     )
+
+
+# ===========================================================================
+# Domain-mixture sampling (training-corpus data mixing)
+# ===========================================================================
+
+# Uneven weights over a few sources: src0 partially filled, src1/src2
+# smaller cuts, src3 budget exceeds the domain's total (everything
+# kept) — covers partial fill, tiny fill, and budget-overflow.
+_MIX_BUDGETS = {"src0": 700, "src1": 300, "src2": 150, "src3": 100_000}
+_MIX_SHARDS = 8
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_BUDGETS.items()
+)
+
+from hadoop_20_warehouse_spark.functions.text import token_count_sql  # noqa: E402
+
+_MIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {token_count_sql('text')} AS tok_len,
+         CAST({md5_bucket_sql("CAST(doc_id AS VARCHAR)", _MIX_SHARDS)} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+  WHERE source IN ({", ".join("'" + k + "'" for k in _MIX_BUDGETS)})
+),
+c AS (
+  SELECT doc_id, source, tok_len,
+         SUM(tok_len) OVER (PARTITION BY source ORDER BY shard, h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM d
+)
+SELECT doc_id, source, tok_len, CAST(start_off AS BIGINT) AS start_off
+FROM c
+WHERE start_off < CASE source {_MIX_CASE} END
+"""
+
+
+@register("corpus_mixture_sample", oracle=_MIX_SQL)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: fill per-source token budgets in a
+    deterministic pseudo-random order — the data-mixing stage between
+    curation and packing (the Pile's weighted source composition, Gao
+    et al. 2020 §1; T5 proportional mixing, Raffel et al. 2020
+    §3.5.2).  Library form: dedup/spans.mixture_sample.
+
+    The oracle replays the same greedy fill with a domain-wide cumsum
+    window; the engine computes identical offsets WITHOUT a per-domain
+    window — per-(domain, shard) cumsum plus a broadcast domains x
+    shards offset lift — because at 100 TB the dominant domain of a
+    web corpus would otherwise sort through one partition.  Exact
+    integer arithmetic, bit-equal across engines."""
+    from hadoop_20_warehouse_spark.dedup.spans import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_BUDGETS, n_shards=_MIX_SHARDS)

@@ -145,3 +145,35 @@ def test_bad_files_skip_drops_only_the_corrupt_bucket(spark, sf_dir):
         if r.bucket != 3
     }
     assert rows == want
+
+
+def test_mixture_sample_budget_bounds(spark):
+    """Greedy fill contract: per domain, kept tokens reach the budget
+    but never exceed budget + (crossing doc's length - 1); a domain
+    with fewer tokens than budget keeps everything; domains without a
+    budget are dropped; offsets are dense (sorted start_offs chain
+    start + len = next start)."""
+    from hadoop_20_warehouse_spark.dedup.spans import mixture_sample
+
+    rows = [
+        (i, "a" if i % 3 else "b", "tok " * (3 + i % 5)) for i in range(60)
+    ] + [(100 + j, "c", "x y z") for j in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"a": 50, "b": 10_000}
+    out = mixture_sample(docs, budgets, n_shards=4).collect()
+    assert all(r.source in budgets for r in out)  # "c" dropped
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    # "b" holds fewer tokens than its budget: every doc kept
+    assert len(by_dom["b"]) == sum(1 for i in range(60) if i % 3 == 0)
+    # "a": filled to the budget, crossing doc included
+    a = sorted(by_dom["a"], key=lambda r: r.start_off)
+    total = sum(r.tok_len for r in a)
+    assert total >= 50 and a[-1].start_off < 50
+    assert total < 50 + max(r.tok_len for r in a)
+    # dense offsets within each domain
+    for dom_rows in by_dom.values():
+        ordered = sorted(dom_rows, key=lambda r: r.start_off)
+        for prev, nxt in zip(ordered, ordered[1:]):
+            assert prev.start_off + prev.tok_len == nxt.start_off
