@@ -337,3 +337,59 @@ def mixture_sample(
         .filter(F.col("start_off") < budget_expr[F.col(domain_col)])
         .select(id_col, domain_col, "tok_len", "start_off")
     )
+
+
+def epoch_expand(
+    docs: DataFrame,
+    repeats: dict[str, float],
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-domain upsampling: emit ``ceil`` or ``floor``
+    copies of every doc so each domain is repeated ``repeats[domain]``
+    epochs IN EXPECTATION — the over-weighting stage for rare domains
+    (data recipes state mixtures as fractional epoch counts, e.g.
+    "2.4 epochs of books"; Gao et al. 2020 table 1 does exactly this).
+    The integer part repeats every doc; the fractional part f keeps an
+    extra copy for the deterministic md5-fraction of docs with
+    ``md5_int64(id) % 1000 < round(f * 1000)`` — reproducible, no RNG,
+    and at most per-mille rounding of the target factor.
+
+    Output: (id_col, domain_col, epoch) — one row per emitted copy,
+    ``epoch`` numbering a doc's copies from 0.  Domains absent from
+    ``repeats`` default to 1 epoch.  A factor < 1 subsamples (docs
+    outside the kept md5-fraction emit zero copies and drop out);
+    token-budget-exact selection is :func:`mixture_sample`'s job.
+
+    Scale shape: one row-local explode of ``sequence(0, n_copies-1)``
+    — output rows = sum of repeat factors x corpus, ZERO shuffles.
+    Downstream global placement (:func:`global_shuffle_order` on the
+    (id, epoch) pair) spreads the copies; this stage only multiplies."""
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+
+    for d, f in repeats.items():
+        if not f > 0:
+            raise ValueError(f"repeat factor for {d!r} must be > 0, got {f}")
+    whole = F.create_map(
+        *[x for d, f in repeats.items() for x in (F.lit(d), F.lit(int(f)))]
+    )
+    frac_mille = F.create_map(
+        *[
+            x
+            for d, f in repeats.items()
+            for x in (F.lit(d), F.lit(int(round((f - int(f)) * 1000))))
+        ]
+    )
+    n_whole = F.coalesce(whole[F.col(domain_col)], F.lit(1))
+    extra = (
+        F.coalesce(frac_mille[F.col(domain_col)], F.lit(0))
+        > md5_int64(F.col(id_col)) % 1000
+    ).cast("int")
+    n_copies = (n_whole + extra).cast("long")
+    return docs.select(
+        id_col,
+        domain_col,
+        F.explode(
+            F.when(n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1))
+        ).alias("epoch"),
+    )

@@ -1245,3 +1245,49 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_sample(docs, _MIX_BUDGETS, n_shards=_MIX_SHARDS)
+
+
+# ===========================================================================
+# Per-domain epoch expansion (upsampling / fractional repeats)
+# ===========================================================================
+
+# 2.4 epochs of src0 (rare-domain over-weighting), 40% subsample of
+# src1, explicit 1.0 on src2, every other source defaults to 1 epoch.
+_EPOCH_REPEATS = {"src0": 2.4, "src1": 0.4, "src2": 1.0}
+
+_EPOCH_WHOLE_CASE = " ".join(
+    f"WHEN '{k}' THEN {int(v)}" for k, v in _EPOCH_REPEATS.items()
+)
+_EPOCH_MILLE_CASE = " ".join(
+    f"WHEN '{k}' THEN {int(round((v - int(v)) * 1000))}"
+    for k, v in _EPOCH_REPEATS.items()
+)
+
+_EPOCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE source {_EPOCH_WHOLE_CASE} ELSE 1 END
+           + CASE WHEN (CASE source {_EPOCH_MILLE_CASE} ELSE 0 END)
+                  > {md5_int64_sql("CAST(doc_id AS VARCHAR)")} % 1000
+             THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+FROM d, UNNEST(generate_series(0, n_copies - 1)) AS u(i)
+"""
+
+
+@register("corpus_epoch_expand", oracle=_EPOCH_SQL)
+def q_corpus_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain epoch expansion — the upsampling half of data mixing
+    (fractional epoch counts per source, the Pile's table-1 recipe;
+    Gao et al. 2020): integer part repeats every doc, fractional part
+    keeps an extra copy for a deterministic md5-fraction, factors < 1
+    subsample.  Library form: dedup/spans.epoch_expand — one row-local
+    sequence explode, ZERO shuffles (the oracle replays it with
+    generate_series).  Downstream placement of the emitted (doc,
+    epoch) copies is global_shuffle_order's job."""
+    from hadoop_20_warehouse_spark.dedup.spans import epoch_expand
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_expand(docs, _EPOCH_REPEATS)

@@ -4,6 +4,7 @@ plug-in contract between train_centroids and ivf_topk."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_spark.catalog import load_table
@@ -177,3 +178,33 @@ def test_mixture_sample_budget_bounds(spark):
         ordered = sorted(dom_rows, key=lambda r: r.start_off)
         for prev, nxt in zip(ordered, ordered[1:]):
             assert prev.start_off + prev.tok_len == nxt.start_off
+
+
+def test_epoch_expand_copy_semantics(spark):
+    """Integer factors repeat exactly; fractional factors keep the
+    md5-fraction within per-mille tolerance in expectation (here:
+    deterministic per-id, so just bound the share); factor < 1 drops
+    the complement; epochs number 0..n-1 densely."""
+    from hadoop_20_warehouse_spark.dedup.spans import epoch_expand
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_expand(
+        docs.withColumn("text", F.lit("x")), {"a": 3.0, "b": 0.5}
+    ).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    for (doc, src), epochs in per_doc.items():
+        assert sorted(epochs) == list(range(len(epochs)))
+        if src == "a":
+            assert len(epochs) == 3
+        elif src == "c":  # default 1 epoch
+            assert len(epochs) == 1
+        else:
+            assert len(epochs) == 1
+    n_b_in = sum(1 for _, s in rows if s == "b")
+    n_b_kept = sum(1 for (_, s) in per_doc if s == "b")
+    assert 0.3 * n_b_in < n_b_kept < 0.7 * n_b_in  # ~half survive
+    with pytest.raises(ValueError):
+        epoch_expand(docs, {"a": 0.0})
