@@ -257,3 +257,31 @@ def test_lang_id_is_pure_map(spark, sf_dir):
     df = QUERIES["text_lang_id"](spark, sf_dir)
     assert count_exchanges(df) == 0, physical_plan(df)
     assert not uses_python_row_eval(df)
+
+
+def test_epoch_expand_is_pure_map(spark, sf_dir):
+    """Epoch expansion is one row-local sequence explode over the
+    scan: zero exchanges, no Python row eval — output multiplies, the
+    plan does not shuffle."""
+    df = QUERIES["corpus_epoch_expand"](spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+    assert not uses_python_row_eval(df)
+
+
+def test_mixture_sample_windows_are_domain_sharded(spark, sf_dir):
+    """Domain-mixture sampling must never window over a bare domain
+    (the dominant domain of a real corpus would sort through one
+    partition): the corpus-side cumsum partitions by (domain, shard),
+    the only narrower window is the prefix sum over the domains x
+    shards offsets frame, and the offsets reach the corpus via
+    broadcast."""
+    df = QUERIES["corpus_mixture_sample"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert not uses_python_row_eval(df)
+    assert uses_broadcast_join(df), plan
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, plan
+    corpus_wins = [l for l in win_lines if "sum(tok_len" in l]
+    assert corpus_wins and all(
+        "windowspecdefinition(source" in l and "shard" in l for l in corpus_wins
+    ), f"corpus cumsum must partition by (domain, shard):\n{plan}"
