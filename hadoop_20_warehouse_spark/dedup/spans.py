@@ -147,13 +147,19 @@ def global_shuffle_order(
     docs: DataFrame,
     id_col: str = "doc_id",
     n_shards: int = 8,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic global training-order shuffle: assign every doc a
     dense ``global_pos`` (0..N-1) in pseudo-random order — equivalent
     to ``ROW_NUMBER() OVER (ORDER BY shard, md5(id), id) - 1`` —
     WITHOUT ever forming a corpus-wide window.
 
-    Output: (id_col, shard, global_pos).
+    Output: (id_col, *passthrough, shard, global_pos) —
+    ``passthrough`` columns ride through the rank window unchanged so
+    composed pipelines carry their payload WITHOUT a corpus-sized
+    re-join back to the input (a second reference to the upstream
+    frame re-evaluates its whole subtree unless it was persisted; see
+    pipeline_mix_place's plan test).
 
     Scale shape (the TotalOrderPartitioner idea,
     src/mapred/org/apache/hadoop/mapred/lib/TotalOrderPartitioner.java:40,
@@ -170,6 +176,7 @@ def global_shuffle_order(
 
     base = docs.select(
         id_col,
+        *passthrough,
         md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
         F.md5(F.col(id_col).cast("string")).alias("h"),
     )
@@ -184,6 +191,7 @@ def global_shuffle_order(
     )
     return ranked.join(F.broadcast(offsets.select("shard", "offset")), "shard").select(
         id_col,
+        *passthrough,
         "shard",
         (F.col("offset") + F.col("rn") - 1).cast("long").alias("global_pos"),
     )
@@ -344,6 +352,7 @@ def epoch_expand(
     repeats: dict[str, float],
     id_col: str = "doc_id",
     domain_col: str = "source",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic per-domain upsampling: emit ``ceil`` or ``floor``
     copies of every doc so each domain is repeated ``repeats[domain]``
@@ -355,7 +364,8 @@ def epoch_expand(
     ``md5_int64(id) % 1000 < round(f * 1000)`` — reproducible, no RNG,
     and at most per-mille rounding of the target factor.
 
-    Output: (id_col, domain_col, epoch) — one row per emitted copy,
+    Output: (id_col, domain_col, *passthrough, epoch) — one row per
+    emitted copy (``passthrough`` rides through the explode unchanged),
     ``epoch`` numbering a doc's copies from 0.  Domains absent from
     ``repeats`` default to 1 epoch.  A factor < 1 subsamples (docs
     outside the kept md5-fraction emit zero copies and drop out);
@@ -389,6 +399,7 @@ def epoch_expand(
     return docs.select(
         id_col,
         domain_col,
+        *passthrough,
         F.explode(
             F.when(n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1))
         ).alias("epoch"),

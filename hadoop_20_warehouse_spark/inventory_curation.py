@@ -1291,3 +1291,106 @@ def q_corpus_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return epoch_expand(docs, _EPOCH_REPEATS)
+
+
+# ===========================================================================
+# Composed mixing recipe: budget-fill -> epoch copies -> global placement
+# ===========================================================================
+
+_MIX_PLACE_SHARDS = 8
+
+_MIX_PLACE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {token_count_sql('text')} AS tok_len,
+         CAST({md5_bucket_sql("CAST(doc_id AS VARCHAR)", _MIX_SHARDS)} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+  WHERE source IN ({", ".join("'" + k + "'" for k in _MIX_BUDGETS)})
+),
+c AS (
+  SELECT doc_id, source, tok_len,
+         SUM(tok_len) OVER (PARTITION BY source ORDER BY shard, h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM d
+),
+mix AS (
+  SELECT doc_id, source, tok_len FROM c
+  WHERE start_off < CASE source {_MIX_CASE} END
+),
+sized AS (
+  SELECT doc_id, source, tok_len,
+         CASE source {_EPOCH_WHOLE_CASE} ELSE 1 END
+           + CASE WHEN (CASE source {_EPOCH_MILLE_CASE} ELSE 0 END)
+                  > {md5_int64_sql("CAST(doc_id AS VARCHAR)")} % 1000
+             THEN 1 ELSE 0 END AS n_copies
+  FROM mix
+),
+keyed AS (
+  SELECT doc_id, source, tok_len, CAST(i AS BIGINT) AS epoch,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS copy_key
+  FROM sized, UNNEST(generate_series(0, n_copies - 1)) AS u(i)
+)
+SELECT doc_id, source, epoch, tok_len,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY {md5_bucket_sql("copy_key", _MIX_PLACE_SHARDS)},
+                  md5(copy_key), copy_key) - 1 AS BIGINT) AS global_pos
+FROM keyed
+"""
+
+
+@register("pipeline_mix_place", oracle=_MIX_PLACE_SQL)
+def q_pipeline_mix_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing recipe composed end to end: exact token-budget
+    selection per source (mixture_sample) -> fractional epoch copies
+    (epoch_expand, on the SURVIVORS — rare kept domains get 2.4
+    epochs, one gets 40% subsampled) -> deterministic global training
+    order over the (doc, epoch) copies (global_shuffle_order keyed on
+    the composite copy key).  This is the "weight and place" half of
+    corpus assembly; corpus_export_roundtrip covers the "curate and
+    write" half with the same library forms.
+
+    Scale shape: composition adds ZERO joins — every stage carries
+    the next stage's payload via passthrough columns (tok_len through
+    the epoch explode, everything through the placement rank) — plus
+    ONE staging persist before placement (global_shuffle_order's rank
+    and counts passes would otherwise each re-run the mixture
+    subtree; column pruning gives them different projections, so
+    exchange reuse cannot deduplicate).  The naive composition
+    (re-join tok_len onto the copies, re-join positions onto the
+    payload, no persist) re-evaluated the mixture pipeline once per
+    reference — 23 exchanges and four parquet scans; now the cache
+    feeds both placement passes, with zero scans and <=5 exchanges
+    outside it (the plan test pins all three).  No stage sees a corpus-wide window or an
+    unkeyed shuffle; every intermediate is rows-proportional to the
+    RECIPE's output, not the raw corpus."""
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        epoch_expand,
+        global_shuffle_order,
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = mixture_sample(docs, _MIX_BUDGETS, n_shards=_MIX_SHARDS)
+    copies = epoch_expand(mix, _EPOCH_REPEATS, passthrough=("tok_len",))
+    # Staging persist: global_shuffle_order necessarily consumes its
+    # input twice (rank pass + per-shard counts — dense positions need
+    # the counts), and without a persist each consumer would re-run
+    # the whole mixture subtree (column pruning gives the two
+    # consumers different projections, so exchange reuse cannot kick
+    # in).  At 100 TB this is the staging checkpoint every placement
+    # job materializes; at sf0.01 it is 61 rows.
+    keyed = copies.withColumn(
+        "copy_key",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ),
+    ).persist()
+    placed = global_shuffle_order(
+        keyed,
+        id_col="copy_key",
+        n_shards=_MIX_PLACE_SHARDS,
+        passthrough=("doc_id", "source", "epoch", "tok_len"),
+    )
+    return placed.select("doc_id", "source", "epoch", "tok_len", "global_pos")

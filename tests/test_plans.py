@@ -285,3 +285,42 @@ def test_mixture_sample_windows_are_domain_sharded(spark, sf_dir):
     assert corpus_wins and all(
         "windowspecdefinition(source" in l and "shard" in l for l in corpus_wins
     ), f"corpus cumsum must partition by (domain, shard):\n{plan}"
+
+
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop every InMemoryRelation DEFINITION subtree from a plan
+    string: toString() reprints the cached plan under each consumer,
+    so naive node counting double-charges work that executes once."""
+    out, skip_col = [], None
+    for line in plan.splitlines():
+        pos = line.find("+- ")
+        if skip_col is not None:
+            if pos >= 0 and pos <= skip_col:
+                skip_col = None
+            else:
+                continue
+        if "InMemoryRelation" in line:
+            skip_col = pos
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def test_pipeline_mix_place_composes_without_recompute(spark, sf_dir):
+    """The composed mixing recipe must evaluate the mixture subtree
+    ONCE: payload rides passthrough columns (no re-joins), and the one
+    staging persist feeds BOTH of global_shuffle_order's passes (rank
+    + counts).  Outside the cache there must be no parquet re-scan and
+    only the placement exchanges; without the persist the mixture
+    pipeline re-ran once per consumer (23 exchanges, 4 scans)."""
+    df = QUERIES["pipeline_mix_place"](spark, sf_dir)
+    try:
+        assert not uses_python_row_eval(df)
+        plan = physical_plan(df)
+        outside = _strip_cached_subtrees(plan)
+        assert outside.count("InMemoryTableScan") == 2, outside
+        assert outside.count("FileScan") == 0, outside
+        n = outside.count("Exchange")
+        assert n <= 5, f"expected <=5 placement exchanges outside the cache, got {n}:\n{outside}"
+    finally:
+        spark.catalog.clearCache()
