@@ -358,3 +358,79 @@ def redact_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
         *T.pii_counts(F.col(text_col)),
         T.redact_pii(F.col(text_col)).alias("redacted_text"),
     )
+
+
+def budget_admit_stream(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "tok_len",
+    order_col: str = "order_key",
+):
+    """Online domain-budget admission — the STREAMING twin of
+    dedup/spans.mixture_sample: admit each arriving doc while its
+    domain's cumulative token count is still under budget, carrying
+    the running count across micro-batches in per-domain state
+    (applyInPandasWithState).  The batch fixpoint is mixture_sample
+    itself (sharded cumsum + broadcast offsets); this operator exists
+    for ingest-time admission where the corpus arrives as a stream and
+    the budget gate must decide immediately.
+
+    Determinism contract: admission is ORDER-SENSITIVE, so the caller
+    supplies ``order_col`` (any sortable key; mixture_sample's
+    canonical order is (shard, md5(id), id)) and the operator sorts
+    each micro-batch's rows by it.  When micro-batch boundaries
+    respect that order (a replay of a canonically-ordered log), the
+    admitted set is bit-identical to mixture_sample's — pinned by
+    tests/test_streaming.py.  Under arbitrary arrival order the
+    admitted set is arrival-prefix semantics, which is the point of an
+    online gate.
+
+    Output: (id_col, domain_col, weight_col, start_off) for ADMITTED
+    docs only; ``start_off`` is the domain's cumulative token count
+    before the doc.  State is ONE long per domain — O(domains), the
+    smallest possible streaming state."""
+    out_schema = (
+        f"{id_col} long, {domain_col} string, {weight_col} long, start_off long"
+    )
+    if not df.isStreaming:
+        raise ValueError(
+            "budget_admit_stream is the streaming path; the batch "
+            "fixpoint is dedup/spans.mixture_sample"
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ic, dc, wc, oc = id_col, domain_col, weight_col, order_col
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        used = state.get[0] if state.exists else 0
+        budget = budgets.get(key[0], 0)
+        out = {ic: [], dc: [], wc: [], "start_off": []}
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(oc).iterrows():
+                w = int(r[wc])
+                if used < budget:
+                    out[ic].append(int(r[ic]))
+                    out[dc].append(key[0])
+                    out[wc].append(w)
+                    out["start_off"].append(used)
+                used += w
+        state.update((used,))
+        if out[ic]:
+            yield _pd.DataFrame(out)
+
+    return (
+        df.filter(F.col(domain_col).isin(*budgets.keys()))
+        .groupBy(domain_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="used long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

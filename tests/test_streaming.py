@@ -240,3 +240,78 @@ def test_streaming_redaction_matches_batch(spark, tmp_path):
     # every row was actually redacted
     assert all("[EMAIL]" in v[3] and "[IP]" in v[3] and "[PHONE]" in v[3]
                for v in got.values())
+
+
+def test_streaming_budget_admission_matches_mixture(spark, tmp_path):
+    """Online budget admission over an ordered replay must reproduce
+    mixture_sample's admitted set EXACTLY, with the running count
+    carried across micro-batches (three single-file triggers, so the
+    crossing domain necessarily spans state updates)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.dedup.spans import mixture_sample
+    from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+    from hadoop_20_warehouse_spark.functions import text as T
+    from hadoop_20_warehouse_spark.streaming.windows import budget_admit_stream
+    from tests.conftest import SF_DIR
+
+    budgets = {"src0": 300, "src1": 150}
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        (r.doc_id, r.source): (r.tok_len, r.start_off)
+        for r in mixture_sample(docs, budgets, n_shards=4).collect()
+    }
+    assert want, "mixture must admit something at this budget"
+
+    # canonical replay: rows sorted by mixture's (shard, h, id) order,
+    # split into three consecutive slices = three micro-batches
+    staged = (
+        docs.select(
+            "doc_id",
+            "source",
+            T.token_count(F.col("text")).alias("tok_len"),
+            md5_bucket(F.col("doc_id"), 4).cast("long").alias("shard"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .withColumn(
+            "order_key",
+            F.concat_ws(
+                "#",
+                F.lpad(F.col("shard").cast("string"), 2, "0"),
+                "h",
+                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            ),
+        )
+        .select("doc_id", "source", "tok_len", "order_key")
+        .orderBy("order_key")
+        .toPandas()
+    )
+    src = str(tmp_path / "admit_stream")
+    os.makedirs(src)
+    n = len(staged)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        part = staged.iloc[lo : lo + (n + 2) // 3]
+        pq.write_table(pa.Table.from_pandas(part), f"{src}/b{i}.parquet")
+        time.sleep(0.05)
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, tok_len long, order_key string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        budget_admit_stream(stream, budgets)
+        .writeStream.format("memory")
+        .queryName("admitted_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.source): (r.tok_len, r.start_off)
+        for r in spark.sql("SELECT * FROM admitted_docs").collect()
+    }
+    assert got == want
