@@ -144,6 +144,9 @@ BENCH_QUERIES: dict[str, object] = {
     "inverted_index": QUERIES["inverted_index"],
     "stream_sessions": QUERIES["stream_sessions"],
     "stream_tumbling_hourly": QUERIES["stream_tumbling_hourly"],
+    # appended (not inserted) so the existing queries keep their
+    # in-sequence positions relative to their committed anchors
+    "pipeline_mix_place": QUERIES["pipeline_mix_place"],
 }
 
 
