@@ -404,3 +404,79 @@ def epoch_expand(
             F.when(n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1))
         ).alias("epoch"),
     )
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_w: int = 4,
+    max_docs: int = 2,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Frequency-threshold boilerplate removal: a ``chunk_w``-token
+    chunk that occurs in MORE THAN ``max_docs`` distinct docs is
+    boilerplate and is removed from EVERY doc — including the first
+    occurrence, which is the semantic difference from
+    :func:`exact_span_dedup` (dedup keeps one copy; boilerplate
+    killing keeps none).  CCNet scrubs paragraphs repeated across the
+    corpus this way (Wenzek et al. 2020 §3.1); with no line structure
+    in the driver corpus the unit is the same fixed token chunk the
+    span-dedup stage uses.
+
+    Output: (id_col, n_chunks, n_removed, clean_digest); with
+    ``keep_text=True`` also ``clean_text`` (surviving chunks joined in
+    position order).  Docs whose every chunk is boilerplate survive
+    with ``n_removed == n_chunks`` and an empty clean_text — they are
+    the signal a downstream gate drops.
+
+    Scale shape: doc-frequency is ``(chunk, id) distinct -> per-chunk
+    count`` — both keyed, both partial-aggregable, so a chunk pasted
+    into millions of docs combines map-side instead of hot-keying one
+    reducer.  The flag returns to the chunk stream via one chunk-keyed
+    LEFT join (null flag = keep); per-doc totals ride the explode as a
+    row-local column, so reassembly is ONE id-keyed agg.  No windows,
+    no all-pairs."""
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    chunked = toks.select(
+        id_col,
+        F.ceil(F.size("t") / chunk_w).cast("long").alias("n_chunks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / chunk_w).cast("int") - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * chunk_w + 1, chunk_w), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    boiler = (
+        chunked.select("chunk", id_col)
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    marked = chunked.join(boiler, "chunk", "left")
+    agged = marked.groupBy(id_col).agg(
+        F.first("n_chunks").alias("n_chunks"),
+        F.sum(F.coalesce(F.col("is_boiler").cast("int"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_boiler").isNull(), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    ).withColumn("clean_digest", F.md5("clean_text"))
+    cols = [id_col, "n_chunks", "n_removed", "clean_digest"]
+    if keep_text:
+        cols.append("clean_text")
+    return agged.select(*cols)

@@ -1394,3 +1394,56 @@ def q_pipeline_mix_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         passthrough=("doc_id", "source", "epoch", "tok_len"),
     )
     return placed.select("doc_id", "source", "epoch", "tok_len", "global_pos")
+
+
+# ===========================================================================
+# Boilerplate scrubbing (frequency-threshold chunk removal, CCNet-style)
+# ===========================================================================
+
+_BOILER_W = 4
+_BOILER_MAX_DOCS = 2
+
+_BOILER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+  WHERE len({T.tokens_sql('text')}) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(ceil(len(t) / {_BOILER_W}.0) AS BIGINT) AS n_chunks,
+         CAST(i AS BIGINT) AS pos,
+         array_to_string(t[(i*{_BOILER_W}+1):(i*{_BOILER_W}+{_BOILER_W})], ' ') AS chunk
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / {_BOILER_W}.0) AS BIGINT))) AS u(i)
+),
+freq AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+),
+marked AS (
+  SELECT c.doc_id, c.n_chunks, c.pos, c.chunk,
+         (f.nd > {_BOILER_MAX_DOCS}) AS is_boiler
+  FROM chunks c JOIN freq f ON c.chunk = f.chunk
+)
+SELECT doc_id,
+       CAST(MIN(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN chunk END,
+                               ' ' ORDER BY pos), '')) AS clean_digest
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register("text_boilerplate_scrub", oracle=_BOILER_SQL)
+def q_text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020 §3.1):
+    chunks occurring in more than {max_docs} distinct docs are removed
+    from EVERY doc — the keep-none counterpart of dedup_paragraph_
+    exact's keep-first.  Library form: dedup/spans.boilerplate_scrub
+    (keyed partial-aggregable doc-frequency + one chunk-keyed left
+    join; totals ride the explode row-locally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from hadoop_20_warehouse_spark.dedup.spans import boilerplate_scrub
+
+    return boilerplate_scrub(
+        docs, chunk_w=_BOILER_W, max_docs=_BOILER_MAX_DOCS
+    )

@@ -208,3 +208,27 @@ def test_epoch_expand_copy_semantics(spark):
     assert 0.3 * n_b_in < n_b_kept < 0.7 * n_b_in  # ~half survive
     with pytest.raises(ValueError):
         epoch_expand(docs, {"a": 0.0})
+
+
+def test_boilerplate_scrub_kills_every_copy(spark):
+    """The threshold semantics vs span dedup: a chunk in more than
+    max_docs docs disappears from ALL of them (first occurrence
+    included); rarer chunks survive everywhere; a doc that is pure
+    boilerplate survives as a row with n_removed == n_chunks."""
+    from hadoop_20_warehouse_spark.dedup.spans import boilerplate_scrub
+
+    common = "the quick brown fox"
+    rows = (
+        [(i, f"{common} uniq{i} a b c") for i in range(4)]  # common in 4 docs
+        + [(10, "rare pair chunk here extra words too"),
+           (11, "rare pair chunk here other tail words"),   # shared by only 2
+           (12, common)]                                    # pure boilerplate
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_scrub(
+        docs, chunk_w=4, max_docs=2, keep_text=True).collect()}
+    for i in range(4):
+        assert out[i].n_removed == 1 and common not in out[i].clean_text
+    assert out[10].n_removed == 0 and out[11].n_removed == 0
+    assert out[12].n_removed == out[12].n_chunks == 1
+    assert out[12].clean_text == ""
