@@ -19,6 +19,36 @@ from hadoop_20_warehouse_spark.functions import text as T
 from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
 
 
+def _chunked(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_w: int,
+    with_total: bool = False,
+) -> DataFrame:
+    """Shared tokenize-and-chunk stage: (id_col, [n_chunks,] pos,
+    chunk) with ``chunk_w``-token chunks in position order, zero-token
+    docs dropped.  The chunk recipe (1-based slice offsets,
+    ceil(size/w), space join) is cross-engine-sensitive — every
+    chunk-consuming op and its DuckDB oracle must agree on it, so it
+    lives HERE once."""
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    cols = [F.col(id_col)]
+    if with_total:
+        cols.append(F.ceil(F.size("t") / chunk_w).cast("long").alias("n_chunks"))
+    return toks.select(
+        *cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / chunk_w).cast("int") - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * chunk_w + 1, chunk_w), " "),
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
 def exact_span_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -44,18 +74,7 @@ def exact_span_dedup(
     partition (deliberately NOT row_number-over-chunk, which has no
     skew escape).  Then one chunk-keyed equi-join marks keepers and one
     id-keyed agg reassembles.  All shuffles keyed; no all-pairs."""
-    toks = docs.select(
-        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
-    ).filter(F.size("t") > 0)
-    chunked = toks.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.ceil(F.size("t") / chunk_w).cast("int") - 1),
-                lambda i: F.array_join(F.slice(F.col("t"), i * chunk_w + 1, chunk_w), " "),
-            )
-        ).alias("pos", "chunk"),
-    ).withColumn("pos", F.col("pos").cast("long"))
+    chunked = _chunked(docs, id_col, text_col, chunk_w)
     firsts = chunked.groupBy("chunk").agg(
         F.min(F.struct(id_col, "pos")).alias("first_occ")
     )
@@ -437,19 +456,7 @@ def boilerplate_scrub(
     LEFT join (null flag = keep); per-doc totals ride the explode as a
     row-local column, so reassembly is ONE id-keyed agg.  No windows,
     no all-pairs."""
-    toks = docs.select(
-        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
-    ).filter(F.size("t") > 0)
-    chunked = toks.select(
-        id_col,
-        F.ceil(F.size("t") / chunk_w).cast("long").alias("n_chunks"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.ceil(F.size("t") / chunk_w).cast("int") - 1),
-                lambda i: F.array_join(F.slice(F.col("t"), i * chunk_w + 1, chunk_w), " "),
-            )
-        ).alias("pos", "chunk"),
-    )
+    chunked = _chunked(docs, id_col, text_col, chunk_w, with_total=True)
     boiler = (
         chunked.select("chunk", id_col)
         .distinct()

@@ -906,6 +906,27 @@ FROM packed
 """
 
 
+def _curated_gated(spark: SparkSession, sf_dir: str, keep_stats: bool = False) -> DataFrame:
+    """Engine-side twin of _CURATE_GATED_CTES: redact -> C4 span-dedup
+    -> integer quality gate.  BOTH composed pipelines (curate_pack,
+    export_roundtrip) build their curated corpus HERE, so a gate or
+    dedup change provably reaches both (their oracles already share
+    the CTE text).  Returns (doc_id, [n_chunks, n_removed,] text)."""
+    from hadoop_20_warehouse_spark.dedup.spans import exact_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select("doc_id", T.redact_pii(_pii_augment()).alias("text"))
+    deduped = exact_span_dedup(red, chunk_w=_PARA_W, keep_text=True)
+    gated = deduped.filter(
+        (T.token_count(F.col("kept_text")) >= _CURATE_MIN_TOKENS)
+        & (F.col("n_removed") * 2 < F.col("n_chunks"))
+    )
+    cols = ["doc_id"]
+    if keep_stats:
+        cols += ["n_chunks", "n_removed"]
+    return gated.select(*cols, F.col("kept_text").alias("text"))
+
+
 @register("pipeline_curate_pack", oracle=_CURATE_SQL)
 def q_pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline as ONE query, chained through the
@@ -928,20 +949,9 @@ def q_pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows per md5 shard.  The stats passthrough in pack avoids a
     second corpus-sized join — the pipeline adds ZERO operators beyond
     its stages."""
-    from hadoop_20_warehouse_spark.dedup.spans import (
-        exact_span_dedup,
-        pack_token_budget,
-    )
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget
 
-    docs = load_table(spark, sf_dir, "documents")
-    red = docs.select(
-        "doc_id", T.redact_pii(_pii_augment()).alias("text")
-    )
-    deduped = exact_span_dedup(red, chunk_w=_PARA_W, keep_text=True)
-    gated = deduped.filter(
-        (T.token_count(F.col("kept_text")) >= _CURATE_MIN_TOKENS)
-        & (F.col("n_removed") * 2 < F.col("n_chunks"))
-    ).select("doc_id", "n_chunks", "n_removed", F.col("kept_text").alias("text"))
+    gated = _curated_gated(spark, sf_dir, keep_stats=True)
     return pack_token_budget(
         gated,
         budget=_PACK_BUDGET,
@@ -986,6 +996,40 @@ def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-budget packing WITH splitting (strict-budget variant)
 # ===========================================================================
 
+def _split_pack_ctes(src: str) -> str:
+    """The strict-budget split CTE chain over ``src`` (must provide
+    doc_id, shard, tok_len, h) -> defines ``slices`` (doc_id, shard,
+    tok_len, batch_id, slice_id, batch_offset, slice_len).  The
+    boundary arithmetic (tok_len=0 degenerate batch, floor-div
+    crossing computation) must stay in lockstep with
+    dedup/spans.pack_token_budget_split, so every oracle that needs it
+    builds it HERE — the same single-source rule _CURATE_GATED_CTES
+    applies to the curation prefix."""
+    return f"""c_split AS (
+  SELECT doc_id, shard, tok_len,
+         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM {src}
+),
+s_split AS (
+  SELECT doc_id, shard, tok_len, start_off,
+         CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS first_b,
+         CAST(CASE WHEN tok_len = 0 THEN start_off // {_PACK_BUDGET}
+              ELSE (start_off + tok_len - 1) // {_PACK_BUDGET} END AS BIGINT) AS last_b
+  FROM c_split
+),
+slices AS (
+  SELECT doc_id, shard, tok_len,
+         CAST(i AS BIGINT) AS batch_id,
+         CAST(i - first_b AS BIGINT) AS slice_id,
+         CAST(GREATEST(start_off, i*{_PACK_BUDGET}) - i*{_PACK_BUDGET} AS BIGINT) AS batch_offset,
+         CAST(LEAST(start_off + tok_len, (i+1)*{_PACK_BUDGET})
+              - GREATEST(start_off, i*{_PACK_BUDGET}) AS BIGINT) AS slice_len
+  FROM s_split, UNNEST(generate_series(first_b, last_b)) AS u(i)
+)"""
+
+
 _PACK_SPLIT_SQL = f"""
 WITH d AS (
   SELECT doc_id,
@@ -994,27 +1038,9 @@ WITH d AS (
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ),
-c AS (
-  SELECT doc_id, shard, tok_len,
-         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - tok_len AS start_off
-  FROM d
-),
-s AS (
-  SELECT doc_id, shard, tok_len, start_off,
-         CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS first_b,
-         CAST(CASE WHEN tok_len = 0 THEN start_off // {_PACK_BUDGET}
-              ELSE (start_off + tok_len - 1) // {_PACK_BUDGET} END AS BIGINT) AS last_b
-  FROM c
-)
-SELECT doc_id, shard, tok_len,
-       CAST(i AS BIGINT) AS batch_id,
-       CAST(i - first_b AS BIGINT) AS slice_id,
-       CAST(GREATEST(start_off, i*{_PACK_BUDGET}) - i*{_PACK_BUDGET} AS BIGINT) AS batch_offset,
-       CAST(LEAST(start_off + tok_len, (i+1)*{_PACK_BUDGET})
-            - GREATEST(start_off, i*{_PACK_BUDGET}) AS BIGINT) AS slice_len
-FROM s, UNNEST(generate_series(first_b, last_b)) AS u(i)
+{_split_pack_ctes("d")}
+SELECT doc_id, shard, tok_len, batch_id, slice_id, batch_offset, slice_len
+FROM slices
 """
 
 
@@ -1061,29 +1087,7 @@ shuffled AS (
          CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) - 1 AS BIGINT) AS global_pos
   FROM sharded
 ),
-c AS (
-  SELECT doc_id, shard, tok_len,
-         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - tok_len AS start_off
-  FROM sharded
-),
-s AS (
-  SELECT doc_id, shard, tok_len, start_off,
-         CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS first_b,
-         CAST(CASE WHEN tok_len = 0 THEN start_off // {_PACK_BUDGET}
-              ELSE (start_off + tok_len - 1) // {_PACK_BUDGET} END AS BIGINT) AS last_b
-  FROM c
-),
-slices AS (
-  SELECT doc_id, shard,
-         CAST(i AS BIGINT) AS batch_id,
-         CAST(i - first_b AS BIGINT) AS slice_id,
-         CAST(GREATEST(start_off, i*{_PACK_BUDGET}) - i*{_PACK_BUDGET} AS BIGINT) AS batch_offset,
-         CAST(LEAST(start_off + tok_len, (i+1)*{_PACK_BUDGET})
-              - GREATEST(start_off, i*{_PACK_BUDGET}) AS BIGINT) AS slice_len
-  FROM s, UNNEST(generate_series(first_b, last_b)) AS u(i)
-),
+{_split_pack_ctes("sharded")},
 export AS (
   SELECT sl.doc_id, sl.shard, sl.batch_id, sl.slice_id, sl.batch_offset,
          sl.slice_len, sh.global_pos
@@ -1130,7 +1134,6 @@ def q_corpus_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write whose fan-out is exactly n_shards dirs.  The readback digest
     is one keyed agg over the written files."""
     from hadoop_20_warehouse_spark.dedup.spans import (
-        exact_span_dedup,
         global_shuffle_order,
         pack_token_budget_split,
     )
@@ -1140,17 +1143,7 @@ def q_corpus_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch_dir,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    red = docs.select("doc_id", T.redact_pii(_pii_augment()).alias("text"))
-    deduped = exact_span_dedup(red, chunk_w=_PARA_W, keep_text=True)
-    gated = (
-        deduped.filter(
-            (T.token_count(F.col("kept_text")) >= _CURATE_MIN_TOKENS)
-            & (F.col("n_removed") * 2 < F.col("n_chunks"))
-        )
-        .select("doc_id", F.col("kept_text").alias("text"))
-        .persist()
-    )
+    gated = _curated_gated(spark, sf_dir).persist()
     try:
         order = global_shuffle_order(gated, n_shards=_PACK_SHARDS).select(
             "doc_id", "global_pos"

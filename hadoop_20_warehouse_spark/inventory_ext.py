@@ -1138,7 +1138,7 @@ def q_recordio_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "recordio_csv_roundtrip",
     oracle="""
-SELECT doc_id, lang,
+SELECT doc_id, COALESCE(lang, '') AS lang,
        CAST(LENGTH(COALESCE(text, '')) AS BIGINT) AS text_chars,
        md5(COALESCE(text, '')) AS digest
 FROM documents

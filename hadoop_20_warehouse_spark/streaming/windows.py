@@ -380,7 +380,9 @@ def budget_admit_stream(
     Determinism contract: admission is ORDER-SENSITIVE, so the caller
     supplies ``order_col`` (any sortable key; mixture_sample's
     canonical order is (shard, md5(id), id)) and the operator sorts
-    each micro-batch's rows by it.  When micro-batch boundaries
+    the WHOLE micro-batch group by it in one pass (the runtime
+    delivers the group as multiple Arrow chunks; sorting per chunk
+    would interleave).  When micro-batch boundaries
     respect that order (a replay of a canonically-ordered log), the
     admitted set is bit-identical to mixture_sample's — pinned by
     tests/test_streaming.py.  Under arbitrary arrival order the
@@ -391,8 +393,13 @@ def budget_admit_stream(
     docs only; ``start_off`` is the domain's cumulative token count
     before the doc.  State is ONE long per domain — O(domains), the
     smallest possible streaming state."""
+    # output types follow the input schema (ids are often strings —
+    # URLs, content hashes — not just longs)
+    id_t = df.schema[id_col].dataType.simpleString()
+    w_t = df.schema[weight_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, {domain_col} string, {weight_col} long, start_off long"
+        f"{id_col} {id_t}, {domain_col} string, {weight_col} {w_t}, "
+        "start_off long"
     )
     if not df.isStreaming:
         raise ValueError(
@@ -409,19 +416,26 @@ def budget_admit_stream(
 
         used = state.get[0] if state.exists else 0
         budget = budgets.get(key[0], 0)
-        out = {ic: [], dc: [], wc: [], "start_off": []}
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(oc).iterrows():
-                w = int(r[wc])
-                if used < budget:
-                    out[ic].append(int(r[ic]))
-                    out[dc].append(key[0])
-                    out[wc].append(w)
-                    out["start_off"].append(used)
-                used += w
+        # ONE sort over the whole micro-batch group: the runtime hands
+        # the group as an iterator of Arrow chunks (split at
+        # maxRecordsPerBatch and across shuffle-fetch order), and
+        # chunk-wise sorting would interleave out of order for any
+        # group larger than one chunk.
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(oc, ignore_index=True)
+            w = pdf[wc].astype("int64")
+            start = used + w.cumsum().shift(fill_value=0)
+            mask = start < budget
+            used += int(w.sum())
+            if mask.any():
+                out = pdf.loc[mask, [ic, wc]].copy()
+                out.insert(1, dc, key[0])
+                out["start_off"] = start[mask].astype("int64")
+                state.update((used,))
+                yield out
+                return
         state.update((used,))
-        if out[ic]:
-            yield _pd.DataFrame(out)
 
     return (
         df.filter(F.col(domain_col).isin(*budgets.keys()))

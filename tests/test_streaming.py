@@ -302,14 +302,22 @@ def test_streaming_budget_admission_matches_mixture(spark, tmp_path):
     stream = spark.readStream.schema(
         "doc_id long, source string, tok_len long, order_key string"
     ).option("maxFilesPerTrigger", 1).parquet(src)
-    q = (
-        budget_admit_stream(stream, budgets)
-        .writeStream.format("memory")
-        .queryName("admitted_docs")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # force each group to arrive as MULTIPLE small Arrow chunks: the
+    # operator must sort the whole group once, not per chunk (chunk-
+    # wise sorting interleaves and silently mis-admits)
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = (
+            budget_admit_stream(stream, budgets)
+            .writeStream.format("memory")
+            .queryName("admitted_docs")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
     got = {
         (r.doc_id, r.source): (r.tok_len, r.start_off)
         for r in spark.sql("SELECT * FROM admitted_docs").collect()
