@@ -1178,3 +1178,55 @@ def q_recordio_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("text_chars"),
         F.md5(F.col("text").cast("binary")).alias("digest"),
     )
+
+
+@register(
+    "jsonl_gzip_roundtrip",
+    oracle="""
+SELECT doc_id, COALESCE(lang, '') AS lang,
+       md5(COALESCE(text, '')) AS digest
+FROM documents
+""",
+)
+def q_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL-over-gzip round-trip — TextOutputFormat plus the
+    compression-codec lookup (mapred/TextOutputFormat.java:47 wraps
+    the stream in the configured codec; mapred/TextInputFormat.java:40
+    picks the decompressor by extension), carried to the format modern
+    corpus pipelines actually interchange: one JSON object per line.
+    Docs serialize with ``to_json``, write as gzip text (codec chosen
+    by option, exactly the reference's pluggable-codec seam), read
+    back with automatic by-extension decompression, and re-parse with
+    ``from_json``.  The oracle digests the ORIGINAL table — a
+    hash-match proves serialization, compression, splitting, and
+    parsing are jointly lossless.  Gzip files are NOT splittable (one
+    task per file — the same constraint the reference documents for
+    compressed text); the writer's partition count is the read
+    parallelism, and a real deployment picks a splittable codec or
+    sizes files to the partition target."""
+    import glob as _glob
+
+    from hadoop_20_warehouse_spark.sources.io import read_text, write_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    path = _fresh_subdir(_scratch_dir("jsonl"), "docs")
+    write_text(
+        docs.select(F.to_json(F.struct("doc_id", "lang", "text")).alias("value")),
+        path,
+        compression="gzip",
+    )
+    assert _glob.glob(os.path.join(path, "*.gz")), "expected gzip part files"
+    parsed = read_text(spark, path).select(
+        F.from_json(
+            "value", "doc_id long, lang string, text string"
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.md5(F.col("r.text").cast("binary")).alias("digest"),
+    )
