@@ -396,14 +396,34 @@ def write_record_binary(df: DataFrame, path: str, schema: T.StructType) -> int:
 
 
 def read_record_binary(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Binary-record files -> DataFrame[schema].  One task per file
     (the format has no sync markers, so files are the split unit —
-    same contract as the reference's isSplitable=false readers)."""
-    rdd = spark.sparkContext.binaryFiles(path).flatMap(
-        lambda kv: decode_records_binary(kv[1], schema)
-    )
+    same contract as the reference's isSplitable=false readers).
+
+    ``skip_corrupt=True`` drops an undecodable file WHOLE and keeps
+    reading (the file is the failure unit, matching parquet's
+    ``ignoreCorruptFiles`` and the spirit of SkipBadRecords,
+    mapred/SkipBadRecords.java:31 — a torn write loses one part file,
+    not the job); all-or-nothing per file, so a truncated tail never
+    yields a partial prefix of its records.  Default is fail-loud with
+    the file named."""
+
+    def _decode(kv):
+        fname, blob = kv
+        try:
+            rows = list(decode_records_binary(blob, schema))
+        except Exception as e:
+            if skip_corrupt:
+                return
+            raise ValueError(f"corrupt record-I/O file {fname}") from e
+        yield from rows
+
+    rdd = spark.sparkContext.binaryFiles(path).flatMap(_decode)
     return spark.createDataFrame(rdd, schema)
 
 

@@ -179,3 +179,36 @@ def test_spark_csv_file_roundtrip(spark, tmp_path):
     assert sorted((r.asDict(True) for r in back.collect()), key=key) == sorted(
         (r.asDict(True) for r in df.collect()), key=key
     )
+
+
+def test_binary_reader_corrupt_file_skipping(spark, tmp_path):
+    """skip_corrupt drops the truncated file WHOLE (no partial prefix
+    of its records) and keeps every intact file; the default read
+    fails loudly naming the file."""
+    import glob
+    import os
+
+    import py4j.protocol
+
+    df = _sample_df(spark).repartition(3)
+    path = str(tmp_path / "bin")
+    write_record_binary(df, path, SIMPLE)
+    parts = sorted(glob.glob(os.path.join(path, "part-*.rec")))
+    assert len(parts) >= 2
+    victim = parts[0]
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as fh:
+        fh.truncate(max(1, size - 3))  # tear mid-record
+
+    want = set()
+    for intact in parts[1:]:
+        with open(intact, "rb") as fh:
+            want |= {r[0] for r in decode_records_binary(fh.read(), SIMPLE)}
+    assert want and len(want) < 3  # the victim held at least one record
+
+    got = {r.k for r in
+           read_record_binary(spark, path, SIMPLE, skip_corrupt=True).collect()}
+    assert got == want  # victim dropped whole, every intact file kept
+
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        read_record_binary(spark, path, SIMPLE).collect()
