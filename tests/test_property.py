@@ -400,3 +400,103 @@ def test_pack_token_split_fills_batches_exactly(spark):
             assert tot <= budget
         else:
             assert tot == budget, f"shard {shard} batch {b}: {tot}"
+
+
+def test_mixture_sample_matches_python_reference(spark):
+    """dedup/spans.mixture_sample vs a straightforward Python model of
+    the greedy fill: per domain, order docs by (md5 shard, md5 hex,
+    id), keep while the cumulative token count BEFORE the doc is under
+    budget. Synthetic corpus with skewed domains, empty docs, and a
+    budget landing mid-doc."""
+    import hashlib
+
+    from hadoop_20_warehouse_spark.dedup.spans import mixture_sample
+
+    rng = random.Random(1123)
+    domains = ["web", "web", "web", "books", "code"]  # skewed mix
+    rows = [
+        (i, rng.choice(domains), " ".join("tok" for _ in range(rng.randint(0, 9))))
+        for i in range(120)
+    ]
+    budgets = {"web": 97, "books": 10_000, "niche": 5}
+    shards = 4
+
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    def shard(i):
+        return int(h(i)[:15], 16) % shards
+
+    expected = {}
+    for dom, budget in budgets.items():
+        members = sorted(
+            (r for r in rows if r[1] == dom),
+            key=lambda r: (shard(r[0]), h(r[0]), r[0]),
+        )
+        used = 0
+        for doc_id, _, text in members:
+            w = len(text.split())
+            if used < budget:
+                expected[doc_id] = (dom, w, used)
+            used += w
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["source"], r["tok_len"], r["start_off"])
+        for r in mixture_sample(df, budgets, n_shards=shards).collect()
+    }
+    assert got == expected
+    # the corpus must exercise the interesting regimes
+    kept_web = sum(v[1] for v in expected.values() if v[0] == "web")
+    assert kept_web >= 97  # web filled past its budget (crossing doc kept)
+    assert any(v[0] == "books" for v in expected.values())  # under-budget domain all kept
+    assert len(got) < len(rows)  # and something was actually excluded
+
+
+def test_boilerplate_scrub_matches_python_reference(spark):
+    """dedup/spans.boilerplate_scrub vs a Python model: chunks in more
+    than max_docs distinct docs are removed from every doc; digest is
+    over surviving chunks in position order."""
+    import hashlib
+    import math
+
+    from hadoop_20_warehouse_spark.dedup.spans import boilerplate_scrub
+
+    rng = random.Random(907)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+        for i in range(70)
+    ]
+    w, k = 2, 3
+
+    freq: dict[str, set[int]] = {}
+    chunked = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        if not toks:
+            continue
+        chunks = [
+            " ".join(toks[j * w : j * w + w])
+            for j in range(math.ceil(len(toks) / w))
+        ]
+        chunked[doc_id] = chunks
+        for c in set(chunks):
+            freq.setdefault(c, set()).add(doc_id)
+    boiler = {c for c, docs in freq.items() if len(docs) > k}
+    expected = {}
+    for doc_id, chunks in chunked.items():
+        kept = [c for c in chunks if c not in boiler]
+        expected[doc_id] = (
+            len(chunks),
+            len(chunks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["clean_digest"])
+        for r in boilerplate_scrub(df, chunk_w=w, max_docs=k).collect()
+    }
+    assert got == expected
+    assert sum(v[1] for v in expected.values()) > 0  # scrub actually fired
