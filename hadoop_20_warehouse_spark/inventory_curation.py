@@ -1347,15 +1347,16 @@ def q_pipeline_mix_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: composition adds ZERO joins — every stage carries
     the next stage's payload via passthrough columns (tok_len through
     the epoch explode, everything through the placement rank) — plus
-    ONE staging persist before placement (global_shuffle_order's rank
-    and counts passes would otherwise each re-run the mixture
-    subtree; column pruning gives them different projections, so
-    exchange reuse cannot deduplicate).  The naive composition
-    (re-join tok_len onto the copies, re-join positions onto the
-    payload, no persist) re-evaluated the mixture pipeline once per
-    reference — 23 exchanges and four parquet scans; now the cache
-    feeds both placement passes, with zero scans and <=5 exchanges
-    outside it (the plan test pins all three).  No stage sees a corpus-wide window or an
+    ONE parquet staging checkpoint before placement
+    (global_shuffle_order's rank and counts passes would otherwise
+    each re-run the mixture subtree; column pruning gives them
+    different projections, so exchange reuse cannot deduplicate).
+    The naive composition (re-join tok_len onto the copies, re-join
+    positions onto the payload, no staging) re-evaluated the mixture
+    pipeline once per reference — 23 exchanges and four raw-table
+    scans; now the staged parquet feeds both placement passes, with
+    no raw-table re-scan and <=5 exchanges downstream (the plan test
+    pins all three).  No stage sees a corpus-wide window or an
     unkeyed shuffle; every intermediate is rows-proportional to the
     RECIPE's output, not the raw corpus."""
     from hadoop_20_warehouse_spark.dedup.spans import (
@@ -1364,24 +1365,38 @@ def q_pipeline_mix_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixture_sample,
     )
 
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     mix = mixture_sample(docs, _MIX_BUDGETS, n_shards=_MIX_SHARDS)
     copies = epoch_expand(mix, _EPOCH_REPEATS, passthrough=("tok_len",))
-    # Staging persist: global_shuffle_order necessarily consumes its
-    # input twice (rank pass + per-shard counts — dense positions need
-    # the counts), and without a persist each consumer would re-run
+    # Staging checkpoint: global_shuffle_order necessarily consumes
+    # its input twice (rank pass + per-shard counts — dense positions
+    # need the counts), and without staging each consumer would re-run
     # the whole mixture subtree (column pruning gives the two
     # consumers different projections, so exchange reuse cannot kick
-    # in).  At 100 TB this is the staging checkpoint every placement
-    # job materializes; at sf0.01 it is 61 rows.
+    # in; the naive form re-ran the mixture per consumer — 23
+    # exchanges, 4 raw-table scans).  Materialized to PARQUET, not
+    # persist(): this is exactly the staging checkpoint a 100 TB
+    # placement job writes (executor memory holds no corpus-sized
+    # cache), and unlike a persist there is nothing to leak — r6 held
+    # the cache past return because the lazy consumer still needed it,
+    # accumulating cached frames across invocations in a long-lived
+    # session (ADVICE r6).  Disk is bounded: _fresh_subdir pre-deletes
+    # the previous invocation's copy.
     keyed = copies.withColumn(
         "copy_key",
         F.concat_ws(
             "#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
         ),
-    ).persist()
+    )
+    staged = _fresh_subdir(_scratch_dir("mix_place"), "staged")
+    keyed.write.parquet(staged)
     placed = global_shuffle_order(
-        keyed,
+        spark.read.parquet(staged),
         id_col="copy_key",
         n_shards=_MIX_PLACE_SHARDS,
         passthrough=("doc_id", "source", "epoch", "tok_len"),

@@ -1181,6 +1181,66 @@ def q_recordio_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recordio_xml_roundtrip",
+    oracle="""
+SELECT doc_id, COALESCE(lang, '') AS lang,
+       CAST(LENGTH(COALESCE(text, '')) AS BIGINT) AS text_chars,
+       md5(COALESCE(text, '')) AS digest,
+       CAST(doc_id + doc_id * 2 + 1 AS BIGINT) AS mark_sum
+FROM documents
+""",
+)
+def q_recordio_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record I/O XML wire-format round-trip — the third codec of the
+    reference's triple (record/XmlRecordOutput.java:144-246,
+    XmlRecordInput.java:63-243; escaping record/Utils.java:44-101):
+    serialize each document as an XML record — vlong id, ustring lang,
+    ustring text through the &lt;/&amp;/%XXXX escape alphabet, plus a
+    vector<long> exercising the compound envelope — one document per
+    record, read back through the schema-order-driven value-list
+    decoder, then digest the text.  The oracle digests the ORIGINAL
+    table: a hash-match proves the XML escape/unescape cycle preserved
+    every character of free text (documents contain '<', '&', '%',
+    newlines, and non-ASCII — everything the alphabet covers), and
+    mark_sum proves vector elements survive the bare-<value> envelope.
+
+    Documents span lines, so like the binary format the file is the
+    split unit (one task per file, isSplitable=false contract); the
+    writer's partition count is the read parallelism."""
+    from hadoop_20_warehouse_spark.sources.recordio import (
+        read_record_xml,
+        write_record_xml,
+    )
+    from hadoop_20_warehouse_spark.types import parse_record_ddl
+
+    schema = parse_record_ddl(
+        "class DocX { long doc_id; ustring lang; ustring text; "
+        "vector<long> marks; }"
+    )["DocX"]
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.array(
+            F.col("doc_id").cast("long"),
+            (F.col("doc_id") * 2 + 1).cast("long"),
+        ).alias("marks"),
+    )
+    path = _fresh_subdir(_scratch_dir("recxml"), "docs")
+    write_record_xml(docs, path, schema)
+    back = read_record_xml(spark, path, schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("text_chars"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.aggregate(
+            "marks", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("mark_sum"),
+    )
+
+
+@register(
     "jsonl_gzip_roundtrip",
     oracle="""
 SELECT doc_id, COALESCE(lang, '') AS lang,

@@ -1,4 +1,4 @@
-"""Hadoop Record I/O wire formats: binary and CSV readers/writers.
+"""Hadoop Record I/O wire formats: binary, CSV, and XML readers/writers.
 
 The reference ships a DDL + compiler ("rcc") whose generated record
 classes serialize through pluggable RecordOutput/RecordInput backends
@@ -38,11 +38,16 @@ CSV format (record/CsvRecordOutput.java:57-140, Utils.java:108-240):
     (map entries flatten to k,v,k,v — each write emits
     comma-unless-first, CsvRecordOutput.java:41-46)
 
-Neither format is splittable (no sync markers — unlike SequenceFile),
-so the file is the parallelism unit: the writers emit one file per
-partition and the readers schedule one task per file, exactly the
-reference's FileInputFormat-with-isSplitable=false contract.  These
-are interop boundaries, not hot paths — native tables are parquet.
+XML format (record/XmlRecordOutput.java, XmlRecordInput.java): one
+XML-RPC-flavored document per record — see the XML section below for
+the full element/escaping spec.
+
+Neither the binary nor the XML format is splittable (no sync markers /
+multi-line documents), so for those the file is the parallelism unit:
+the writers emit one file per partition and the readers schedule one
+task per file, exactly the reference's
+FileInputFormat-with-isSplitable=false contract.  These are interop
+boundaries, not hot paths — native tables are parquet.
 
 Record I/O has no null: every field of every record is always written
 (the generated classes hold primitives/empty collections).  The
@@ -52,6 +57,7 @@ encoders therefore REJECT None — callers coalesce first.
 from __future__ import annotations
 
 import os
+import re
 import struct
 from typing import Any, Iterator
 
@@ -138,10 +144,29 @@ def _bin_encode(val: Any, dtype: T.DataType, buf: bytearray) -> None:
             _bin_encode(k, dtype.keyType, buf)
             _bin_encode(v, dtype.valueType, buf)
     elif isinstance(dtype, T.StructType):
-        for f, x in zip(dtype.fields, val):
+        # strict: the binary format has no record framing, so one
+        # silently-truncated row would corrupt every record after it
+        # in the stream undetectably (ADVICE r6)
+        for f, x in zip(dtype.fields, val, strict=True):
             _bin_encode(x, f.dataType, buf)
     else:
         raise TypeError(f"unsupported Record I/O type: {dtype}")
+
+
+def _check_payload(b, pos: int, n: int) -> None:
+    """Fail loudly when a vint-declared payload overruns the buffer.
+
+    Python slicing silently returns fewer bytes than asked, so without
+    this a file truncated mid-payload of a trailing string/buffer field
+    would decode to a shortened value and be ACCEPTED — defeating the
+    module's all-or-nothing corrupt-file contract for exactly the torn
+    write it exists to catch (fixed-width fields already fail via
+    struct.unpack_from; ADVICE r6)."""
+    if n < 0 or pos + n > len(b):
+        raise ValueError(
+            f"record payload of {n} bytes overruns buffer at offset {pos} "
+            f"(have {len(b) - pos})"
+        )
 
 
 def _bin_decode(b, pos: int, dtype: T.DataType) -> tuple[Any, int]:
@@ -158,9 +183,11 @@ def _bin_decode(b, pos: int, dtype: T.DataType) -> tuple[Any, int]:
         return struct.unpack_from(">d", b, pos)[0], pos + 8
     if isinstance(dtype, T.StringType):
         n, pos = read_vlong(b, pos)
+        _check_payload(b, pos, n)
         return bytes(b[pos : pos + n]).decode("utf-8"), pos + n
     if isinstance(dtype, T.BinaryType):
         n, pos = read_vlong(b, pos)
+        _check_payload(b, pos, n)
         return bytes(b[pos : pos + n]), pos + n
     if isinstance(dtype, T.ArrayType):
         n, pos = read_vlong(b, pos)
@@ -206,6 +233,22 @@ def decode_records_binary(blob: bytes, schema: T.StructType) -> Iterator[tuple]:
 # CSV record codec
 # --------------------------------------------------------------------------
 
+def _float_text(x: float) -> str:
+    """Text form of a float for the CSV/XML formats, with the JAVA
+    spellings for non-finite values — ``Double.parseDouble`` reads
+    'Infinity'/'-Infinity'/'NaN' but not Python's 'inf'/'nan', so the
+    Python spellings would break the claimed interop for exactly those
+    values (ADVICE r6); Python's ``float()`` accepts both, so decode is
+    unchanged."""
+    if x != x:
+        return "NaN"
+    if x == float("inf"):
+        return "Infinity"
+    if x == float("-inf"):
+        return "-Infinity"
+    return repr(x)
+
+
 _CSV_ESC = {
     "\0": "%00",
     "\n": "%0A",
@@ -249,7 +292,7 @@ def _csv_encode(val: Any, dtype: T.DataType, parts: list[str]) -> None:
     elif isinstance(dtype, (T.ByteType, T.IntegerType, T.LongType)):
         parts.append(str(int(val)))
     elif isinstance(dtype, (T.FloatType, T.DoubleType)):
-        parts.append(repr(float(val)))
+        parts.append(_float_text(float(val)))
     elif isinstance(dtype, T.StringType):
         parts.append("'" + csv_escape(val))
     elif isinstance(dtype, T.BinaryType):
@@ -267,7 +310,7 @@ def _csv_encode(val: Any, dtype: T.DataType, parts: list[str]) -> None:
         parts.append("m{" + ",".join(inner) + "}")
     elif isinstance(dtype, T.StructType):
         inner = []
-        for f, x in zip(dtype.fields, val):
+        for f, x in zip(dtype.fields, val, strict=True):
             _csv_encode(x, f.dataType, inner)
         parts.append("s{" + ",".join(inner) + "}")
     else:
@@ -279,7 +322,7 @@ def encode_record_csv(row, schema: T.StructType) -> str:
     unwrapped: startRecord with an empty tag writes no s{},
     CsvRecordOutput.java:101-106)."""
     parts: list[str] = []
-    for f, x in zip(schema.fields, tuple(row)):
+    for f, x in zip(schema.fields, tuple(row), strict=True):
         _csv_encode(x, f.dataType, parts)
     return ",".join(parts)
 
@@ -366,6 +409,341 @@ def decode_record_csv(line: str, schema: T.StructType) -> tuple:
 
 
 # --------------------------------------------------------------------------
+# XML record codec (record/XmlRecordOutput.java, XmlRecordInput.java)
+#
+# The third wire format of the reference's triple.  Serialization is an
+# XML-RPC-flavored document per record: the top-level record is
+# <value><struct> ... </struct></value>, struct fields are
+# <member><name>f</name><value>TYPED</value></member> (two-space
+# indentation, XmlRecordOutput.java:40-46), vector/map elements are
+# bare <value>TYPED</value> lines, and maps flatten to alternating
+# key,value elements in TreeMap (ascending-key) order.  Typed elements
+# (XmlRecordOutput.java:144-207): <ex:i1> byte, <boolean> 1/0, <i4>
+# int, <ex:i8> long, <ex:float>, <double>, <string> for both ustring
+# (escaped) and buffer (lowercase hex, Buffer.java:221-228).
+#
+# String escaping (record/Utils.java:44-101): '<' -> &lt;, '&' ->
+# &amp;, '%' -> %0025, and any UTF-16 unit that is a control char
+# (<0x20), a surrogate, or >0xFFFD -> %XXXX with UPPERCASE hex
+# (Utils.hexchars).  The decoder treats EVERY '%' as starting a 4-hex
+# escape — which is why the writer must escape literal '%'.  Escapes
+# operate on UTF-16 code units (Java chars): astral characters emit a
+# surrogate PAIR of %D8xx%DCxx escapes, recombined on decode.
+#
+# The reader mirrors XmlRecordInput's SAX strategy: flatten the
+# document to an ordered list of typed values (field <name> elements
+# are ignored — deserialization is schema-order-driven, not
+# name-matched, XmlRecordInput.java:63-101), then walk the schema
+# consuming values, with "/array" sentinels ending vectors/maps
+# (XmlIndex.done, XmlRecordInput.java:104-116).
+# --------------------------------------------------------------------------
+
+_XML_ESC = {"<": "&lt;", "&": "&amp;", "%": "%0025"}
+_XML_ENTITIES = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
+
+
+def xml_escape(s: str) -> str:
+    """Utils.toXMLString: entity-escape markup chars, %XXXX-escape
+    control/surrogate/non-character UTF-16 units (astral chars as a
+    surrogate pair of escapes, matching Java's char-at-a-time walk)."""
+    out: list[str] = []
+    for ch in s:
+        cp = ord(ch)
+        if cp > 0xFFFF:  # Java sees a surrogate pair; escape both units
+            cp -= 0x10000
+            out.append(f"%{0xD800 + (cp >> 10):04X}")
+            out.append(f"%{0xDC00 + (cp & 0x3FF):04X}")
+        elif ch in _XML_ESC:
+            out.append(_XML_ESC[ch])
+        elif cp < 0x20 or 0xD7FF < cp < 0xE000 or cp > 0xFFFD:
+            out.append(f"%{cp:04X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def xml_unescape(s: str) -> str:
+    """XML entity decode (the SAX parser's job in the reference) +
+    Utils.fromXMLString %XXXX decode, recombining surrogate pairs."""
+    units: list[int] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%":
+            if i + 5 > n:
+                raise ValueError(f"truncated %XXXX escape at {i}")
+            units.append(int(s[i + 1 : i + 5], 16))
+            i += 5
+        elif c == "&":
+            end = s.find(";", i + 1)
+            name = s[i + 1 : end] if end != -1 else ""
+            if name not in _XML_ENTITIES:
+                raise ValueError(f"unknown XML entity at {i}: {s[i:i+8]!r}")
+            units.append(ord(_XML_ENTITIES[name]))
+            i = end + 1
+        else:
+            units.append(ord(c))
+            i += 1
+    out: list[str] = []
+    j, m = 0, len(units)
+    while j < m:
+        u = units[j]
+        if 0xD800 <= u <= 0xDBFF and j + 1 < m and 0xDC00 <= units[j + 1] <= 0xDFFF:
+            out.append(chr(0x10000 + ((u - 0xD800) << 10) + (units[j + 1] - 0xDC00)))
+            j += 2
+        else:
+            out.append(chr(u))
+            j += 1
+    return "".join(out)
+
+
+class _XmlEmitter:
+    """Byte-faithful re-implementation of XmlRecordOutput's envelope
+    printer: an indent counter and a compound-type stack decide how
+    each value is wrapped (member envelope inside structs, bare
+    <value> inside vectors/maps, XmlRecordOutput.java:56-93)."""
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.indent = 0
+        self.stack: list[str] = []
+
+    def _put_indent(self) -> None:
+        self.parts.append("  " * self.indent)
+
+    def begin(self, tag: str) -> None:
+        if self.stack and self.stack[-1] == "struct":
+            self._put_indent()
+            self.parts.append("<member>\n")
+            self.indent += 1
+            self._put_indent()
+            self.parts.append(f"<name>{tag}</name>\n")
+            self._put_indent()
+            self.parts.append("<value>")
+        else:  # vector/map element, or the top-level record
+            self.parts.append("<value>")
+
+    def end(self, tag: str) -> None:
+        if self.stack and self.stack[-1] == "struct":
+            self.parts.append("</value>\n")
+            self.indent -= 1
+            self._put_indent()
+            self.parts.append("</member>\n")
+        else:
+            self.parts.append("</value>\n")
+
+    def scalar(self, tag: str, elem: str, text: str) -> None:
+        self.begin(tag)
+        self.parts.append(f"<{elem}>{text}</{elem}>")
+        self.end(tag)
+
+    def open_compound(self, tag: str, kind: str, elem: str) -> None:
+        self.begin(tag)
+        self.stack.append(kind)
+        self.parts.append(f"<{elem}>\n")
+        self.indent += 1
+
+    def close_compound(self, tag: str, kind: str, elem: str) -> None:
+        self.indent -= 1
+        self._put_indent()
+        self.parts.append(f"</{elem}>")
+        popped = self.stack.pop()
+        if popped != kind:
+            raise ValueError(f"unbalanced {kind} serialization")
+        self.end(tag)
+
+
+def _xml_encode(val: Any, dtype: T.DataType, tag: str, em: _XmlEmitter) -> None:
+    if val is None:
+        raise ValueError(
+            "Record I/O has no null representation; coalesce before encoding"
+        )
+    if isinstance(dtype, T.ByteType):
+        em.scalar(tag, "ex:i1", str(int(val)))
+    elif isinstance(dtype, T.BooleanType):
+        em.scalar(tag, "boolean", "1" if val else "0")
+    elif isinstance(dtype, T.IntegerType):
+        em.scalar(tag, "i4", str(int(val)))
+    elif isinstance(dtype, T.LongType):
+        em.scalar(tag, "ex:i8", str(int(val)))
+    elif isinstance(dtype, T.FloatType):
+        em.scalar(tag, "ex:float", _float_text(float(val)))
+    elif isinstance(dtype, T.DoubleType):
+        em.scalar(tag, "double", _float_text(float(val)))
+    elif isinstance(dtype, T.StringType):
+        em.scalar(tag, "string", xml_escape(val))
+    elif isinstance(dtype, T.BinaryType):
+        em.scalar(tag, "string", bytes(val).hex())
+    elif isinstance(dtype, T.ArrayType):
+        em.open_compound(tag, "vector", "array")
+        for x in val:
+            _xml_encode(x, dtype.elementType, tag, em)
+        em.close_compound(tag, "vector", "array")
+    elif isinstance(dtype, T.MapType):
+        em.open_compound(tag, "map", "array")
+        for k, v in sorted(val.items()):  # TreeMap order
+            _xml_encode(k, dtype.keyType, tag, em)
+            _xml_encode(v, dtype.valueType, tag, em)
+        em.close_compound(tag, "map", "array")
+    elif isinstance(dtype, T.StructType):
+        em.begin(tag)
+        em.stack.append("struct")
+        em.parts.append("<struct>\n")
+        em.indent += 1
+        for f, x in zip(dtype.fields, val, strict=True):
+            _xml_encode(x, f.dataType, f.name, em)
+        em.indent -= 1
+        em._put_indent()
+        em.parts.append("</struct>")
+        popped = em.stack.pop()
+        if popped != "struct":
+            raise ValueError("unbalanced struct serialization")
+        em.end(tag)
+    else:
+        raise TypeError(f"unsupported Record I/O type: {dtype}")
+
+
+def encode_record_xml(row, schema: T.StructType) -> str:
+    """One record -> its complete XML document, byte-identical to
+    ``record.serialize(new XmlRecordOutput(out), "")``."""
+    em = _XmlEmitter()
+    _xml_encode(tuple(row), schema, "", em)
+    return "".join(em.parts)
+
+
+_XML_TYPED = frozenset(
+    ["boolean", "i4", "int", "string", "double", "ex:i1", "ex:i8", "ex:float"]
+)
+_XML_TAG_RE = re.compile(r"<(/?[^<>]+)>")
+
+
+def _xml_values(text: str) -> list[tuple[str, str]]:
+    """Flatten XML text to the reference's ordered value list:
+    (type, raw_text) for typed elements, ("struct"|"array"|"/struct"|
+    "/array", "") markers for compounds — exactly the SAX handler's
+    output (XmlRecordInput.java:63-101; <value>/<member>/<name> and
+    whitespace are discarded).  Accepts any concatenation of record
+    documents, so a multi-record part file flattens to a list the
+    schema walk consumes record by record."""
+    vals: list[tuple[str, str]] = []
+    pos = 0
+    expect_close: str | None = None  # inside a typed element
+    start = 0
+    for m in _XML_TAG_RE.finditer(text):
+        tag = m.group(1)
+        if expect_close is not None:
+            if tag != "/" + expect_close:
+                raise ValueError(
+                    f"expected </{expect_close}> but found <{tag}>"
+                )
+            vals.append((expect_close, text[start : m.start()]))
+            expect_close = None
+        elif tag in _XML_TYPED:
+            expect_close = tag
+            start = m.end()
+        elif tag in ("struct", "array", "/struct", "/array"):
+            vals.append((tag, ""))
+        elif tag.lstrip("/") not in ("value", "member", "name"):
+            raise ValueError(f"unexpected XML element <{tag}>")
+        pos = m.end()
+    if expect_close is not None:
+        raise ValueError(f"unclosed <{expect_close}> element")
+    tail = text[pos:].strip()
+    if tail:
+        raise ValueError(f"trailing non-markup content: {tail[:40]!r}")
+    return vals
+
+
+class _XmlCursor:
+    def __init__(self, vals: list[tuple[str, str]]):
+        self.vals = vals
+        self.i = 0
+
+    def next(self) -> tuple[str, str]:
+        if self.i >= len(self.vals):
+            raise ValueError("truncated XML record stream")
+        v = self.vals[self.i]
+        self.i += 1
+        return v
+
+    def at_array_end(self) -> bool:
+        if self.i < len(self.vals) and self.vals[self.i][0] == "/array":
+            self.i += 1
+            return True
+        return False
+
+
+def _xml_decode(cur: _XmlCursor, dtype: T.DataType) -> Any:
+    if isinstance(dtype, T.StructType):
+        t, _ = cur.next()
+        if t != "struct":
+            raise ValueError(f"expected <struct>, found {t}")
+        row = tuple(_xml_decode(cur, f.dataType) for f in dtype.fields)
+        t, _ = cur.next()
+        if t != "/struct":
+            raise ValueError(f"expected </struct>, found {t}")
+        return row
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        t, _ = cur.next()
+        if t != "array":
+            raise ValueError(f"expected <array>, found {t}")
+        if isinstance(dtype, T.ArrayType):
+            out: Any = []
+            while not cur.at_array_end():
+                out.append(_xml_decode(cur, dtype.elementType))
+            return out
+        d: dict = {}
+        while not cur.at_array_end():
+            k = _xml_decode(cur, dtype.keyType)
+            d[k] = _xml_decode(cur, dtype.valueType)
+        return d
+    t, raw = cur.next()
+    if isinstance(dtype, T.ByteType):
+        if t != "ex:i1":
+            raise ValueError(f"expected ex:i1, found {t}")
+        return int(raw)
+    if isinstance(dtype, T.BooleanType):
+        if t != "boolean":
+            raise ValueError(f"expected boolean, found {t}")
+        return raw == "1"
+    if isinstance(dtype, T.IntegerType):
+        if t not in ("i4", "int"):
+            raise ValueError(f"expected i4, found {t}")
+        return int(raw)
+    if isinstance(dtype, T.LongType):
+        if t != "ex:i8":
+            raise ValueError(f"expected ex:i8, found {t}")
+        return int(raw)
+    if isinstance(dtype, T.FloatType):
+        if t != "ex:float":
+            raise ValueError(f"expected ex:float, found {t}")
+        return float(raw)
+    if isinstance(dtype, T.DoubleType):
+        if t != "double":
+            raise ValueError(f"expected double, found {t}")
+        return float(raw)
+    if isinstance(dtype, T.StringType):
+        if t != "string":
+            raise ValueError(f"expected string, found {t}")
+        return xml_unescape(raw)
+    if isinstance(dtype, T.BinaryType):
+        if t != "string":
+            raise ValueError(f"expected string (buffer), found {t}")
+        return bytes.fromhex(raw)
+    raise TypeError(f"unsupported Record I/O type: {dtype}")
+
+
+def decode_records_xml(text: str, schema: T.StructType) -> Iterator[tuple]:
+    """A part file's text (concatenated one-record documents) ->
+    records.  A reference XmlRecordInput reads one record per document;
+    documents are self-delimiting (<value>...</value> root), so the
+    concatenation is trivially re-splittable for that consumer."""
+    cur = _XmlCursor(_xml_values(text))
+    while cur.i < len(cur.vals):
+        yield _xml_decode(cur, schema)
+
+
+# --------------------------------------------------------------------------
 # Spark-side readers / writers
 # --------------------------------------------------------------------------
 
@@ -443,4 +821,52 @@ def read_record_csv(
         spark.read.text(path)
         .rdd.map(lambda r: decode_record_csv(r.value, schema))
     )
+    return spark.createDataFrame(rdd, schema)
+
+
+def write_record_xml(df: DataFrame, path: str, schema: T.StructType) -> int:
+    """Encode ``df`` to XML-record files, one per partition, each a
+    concatenation of per-record documents (the reference emits one
+    document per serialized record; see decode_records_xml on
+    re-splitting).  Documents contain newlines (indented members), so
+    the format is NOT line-framed: like the binary format, the file is
+    the split unit.  Returns the record count."""
+    os.makedirs(path, exist_ok=True)
+
+    def _write_part(idx: int, rows) -> Iterator[int]:
+        docs = []
+        for r in rows:
+            docs.append(encode_record_xml(tuple(r), schema))
+        if docs:
+            with open(
+                os.path.join(path, f"part-{idx:05d}.xml"), "w", encoding="utf-8"
+            ) as fh:
+                fh.write("".join(docs))
+        yield len(docs)
+
+    return sum(df.rdd.mapPartitionsWithIndex(_write_part).collect())
+
+
+def read_record_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    skip_corrupt: bool = False,
+) -> DataFrame:
+    """XML-record files -> DataFrame[schema].  One task per file (the
+    documents span lines, so files are the split unit — the same
+    isSplitable=false contract as the binary reader), with the same
+    whole-file corrupt-skip semantics."""
+
+    def _decode(kv):
+        fname, text = kv
+        try:
+            rows = list(decode_records_xml(text, schema))
+        except Exception as e:
+            if skip_corrupt:
+                return
+            raise ValueError(f"corrupt record-I/O XML file {fname}") from e
+        yield from rows
+
+    rdd = spark.sparkContext.wholeTextFiles(path).flatMap(_decode)
     return spark.createDataFrame(rdd, schema)

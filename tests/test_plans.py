@@ -309,18 +309,27 @@ def _strip_cached_subtrees(plan: str) -> str:
 def test_pipeline_mix_place_composes_without_recompute(spark, sf_dir):
     """The composed mixing recipe must evaluate the mixture subtree
     ONCE: payload rides passthrough columns (no re-joins), and the one
-    staging persist feeds BOTH of global_shuffle_order's passes (rank
-    + counts).  Outside the cache there must be no parquet re-scan and
-    only the placement exchanges; without the persist the mixture
-    pipeline re-ran once per consumer (23 exchanges, 4 scans)."""
+    parquet STAGING CHECKPOINT (written eagerly inside the query, r7 —
+    replacing the r6 persist whose cache outlived the call, ADVICE r6)
+    feeds BOTH of global_shuffle_order's passes (rank + counts).  The
+    returned plan must read only the staged parquet — exactly two
+    scans of it, zero scans of the raw tables — with only the
+    placement exchanges downstream; without staging the mixture
+    pipeline re-ran once per consumer (23 exchanges, 4 raw scans).
+    No cache may remain after the query returns."""
+    before_caches = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     df = QUERIES["pipeline_mix_place"](spark, sf_dir)
-    try:
-        assert not uses_python_row_eval(df)
-        plan = physical_plan(df)
-        outside = _strip_cached_subtrees(plan)
-        assert outside.count("InMemoryTableScan") == 2, outside
-        assert outside.count("FileScan") == 0, outside
-        n = outside.count("Exchange")
-        assert n <= 5, f"expected <=5 placement exchanges outside the cache, got {n}:\n{outside}"
-    finally:
-        spark.catalog.clearCache()
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        == before_caches
+    ), "pipeline_mix_place must not leave a persisted frame behind"
+    assert not uses_python_row_eval(df)
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 0, plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 2, plan
+    assert all("mix_place" in l for l in scans), (
+        f"both scans must read the staged parquet, not raw tables:\n{plan}"
+    )
+    n = plan.count("Exchange")
+    assert n <= 5, f"expected <=5 placement exchanges, got {n}:\n{plan}"

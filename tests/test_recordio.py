@@ -18,14 +18,20 @@ from hadoop_20_warehouse_spark.sources.recordio import (
     csv_unescape,
     decode_record_csv,
     decode_records_binary,
+    decode_records_xml,
     encode_record_binary,
     encode_record_csv,
+    encode_record_xml,
     read_record_binary,
     read_record_csv,
+    read_record_xml,
     read_vlong,
     write_record_binary,
     write_record_csv,
+    write_record_xml,
     write_vlong,
+    xml_escape,
+    xml_unescape,
 )
 from hadoop_20_warehouse_spark.types import parse_record_ddl
 
@@ -142,6 +148,176 @@ def test_encode_rejects_null():
         encode_record_binary((None, "x"), SCHEMAS["Inner"])
     with pytest.raises(ValueError):
         encode_record_csv((None, "x"), SCHEMAS["Inner"])
+    with pytest.raises(ValueError):
+        encode_record_xml((None, "x"), SCHEMAS["Inner"])
+
+
+def test_encode_rejects_arity_mismatch():
+    """A short (or long) row must fail loudly at encode time: the
+    binary format has no record framing, so a silently-truncated row
+    would corrupt every subsequent record in the stream (ADVICE r6)."""
+    for bad in [(1,), (1, "x", 99)]:
+        with pytest.raises(ValueError):
+            encode_record_binary(bad, SCHEMAS["Inner"])
+        with pytest.raises(ValueError):
+            encode_record_csv(bad, SCHEMAS["Inner"])
+        with pytest.raises(ValueError):
+            encode_record_xml(bad, SCHEMAS["Inner"])
+
+
+def test_binary_truncated_string_payload_rejected():
+    """A tail truncated INSIDE a trailing string/buffer payload must
+    raise, not decode to a shortened value — Python slicing is silent
+    on shortfall, which previously defeated corrupt-file detection for
+    this class of torn write (ADVICE r6, the round's medium item)."""
+    schema = parse_record_ddl("class S { long k; ustring s; }")["S"]
+    blob = encode_record_binary((7, "hello world"), schema)
+    for cut in range(1, 11):  # every truncation point inside the payload
+        with pytest.raises((ValueError, IndexError)):
+            list(decode_records_binary(blob[: len(blob) - cut], schema))
+    schema_b = parse_record_ddl("class B { long k; buffer b; }")["B"]
+    blob_b = encode_record_binary((7, b"0123456789"), schema_b)
+    with pytest.raises((ValueError, IndexError)):
+        list(decode_records_binary(blob_b[:-3], schema_b))
+
+
+def test_csv_nonfinite_java_spellings():
+    """Non-finite floats must serialize with the Java spellings
+    (Double.parseDouble reads Infinity/-Infinity/NaN, not inf/nan —
+    ADVICE r6), and round-trip through our decoder."""
+    schema = parse_record_ddl("class F { double d; }")["F"]
+    inf, ninf, nan = float("inf"), float("-inf"), float("nan")
+    assert encode_record_csv((inf,), schema) == "Infinity"
+    assert encode_record_csv((ninf,), schema) == "-Infinity"
+    assert encode_record_csv((nan,), schema) == "NaN"
+    assert decode_record_csv("Infinity", schema) == (inf,)
+    assert decode_record_csv("-Infinity", schema) == (ninf,)
+    (back,) = decode_record_csv("NaN", schema)
+    assert back != back
+    doc = encode_record_xml((inf,), schema)
+    assert "<double>Infinity</double>" in doc
+    assert list(decode_records_xml(doc, schema)) == [(inf,)]
+
+
+# --- XML codec -------------------------------------------------------------
+
+
+def test_xml_escape_golden():
+    """Pin the Utils.toXMLString alphabet: &lt;/&amp; entities, %0025
+    for literal '%', UPPERCASE %XXXX for control chars
+    (Utils.java:44-67, hexchars uppercase at Utils.java:36)."""
+    assert xml_escape("a<b&c%d\x07e") == "a&lt;b&amp;c%0025d%0007e"
+    assert xml_unescape("a&lt;b&amp;c%0025d%0007e") == "a<b&c%d\x07e"
+    # astral char -> surrogate PAIR of escapes (Java char-at-a-time)
+    assert xml_escape("\U0001f600") == "%D83D%DE00"
+    assert xml_unescape("%D83D%DE00") == "\U0001f600"
+    assert xml_escape("￿") == "%FFFF"  # >0xFFFD non-character
+
+
+@given(st.text())
+def test_xml_escape_roundtrip(s):
+    esc = xml_escape(s)
+    # '<' must be entity-escaped; raw '>' is legal XML character data
+    # and Utils.toXMLString leaves it alone (only '<' and '&' escape)
+    assert "<" not in esc
+    assert xml_unescape(esc) == s
+
+
+def test_xml_document_golden():
+    """Pin the full document layout to XmlRecordOutput's envelope
+    printer: member envelopes with two-space indentation inside
+    structs (XmlRecordOutput.java:56-66), UNindented bare <value>
+    elements inside vectors (the vector branch prints no indent,
+    XmlRecordOutput.java:67-68), typed element names per
+    XmlRecordOutput.java:144-207."""
+    schema = parse_record_ddl(
+        "class R { long l; ustring s; vector<ustring> v; }"
+    )["R"]
+    doc = encode_record_xml((123, "a<b&c%d", ["x"]), schema)
+    assert doc == (
+        "<value><struct>\n"
+        "  <member>\n"
+        "    <name>l</name>\n"
+        "    <value><ex:i8>123</ex:i8></value>\n"
+        "  </member>\n"
+        "  <member>\n"
+        "    <name>s</name>\n"
+        "    <value><string>a&lt;b&amp;c%0025d</string></value>\n"
+        "  </member>\n"
+        "  <member>\n"
+        "    <name>v</name>\n"
+        "    <value><array>\n"
+        "<value><string>x</string></value>\n"
+        "    </array></value>\n"
+        "  </member>\n"
+        "</struct></value>\n"
+    )
+    assert list(decode_records_xml(doc, schema)) == [(123, "a<b&c%d", ["x"])]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_rows)
+def test_xml_record_roundtrip(row):
+    doc = encode_record_xml(row, REC)
+    assert list(decode_records_xml(doc, REC)) == [row]
+
+
+def test_xml_stream_concatenates():
+    rows = [(i, True, 2, 3, 1.5, 4.0, "x,y<z", b"\x00\xff", [1], {"k": 1.0},
+             (9, "n")) for i in range(3)]
+    text = "".join(encode_record_xml(r, REC) for r in rows)
+    assert list(decode_records_xml(text, REC)) == rows
+
+
+def test_xml_corrupt_rejected():
+    schema = parse_record_ddl("class S { long k; ustring s; }")["S"]
+    doc = encode_record_xml((7, "hello"), schema)
+    with pytest.raises(ValueError):
+        list(decode_records_xml(doc[: len(doc) // 2], schema))
+    with pytest.raises(ValueError):  # wrong element type for the schema
+        list(decode_records_xml(doc, parse_record_ddl(
+            "class S2 { ustring k; ustring s; }")["S2"]))
+
+
+def test_spark_xml_file_roundtrip(spark, tmp_path):
+    df = _sample_df(spark).repartition(2)
+    n = write_record_xml(df, str(tmp_path / "xml"), SIMPLE)
+    assert n == 3
+    back = read_record_xml(spark, str(tmp_path / "xml"), SIMPLE)
+    key = lambda d: d["k"]  # noqa: E731
+    assert sorted((r.asDict(True) for r in back.collect()), key=key) == sorted(
+        (r.asDict(True) for r in df.collect()), key=key
+    )
+
+
+def test_xml_reader_corrupt_file_skipping(spark, tmp_path):
+    import glob
+    import os
+
+    import py4j.protocol
+
+    df = _sample_df(spark).repartition(3)
+    path = str(tmp_path / "xml")
+    write_record_xml(df, path, SIMPLE)
+    parts = sorted(glob.glob(os.path.join(path, "part-*.xml")))
+    assert len(parts) >= 2
+    victim = parts[0]
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as fh:
+        fh.truncate(max(1, size - 10))  # tear mid-document
+
+    want = set()
+    for intact in parts[1:]:
+        with open(intact, encoding="utf-8") as fh:
+            want |= {r[0] for r in decode_records_xml(fh.read(), SIMPLE)}
+    assert want and len(want) < 3
+
+    got = {r.k for r in
+           read_record_xml(spark, path, SIMPLE, skip_corrupt=True).collect()}
+    assert got == want
+
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        read_record_xml(spark, path, SIMPLE).collect()
 
 
 # --- Spark file round-trips ------------------------------------------------
