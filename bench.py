@@ -52,6 +52,14 @@ Measurement methodology (post r2/r3 phantom-regression postmortems):
   * scaling probe — two-point data-scale ratios for representative
     queries (GridMix's small/medium/large job classes are the same
     idea: GridMixRunner.java:48-50); super-linear growth is flagged.
+    Includes the ANN-family probe (synthetic vectors, signature depth
+    scaled with n per the banding knob — see _embed_ann).
+  * concurrent mixed workload — GridMix's defining trait is
+    SIMULTANEOUS submission of job classes (GridMixRunner.java:106-279)
+    under the FB fair scheduler; run_gridmix_concurrent submits three
+    FAIR pools at once and reports wall vs sequential sum under the
+    ``"gridmix"`` JSON key.  Runs last so its contention can't bleed
+    into the steady-state timings.
 
 The regression anchor is the committed table in BASELINE.md (per-query
 MEDIAN across five independent runs, each run's number being the min
@@ -75,7 +83,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from hadoop_20_warehouse_spark.catalog import load_table  # noqa: E402
 from hadoop_20_warehouse_spark.inventory import QUERIES  # noqa: E402
-from hadoop_20_warehouse_spark.session import get_session  # noqa: E402
+from hadoop_20_warehouse_spark.session import get_session, set_pool  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -103,6 +111,50 @@ def _teragen_sort_10m(spark, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_spark.operators.datagen import teragen
 
     return teragen(spark, 10_000_000, partitions=32).orderBy("key")
+
+
+def _embed_synth(spark, n: int) -> DataFrame:
+    """n deterministic synthetic 64-dim vectors (md5-derived uniforms
+    in [-1,1)) — the ANN probe's data generator, linear and identical
+    in form at both probe points."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> "
+            "cast(conv(substr(md5(concat(cast(id as string), '#', "
+            "cast(j as string))), 1, 8), 16, 10) as double) "
+            "/ 2147483648.0 - 1.0)"
+        ).alias("embedding"),
+    )
+
+
+def _embed_ann(n: int, n_planes: int):
+    """Embedding near-dup at ``n`` vectors with ``n_planes``-bit
+    signatures — the ANN-family scaling probe (the one scale claim
+    with no measurement behind it through r6: dedup/embedding.py's
+    multi-probe constant-fan-out docstring).
+
+    The large point scales BOTH knobs the way a 100 TB deployment
+    does: 10x the vectors AND deeper signatures (8 -> 12 bits/table,
+    256 -> 4096 buckets) so per-bucket population stays bounded — the
+    documented banding trade-off ('planes/table up => precision up').
+    For the synthetic near-orthogonal vectors the per-pair candidate
+    probability is (1+b)/2^b per table (multi-probe Hamming<=1), so
+    12 bits puts expected candidates at ~9x the small point for 10x
+    data: a sub-linear-in-pairs, ~linear-in-rows shape.  Holding b
+    fixed instead would grow candidates ~18x — the quadratic
+    per-bucket blowup the knob exists to prevent."""
+
+    def fn(spark, sf_dir: str) -> DataFrame:
+        from hadoop_20_warehouse_spark.dedup.embedding import (
+            embedding_near_dup_pairs,
+        )
+
+        return embedding_near_dup_pairs(
+            _embed_synth(spark, n), n_planes=n_planes, dim=64
+        )
+
+    return fn
 
 
 BENCH_QUERIES: dict[str, object] = {
@@ -241,6 +293,74 @@ def find_regressions(
             and secs - before > abs_floor
         ):
             out[name] = [before, secs]
+    return out
+
+
+# GridMix-style concurrent job mix: the reference's defining benchmark
+# trait is SIMULTANEOUS submission of small/medium/large job classes
+# (GridMixRunner.java:106-279 queues every class into one JobControl),
+# scheduled by the FB FairScheduler (FairScheduler.java:57).  The
+# sequential timed set above never exercises that posture; this mix
+# submits three pools concurrently under spark.scheduler.mode=FAIR
+# (session.FAIR_POOLS) and reports wall time vs the same queries'
+# sequential sum.  Queries chosen from the timed set across the cost
+# spectrum so the pools genuinely contend.
+GRIDMIX_POOLS: dict[str, list[str]] = {
+    "small": ["wordcount", "grep_topk", "value_histogram", "join_inner"],
+    "medium": ["aggregate_report", "monster_query", "text_quality",
+               "dedup_simhash"],
+    "large": ["pricing_summary", "full_sort", "dedup_minhash_lsh"],
+}
+
+
+def run_gridmix_concurrent(
+    spark, force, sf_dir: str, timings: dict[str, float]
+) -> dict:
+    """Submit the three pool workloads from three threads at once and
+    measure: overall wall time, per-pool elapsed (a starved pool shows
+    as elapsed >> its own work), and the sequential reference (the sum
+    of the same queries' already-measured solo timings).  Speedup > 1
+    means the fair scheduler actually interleaved the classes."""
+    import threading
+
+    spark.catalog.clearCache()
+    pool_elapsed: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def tenant(pool: str, names: list[str]) -> None:
+        set_pool(spark, pool)
+        t0 = time.perf_counter()
+        try:
+            for n in names:
+                force(BENCH_QUERIES[n](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - reported, not raised
+            errors[pool] = f"{type(e).__name__}: {e}"
+        finally:
+            pool_elapsed[pool] = round(time.perf_counter() - t0, 3)
+            set_pool(spark, None)
+
+    threads = [
+        threading.Thread(target=tenant, args=(p, names), name=f"gridmix-{p}")
+        for p, names in GRIDMIX_POOLS.items()
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = round(time.perf_counter() - t0, 3)
+    seq = round(
+        sum(timings.get(n, 0.0) for ns in GRIDMIX_POOLS.values() for n in ns), 3
+    )
+    out = {
+        "concurrent_wall_s": wall,
+        "sequential_sum_s": seq,
+        "speedup": round(seq / wall, 3) if wall > 0 else None,
+        "pool_elapsed_s": pool_elapsed,
+        "scheduler": "FAIR",
+    }
+    if errors:
+        out["errors"] = errors
     return out
 
 
@@ -407,6 +527,17 @@ def main() -> None:
         "data_ratio": 10.0,
     }
     probe_large["teragen_sort"] = lambda: steady_time(_teragen_sort_10m, SF_DIR)
+    # ANN-family probe: synthetic vectors (the parquet embeddings table
+    # only grows 4x between SF dirs), 2k -> 20k with the signature
+    # depth scaled per the documented banding knob (see _embed_ann).
+    _ann_small = _embed_ann(2_000, 8)
+    _ann_large = _embed_ann(20_000, 12)
+    scaling["dedup_embedding_ann"] = {
+        "small_s": round(steady_time(_ann_small, SF_DIR), 3),
+        "large_s": round(steady_time(_ann_large, SF_DIR), 3),
+        "data_ratio": 10.0,
+    }
+    probe_large["dedup_embedding_ann"] = lambda: steady_time(_ann_large, SF_DIR)
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     try:
         small_sf = float(os.path.basename(small_dir).replace("sf", ""))
@@ -555,6 +686,13 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # Concurrent mixed-workload measurement LAST: its contention must
+    # not bleed into the timed set or the probes, and its own numbers
+    # are wall-clock aggregates, not per-query steady states.
+    gridmix = run_gridmix_concurrent(spark, _force, SF_DIR, timings)
+    if gridmix.get("errors"):
+        print(f"GRIDMIX pool failures: {gridmix['errors']}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -564,6 +702,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "scaling": scaling,
+                "gridmix": gridmix,
                 # only confirmed flags — a consumer checking for a
                 # non-empty dict sees real regressions, not cleared
                 # ones (cleared flags land in "phantom_flags")

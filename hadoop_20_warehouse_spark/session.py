@@ -24,6 +24,64 @@ _LOG = logging.getLogger(__name__)
 # Bumped when tests need a fresh session with different conf.
 _APP_NAME = "hadoop-20-warehouse-spark"
 
+# ---------------------------------------------------------------------------
+# Fair-scheduler pools (FB FairScheduler analog)
+#
+# The reference warehouse ran Facebook's fair scheduler as its
+# multi-tenant posture (src/contrib/fairscheduler/.../FairScheduler.java:57:
+# jobs grouped into pools, each pool a guaranteed minimum share, excess
+# capacity split by weight).  Spark's in-application analog is
+# spark.scheduler.mode=FAIR plus an allocation file; pools here mirror
+# GridMix's job classes (small/medium/large,
+# src/benchmarks/gridmix2/.../GridMixRunner.java:48-50), which is also
+# the mix the concurrent bench submits.  A job picks its pool via
+# ``set_pool`` (spark.scheduler.pool local property); unassigned jobs
+# ride the default pool.  FAIR mode is on by default: with one job at
+# a time it schedules exactly like FIFO (no contention to arbitrate),
+# and with a concurrent mix it is the reference's always-on posture.
+# ---------------------------------------------------------------------------
+
+# pool -> (minShare cores, weight)
+FAIR_POOLS: dict[str, tuple[int, int]] = {
+    "small": (8, 3),
+    "medium": (8, 2),
+    "large": (4, 1),
+}
+
+_FAIR_FILE: str | None = None
+
+
+def fair_allocation_file() -> str:
+    """Write (once per process) and return the FAIR pools XML."""
+    global _FAIR_FILE
+    if _FAIR_FILE is None:
+        import atexit
+        import tempfile
+
+        fd, path = tempfile.mkstemp(prefix="h20w_fair_", suffix=".xml")
+        with os.fdopen(fd, "w") as fh:
+            fh.write('<?xml version="1.0"?>\n<allocations>\n')
+            for name, (min_share, weight) in FAIR_POOLS.items():
+                fh.write(
+                    f'  <pool name="{name}">\n'
+                    f"    <schedulingMode>FAIR</schedulingMode>\n"
+                    f"    <weight>{weight}</weight>\n"
+                    f"    <minShare>{min_share}</minShare>\n"
+                    f"  </pool>\n"
+                )
+            fh.write("</allocations>\n")
+        atexit.register(os.unlink, path)
+        _FAIR_FILE = path
+    return _FAIR_FILE
+
+
+def set_pool(spark: SparkSession, pool: str | None) -> None:
+    """Assign this thread's subsequently-submitted jobs to ``pool``
+    (None -> back to the default pool).  Per-thread: PySpark's pinned
+    thread mode maps each Python thread to its own JVM thread, so
+    concurrent tenants don't clobber each other's pool."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -61,6 +119,11 @@ def get_session(
         # Don't let tiny local runs create thousands of output files.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Fair scheduling with GridMix-class pools (see FAIR_POOLS):
+        # identical to FIFO for a lone job, the reference's FB
+        # FairScheduler posture for a concurrent mix.
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", fair_allocation_file())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # The driver's events table stores TIMESTAMP(NANOS) which Spark

@@ -149,3 +149,62 @@ def test_broadcast_hint_probe_failure_is_loud(spark, caplog):
     assert [
         r for r in caplog.records if "hint_broadcast_if_small" in r.getMessage()
     ]
+
+
+# --- fair-scheduler pools (FB FairScheduler analog, SURVEY §4.2) -----------
+
+
+def test_fair_pools_configured(spark):
+    """The engine session must run FAIR scheduling with the GridMix
+    job-class pools built from the allocation file — the reference's
+    always-on FB FairScheduler posture (FairScheduler.java:57)."""
+    from hadoop_20_warehouse_spark.session import FAIR_POOLS
+
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+    sc = spark.sparkContext._jsc.sc()
+    for name in FAIR_POOLS:
+        assert sc.getPoolForName(name).isDefined(), f"pool {name} missing"
+    pool = sc.getPoolForName("small").get()
+    assert pool.minShare() == FAIR_POOLS["small"][0]
+    assert pool.weight() == FAIR_POOLS["small"][1]
+
+
+def test_concurrent_pools_complete(spark):
+    """Concurrent tenants in different pools must all complete with
+    correct results, each thread's pool assignment isolated (pinned
+    thread mode maps Python threads to JVM threads).  This is the
+    GridMix trait the sequential bench never exercises: concurrent
+    job mixes (GridMixRunner.java:106-279)."""
+    import threading
+
+    from hadoop_20_warehouse_spark.session import set_pool
+
+    results: dict[str, int] = {}
+    pools_seen: dict[str, str] = {}
+
+    def tenant(pool: str, n: int) -> None:
+        set_pool(spark, pool)
+        try:
+            pools_seen[pool] = spark.sparkContext.getLocalProperty(
+                "spark.scheduler.pool"
+            )
+            results[pool] = (
+                spark.range(n).selectExpr("sum(id) AS s").collect()[0].s
+            )
+        finally:
+            set_pool(spark, None)
+
+    threads = [
+        threading.Thread(target=tenant, args=(p, n))
+        for p, n in (("small", 1000), ("medium", 2000), ("large", 4000))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == {
+        "small": 499500,
+        "medium": 2 * 10**6 - 1000,
+        "large": 8 * 10**6 - 2000,
+    }
+    assert pools_seen == {p: p for p in ("small", "medium", "large")}

@@ -323,3 +323,66 @@ def test_streaming_budget_admission_matches_mixture(spark, tmp_path):
         for r in spark.sql("SELECT * FROM admitted_docs").collect()
     }
     assert got == want
+
+
+def test_streaming_budget_admission_state_stays_o_domains(spark, tmp_path):
+    """State-size stability under sustained load: pump many
+    micro-batches of many rows through budget_admit_stream and assert
+    the state store never holds more than ONE row per domain — the
+    operator's O(domains) claim, measured from the engine's own
+    stateOperators progress metrics rather than asserted.  (A naive
+    stateful dedup/admission keeps O(rows) state and this metric
+    grows monotonically with input; here it must plateau at
+    n_domains immediately and stay there.)"""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_warehouse_spark.streaming.windows import budget_admit_stream
+
+    domains = ["srcA", "srcB", "srcC"]
+    budgets = {d: 200 for d in domains}
+    src = str(tmp_path / "state_stream")
+    os.makedirs(src)
+    n_batches, rows_per_batch = 6, 300
+    for b in range(n_batches):
+        ids = range(b * rows_per_batch, (b + 1) * rows_per_batch)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(ids),
+                "source": [domains[i % len(domains)] for i in ids],
+                "tok_len": [5] * rows_per_batch,
+                "order_key": [f"{i:012d}" for i in ids],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), f"{src}/b{b}.parquet")
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, tok_len long, order_key string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        budget_admit_stream(stream, budgets)
+        .writeStream.format("memory")
+        .queryName("admit_state_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+        if p["numInputRows"] > 0
+    ]
+    assert state_rows, "no state metrics captured"
+    assert max(state_rows) <= len(domains), (
+        f"state must stay O(domains)={len(domains)}, saw {state_rows}"
+    )
+    # rows kept flowing: every domain filled exactly to its budget
+    got = spark.sql(
+        "SELECT source, sum(tok_len) AS t FROM admit_state_probe GROUP BY source"
+    ).collect()
+    assert {r.source: r.t for r in got} == {d: 200 for d in domains}
