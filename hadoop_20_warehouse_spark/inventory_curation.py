@@ -1441,6 +1441,77 @@ GROUP BY doc_id
 """
 
 
+# ===========================================================================
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ===========================================================================
+
+# Sample size; 200 of the sf0.01 corpus's 500 docs, so selection
+# genuinely discriminates by weight.
+_WSAMPLE_K = 200
+
+_WSAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         GREATEST({token_count_sql('text')}, 1) AS wt,
+         ({md5_int64_sql("CAST(doc_id AS VARCHAR)")} % 1000000000 + 1)
+           / 1000000001.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, CAST(wt AS BIGINT) AS wt,
+       round(ln(u) / wt, 6) AS skey
+FROM w
+ORDER BY skey DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+@register("corpus_weighted_sample", oracle=_WSAMPLE_SQL)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — pick K docs with
+    inclusion probability proportional to a per-doc weight (here token
+    count: longer docs more likely), the standard way a pipeline draws
+    a quality- or length-weighted subset for evals or mixture tuning.
+
+    Algorithm: Efraimidis & Spirakis 2006 ("Weighted random sampling
+    with a reservoir", Inf. Proc. Letters — public literature): give
+    each item the key u^(1/w) with u ~ U(0,1) and keep the K largest;
+    equivalently (one monotone transform, used here because it divides
+    instead of exponentiating) keep the K largest ln(u)/w.  u is the
+    usual md5-derived deterministic uniform (functions/hashing.py), so
+    both engines draw the SAME sample; keys are rounded to 6 decimals
+    with a doc_id tiebreak, the repo's standard cross-engine float
+    discipline (similarity/knn.py docstring).
+
+    Scale shape: the weight and key are row-local expressions, and
+    top-K-by-key compiles to TakeOrderedAndProject — per-partition
+    partial top-K merged on the driver, no corpus-wide sort and NO
+    shuffle at all (plan-pinned in tests/test_plans.py).  K rows cross
+    the wire; this is the reference's sort-then-head idiom
+    (examples/Grep.java:48-84 second job) done without the sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(T.token_count(F.col("text")), F.lit(1)).alias("wt"),
+        (
+            (md5_int64(F.col("doc_id").cast("string")) % 1_000_000_000 + 1)
+            / F.lit(1_000_000_001.0)
+        ).alias("u"),
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "source",
+            F.col("wt").cast("long").alias("wt"),
+            F.round(F.log("u") / F.col("wt"), 6).alias("skey"),
+        )
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+
+
 @register("text_boilerplate_scrub", oracle=_BOILER_SQL)
 def q_text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate removal (Wenzek et al. 2020 §3.1):

@@ -394,6 +394,92 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups_from_pairs(docs, pairs, "doc_id")
 
 
+def _cluster_rep_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.minhash import minhash_lsh_pairs_sql_parts
+
+    ctes, final = minhash_lsh_pairs_sql_parts("documents", "doc_id", "text")
+    return f"""
+WITH RECURSIVE
+{ctes},
+edges AS ({final}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+walk(node, component) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.u, walk.component
+  FROM und JOIN walk ON walk.node = und.v
+  WHERE walk.component < und.u
+),
+best AS (SELECT node, MIN(component) AS component FROM walk GROUP BY node),
+comp AS (
+  SELECT d.doc_id, COALESCE(b.component, d.doc_id) AS component,
+         {T.token_count_sql('d.text')} AS tok
+  FROM documents d LEFT JOIN best b ON b.node = d.doc_id
+),
+ranked AS (
+  SELECT component, doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY tok DESC, doc_id) AS rn
+  FROM comp
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN tok END) AS BIGINT) AS rep_tokens
+FROM ranked
+GROUP BY component
+"""
+
+
+@register("dedup_cluster_representative", oracle=_cluster_rep_oracle())
+def q_dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup endgame a real pipeline actually ships: instead of
+    keeping each cluster's smallest doc_id (dedup_components'
+    canonical label), elect the BEST member — here the most complete
+    copy (max token count, doc_id tiebreak) — one row per cluster with
+    its representative and size.  Composes the library forms:
+    MinHash-LSH candidate pairs → iterative min-label connected
+    components → per-cluster argmax.
+
+    Scale shape: the election is ``min(struct(-tok, doc_id))`` per
+    component — a partial-aggregable min, so a 10M-member boilerplate
+    cluster combines map-side instead of sorting one giant window
+    partition (same skew reasoning as dedup/spans.py first-occurrence;
+    deliberately NOT row_number-over-component).  Token counts attach
+    by one doc_id equi-join before the agg; everything upstream is the
+    bucketed LSH + checkpointed label propagation already audited in
+    their own queries."""
+    from hadoop_20_warehouse_spark.dedup.components import dedup_groups_from_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = MH.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    groups = dedup_groups_from_pairs(docs, pairs, "doc_id")
+    toks = docs.select("doc_id", T.token_count(F.col("text")).alias("tok"))
+    members = groups.join(toks, "doc_id")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(
+                F.struct(
+                    (-F.col("tok")).alias("neg_tok"),
+                    F.col("doc_id").alias("rid"),
+                )
+            ).alias("_rep"),
+        )
+        .select(
+            "component",
+            "n_members",
+            F.col("_rep.rid").alias("rep_id"),
+            (-F.col("_rep.neg_tok")).cast("long").alias("rep_tokens"),
+        )
+    )
+
+
 @register(
     "text_bigram_topk",
     oracle="""

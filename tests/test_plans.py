@@ -333,3 +333,26 @@ def test_pipeline_mix_place_composes_without_recompute(spark, sf_dir):
     )
     n = plan.count("Exchange")
     assert n <= 5, f"expected <=5 placement exchanges, got {n}:\n{plan}"
+
+
+def test_weighted_sample_is_partial_topk(spark, sf_dir):
+    """Top-K-by-key must compile to TakeOrderedAndProject (per-
+    partition partial top-K merged on the driver) with ZERO exchanges
+    — a global orderBy without the limit fusing would shuffle the
+    whole corpus to rank 200 rows."""
+    df = QUERIES["corpus_weighted_sample"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_exchanges(df) == 0, plan
+    assert not uses_python_row_eval(df)
+
+
+def test_cluster_representative_election_is_partial_agg(spark, sf_dir):
+    """The per-cluster argmax must be a partial-aggregable
+    min(struct(-tok, id)) — NO window over component (a mega-cluster
+    would serialize into one task) and no Python eval."""
+    df = QUERIES["dedup_cluster_representative"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "min(" in plan, plan
+    assert not uses_python_row_eval(df)
