@@ -199,6 +199,10 @@ BENCH_QUERIES: dict[str, object] = {
     # appended (not inserted) so the existing queries keep their
     # in-sequence positions relative to their committed anchors
     "pipeline_mix_place": QUERIES["pipeline_mix_place"],
+    # round-7 additions, appended for the same reason; anchors measured
+    # fresh under the BASELINE.md methodology on landing
+    "corpus_weighted_sample": QUERIES["corpus_weighted_sample"],
+    "dedup_cluster_representative": QUERIES["dedup_cluster_representative"],
 }
 
 
