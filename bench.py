@@ -552,6 +552,11 @@ def main() -> None:
             "text_repetition_stats",
             "dedup_minhash_lsh",
             "dedup_paragraph_exact",
+            # the composed near-dup endgame: prices LSH pair growth AND
+            # the iterative components loop (whose round count is
+            # diameter-bound, data-independent — so the probe should
+            # show the per-round edge term only)
+            "dedup_cluster_representative",
             # join probe: GridMix's job classes deliberately include
             # join-shaped pipelines (GridMixRunner.java:230) and a join
             # is where a 100x blow-up bites first — a super-linear
