@@ -73,27 +73,45 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    from pyspark.sql import Observation
+
     for _i in range(max_iterations):
-        # candidate labels: own + min neighbor label
+        # Candidate labels: own + min neighbor label.  The node's OWN
+        # branch also carries its previous label in a second column
+        # (each node appears exactly once there, so max() recovers it
+        # after the agg) — letting the convergence check ride the SAME
+        # materializing action as the round itself via an observe()
+        # metric, instead of a separate join+count job per round (the
+        # r7 profile showed the probe job costing as much as the round
+        # on small frontiers).
         neighbor_labels = (
             und.join(labels.withColumnRenamed("node", "v"), on="v")
-            .select(F.col("u").alias("node"), F.col("component"))
+            .select(
+                F.col("u").alias("node"),
+                F.col("component"),
+                F.lit(None).cast("long").alias("prev"),
+            )
         )
-        new_labels = _materialize(
-            labels.unionByName(neighbor_labels)
+        own = labels.select(
+            "node", "component", F.col("component").alias("prev")
+        )
+        obs = Observation()
+        merged = (
+            own.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("prev").alias("prev"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("prev")).cast("long")
+                ).alias("changed"),
+            )
         )
-        # converged when no label changed (cheap: both sides checkpointed)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = _materialize(merged.select("node", "component"))
+        if obs.get["changed"] == 0:
             break
     return labels
 

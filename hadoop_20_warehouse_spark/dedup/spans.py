@@ -102,6 +102,95 @@ def exact_span_dedup(
     return agged.select(*cols)
 
 
+def substring_dedup_overlapping(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_w: int = 6,
+) -> DataFrame:
+    """Exact SUBSTRING dedup with stride-1 overlapping windows — the
+    distributed approximation of suffix-array ExactSubstr dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", §4.1: remove every repeated span, not just repeated
+    fixed-aligned chunks).  A ``window_w``-token window is duplicated
+    when the same token sequence occurs anywhere else in the corpus
+    (another doc OR another position of the same doc); every token
+    covered by a duplicated NON-FIRST window (first = smallest
+    (id, pos)) is removed.  Unlike ``exact_span_dedup``'s aligned
+    chunks, a repeated span is caught at ANY offset.
+
+    Output: (id_col, n_tokens, n_removed, kept_digest) per doc with
+    >0 tokens; n_removed counts removed token POSITIONS, kept_digest
+    is md5 of the surviving tokens in position order ('' when the doc
+    is fully covered by repeats).
+
+    Scale shape: windows are row-local (one transform over the token
+    array, ~n rows per doc at stride 1); first-occurrence is the
+    skew-immune ``min(struct(id, pos))`` partial agg per window key;
+    ONE window-keyed equi-join marks duplicates; the W× coverage
+    explode fans out DUPLICATE windows only; removal is a doc-keyed
+    left join; reassembly one doc-keyed agg.  All shuffles keyed —
+    the mega-common-window hot key combines map-side exactly like the
+    boilerplate-scrub stress (PLANS.md)."""
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    # stride-1 window keys; docs shorter than the window emit none
+    # (the filter also keeps sequence() ascending — sequence(0, size-W)
+    # with size < W would generate a DESCENDING range, not an empty one)
+    wins = (
+        toks.filter(F.size("t") >= window_w)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - window_w),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("t"), i + 1, window_w), " ")
+                    ),
+                )
+            ).alias("pos", "wk"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    firsts = wins.groupBy("wk").agg(
+        F.min(F.struct(id_col, "pos")).alias("first_occ")
+    )
+    dups = wins.join(firsts, "wk").filter(
+        ~(
+            (F.col(id_col) == F.col(f"first_occ.{id_col}"))
+            & (F.col("pos") == F.col("first_occ.pos"))
+        )
+    )
+    removed = dups.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + window_w - 1)
+        ).alias("pos"),
+    ).distinct().withColumn("rm", F.lit(True))
+    tokrows = toks.select(
+        F.col(id_col), F.posexplode("t").alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    flagged = tokrows.join(removed, on=[id_col, "pos"], how="left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rm").isNull(), F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+
+
 def pack_token_budget(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1442,6 +1442,70 @@ GROUP BY doc_id
 
 
 # ===========================================================================
+# Exact substring dedup, overlapping windows (ExactSubstr-style)
+# ===========================================================================
+
+# Window width in tokens.  Wider than the aligned-chunk width (4) so
+# stride-1 matches mean a genuinely repeated run, but narrow enough
+# that the synthetic corpus contains real cross-doc repeats to remove.
+_SUBSTR_W = 6
+
+_SUBSTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+  WHERE len({T.tokens_sql('text')}) > 0
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(t[(i+1):(i+{_SUBSTR_W})], ' ')) AS wk
+  FROM toks, UNNEST(range(len(t) - {_SUBSTR_W} + 1)) AS u(i)
+  WHERE len(t) >= {_SUBSTR_W}
+),
+ranked AS (
+  SELECT doc_id, pos, wk,
+         ROW_NUMBER() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rn
+  FROM wins
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + CAST(j AS BIGINT) AS rp
+  FROM ranked, UNNEST(range({_SUBSTR_W})) AS v(j)
+  WHERE rn > 1
+),
+tokrows AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN r.rp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN r.rp IS NULL THEN k.tok END,
+                               ' ' ORDER BY k.pos), '')) AS kept_digest
+FROM tokrows k LEFT JOIN removed r ON k.doc_id = r.doc_id AND k.pos = r.rp
+GROUP BY k.doc_id
+"""
+
+
+@register("dedup_substring_exact", oracle=_SUBSTR_SQL)
+def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup with OVERLAPPING stride-1 windows — the
+    unaligned counterpart of dedup_paragraph_exact: a repeated
+    {w}-token run is caught and removed at ANY offset, not only on
+    chunk boundaries (the distributed approximation of Lee et al.
+    2022's suffix-array ExactSubstr dedup).  Library form:
+    dedup/spans.substring_dedup_overlapping — see its docstring for
+    the shuffle budget (window-keyed partial-agg first-occurrence,
+    one window-keyed join, W-fan-out on duplicates only, doc-keyed
+    removal and reassembly)."""
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        substring_dedup_overlapping,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_overlapping(docs, window_w=_SUBSTR_W)
+
+
+# ===========================================================================
 # Weighted sampling without replacement (Efraimidis-Spirakis)
 # ===========================================================================
 

@@ -232,3 +232,83 @@ def test_boilerplate_scrub_kills_every_copy(spark):
     assert out[10].n_removed == 0 and out[11].n_removed == 0
     assert out[12].n_removed == out[12].n_chunks == 1
     assert out[12].clean_text == ""
+
+
+def test_substring_dedup_overlapping_semantics(spark):
+    """Unaligned repeats are caught at any offset (the case aligned
+    chunk dedup misses), the first occurrence survives, coverage is
+    per-token, and short/fully-duplicated docs behave: a doc shorter
+    than the window emits no windows (nothing removed), and an exact
+    copy of another doc is removed wholesale."""
+    import hashlib
+
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        substring_dedup_overlapping,
+    )
+
+    W = 4
+    run = "alpha beta gamma delta"  # the repeated 4-token span
+    rows = [
+        (1, f"{run} one two three"),          # first occurrence: kept whole
+        (2, f"zero {run} tail1 tail2"),       # repeat at offset 1: span removed
+        (3, run),                              # exact repeat: fully removed
+        (4, "short doc"),                      # < W tokens: untouched
+        (5, "all these tokens are unique here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_dedup_overlapping(docs, window_w=W).collect()}
+
+    def digest(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1].n_removed == 0 and out[1].kept_digest == digest(
+        f"{run} one two three")
+    # doc 2: window at pos 1 duplicates doc 1's pos 0 -> tokens 1..4 go
+    assert out[2].n_removed == W
+    assert out[2].kept_digest == digest("zero tail1 tail2")
+    assert out[3].n_removed == out[3].n_tokens == W
+    assert out[3].kept_digest == digest("")
+    assert out[4].n_removed == 0 and out[4].kept_digest == digest("short doc")
+    assert out[5].n_removed == 0
+
+
+def test_substring_dedup_matches_python_model(spark):
+    """Brute-force Python model on a small synthetic corpus with heavy
+    overlap: every (doc, pos) window is keyed; non-first windows mark
+    their covered positions; kept text = uncovered tokens in order."""
+    import hashlib
+
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        substring_dedup_overlapping,
+    )
+
+    W = 3
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for d in range(12):
+        toks = [vocab[(d * 7 + j * 5 + j * j) % len(vocab)] for j in range(d % 9)]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    first: dict[tuple, tuple] = {}
+    for d, text in sorted(rows):
+        toks = text.split()
+        for i in range(len(toks) - W + 1):
+            first.setdefault(tuple(toks[i : i + W]), (d, i))
+    want = {}
+    for d, text in rows:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        removed = set()
+        for i in range(len(toks) - W + 1):
+            if first[tuple(toks[i : i + W])] != (d, i):
+                removed |= set(range(i, i + W))
+        kept = " ".join(t for j, t in enumerate(toks) if j not in removed)
+        want[d] = (len(toks), len(removed),
+                   hashlib.md5(kept.encode()).hexdigest())
+
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.kept_digest)
+           for r in substring_dedup_overlapping(docs, window_w=W).collect()}
+    assert got == want
