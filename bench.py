@@ -203,6 +203,7 @@ BENCH_QUERIES: dict[str, object] = {
     # fresh under the BASELINE.md methodology on landing
     "corpus_weighted_sample": QUERIES["corpus_weighted_sample"],
     "dedup_cluster_representative": QUERIES["dedup_cluster_representative"],
+    "dedup_substring_exact": QUERIES["dedup_substring_exact"],
 }
 
 

@@ -1181,6 +1181,56 @@ def q_recordio_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution_read",
+    oracle="""
+SELECT COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END,
+                'unversioned') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY 1
+""",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the table grew a
+    column mid-life: generation-1 files carry (o_orderkey), the later
+    generation-2 files add o_orderpriority, and ONE read with
+    ``mergeSchema`` unifies them (old rows surface the new column as
+    NULL).  This is the warehouse-format answer to the reference's
+    versioned-record problem (Record I/O docs a version field per
+    record class, record/package.html — readers of old data must
+    tolerate newer schemas); parquet makes evolution per-FILE and the
+    engine reconciles at scan time.
+
+    The oracle rebuilds the same union from the base table (odd keys =
+    gen-1 rows with NULL priority); a hash-match proves no row was
+    dropped and NULL-fill semantics are exact.  Scale note: schema
+    merging reads FOOTERS of (a sample of) files at planning time —
+    at 100 TB you set spark.sql.parquet.mergeSchema per-read exactly
+    as here, not globally, so evolved tables pay the footer pass only
+    where needed."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = _fresh_subdir(_scratch_dir("schevo"), "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey").write.parquet(
+        os.path.join(base, "gen1")
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+        os.path.join(base, "gen2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("unversioned")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+
+
+@register(
     "recordio_xml_roundtrip",
     oracle="""
 SELECT doc_id, COALESCE(lang, '') AS lang,
