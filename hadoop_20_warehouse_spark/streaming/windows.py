@@ -448,3 +448,93 @@ def budget_admit_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def weighted_sample_stream(
+    df: DataFrame,
+    k: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    key_col: str = "skey",
+    payload_cols: tuple[str, ...] = ("source", "wt"),
+):
+    """Streaming weighted reservoir — the stream twin of the batch
+    ``corpus_weighted_sample`` (Efraimidis-Spirakis: the K largest
+    ln(u)/w keys ARE a weight-proportional sample without replacement,
+    and the key is a deterministic per-item score, so top-K-by-key is
+    computable online).  The caller computes ``key_col`` with the same
+    JVM expressions as the batch query (md5-derived u, ln(u)/w rounded
+    to 6); this operator maintains per-SHARD top-K state
+    (applyInPandasWithState keyed on md5_bucket(id, n_shards)) and
+    emits a row the moment it enters its shard's top-K.
+
+    Contract: the final global sample = ``ORDER BY skey DESC, id
+    LIMIT k`` over ALL emitted rows.  Exactness: every true global
+    top-K item is in some shard's top-K at arrival time (if k items
+    of its shard already ranked above it, those k alone push it out
+    of the global top-K), so it is emitted; later evictions only add
+    rows that rank BELOW survivors, which the final LIMIT discards.
+    Pinned against the batch query by tests/test_streaming.py.
+
+    State is (skeys, ids) arrays of ≤ k entries per shard — O(shards
+    × k), independent of stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+
+    if not df.isStreaming:
+        raise ValueError(
+            "weighted_sample_stream is the streaming path; the batch "
+            "fixpoint is the corpus_weighted_sample query form"
+        )
+    id_t = df.schema[id_col].dataType.simpleString()
+    payload_t = {c: df.schema[c].dataType.simpleString() for c in payload_cols}
+    out_schema = ", ".join(
+        [f"{id_col} {id_t}"]
+        + [f"{c} {t}" for c, t in payload_t.items()]
+        + [f"{key_col} double"]
+    )
+    ic, kc = id_col, key_col
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        cur_sk, cur_id = (
+            (list(state.get[0]), list(state.get[1]))
+            if state.exists
+            else ([], [])
+        )
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            # candidate pool = held state entries + this batch's rows,
+            # ranked by (key desc, id asc) — one sort over the whole
+            # group (chunk-wise handling would mis-admit, same contract
+            # as budget_admit_stream)
+            pool = _pd.DataFrame(
+                {
+                    kc: cur_sk + pdf[kc].tolist(),
+                    ic: cur_id + pdf[ic].tolist(),
+                    "_new": [False] * len(cur_sk) + [True] * len(pdf),
+                }
+            ).sort_values(
+                [kc, ic], ascending=[False, True], ignore_index=True
+            ).head(k)
+            state.update((pool[kc].tolist(), pool[ic].tolist()))
+            admitted = set(pool.loc[pool["_new"], ic])
+            if admitted:
+                out = pdf[pdf[ic].isin(admitted)]
+                yield out[[ic, *payload_cols, kc]]
+                return
+        state.update((cur_sk, cur_id))
+
+    return (
+        df.withColumn("_shard", md5_bucket(F.col(id_col), n_shards))
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=f"skeys array<double>, ids array<{id_t}>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -386,3 +386,77 @@ def test_streaming_budget_admission_state_stays_o_domains(spark, tmp_path):
         "SELECT source, sum(tok_len) AS t FROM admit_state_probe GROUP BY source"
     ).collect()
     assert {r.source: r.t for r in got} == {d: 200 for d in domains}
+
+
+def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
+    """The streaming weighted reservoir over an ARBITRARY 3-batch
+    replay must reproduce the batch Efraimidis-Spirakis top-K exactly
+    (the key is deterministic per item, so the sample is order-free),
+    with per-shard state bounded at k entries regardless of stream
+    length."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.functions import text as T
+    from hadoop_20_warehouse_spark.streaming.windows import weighted_sample_stream
+    from tests.conftest import SF_DIR
+
+    K = 40
+    docs = load_table(spark, SF_DIR, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(T.token_count(F.col("text")), F.lit(1)).cast("long").alias("wt"),
+        (
+            (md5_int64(F.col("doc_id").cast("string")) % 1_000_000_000 + 1)
+            / F.lit(1_000_000_001.0)
+        ).alias("u"),
+    ).select(
+        "doc_id", "source", "wt",
+        F.round(F.log("u") / F.col("wt"), 6).alias("skey"),
+    )
+    want = [
+        (r.doc_id, r.source, r.wt, r.skey)
+        for r in staged.orderBy(F.desc("skey"), "doc_id").limit(K).collect()
+    ]
+
+    # replay in 3 batches split by doc_id mod 3 — NOT skey order
+    pdf = staged.toPandas()
+    src = str(tmp_path / "wsample_stream")
+    os.makedirs(src)
+    for b in range(3):
+        part = pdf[pdf.doc_id % 3 == b]
+        pq.write_table(pa.Table.from_pandas(part), f"{src}/b{b}.parquet")
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, wt long, skey double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        weighted_sample_stream(stream, k=K, n_shards=8)
+        .writeStream.format("memory")
+        .queryName("wsample_emitted")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = [
+        (r.doc_id, r.source, r.wt, r.skey)
+        for r in spark.sql(
+            f"SELECT * FROM wsample_emitted ORDER BY skey DESC, doc_id LIMIT {K}"
+        ).collect()
+    ]
+    assert got == want
+
+    # state stays O(shards): one state row per shard, never more
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+        if p["numInputRows"] > 0
+    ]
+    assert state_rows and max(state_rows) <= 8, state_rows
