@@ -522,6 +522,148 @@ def q_text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_K = 3
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_TFIDF_K}
+"""
+
+
+@register("text_tfidf_topk", oracle=_TFIDF_SQL)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-{k} terms by TF-IDF —
+    the classic two-pass corpus-statistics shape (term frequency per
+    doc, document frequency per term, score = tf × ln(N/df)).  IDF is
+    rounded to 6 decimals before the product (the repo's cross-engine
+    float discipline) and ties break on the term, so both engines rank
+    identically.
+
+    Scale shape: tf and df are wordcount-style partial aggs (the
+    explode is absorbed map-side); scoring is one token-keyed
+    equi-join (AQE broadcasts the vocab while it fits) plus the scalar
+    N as a broadcast single-row cross join; the final top-{k} window
+    partitions on doc_id — high cardinality, so no single task
+    inherits more than one doc's terms (bounded by doc length)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = tok.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "token", "tf", "score", "rk")
+    )
+
+
+_NLL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_corpus FROM tok GROUP BY token
+),
+total AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS total_tokens FROM vocab)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(round(ln(CAST(t.total_tokens AS DOUBLE) / v.n_corpus)
+                           * 1000) AS BIGINT)) AS BIGINT) AS nll_milli,
+       CAST(SUM(CAST(round(ln(CAST(t.total_tokens AS DOUBLE) / v.n_corpus)
+                           * 1000) AS BIGINT)) AS DOUBLE)
+         / (1000.0 * COUNT(*)) AS avg_nll
+FROM tok JOIN vocab v USING (token) CROSS JOIN total t
+GROUP BY tok.doc_id
+"""
+
+
+@register("text_unigram_nll", oracle=_NLL_SQL)
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the statistical-LM
+    filter of CCNet (Wenzek et al. 2020 §3.2: rank documents by LM
+    negative log-likelihood; low-probability gibberish scores high):
+    per-doc average of -ln p(token) under the corpus's own unigram
+    model, p(token) = corpus_count/total.
+
+    Cross-engine exactness: each token's -ln p is rounded to INTEGER
+    milli-nats BEFORE summing, so the per-doc sum is integer
+    (order-independent — a raw double sum would drift between Spark's
+    partition-ordered and DuckDB's sequential accumulation) and the
+    average divides exact integers.  Same two-pass shape as
+    text_rare_token_ratio: wordcount, then one token-keyed equi-join
+    + broadcast scalar total, then a doc-keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_corpus"))
+    total = vocab.agg(F.sum("n_corpus").alias("total_tokens"))
+    milli = F.round(
+        F.log(F.col("total_tokens").cast("double") / F.col("n_corpus")) * 1000,
+        0,
+    ).cast("long")
+    return (
+        tok.join(vocab, on="token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", milli.alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("m").cast("long").alias("nll_milli"),
+            (
+                F.sum("m").cast("double") / (F.count(F.lit(1)) * 1000.0)
+            ).alias("avg_nll"),
+        )
+    )
+
+
 # ===========================================================================
 # Per-group quota sampling
 # ===========================================================================
