@@ -384,6 +384,55 @@ def q_agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_store_distinct",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_exact,
+       true AS merged_within_5pct
+FROM events
+""",
+)
+def q_sketch_store_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch STORE — the incremental form of approximate
+    distinct counting that a warehouse actually operates: build one
+    HLL sketch per day (Datasketches ``hll_sketch_agg``), persist the
+    sketches as a tiny parquet table (binary column, one row per day),
+    then answer "distinct users over ALL days" by UNIONING the stored
+    sketches (``hll_union_agg``) — no rescan of the raw events.  This
+    is UniqValueCount's contract (lib/aggregate/UniqValueCount.java:36)
+    made incremental: yesterday's sketches never recompute, today's
+    job adds one row, the union costs O(days × sketch_size).
+
+    The sketch bytes are engine-specific, so (same as agg_uniq_approx,
+    VERDICT r3) the oracle checks the INVARIANT: day count and exact
+    distinct count (DuckDB-reproducible) plus a boolean pinning the
+    merged estimate within 5% of exact — well above HLL's ~1.6%
+    standard error at default precision.  A hash match proves the
+    store round-trip (sketch → parquet → union) really ran and
+    estimated within contract."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    path = _fresh_subdir(_scratch_dir("hllstore"), "daily")
+    daily.write.parquet(path)
+    stored = spark.read.parquet(path)
+    merged = stored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uniq_approx"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("uniq_exact"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "uniq_exact",
+        (
+            F.abs(F.col("uniq_approx") - F.col("uniq_exact"))
+            <= 0.05 * F.col("uniq_exact")
+        ).alias("merged_within_5pct"),
+    )
+
+
+@register(
     "reduce_apply_weighted",
     oracle="""
 SELECT o_custkey,
