@@ -1584,6 +1584,77 @@ GROUP BY doc_id
 
 
 # ===========================================================================
+# Corpus version diff (dataset-versioning audit)
+# ===========================================================================
+
+_DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS digest FROM documents
+  WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || ' v2'
+                  ELSE COALESCE(text, '') END) AS digest
+  FROM documents
+  WHERE doc_id % 11 <> 0
+)
+SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.digest <> v2.digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(v2.doc_id, v1.doc_id)) AS BIGINT) AS id_sum
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+GROUP BY 1
+"""
+
+
+@register("corpus_diff_versions", oracle=_DIFF_SQL)
+def q_corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff — the audit every dataset release runs:
+    given two corpus versions, classify every doc as added / removed /
+    changed / unchanged by content digest and report per-status counts.
+    (Versions here are deterministic slices of the documents table:
+    v1 drops doc_id % 7 == 0, v2 drops % 11 == 0 and rewrites % 5 ==
+    0 — so all four statuses occur.)
+
+    Scale shape: ONE digest projection per version (row-local md5 —
+    never shipping text into the join) and ONE doc_id-keyed FULL OUTER
+    join; statuses are case expressions over null-ness, the rollup a
+    single partial-aggregable count.  At 100 TB this is the same
+    digest-join a snapshot-diff of two table versions costs — no
+    text comparison, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id1"),
+        F.md5(F.coalesce("text", F.lit("")).cast("binary")).alias("d1"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.coalesce("text", F.lit("")), F.lit(" v2")),
+            )
+            .otherwise(F.coalesce("text", F.lit("")))
+            .cast("binary")
+        ).alias("d2"),
+    )
+    joined = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    status = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("d1") != F.col("d2"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce("id2", "id1")).cast("long").alias("id_sum"),
+    )
+
+
+# ===========================================================================
 # Exact substring dedup, overlapping windows (ExactSubstr-style)
 # ===========================================================================
 
