@@ -1584,6 +1584,105 @@ GROUP BY doc_id
 
 
 # ===========================================================================
+# Time-series gap-fill / resample
+# ===========================================================================
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+),
+filled AS (
+  SELECT s.event_type, s.h,
+         COALESCE(hourly.n, 0) AS n_events,
+         CAST(COALESCE(hourly.s, 0) AS DOUBLE) AS hour_sum,
+         CASE WHEN hourly.n IS NOT NULL
+              THEN CAST(hourly.s AS DOUBLE) / hourly.n END AS avg_v
+  FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type
+                               AND s.h = hourly.h
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H') AS hour,
+       n_events, hour_sum,
+       last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_avg
+FROM filled
+"""
+
+
+@register("events_gapfill_hourly", oracle=_GAPFILL_SQL)
+def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill and resample — the dense-grid form every
+    monitoring/attribution pipeline feeds downstream models: hourly
+    buckets per event type over the observed range, with empty hours
+    materialized (count 0, sum 0) and the last observed hourly average
+    CARRIED FORWARD across gaps (leading hours before first data stay
+    NULL).  Sums ride DECIMAL so both engines accumulate exactly;
+    averages divide exact values.
+
+    Scale shape: the hourly rollup is one partial-aggregable groupBy
+    over events; the SPINE (types × hours) is generated row-local from
+    a broadcast 1-row bounds frame — its size is grid-proportional,
+    not event-proportional, so the left join and the carry-forward
+    window run over the small dense grid (the window partitions on
+    event_type ORDER BY hour — bounded by grid length, never by event
+    volume)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("hour_sum"),
+        F.when(
+            F.col("n").isNotNull(), F.col("s").cast("double") / F.col("n")
+        ).alias("avg_v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+        "n_events",
+        "hour_sum",
+        F.last("avg_v", ignorenulls=True).over(w).alias("carry_avg"),
+    )
+
+
+# ===========================================================================
 # Corpus version diff (dataset-versioning audit)
 # ===========================================================================
 
