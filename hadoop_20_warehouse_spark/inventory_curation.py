@@ -1753,6 +1753,99 @@ def q_corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_SQL = f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || ' v2'
+              ELSE COALESCE(text, '') END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+),
+red AS (SELECT doc_id, {T.redact_pii_sql('text')} AS r FROM v2)
+SELECT doc_id,
+       {T.token_count_sql('r')} AS tok_len,
+       {T.token_count_sql('r')} >= 5 AS passed,
+       md5(r) AS curated_digest
+FROM red
+"""
+
+
+@register("pipeline_incremental_curate", oracle=_INCR_SQL)
+def q_pipeline_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation — the operating mode a 100 TB pipeline
+    actually runs between dataset releases: the previous version's
+    curated output is a stored artifact; the new version is processed
+    by (1) classifying docs against the prior version by raw-content
+    digest, (2) re-curating ONLY the added/changed delta, and (3)
+    stitching the result from the STORED rows for unchanged docs plus
+    the freshly curated delta.  The curation stage here is strictly
+    per-doc (PII redaction -> token stats -> integer quality gate), the
+    precondition for incremental == full.
+
+    THE ORACLE IS THE FULL RECOMPUTE over the new version: a hash
+    match proves the incremental plan — prior-store reuse, digest
+    classification, delta-only processing — produces byte-for-byte the
+    same corpus a from-scratch run would, which is the equivalence
+    every incremental pipeline must establish before it can replace
+    its full-refresh job.
+
+    Scale shape: the delta classification is one id-keyed join of two
+    digest PROJECTIONS (text never ships); stored rows come back from
+    parquet (real artifact reuse, not lineage); only |delta| docs pay
+    redaction+stats.  Versions are the corpus_diff_versions slices
+    (v1 drops id%7==0; v2 drops id%11==0 and rewrites id%5==0), so
+    added, removed, changed, and unchanged paths all execute."""
+
+    def _version(df, drop_mod: int, rewrite: bool):
+        out = df.filter(F.col("doc_id") % drop_mod != 0).select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        )
+        if rewrite:
+            out = out.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2"))
+                ).otherwise(F.col("text")).alias("text"),
+            )
+        return out
+
+    def _curate(df):
+        red = df.select("doc_id", T.redact_pii(F.col("text")).alias("r"))
+        tok = T.token_count(F.col("r"))
+        return red.select(
+            "doc_id",
+            tok.alias("tok_len"),
+            (tok >= 5).alias("passed"),
+            F.md5("r").alias("curated_digest"),
+        )
+
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = _version(docs, 7, rewrite=False)
+    v2 = _version(docs, 11, rewrite=True)
+
+    # the "previous release" run: curated v1, materialized to a store
+    store_path = _fresh_subdir(_scratch_dir("incr_curate"), "v1")
+    _curate(v1).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    # delta classification: digest projections only, one id-keyed join
+    d1 = v1.select("doc_id", F.md5("text").alias("d1"))
+    d2 = v2.select("doc_id", F.md5("text").alias("d2"))
+    status = d2.join(d1, "doc_id", "left")
+    unchanged_ids = status.filter(F.col("d1") == F.col("d2")).select("doc_id")
+    delta_ids = status.filter(
+        F.col("d1").isNull() | (F.col("d1") != F.col("d2"))
+    ).select("doc_id")
+
+    reused = store.join(unchanged_ids, "doc_id")
+    fresh = _curate(v2.join(delta_ids, "doc_id"))
+    return reused.unionByName(fresh)
+
+
 # ===========================================================================
 # Exact substring dedup, overlapping windows (ExactSubstr-style)
 # ===========================================================================

@@ -524,8 +524,8 @@ def weighted_sample_stream(
             if admitted:
                 out = pdf[pdf[ic].isin(admitted)]
                 yield out[[ic, *payload_cols, kc]]
-                return
-        state.update((cur_sk, cur_id))
+        else:
+            state.update((cur_sk, cur_id))
 
     return (
         df.withColumn("_shard", md5_bucket(F.col(id_col), n_shards))
