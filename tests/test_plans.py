@@ -356,3 +356,26 @@ def test_cluster_representative_election_is_partial_agg(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "min(" in plan, plan
     assert not uses_python_row_eval(df)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the scan-time pruning that makes a
+    partitioned 100 TB fact table readable: joining a FILTERED dim
+    onto the fact's partition column must inject a dynamicpruning
+    subquery into the fact scan's partition filters, so only the
+    surviving partitions' files are read (the reference's equivalent
+    was choosing input paths per job; Spark derives it from the join
+    at runtime)."""
+    fact_dir = str(tmp_path / "fact")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn("bucket", F.col("o_orderkey") % 16).write.partitionBy(
+        "bucket"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(16).select(
+        F.col("id").alias("bucket"), (F.col("id") * 10).alias("tag")
+    )
+    joined = fact.join(dim.filter(F.col("tag") < 20), "bucket")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan, plan
