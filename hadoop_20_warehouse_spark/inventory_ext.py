@@ -384,6 +384,51 @@ def q_agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_approx",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       true AS within_rank_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory percentiles (percentile_approx / Greenwald-
+    Khanna) — the approximate counterpart of agg_quartiles the same
+    way agg_uniq_approx complements exact distinct: at 100 TB an
+    exact per-group median needs a per-group sort, while the GK
+    sketch is one mergeable pass at a declared rank-error budget.
+
+    The sketch value is engine-specific, so the oracle checks the
+    INVARIANT (the agg_uniq_approx pattern): a second exact pass
+    computes the TRUE rank of the returned median within its group,
+    and a boolean pins |rank - n/2| <= n/accuracy + 1 — GK's
+    documented guarantee at accuracy=1000.  A hash match proves the
+    sketch path ran and met its rank contract in every group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50"),
+    )
+    ranked = li.join(F.broadcast(stats), "l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("p50")).cast("long")
+        ).alias("rank"),
+        F.first("n_rows").alias("n_rows"),
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            F.abs(F.col("rank") - F.col("n_rows") / 2)
+            <= F.col("n_rows") / 1000 + 1
+        ).alias("within_rank_bound"),
+    )
+
+
+@register(
     "sketch_store_distinct",
     oracle="""
 SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
