@@ -111,10 +111,17 @@ def embedding_near_dup_pairs(
     in ≤1 bit in at least one table (multi-probe: the left join side
     fans each vector out to its own bucket plus the n_planes
     single-bit-flip buckets). The signature and (vector, norm) frames
-    are persisted: each feeds two joins, and without persist the
-    n_tables×n_planes zip-folds and the norm scans would run twice
-    (same reasoning as minhash.py's persisted signatures)."""
-    buckets = sign_buckets(df, id_col, vec_col, n_tables, n_planes, dim).persist()
+    are persisted (generation-bounded via session.persist_generation —
+    a later invocation releases this one's caches): each feeds two
+    joins, and without persist the n_tables×n_planes zip-folds and the
+    norm scans would run twice (same reasoning as minhash.py's
+    persisted signatures)."""
+    from hadoop_20_warehouse_spark.session import persist_generation
+
+    buckets = persist_generation(
+        "embdup_buckets",
+        sign_buckets(df, id_col, vec_col, n_tables, n_planes, dim),
+    )
     flips = [0] + [1 << j for j in range(n_planes)]
     probes = buckets.select(
         F.col(id_col).alias("id_a"),
@@ -132,9 +139,12 @@ def embedding_near_dup_pairs(
     )
     from hadoop_20_warehouse_spark.session import scatter
 
-    vecs = scatter(df).select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
-    ).persist()
+    vecs = persist_generation(
+        "embdup_vecs",
+        scatter(df).select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+        ),
+    )
     va = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
     )

@@ -177,7 +177,9 @@ def minhash_lsh_pairs(
         # banding + both sides of the verification join reuse the
         # signature frame; without persist the text scan + md5 pass
         # runs 3x. The frame is |docs| rows × k ints — tiny.
-        sig = sig.persist()
+        from hadoop_20_warehouse_spark.session import persist_generation
+
+        sig = persist_generation("minhash_sig", sig)
     bands_df = band_signatures(sig, id_col, n_hashes, bands)
     cand = candidate_pairs(bands_df, id_col)
     sig_a = sig.select(

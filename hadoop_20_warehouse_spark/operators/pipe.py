@@ -219,7 +219,11 @@ def _stream_job_frames(
     num_partitions: int | None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     wrapped, sentinel = _wrap_stderr_append(mapper)
-    mapped = pipe_map(df, wrapped, separator).persist()
+    from hadoop_20_warehouse_spark.session import persist_generation
+
+    mapped = persist_generation(
+        "pipe_stderr_spool", pipe_map(df, wrapped, separator)
+    )
     is_err = F.col("line").startswith(sentinel)
     # stderr side only: strip the sentinel, then the reference's
     # reporter-prefix parse (stdout 'reporter:' lines stay data).

@@ -217,6 +217,38 @@ def hint_broadcast_if_small(df, threshold_bytes: int | None = None):
     return df
 
 
+_PERSIST_GENERATIONS: dict[str, list] = {}
+
+
+def persist_generation(tag: str, *dfs):
+    """Persist ``dfs`` as operator ``tag``'s CURRENT generation,
+    releasing the previous generation's caches first.
+
+    Several operators (LSH signatures, IVF probe cells, pipe stderr
+    spools) persist a frame that BOTH branches of their returned lazy
+    plan consume — the cache must outlive the call, so an in-function
+    try/finally cannot release it, and repeated invocations in a
+    long-lived session would accumulate cached generations forever
+    (the r6 ADVICE finding against pipeline_mix_place, which got a
+    parquet staging checkpoint instead because its staging is a real
+    artifact; these caches are incidental).  This helper is the cache
+    analog of ``_scratch_dir``'s one-copy-per-tag contract: invoking
+    an operator releases its PRIOR invocation's caches, bounding each
+    operator to one live generation.  A caller that re-executes a
+    previous invocation's result after a new call simply recomputes —
+    correct, just uncached.
+
+    Returns the persisted frame (or tuple of frames)."""
+    for old in _PERSIST_GENERATIONS.get(tag, []):
+        try:
+            old.unpersist()
+        except Exception:  # session torn down, cache already gone
+            pass
+    out = [df.persist() for df in dfs]
+    _PERSIST_GENERATIONS[tag] = list(out)
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 def scatter(df, min_partitions: int | None = None):
     """Spread a narrow input across the cluster before CPU-dense
     per-row work (hashing, LSH signatures, decode UDFs).

@@ -225,7 +225,11 @@ def ivf_topk(
     from hadoop_20_warehouse_spark.session import scatter
 
     corpus = scatter(corpus)
-    cells = _cells(corpus, id_col, vec_col, num_centroids, nprobe, cents).persist()
+    from hadoop_20_warehouse_spark.session import persist_generation
+
+    cells = persist_generation(
+        "ivf_cells", _cells(corpus, id_col, vec_col, num_centroids, nprobe, cents)
+    )
     assign = cells.filter(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"
     )

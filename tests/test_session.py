@@ -208,3 +208,25 @@ def test_concurrent_pools_complete(spark):
         "large": 8 * 10**6 - 2000,
     }
     assert pools_seen == {p: p for p in ("small", "medium", "large")}
+
+
+def test_internal_persists_are_generation_bounded(spark, sf_dir):
+    """Operators that persist frames consumed by their RETURNED lazy
+    plan (LSH signatures, sign-buckets, IVF cells) cannot release the
+    cache in-function — so repeated invocations must release the
+    PRIOR invocation's generation instead of accumulating caches
+    forever (session.persist_generation; the r6 mix_place leak class,
+    closed library-wide)."""
+    from hadoop_20_warehouse_spark.registry import QUERIES
+    import hadoop_20_warehouse_spark.inventory  # noqa: F401
+    import hadoop_20_warehouse_spark.inventory_llm  # noqa: F401
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = sc.getPersistentRDDs().size()
+    for _ in range(3):
+        QUERIES["dedup_embedding_cosine"](spark, sf_dir).count()
+    grown = sc.getPersistentRDDs().size() - base
+    # one live generation = the buckets + vecs frames, never 3x that
+    assert grown <= 2, f"persisted RDDs grew by {grown} over 3 invocations"
+    spark.catalog.clearCache()
