@@ -558,6 +558,10 @@ def main() -> None:
             # diameter-bound, data-independent — so the probe should
             # show the per-round edge term only)
             "dedup_cluster_representative",
+            # the library's largest explode (stride-1 windows, ~one row
+            # per token) — its data term is the window-keyed
+            # first-occurrence agg + doc-keyed removal join
+            "dedup_substring_exact",
             # join probe: GridMix's job classes deliberately include
             # join-shaped pipelines (GridMixRunner.java:230) and a join
             # is where a 100x blow-up bites first — a super-linear
