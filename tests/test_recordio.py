@@ -388,3 +388,27 @@ def test_binary_reader_corrupt_file_skipping(spark, tmp_path):
 
     with pytest.raises(py4j.protocol.Py4JJavaError):
         read_record_binary(spark, path, SIMPLE).collect()
+
+
+def test_xml_buffer_and_byte_golden():
+    """Pin the remaining typed elements against hand-written documents:
+    buffer -> <string> with LOWERCASE hex (Buffer.java:221-228,
+    Character.forDigit), byte -> <ex:i1>, boolean -> 0/1, and a map
+    flattened to alternating bare <value> elements in ascending-key
+    order (TreeMap)."""
+    schema = parse_record_ddl(
+        "class B { byte by; boolean f; buffer b; map<ustring, long> m; }"
+    )["B"]
+    doc = encode_record_xml((-7, True, b"\x00\xfe", {"k1": 2, "a0": 1}), schema)
+    assert "<ex:i1>-7</ex:i1>" in doc
+    assert "<boolean>1</boolean>" in doc
+    assert "<string>00fe</string>" in doc  # lowercase hex, no marker
+    # TreeMap order: a0 before k1, each entry as bare key/value pairs
+    assert doc.index("a0") < doc.index("k1")
+    assert (
+        "<value><string>a0</string></value>\n"
+        "<value><ex:i8>1</ex:i8></value>\n" in doc
+    )
+    assert list(decode_records_xml(doc, schema)) == [
+        (-7, True, b"\x00\xfe", {"a0": 1, "k1": 2})
+    ]
