@@ -111,7 +111,10 @@ def connected_components(
             )
         )
         labels = _materialize(merged.select("node", "component"))
-        if obs.get["changed"] == 0:
+        # sum() over an EMPTY observed frame yields None, not 0 (no
+        # edges -> zero label rows): treat it as converged, else the
+        # loop would burn all max_iterations on empty frames
+        if not obs.get["changed"]:
             break
     return labels
 

@@ -59,6 +59,36 @@ def md5_sample_keep(col: Column | str, frequency: int) -> Column:
     return md5_bucket(col, frequency) == 0
 
 
+def es_sample_key(id_col: Column | str, weight: Column) -> Column:
+    """Efraimidis-Spirakis weighted-sampling priority key: the K
+    LARGEST keys are a weight-proportional sample without replacement
+    (u^(1/w) with u ~ U(0,1); computed as the monotone-equivalent
+    ln(u)/w).  u is the md5-derived deterministic uniform in (0, 1]
+    and the key is rounded to 6 decimals (the repo's cross-engine
+    float discipline — callers tiebreak on the id).
+
+    ONE definition shared by the corpus-wide sample, the stratified
+    per-group sample, and the streaming reservoir's test fixture —
+    the expression is precision-sensitive and the stream/batch
+    equivalence pins depend on it staying bit-identical (r7 review).
+    DuckDB twin: :func:`es_sample_key_sql`."""
+    from pyspark.sql import functions as F
+
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    u = (md5_int64(col.cast("string")) % 1_000_000_000 + 1) / F.lit(
+        1_000_000_001.0
+    )
+    return F.round(F.log(u) / weight, 6)
+
+
+def es_sample_key_sql(id_expr: str, weight_expr: str) -> str:
+    """DuckDB twin of :func:`es_sample_key`."""
+    return (
+        f"round(ln(({md5_int64_sql(id_expr)} % 1000000000 + 1)"
+        f" / 1000000001.0) / ({weight_expr}), 6)"
+    )
+
+
 # --- SQL-string builders for the DuckDB oracle side -----------------------
 
 

@@ -1207,6 +1207,7 @@ def q_pack_token_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 from hadoop_20_warehouse_spark.functions.hashing import (  # noqa: E402
+    es_sample_key_sql,
     md5_bucket_sql,
     md5_int64_sql,
 )
@@ -1921,13 +1922,11 @@ _WSAMPLE_K = 200
 _WSAMPLE_SQL = f"""
 WITH w AS (
   SELECT doc_id, source,
-         GREATEST({token_count_sql('text')}, 1) AS wt,
-         ({md5_int64_sql("CAST(doc_id AS VARCHAR)")} % 1000000000 + 1)
-           / 1000000001.0 AS u
+         GREATEST({token_count_sql('text')}, 1) AS wt
   FROM documents
 )
 SELECT doc_id, source, CAST(wt AS BIGINT) AS wt,
-       round(ln(u) / wt, 6) AS skey
+       {es_sample_key_sql("CAST(doc_id AS VARCHAR)", "wt")} AS skey
 FROM w
 ORDER BY skey DESC, doc_id
 LIMIT {_WSAMPLE_K}
@@ -1957,24 +1956,16 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at all (plan-pinned in tests/test_plans.py).  K rows cross
     the wire; this is the reference's sort-then-head idiom
     (examples/Grep.java:48-84 second job) done without the sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.functions.hashing import es_sample_key
 
-    staged = docs.select(
-        "doc_id",
-        "source",
-        F.greatest(T.token_count(F.col("text")), F.lit(1)).alias("wt"),
-        (
-            (md5_int64(F.col("doc_id").cast("string")) % 1_000_000_000 + 1)
-            / F.lit(1_000_000_001.0)
-        ).alias("u"),
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.greatest(T.token_count(F.col("text")), F.lit(1))
     return (
-        staged.select(
+        docs.select(
             "doc_id",
             "source",
-            F.col("wt").cast("long").alias("wt"),
-            F.round(F.log("u") / F.col("wt"), 6).alias("skey"),
+            wt.cast("long").alias("wt"),
+            es_sample_key("doc_id", wt).alias("skey"),
         )
         .orderBy(F.desc("skey"), "doc_id")
         .limit(_WSAMPLE_K)
@@ -1986,14 +1977,12 @@ _WSG_K = 15
 _WSG_SQL = f"""
 WITH w AS (
   SELECT doc_id, lang,
-         GREATEST({token_count_sql('text')}, 1) AS wt,
-         ({md5_int64_sql("CAST(doc_id AS VARCHAR)")} % 1000000000 + 1)
-           / 1000000001.0 AS u
+         GREATEST({token_count_sql('text')}, 1) AS wt
   FROM documents
 ),
 scored AS (
   SELECT doc_id, lang, CAST(wt AS BIGINT) AS wt,
-         round(ln(u) / wt, 6) AS skey
+         {es_sample_key_sql("CAST(doc_id AS VARCHAR)", "wt")} AS skey
   FROM w
 )
 SELECT doc_id, lang, wt, skey, CAST(rk AS BIGINT) AS rk FROM (
@@ -2020,28 +2009,20 @@ def q_sample_weighted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     task at 100 TB."""
     from pyspark.sql import Window
 
-    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.functions.hashing import es_sample_key
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     salt = F.pmod(
         F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(_QUOTA_SALT)
     )
+    wt = F.greatest(T.token_count(F.col("text")), F.lit(1))
     scored = docs.select(
         "doc_id",
         "lang",
-        F.greatest(T.token_count(F.col("text")), F.lit(1)).cast("long").alias("wt"),
-        (
-            (md5_int64(F.col("doc_id").cast("string")) % 1_000_000_000 + 1)
-            / F.lit(1_000_000_001.0)
-        ).alias("u"),
+        wt.cast("long").alias("wt"),
+        es_sample_key("doc_id", wt).alias("skey"),
         salt.alias("_salt"),
-    ).select(
-        "doc_id",
-        "lang",
-        "wt",
-        F.round(F.log("u") / F.col("wt"), 6).alias("skey"),
-        "_salt",
     )
     w1 = Window.partitionBy("lang", "_salt").orderBy(F.desc("skey"), "doc_id")
     cand = scored.withColumn("_rk1", F.row_number().over(w1)).filter(

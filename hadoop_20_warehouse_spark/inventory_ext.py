@@ -401,8 +401,12 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch value is engine-specific, so the oracle checks the
     INVARIANT (the agg_uniq_approx pattern): a second exact pass
-    computes the TRUE rank of the returned median within its group,
-    and a boolean pins |rank - n/2| <= n/accuracy + 1 — GK's
+    computes the returned value's RANK INTERVAL within its group —
+    a value tied across many rows occupies every rank in
+    [count(<v)+1, count(<=v)], so the check must accept the whole
+    interval, not the single count(<=v) point (an all-equal group
+    would otherwise fail on a correct answer; r7 review) — and a
+    boolean pins that interval within n/accuracy + 1 of n/2, GK's
     documented guarantee at accuracy=1000.  A hash match proves the
     sketch path ran and met its rank contract in every group."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -414,16 +418,21 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag"
     ).agg(
         F.sum(
+            (F.col("l_extendedprice") < F.col("p50")).cast("long")
+        ).alias("rank_lo"),
+        F.sum(
             (F.col("l_extendedprice") <= F.col("p50")).cast("long")
-        ).alias("rank"),
+        ).alias("rank_hi"),
         F.first("n_rows").alias("n_rows"),
     )
+    tol = F.col("n_rows") / 1000 + 1
+    target = F.col("n_rows") / 2
     return ranked.select(
         "l_returnflag",
         "n_rows",
         (
-            F.abs(F.col("rank") - F.col("n_rows") / 2)
-            <= F.col("n_rows") / 1000 + 1
+            (target + tol >= F.col("rank_lo") + 1)
+            & (target - tol <= F.col("rank_hi"))
         ).alias("within_rank_bound"),
     )
 

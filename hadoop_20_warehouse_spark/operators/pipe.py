@@ -221,8 +221,13 @@ def _stream_job_frames(
     wrapped, sentinel = _wrap_stderr_append(mapper)
     from hadoop_20_warehouse_spark.session import persist_generation
 
+    # keep=4: the mapper-runs-once contract must survive a caller
+    # holding several live stream jobs at once (build A, build B,
+    # consume A — r7 review); beyond 4 concurrently-live jobs the
+    # oldest spool is released and its consumers re-run the external
+    # mapper (correct, just re-executed).
     mapped = persist_generation(
-        "pipe_stderr_spool", pipe_map(df, wrapped, separator)
+        "pipe_stderr_spool", pipe_map(df, wrapped, separator), keep=4
     )
     is_err = F.col("line").startswith(sentinel)
     # stderr side only: strip the sentinel, then the reference's

@@ -217,12 +217,15 @@ def hint_broadcast_if_small(df, threshold_bytes: int | None = None):
     return df
 
 
-_PERSIST_GENERATIONS: dict[str, list] = {}
+import threading as _threading
+
+_PERSIST_LOCK = _threading.Lock()
+_PERSIST_GENERATIONS: dict[str, list[list]] = {}
 
 
-def persist_generation(tag: str, *dfs):
-    """Persist ``dfs`` as operator ``tag``'s CURRENT generation,
-    releasing the previous generation's caches first.
+def persist_generation(tag: str, *dfs, keep: int = 2):
+    """Persist ``dfs`` as operator ``tag``'s newest generation,
+    releasing generations older than the last ``keep``.
 
     Several operators (LSH signatures, IVF probe cells, pipe stderr
     spools) persist a frame that BOTH branches of their returned lazy
@@ -232,20 +235,30 @@ def persist_generation(tag: str, *dfs):
     (the r6 ADVICE finding against pipeline_mix_place, which got a
     parquet staging checkpoint instead because its staging is a real
     artifact; these caches are incidental).  This helper is the cache
-    analog of ``_scratch_dir``'s one-copy-per-tag contract: invoking
-    an operator releases its PRIOR invocation's caches, bounding each
-    operator to one live generation.  A caller that re-executes a
-    previous invocation's result after a new call simply recomputes —
-    correct, just uncached.
+    analog of ``_scratch_dir``'s one-copy-per-tag contract, FIFO-
+    bounded: invoking an operator releases generations older than the
+    newest ``keep``, so accumulation is capped while the last few
+    invocations' results stay live (``keep``=2 default gives one slot
+    of breathing room for a caller still holding the previous result,
+    or two tenants hitting the same operator concurrently — the FAIR-
+    pool posture).  A caller that re-executes an EVICTED generation's
+    result simply recomputes — correct, just uncached.  Registry
+    mutations are lock-serialized (concurrent tenants must not leak a
+    generation via check-then-set races; r7 review).
 
     Returns the persisted frame (or tuple of frames)."""
-    for old in _PERSIST_GENERATIONS.get(tag, []):
-        try:
-            old.unpersist()
-        except Exception:  # session torn down, cache already gone
-            pass
     out = [df.persist() for df in dfs]
-    _PERSIST_GENERATIONS[tag] = list(out)
+    with _PERSIST_LOCK:
+        gens = _PERSIST_GENERATIONS.setdefault(tag, [])
+        gens.append(list(out))
+        n_drop = max(0, len(gens) - max(keep, 1))
+        dropped, gens[:n_drop] = gens[:n_drop], []
+    for gen in dropped:
+        for old in gen:
+            try:
+                old.unpersist()
+            except Exception:  # session torn down, cache already gone
+                pass
     return tuple(out) if len(out) > 1 else out[0]
 
 

@@ -628,6 +628,7 @@ def _xml_values(text: str) -> list[tuple[str, str]]:
     vals: list[tuple[str, str]] = []
     pos = 0
     expect_close: str | None = None  # inside a typed element
+    in_name = False  # inside <name>tag</name> (content ignored)
     start = 0
     for m in _XML_TAG_RE.finditer(text):
         tag = m.group(1)
@@ -638,12 +639,29 @@ def _xml_values(text: str) -> list[tuple[str, str]]:
                 )
             vals.append((expect_close, text[start : m.start()]))
             expect_close = None
+            pos = m.end()
+            continue
+        # OUTSIDE typed elements only whitespace (the writer's
+        # indentation/newlines) and <name> content may appear between
+        # tags — anything else is a torn/garbled file and must fail
+        # loudly, matching the binary decoder's all-or-nothing
+        # contract (r7 review)
+        between = text[pos : m.start()]
+        if not in_name and between.strip():
+            raise ValueError(
+                f"unexpected content between XML elements: "
+                f"{between.strip()[:40]!r}"
+            )
+        if tag == "name":
+            in_name = True
+        elif tag == "/name":
+            in_name = False
         elif tag in _XML_TYPED:
             expect_close = tag
             start = m.end()
         elif tag in ("struct", "array", "/struct", "/array"):
             vals.append((tag, ""))
-        elif tag.lstrip("/") not in ("value", "member", "name"):
+        elif tag.lstrip("/") not in ("value", "member"):
             raise ValueError(f"unexpected XML element <{tag}>")
         pos = m.end()
     if expect_close is not None:

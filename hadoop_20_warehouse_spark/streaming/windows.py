@@ -510,19 +510,34 @@ def weighted_sample_stream(
             # ranked by (key desc, id asc) — one sort over the whole
             # group (chunk-wise handling would mis-admit, same contract
             # as budget_admit_stream)
-            pool = _pd.DataFrame(
-                {
-                    kc: cur_sk + pdf[kc].tolist(),
-                    ic: cur_id + pdf[ic].tolist(),
-                    "_new": [False] * len(cur_sk) + [True] * len(pdf),
-                }
-            ).sort_values(
-                [kc, ic], ascending=[False, True], ignore_index=True
-            ).head(k)
+            # dedupe by id BEFORE trimming (state copy wins — a doc
+            # re-delivered at-least-once must not occupy two reservoir
+            # slots and evict a distinct top-K member, nor re-emit;
+            # the _new ascending tiebreak puts the held copy first for
+            # drop_duplicates; r7 review)
+            pool = (
+                _pd.DataFrame(
+                    {
+                        kc: cur_sk + pdf[kc].tolist(),
+                        ic: cur_id + pdf[ic].tolist(),
+                        "_new": [False] * len(cur_sk) + [True] * len(pdf),
+                    }
+                )
+                .sort_values(
+                    [kc, ic, "_new"],
+                    ascending=[False, True, True],
+                    ignore_index=True,
+                )
+                .drop_duplicates(subset=[ic], keep="first")
+                .head(k)
+            )
             state.update((pool[kc].tolist(), pool[ic].tolist()))
             admitted = set(pool.loc[pool["_new"], ic])
             if admitted:
-                out = pdf[pdf[ic].isin(admitted)]
+                # same-batch duplicate rows of an admitted id emit once
+                out = pdf[pdf[ic].isin(admitted)].drop_duplicates(
+                    subset=[ic]
+                )
                 yield out[[ic, *payload_cols, kc]]
         else:
             state.update((cur_sk, cur_id))

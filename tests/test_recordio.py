@@ -412,3 +412,20 @@ def test_xml_buffer_and_byte_golden():
     assert list(decode_records_xml(doc, schema)) == [
         (-7, True, b"\x00\xfe", {"a0": 1, "k1": 2})
     ]
+
+
+def test_xml_rejects_inter_tag_garbage():
+    """Non-whitespace content OUTSIDE typed elements (a torn/garbled
+    write spliced between records) must fail loudly, not silently
+    vanish — the XML analog of the binary decoder's payload-overrun
+    guard (r7 review).  <name> content stays exempt (the reader
+    ignores field names by design)."""
+    schema = parse_record_ddl("class S { long k; }")["S"]
+    good = encode_record_xml((7,), schema)
+    assert list(decode_records_xml(good + good, schema)) == [(7,), (7,)]
+    with pytest.raises(ValueError):
+        list(decode_records_xml(good + "JUNK" + good, schema))
+    # garbage inside a struct envelope, between members
+    broken = good.replace("</struct>", "garbage</struct>")
+    with pytest.raises(ValueError):
+        list(decode_records_xml(broken, schema))

@@ -224,9 +224,10 @@ def test_internal_persists_are_generation_bounded(spark, sf_dir):
     sc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
     base = sc.getPersistentRDDs().size()
-    for _ in range(3):
+    for _ in range(5):
         QUERIES["dedup_embedding_cosine"](spark, sf_dir).count()
     grown = sc.getPersistentRDDs().size() - base
-    # one live generation = the buckets + vecs frames, never 3x that
-    assert grown <= 2, f"persisted RDDs grew by {grown} over 3 invocations"
+    # keep=2 generations x (buckets + vecs) = at most 4 live frames,
+    # however many times the operator runs — never 5x2
+    assert grown <= 4, f"persisted RDDs grew by {grown} over 5 invocations"
     spark.catalog.clearCache()

@@ -400,24 +400,19 @@ def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
     import pyarrow.parquet as pq
 
     from hadoop_20_warehouse_spark.catalog import load_table
-    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.functions.hashing import es_sample_key
     from hadoop_20_warehouse_spark.functions import text as T
     from hadoop_20_warehouse_spark.streaming.windows import weighted_sample_stream
     from tests.conftest import SF_DIR
 
     K = 40
     docs = load_table(spark, SF_DIR, "documents")
+    wt = F.greatest(T.token_count(F.col("text")), F.lit(1))
     staged = docs.select(
         "doc_id",
         "source",
-        F.greatest(T.token_count(F.col("text")), F.lit(1)).cast("long").alias("wt"),
-        (
-            (md5_int64(F.col("doc_id").cast("string")) % 1_000_000_000 + 1)
-            / F.lit(1_000_000_001.0)
-        ).alias("u"),
-    ).select(
-        "doc_id", "source", "wt",
-        F.round(F.log("u") / F.col("wt"), 6).alias("skey"),
+        wt.cast("long").alias("wt"),
+        es_sample_key("doc_id", wt).alias("skey"),
     )
     want = [
         (r.doc_id, r.source, r.wt, r.skey)
@@ -460,3 +455,56 @@ def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
         if p["numInputRows"] > 0
     ]
     assert state_rows and max(state_rows) <= 8, state_rows
+
+
+def test_streaming_weighted_sample_tolerates_redelivery(spark, tmp_path):
+    """At-least-once delivery: the same doc arriving in two batches
+    (and twice within one batch) must occupy ONE reservoir slot and be
+    emitted once — duplicates must not evict a distinct top-K member
+    (r7 review)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_warehouse_spark.streaming.windows import weighted_sample_stream
+
+    K = 3
+    # one shard so eviction pressure is real; skeys descend with doc_id
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "source": ["s"] * 5,
+            "wt": [1] * 5,
+            "skey": [-0.1, -0.2, -0.3, -0.4, -0.5],
+        }
+    )
+    src = str(tmp_path / "redeliver")
+    os.makedirs(src)
+    # batch 0: docs 2,3,4 with doc 2 duplicated IN-batch
+    pq.write_table(
+        pa.Table.from_pandas(rows[rows.doc_id.isin([2, 3, 4])]
+                             ._append(rows[rows.doc_id == 2])), f"{src}/b0.parquet")
+    # batch 1: doc 2 RE-delivered + the true top doc 1 + doc 5
+    pq.write_table(
+        pa.Table.from_pandas(rows[rows.doc_id.isin([2, 1, 5])]), f"{src}/b1.parquet")
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, wt long, skey double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        weighted_sample_stream(stream, k=K, n_shards=1)
+        .writeStream.format("memory")
+        .queryName("wsample_redeliver")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM wsample_redeliver").collect()
+    ids = [r.doc_id for r in emitted]
+    assert ids.count(2) == 1, f"doc 2 emitted {ids.count(2)}x: {ids}"
+    top = [r.doc_id for r in spark.sql(
+        f"SELECT * FROM wsample_redeliver ORDER BY skey DESC, doc_id LIMIT {K}"
+    ).collect()]
+    assert top == [1, 2, 3]
