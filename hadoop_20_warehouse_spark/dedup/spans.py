@@ -128,9 +128,17 @@ def substring_dedup_overlapping(
     array, ~n rows per doc at stride 1); first-occurrence is the
     skew-immune ``min(struct(id, pos))`` partial agg per window key;
     ONE window-keyed equi-join marks duplicates; the W× coverage
-    explode fans out DUPLICATE windows only; removal is a doc-keyed
-    left join; reassembly one doc-keyed agg.  All shuffles keyed —
-    the mega-common-window hot key combines map-side exactly like the
+    explode fans out DUPLICATE windows only, collapsed to ONE
+    removed-position-set row per affected doc (``collect_set`` — a
+    partial-aggregable keyed agg, rows ∝ docs with removals, payload ∝
+    removed positions); reassembly is then a doc-keyed join of that
+    small set onto the ORIGINAL token arrays (one row per doc) and a
+    row-local ``array_except`` position filter + digest.  No shuffle is
+    corpus-token-proportional: the only O(corpus) stages are the
+    row-local window transform and the window-key first-occurrence agg
+    (which partial-aggregates map-side), and the removal/reassembly
+    shuffles carry O(duplicated positions + affected docs) rows.  The
+    mega-common-window hot key combines map-side exactly like the
     boilerplate-scrub stress (PLANS.md)."""
     toks = docs.select(
         F.col(id_col), T.tokens(F.col(text_col)).alias("t")
@@ -162,28 +170,39 @@ def substring_dedup_overlapping(
             & (F.col("pos") == F.col("first_occ.pos"))
         )
     )
-    removed = dups.select(
+    # ONE row per affected doc: the set of removed token positions.
+    # collect_set partial-aggregates, so the explode's W-fan-out of a
+    # mega-hot duplicate window combines map-side before the shuffle.
+    removed_sets = (
+        dups.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window_w - 1)
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("rm_pos"))
+    )
+    # Reassembly: doc-keyed join (left side one row per doc, right side
+    # one row per AFFECTED doc), then row-local position filtering.
+    # array_except builds a hash set over rm_pos, so per doc this is
+    # O(n_tokens + n_removed) — no per-token shuffle rows anywhere.
+    joined = toks.join(removed_sets, on=id_col, how="left").withColumn(
+        "rm_pos", F.coalesce("rm_pos", F.array().cast("array<long>"))
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0).cast("long"), F.size("t").cast("long") - 1),
+        F.col("rm_pos"),
+    )
+    return joined.select(
         F.col(id_col),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + window_w - 1)
-        ).alias("pos"),
-    ).distinct().withColumn("rm", F.lit(True))
-    tokrows = toks.select(
-        F.col(id_col), F.posexplode("t").alias("pos", "tok")
-    ).withColumn("pos", F.col("pos").cast("long"))
-    flagged = tokrows.join(removed, on=[id_col, "pos"], how="left")
-    return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("rm_pos").cast("long").alias("n_removed"),
         F.md5(
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("rm").isNull(), F.struct("pos", "tok"))
-                        )
-                    ),
-                    lambda s: s["tok"],
+                    kept_pos,
+                    lambda p: F.element_at(F.col("t"), (p + 1).cast("int")),
                 ),
                 " ",
             )
