@@ -36,8 +36,15 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
+
+    ``stats``: optional dict the call fills with run diagnostics
+    (currently ``rounds`` — propagation rounds executed before
+    convergence or the iteration cap); lets tests assert convergence
+    behavior directly instead of via load-sensitive wall-clock bounds
+    (r7 ADVICE).
 
     ``edges`` is an undirected pair list; isolated nodes absent from it
     simply keep their own id (callers union them back if needed).
@@ -75,6 +82,7 @@ def connected_components(
     )
     from pyspark.sql import Observation
 
+    rounds = 0
     for _i in range(max_iterations):
         # Candidate labels: own + min neighbor label.  The node's OWN
         # branch also carries its previous label in a second column
@@ -84,12 +92,16 @@ def connected_components(
         # metric, instead of a separate join+count job per round (the
         # r7 profile showed the probe job costing as much as the round
         # on small frontiers).
+        # prev must be the LABEL column's own type: a hard-coded long
+        # would fail (or silently widen) unionByName for node-id types
+        # that don't coerce with long (decimal/string ids).
+        label_type = labels.schema["component"].dataType
         neighbor_labels = (
             und.join(labels.withColumnRenamed("node", "v"), on="v")
             .select(
                 F.col("u").alias("node"),
                 F.col("component"),
-                F.lit(None).cast("long").alias("prev"),
+                F.lit(None).cast(label_type).alias("prev"),
             )
         )
         own = labels.select(
@@ -111,11 +123,14 @@ def connected_components(
             )
         )
         labels = _materialize(merged.select("node", "component"))
+        rounds += 1
         # sum() over an EMPTY observed frame yields None, not 0 (no
         # edges -> zero label rows): treat it as converged, else the
         # loop would burn all max_iterations on empty frames
         if not obs.get["changed"]:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

@@ -71,21 +71,28 @@ def es_sample_key(id_col: Column | str, weight: Column) -> Column:
     per-group sample, and the streaming reservoir's test fixture —
     the expression is precision-sensitive and the stream/batch
     equivalence pins depend on it staying bit-identical (r7 review).
-    DuckDB twin: :func:`es_sample_key_sql`."""
+    DuckDB twin: :func:`es_sample_key_sql`.
+
+    The weight is clamped to >= 1e-12 HERE (and identically in the SQL
+    twin): a zero/negative weight would otherwise yield ±Inf/NaN keys
+    that silently sort to the extremes of the sample (r7 ADVICE).  For
+    strictly positive weights the clamp is a no-op, so callers that
+    pre-clamp (greatest(w, 1)) are unaffected."""
     from pyspark.sql import functions as F
 
     col = F.col(id_col) if isinstance(id_col, str) else id_col
     u = (md5_int64(col.cast("string")) % 1_000_000_000 + 1) / F.lit(
         1_000_000_001.0
     )
-    return F.round(F.log(u) / weight, 6)
+    return F.round(F.log(u) / F.greatest(weight, F.lit(1e-12)), 6)
 
 
 def es_sample_key_sql(id_expr: str, weight_expr: str) -> str:
-    """DuckDB twin of :func:`es_sample_key`."""
+    """DuckDB twin of :func:`es_sample_key` (including the weight
+    clamp — the two sides must stay bit-identical)."""
     return (
         f"round(ln(({md5_int64_sql(id_expr)} % 1000000000 + 1)"
-        f" / 1000000001.0) / ({weight_expr}), 6)"
+        f" / 1000000001.0) / greatest({weight_expr}, 1e-12), 6)"
     )
 
 

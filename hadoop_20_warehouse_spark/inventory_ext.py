@@ -4,6 +4,7 @@ metadata, and text-format semantics (KeyValueTextInputFormat)."""
 from __future__ import annotations
 
 import os
+import threading as _threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -773,13 +774,36 @@ def _scratch_dir(tag: str) -> str:
     return _SCRATCH_DIRS[tag]
 
 
-def _fresh_subdir(parent: str, name: str) -> str:
-    """Pre-deleted subdir for writers with no overwrite mode
-    (``saveAsSequenceFile`` refuses an existing target)."""
-    import shutil
+_FRESH_SUBDIR_LOCK = _threading.Lock()
+_FRESH_SUBDIRS: dict[tuple[str, str], list[str]] = {}
 
-    path = parent + "/" + name
-    shutil.rmtree(path, ignore_errors=True)
+
+def _fresh_subdir(parent: str, name: str, keep: int = 2) -> str:
+    """Per-invocation UNIQUE subdir for writers with no overwrite mode
+    (``saveAsSequenceFile`` refuses an existing target), generation-
+    bounded like ``session.persist_generation``: each call returns a
+    fresh ``{name}_{uuid}`` path and deletes generations older than the
+    newest ``keep`` for that (parent, name).
+
+    The previous fixed ``parent/name`` path was pre-deleted on every
+    call, so two CONCURRENT invocations of the same staging query (a
+    supported mode under the FAIR-pool posture) clobbered each other
+    mid-read (r7 ADVICE).  With ``keep=2`` two concurrent tenants each
+    keep their own copy; disk stays capped at ``keep`` copies per tag.
+    A caller re-executing a frame whose generation was evicted fails
+    loudly on the missing path — same degraded-contract shape as an
+    evicted persist generation."""
+    import shutil
+    import uuid
+
+    path = f"{parent}/{name}_{uuid.uuid4().hex[:12]}"
+    with _FRESH_SUBDIR_LOCK:
+        gens = _FRESH_SUBDIRS.setdefault((parent, name), [])
+        gens.append(path)
+        n_drop = max(0, len(gens) - max(keep, 1))
+        dropped, gens[:n_drop] = gens[:n_drop], []
+    for old in dropped:
+        shutil.rmtree(old, ignore_errors=True)
     return path
 
 

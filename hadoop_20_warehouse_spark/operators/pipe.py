@@ -225,9 +225,14 @@ def _stream_job_frames(
     # holding several live stream jobs at once (build A, build B,
     # consume A — r7 review); beyond 4 concurrently-live jobs the
     # oldest spool is released and its consumers re-run the external
-    # mapper (correct, just re-executed).
+    # mapper (correct, just re-executed) — warn_on_evict makes that
+    # degradation loud, since an external mapper may be side-effectful
+    # or non-deterministic (r7 ADVICE).
     mapped = persist_generation(
-        "pipe_stderr_spool", pipe_map(df, wrapped, separator), keep=4
+        "pipe_stderr_spool",
+        pipe_map(df, wrapped, separator),
+        keep=4,
+        warn_on_evict=True,
     )
     is_err = F.col("line").startswith(sentinel)
     # stderr side only: strip the sentinel, then the reference's

@@ -223,7 +223,7 @@ _PERSIST_LOCK = _threading.Lock()
 _PERSIST_GENERATIONS: dict[str, list[list]] = {}
 
 
-def persist_generation(tag: str, *dfs, keep: int = 2):
+def persist_generation(tag: str, *dfs, keep: int = 2, warn_on_evict: bool = False):
     """Persist ``dfs`` as operator ``tag``'s newest generation,
     releasing generations older than the last ``keep``.
 
@@ -246,6 +246,13 @@ def persist_generation(tag: str, *dfs, keep: int = 2):
     mutations are lock-serialized (concurrent tenants must not leak a
     generation via check-then-set races; r7 review).
 
+    ``warn_on_evict``: operators whose cache carries a stronger
+    contract than speed (the pipe stderr spool's mapper-runs-once
+    guarantee — re-execution re-runs an EXTERNAL command that may be
+    non-deterministic or side-effectful) pass True so an eviction is
+    loud: the caller learns the contract degraded to at-least-once
+    instead of silently re-running the mapper (r7 ADVICE).
+
     Returns the persisted frame (or tuple of frames)."""
     out = [df.persist() for df in dfs]
     with _PERSIST_LOCK:
@@ -253,6 +260,16 @@ def persist_generation(tag: str, *dfs, keep: int = 2):
         gens.append(list(out))
         n_drop = max(0, len(gens) - max(keep, 1))
         dropped, gens[:n_drop] = gens[:n_drop], []
+    if dropped and warn_on_evict:
+        _LOG.warning(
+            "persist_generation(%r): evicting %d generation(s) beyond "
+            "keep=%d; consumers still holding an evicted result will "
+            "re-execute its lineage (for pipe spools that re-runs the "
+            "external mapper)",
+            tag,
+            len(dropped),
+            keep,
+        )
     for gen in dropped:
         for old in gen:
             try:
