@@ -157,6 +157,102 @@ def _embed_ann(n: int, n_planes: int):
     return fn
 
 
+def _incr_synth_corpus(spark, n_docs: int) -> DataFrame:
+    """``n_docs`` deterministic synthetic documents of ~40 md5-derived
+    word tokens — the incremental probe's corpus generator, identical
+    in form at both probe points (cf. _embed_synth).  The probe
+    MATERIALIZES this to parquet before timing, so generation cost is
+    charged to neither path (real corpora arrive from storage)."""
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 40), j -> "
+            "substr(md5(concat(cast(id as string), '#', "
+            "cast(j as string))), 1, 6)), ' ')"
+        ).alias("text"),
+    )
+
+
+def _incr_v2_fixed_delta(docs: DataFrame, spark) -> DataFrame:
+    """The incremental probe's NEW release: ``docs`` with a FIXED-SIZE
+    delta (500 changed + 250 added) regardless of corpus size — so the
+    probe isolates the incremental economics: delta work is constant
+    while the corpus (and the full recompute) grows 10x."""
+    changed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 500, F.concat("text", F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = spark.range(250).select(
+        (F.col("id") + 100_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("synthetic added document body with enough tokens "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    return changed.unionByName(added)
+
+
+def run_incremental_probe(spark, steady_time) -> dict:
+    """Delta-path economics probe (r7 VERDICT item 3): with the v1
+    store PREBUILT (untimed — that is the full-refresh job the apply
+    path exists to avoid), time apply_incremental_curate on a
+    fixed-size delta vs the full recompute, at 100k and 1M docs.
+    time ∝ |delta| for the curation term means the apply path grows
+    only by its cheap digest-scan term while the full recompute (PII
+    regexes + tokenization over every doc) grows with the corpus.
+    Synthetic corpora (parquet-materialized, untimed) rather than the
+    SF tables: at sf0.1's 5k docs both paths are fixed-overhead-bound
+    and the comparison measures job-count, not data terms."""
+    import tempfile
+
+    from hadoop_20_warehouse_spark.incremental import (
+        apply_incremental_curate,
+        build_curated_store,
+        curate_redact_gate,
+    )
+
+    out: dict[str, dict] = {}
+    for label, n_docs in (("small", 100_000), ("large", 1_000_000)):
+        root = tempfile.mkdtemp(prefix="h20w_incr_probe_")
+        corpus_path, store_path = root + "/corpus", root + "/store"
+        _incr_synth_corpus(spark, n_docs).write.parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+        build_curated_store(docs, store_path)
+        store = spark.read.parquet(store_path)
+        v2 = _incr_v2_fixed_delta(docs, spark)
+
+        def apply_fn(s, sd, v2=v2, store=store):
+            return apply_incremental_curate(v2, store)
+
+        def full_fn(s, sd, v2=v2):
+            return curate_redact_gate(v2)
+
+        out[label] = {
+            "n_docs": n_docs,
+            "apply_delta_s": round(steady_time(apply_fn, SF_DIR), 3),
+            "full_recompute_s": round(steady_time(full_fn, SF_DIR), 3),
+        }
+    out["data_ratio"] = 10.0
+    out["apply_time_ratio"] = round(
+        out["large"]["apply_delta_s"]
+        / max(out["small"]["apply_delta_s"], 0.01),
+        3,
+    )
+    out["full_time_ratio"] = round(
+        out["large"]["full_recompute_s"]
+        / max(out["small"]["full_recompute_s"], 0.01),
+        3,
+    )
+    out["large_speedup_vs_full"] = round(
+        out["large"]["full_recompute_s"]
+        / max(out["large"]["apply_delta_s"], 0.01),
+        3,
+    )
+    return out
+
+
 BENCH_QUERIES: dict[str, object] = {
     # name -> callable(spark, sf_dir) -> DataFrame
     "pricing_summary": QUERIES["pricing_summary"],
@@ -204,6 +300,12 @@ BENCH_QUERIES: dict[str, object] = {
     "corpus_weighted_sample": QUERIES["corpus_weighted_sample"],
     "dedup_cluster_representative": QUERIES["dedup_cluster_representative"],
     "dedup_substring_exact": QUERIES["dedup_substring_exact"],
+    # round-8 additions (r7 VERDICT item 5): the two heaviest
+    # previously-unanchored r7 queries — incremental curation (store
+    # build + delta apply) and TF-IDF top-k (two corpus-stat passes +
+    # high-cardinality window)
+    "pipeline_incremental_curate": QUERIES["pipeline_incremental_curate"],
+    "text_tfidf_topk": QUERIES["text_tfidf_topk"],
 }
 
 
@@ -366,6 +468,105 @@ def run_gridmix_concurrent(
     }
     if errors:
         out["errors"] = errors
+    return out
+
+
+def run_streaming_probe(spark, seconds: float = 12.0) -> dict:
+    """Streaming throughput / state-stability probe (r7 VERDICT item
+    4, carried from r6): drive the two custom stateful operators from
+    a rate source for ~``seconds`` and report (a) processed rows/sec
+    and (b) the state-store row count at the first and last observed
+    batch — the evidence that state stays O(domains) / O(shards × k)
+    instead of growing with the stream.
+
+    Runs AFTER the gridmix mix (dead last): a streaming query occupies
+    the scheduler continuously and its Python state workers would
+    contend with any timed query sharing the session."""
+    import tempfile
+
+    from hadoop_20_warehouse_spark.functions.hashing import es_sample_key
+    from hadoop_20_warehouse_spark.streaming.windows import (
+        budget_admit_stream,
+        weighted_sample_stream,
+    )
+
+    def _budget_build(rate):
+        ev = rate.select(
+            F.col("value").alias("doc_id"),
+            F.concat(
+                F.lit("dom"), (F.col("value") % 5).cast("string")
+            ).alias("source"),
+            (F.col("value") % 50 + 1).cast("long").alias("tok_len"),
+            F.col("value").alias("order_key"),
+        )
+        budgets = {f"dom{i}": 1_000_000_000 for i in range(5)}
+        return budget_admit_stream(ev, budgets)
+
+    def _reservoir_build(rate):
+        ev = rate.select(
+            F.col("value").alias("doc_id"),
+            F.concat(
+                F.lit("s"), (F.col("value") % 3).cast("string")
+            ).alias("source"),
+            (F.col("value") % 50 + 1).cast("long").alias("wt"),
+        )
+        ev = ev.withColumn(
+            "skey", es_sample_key(F.col("doc_id").cast("string"), F.col("wt"))
+        )
+        return weighted_sample_stream(ev, k=100, n_shards=32)
+
+    out: dict[str, dict] = {}
+    for name, build, state_bound in (
+        ("budget_admit_stream", _budget_build, 5),  # O(domains)
+        ("weighted_sample_stream", _reservoir_build, 32 * 100),  # O(shards*k)
+    ):
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 50_000)
+            .option("numPartitions", 8)
+            .load()
+        )
+        q = (
+            build(rate)
+            .writeStream.format("noop")
+            .queryName(f"probe_{name}")
+            .trigger(processingTime="1 second")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"h20w_stream_{name}_"),
+            )
+            .start()
+        )
+        try:
+            time.sleep(seconds)
+            progress = []
+            for p in q.recentProgress:
+                if not isinstance(p, dict):
+                    p = json.loads(p.json)
+                progress.append(p)
+        finally:
+            q.stop()
+        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+        total_rows = sum(p["numInputRows"] for p in batches)
+        proc_s = (
+            sum(p["durationMs"]["triggerExecution"] for p in batches) / 1000.0
+        )
+        state_counts = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in batches
+            if p.get("stateOperators")
+        ]
+        out[name] = {
+            "batches": len(batches),
+            "input_rows": total_rows,
+            "rows_per_sec": round(total_rows / proc_s, 1) if proc_s else None,
+            "state_rows_first": state_counts[0] if state_counts else None,
+            "state_rows_last": state_counts[-1] if state_counts else None,
+            "state_rows_bound": state_bound,
+            "state_bounded": bool(
+                state_counts and state_counts[-1] <= state_bound
+            ),
+        }
     return out
 
 
@@ -607,6 +808,12 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Incremental-curation delta-path probe (runs with the other
+    # probes, before the cooldown, for the same same-conditions
+    # reason): fixed-size delta against a prebuilt store at 1x and
+    # 10x corpus.
+    incremental = run_incremental_probe(spark, steady_time)
+
     # Cooldown between probes and the timed set: the 10M-row probe
     # leaves ~1 GB of shuffle files whose async cleanup (and the GC of
     # their buffers) bleeds into whatever runs next — the r5 shakedown
@@ -707,6 +914,13 @@ def main() -> None:
     if gridmix.get("errors"):
         print(f"GRIDMIX pool failures: {gridmix['errors']}", file=sys.stderr)
 
+    # Streaming throughput/state probe dead last (see its docstring).
+    try:
+        streaming = run_streaming_probe(spark)
+    except Exception as e:  # noqa: BLE001 - reported, not raised
+        streaming = {"error": f"{type(e).__name__}: {e}"}
+        print(f"STREAMING probe failed: {streaming['error']}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -716,7 +930,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "scaling": scaling,
+                "incremental": incremental,
                 "gridmix": gridmix,
+                "streaming": streaming,
                 # only confirmed flags — a consumer checking for a
                 # non-empty dict sees real regressions, not cleared
                 # ones (cleared flags land in "phantom_flags")

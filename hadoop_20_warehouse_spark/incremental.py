@@ -1,0 +1,120 @@
+"""Incremental curation — build-store / apply-delta, split so the two
+cost regimes are separately invokable (and separately TIMEABLE):
+
+- :func:`build_curated_store` is the full-refresh path: curate the
+  whole release and materialize it (curated columns + the raw-content
+  digest) as a parquet artifact.  Cost ~ O(corpus).
+- :func:`apply_incremental_curate` is the between-releases path: given
+  the stored artifact and the NEW corpus, classify docs by digest,
+  re-curate ONLY the added/changed delta, and stitch stored rows for
+  unchanged docs with the freshly curated delta.  Cost ~ O(|delta|)
+  curation work + one id-keyed digest join — the economics that make
+  incremental pipelines worth running (time ∝ delta, not corpus size;
+  measured in PLANS.md).
+
+The registered ``pipeline_incremental_curate`` query composes both on
+deterministic version slices, with the FULL RECOMPUTE as its DuckDB
+oracle: a hash match proves incremental ≡ full.  The split exists so
+a bench probe can time the delta path alone with the store prebuilt
+(r7 VERDICT item 3).
+
+The store is self-sufficient at delta time: it carries ``raw_digest``
+(md5 of the null-coalesced text) alongside the curated columns, so
+classification needs the new corpus and the store only — the previous
+release's TEXT is never re-read, exactly like a production artifact.
+
+Curation functions passed here must be strictly PER-DOC (row-local)
+— the precondition for incremental ≡ full.  Anything with cross-doc
+state (dedup, corpus-level stats) needs a different incremental
+contract (e.g. the mergeable-sketch store, inventory_ext.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.functions import text as T
+
+
+def curate_redact_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+) -> DataFrame:
+    """The default per-doc curation stage: PII redaction → token count
+    → integer quality gate → digest of the curated text.  Row-local by
+    construction (every expression is per-row), so it satisfies the
+    incremental contract."""
+    red = df.select(F.col(id_col), T.redact_pii(F.col(text_col)).alias("r"))
+    tok = T.token_count(F.col("r"))
+    return red.select(
+        F.col(id_col),
+        tok.alias("tok_len"),
+        (tok >= min_tokens).alias("passed"),
+        F.md5("r").alias("curated_digest"),
+    )
+
+
+def build_curated_store(
+    docs: DataFrame,
+    store_path: str,
+    curate: Callable[[DataFrame], DataFrame] = curate_redact_gate,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Full-refresh path: curate the whole release and write the store
+    artifact (curated columns + ``raw_digest``) to ``store_path``.
+
+    Scale shape: one row-local curation pass, one id-keyed join to
+    attach the raw digest (both sides projections of the same scan —
+    Catalyst reuses the exchange), one parquet write.  This is the
+    O(corpus) job the apply path exists to avoid re-running."""
+    base = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+    digests = base.select(F.col(id_col), F.md5(text_col).alias("raw_digest"))
+    curate(base).join(digests, id_col).write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def apply_incremental_curate(
+    new_docs: DataFrame,
+    store: DataFrame,
+    curate: Callable[[DataFrame], DataFrame] = curate_redact_gate,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Between-releases path: stitch the curated NEW release from the
+    stored artifact plus a delta-only recompute.
+
+    Classification is one id-keyed LEFT join of two digest projections
+    (the new corpus's row-local md5 vs the store's ``raw_digest`` —
+    text never ships into the join); docs whose digest matches reuse
+    their STORED curated row, docs that are new or changed go through
+    ``curate``.  Removed docs drop out naturally (they are absent from
+    ``new_docs``).  Work ∝ |delta| for curation and ∝ corpus for the
+    digest join only — the join carries two narrow columns."""
+    new_base = new_docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+    new_digest = new_base.select(
+        F.col(id_col), F.md5(text_col).alias("new_digest")
+    )
+    status = new_digest.join(
+        store.select(F.col(id_col), "raw_digest"), id_col, "left"
+    )
+    unchanged_ids = status.filter(
+        F.col("raw_digest") == F.col("new_digest")
+    ).select(id_col)
+    delta_ids = status.filter(
+        F.col("raw_digest").isNull()
+        | (F.col("raw_digest") != F.col("new_digest"))
+    ).select(id_col)
+    reused = store.drop("raw_digest").join(unchanged_ids, id_col)
+    fresh = curate(new_base.join(delta_ids, id_col))
+    return reused.unionByName(fresh)

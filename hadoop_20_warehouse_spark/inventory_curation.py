@@ -1789,12 +1789,21 @@ def q_pipeline_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame
     every incremental pipeline must establish before it can replace
     its full-refresh job.
 
-    Scale shape: the delta classification is one id-keyed join of two
-    digest PROJECTIONS (text never ships); stored rows come back from
-    parquet (real artifact reuse, not lineage); only |delta| docs pay
+    Scale shape: the delta classification is one id-keyed join of the
+    new version's digest projection against the store's raw_digest
+    (text never ships); stored rows come back from parquet (real
+    artifact reuse, not lineage); only |delta| docs pay
     redaction+stats.  Versions are the corpus_diff_versions slices
     (v1 drops id%7==0; v2 drops id%11==0 and rewrites id%5==0), so
-    added, removed, changed, and unchanged paths all execute."""
+    added, removed, changed, and unchanged paths all execute.
+
+    Library form: incremental.build_curated_store / apply_incremental_
+    curate — split (r7 VERDICT) so the bench can time the delta path
+    ALONE with the store prebuilt; this registered query runs both
+    halves each invocation because the driver contract is
+    self-contained, so it measures equivalence, while the delta-only
+    economics are measured by bench.py's incremental probe
+    (PLANS.md)."""
 
     def _version(df, drop_mod: int, rewrite: bool):
         out = df.filter(F.col("doc_id") % drop_mod != 0).select(
@@ -1809,16 +1818,10 @@ def q_pipeline_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         return out
 
-    def _curate(df):
-        red = df.select("doc_id", T.redact_pii(F.col("text")).alias("r"))
-        tok = T.token_count(F.col("r"))
-        return red.select(
-            "doc_id",
-            tok.alias("tok_len"),
-            (tok >= 5).alias("passed"),
-            F.md5("r").alias("curated_digest"),
-        )
-
+    from hadoop_20_warehouse_spark.incremental import (
+        apply_incremental_curate,
+        build_curated_store,
+    )
     from hadoop_20_warehouse_spark.inventory_ext import (
         _fresh_subdir,
         _scratch_dir,
@@ -1830,21 +1833,9 @@ def q_pipeline_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # the "previous release" run: curated v1, materialized to a store
     store_path = _fresh_subdir(_scratch_dir("incr_curate"), "v1")
-    _curate(v1).write.parquet(store_path)
+    build_curated_store(v1, store_path)
     store = spark.read.parquet(store_path)
-
-    # delta classification: digest projections only, one id-keyed join
-    d1 = v1.select("doc_id", F.md5("text").alias("d1"))
-    d2 = v2.select("doc_id", F.md5("text").alias("d2"))
-    status = d2.join(d1, "doc_id", "left")
-    unchanged_ids = status.filter(F.col("d1") == F.col("d2")).select("doc_id")
-    delta_ids = status.filter(
-        F.col("d1").isNull() | (F.col("d1") != F.col("d2"))
-    ).select("doc_id")
-
-    reused = store.join(unchanged_ids, "doc_id")
-    fresh = _curate(v2.join(delta_ids, "doc_id"))
-    return reused.unionByName(fresh)
+    return apply_incremental_curate(v2, store)
 
 
 # ===========================================================================
