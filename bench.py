@@ -406,49 +406,96 @@ def find_regressions(
 # GridMix-style concurrent job mix: the reference's defining benchmark
 # trait is SIMULTANEOUS submission of small/medium/large job classes
 # (GridMixRunner.java:106-279 queues every class into one JobControl),
-# scheduled by the FB FairScheduler (FairScheduler.java:57).  The
-# sequential timed set above never exercises that posture; this mix
-# submits three pools concurrently under spark.scheduler.mode=FAIR
-# (session.FAIR_POOLS) and reports wall time vs the same queries'
-# sequential sum.  Queries chosen from the timed set across the cost
-# spectrum so the pools genuinely contend.
-GRIDMIX_POOLS: dict[str, list[str]] = {
-    "small": ["wordcount", "grep_topk", "value_histogram", "join_inner"],
-    "medium": ["aggregate_report", "monster_query", "text_quality",
-               "dedup_simhash"],
-    "large": ["pricing_summary", "full_sort", "dedup_minhash_lsh"],
+# scheduled by the FB FairScheduler (FairScheduler.java:57).
+#
+# The mix is PROPORTIONED to the reference's own per-class job counts
+# (gridmix_config.xml numOfJobs, summed over its six job types:
+# small 103 / medium 51 / large 18 — streamSort 40/16/5, javaSort
+# 10/6/3, combiner 15/8/4, monsterQuery 7/5/3, webdataScan 24/12/2,
+# webdataSort 7/4/1), scaled ~1/8 to 13/6/2 jobs, with each class
+# reading a 10x-stepped input scale — the reference's classes differ
+# by input FILE COUNT of the same generated data, and the SF dirs are
+# exactly that.  Job types map to their engine analogs from the timed
+# set: stream/javaSort -> full_sort (total-order sort; the reference's
+# stream-vs-java split is API surface, one DataFrame plan here),
+# combiner -> wordcount, monsterQuery -> monster_query (3-stage
+# pipeline), webdataScan -> scan_filter_sample, webdataSort ->
+# grep_topk (scan + sort + top-k over webdata-shaped text).
+GRIDMIX_MIX: dict[str, list[str]] = {
+    # class -> job list (query per job), proportions per the config
+    "small": (
+        ["full_sort"] * 6 + ["wordcount"] * 2 + ["monster_query"]
+        + ["scan_filter_sample"] * 3 + ["grep_topk"]
+    ),
+    "medium": (
+        ["full_sort"] * 2 + ["wordcount"] + ["monster_query"]
+        + ["scan_filter_sample"] * 2
+    ),
+    "large": ["full_sort", "wordcount"],
+}
+
+# class -> input scale subdir (relative to the SF root); the large
+# class runs at the bench's own SF_DIR scale
+GRIDMIX_CLASS_SF: dict[str, str] = {
+    "small": "sf0.001",
+    "medium": "sf0.01",
+    "large": "sf0.1",
 }
 
 
-def run_gridmix_concurrent(
-    spark, force, sf_dir: str, timings: dict[str, float]
-) -> dict:
-    """Submit the three pool workloads from three threads at once and
-    measure: overall wall time, per-pool elapsed (a starved pool shows
-    as elapsed >> its own work), and the sequential reference (the sum
-    of the same queries' already-measured solo timings).  Speedup > 1
-    means the fair scheduler actually interleaved the classes."""
+def _gridmix_class_dir(cls: str) -> str:
+    root = os.path.dirname(SF_DIR.rstrip("/"))
+    d = os.path.join(root, GRIDMIX_CLASS_SF[cls])
+    return d if os.path.isdir(d) else SF_DIR
+
+
+def run_gridmix_concurrent(spark, force, sf_dir: str, _timings=None) -> dict:
+    """The proportioned concurrent mix, measured in three phases:
+
+    1. SEQUENTIAL baseline — each pool's job list run solo, timed
+       (also the per-pool reference for the starvation ratios).
+    2. CONCURRENT — all three pools submitted at once from three
+       threads under FAIR; wall vs sequential sum, per-pool elapsed.
+    3. STARVATION probe — the small pool re-run concurrently with an
+       OVERSUBSCRIBED large pool (4 threads of large-class sorts
+       saturating the cores); small's elapsed vs its solo time is the
+       minShare guarantee made measurable (FAIR_POOLS gives small
+       minShare=8 cores), the scenario the FB FairScheduler exists
+       for (FairScheduler.java:57 pool guarantees)."""
     import threading
 
     spark.catalog.clearCache()
-    pool_elapsed: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def tenant(pool: str, names: list[str]) -> None:
+    def run_pool(pool: str, jobs: list[str], sf: str) -> float:
         set_pool(spark, pool)
         t0 = time.perf_counter()
         try:
-            for n in names:
-                force(BENCH_QUERIES[n](spark, sf_dir))
+            for n in jobs:
+                force(BENCH_QUERIES[n](spark, sf))
         except Exception as e:  # noqa: BLE001 - reported, not raised
             errors[pool] = f"{type(e).__name__}: {e}"
         finally:
-            pool_elapsed[pool] = round(time.perf_counter() - t0, 3)
             set_pool(spark, None)
+        return round(time.perf_counter() - t0, 3)
+
+    # phase 1: sequential per-pool baselines
+    solo: dict[str, float] = {
+        p: run_pool(p, jobs, _gridmix_class_dir(p))
+        for p, jobs in GRIDMIX_MIX.items()
+    }
+
+    # phase 2: concurrent submission
+    pool_elapsed: dict[str, float] = {}
+
+    def tenant(pool: str) -> None:
+        pool_elapsed[pool] = run_pool(
+            pool, GRIDMIX_MIX[pool], _gridmix_class_dir(pool)
+        )
 
     threads = [
-        threading.Thread(target=tenant, args=(p, names), name=f"gridmix-{p}")
-        for p, names in GRIDMIX_POOLS.items()
+        threading.Thread(target=tenant, args=(p,), name=f"gridmix-{p}")
+        for p in GRIDMIX_MIX
     ]
     t0 = time.perf_counter()
     for t in threads:
@@ -456,14 +503,51 @@ def run_gridmix_concurrent(
     for t in threads:
         t.join()
     wall = round(time.perf_counter() - t0, 3)
-    seq = round(
-        sum(timings.get(n, 0.0) for ns in GRIDMIX_POOLS.values() for n in ns), 3
+    seq = round(sum(solo.values()), 3)
+
+    # phase 3: small pool vs an oversubscribed large pool
+    large_dir = _gridmix_class_dir("large")
+    stop_large = threading.Event()
+
+    def big_tenant(i: int) -> None:
+        set_pool(spark, "large")
+        try:
+            while not stop_large.is_set():
+                force(BENCH_QUERIES["full_sort"](spark, large_dir))
+        except Exception as e:  # noqa: BLE001
+            errors[f"starvation_large_{i}"] = f"{type(e).__name__}: {e}"
+        finally:
+            set_pool(spark, None)
+
+    big = [
+        threading.Thread(target=big_tenant, args=(i,), name=f"gridmix-big{i}")
+        for i in range(4)
+    ]
+    for t in big:
+        t.start()
+    small_under_load = run_pool(
+        "small", GRIDMIX_MIX["small"], _gridmix_class_dir("small")
     )
+    stop_large.set()
+    for t in big:
+        t.join()
+
     out = {
+        "jobs_per_pool": {p: len(jobs) for p, jobs in GRIDMIX_MIX.items()},
         "concurrent_wall_s": wall,
         "sequential_sum_s": seq,
         "speedup": round(seq / wall, 3) if wall > 0 else None,
         "pool_elapsed_s": pool_elapsed,
+        "pool_solo_s": solo,
+        "starvation": {
+            "small_solo_s": solo.get("small"),
+            "small_vs_oversubscribed_large_s": small_under_load,
+            "slowdown": (
+                round(small_under_load / solo["small"], 3)
+                if solo.get("small")
+                else None
+            ),
+        },
         "scheduler": "FAIR",
     }
     if errors:
