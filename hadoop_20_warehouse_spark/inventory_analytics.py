@@ -1,0 +1,341 @@
+"""Round-8 analytics inventory: incremental exact top-k store,
+fixed-iteration integer PageRank, robust (MAD) anomaly detection, and
+blocked edit-distance near-dup.
+
+Each query follows the repo's oracle discipline (registry.register):
+deterministic arithmetic only on the compared columns (integer scaling
+for iterative ranks, exact binary halves for medians), and every
+computed column aliased identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.registry import register
+
+# ===========================================================================
+# Incremental exact top-k via a per-day partial-aggregate store
+# ===========================================================================
+
+_TOPK_STORE_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_events
+FROM events GROUP BY user_id
+ORDER BY total_events DESC, user_id
+LIMIT 10
+"""
+
+
+@register("store_topk_incremental", oracle=_TOPK_STORE_SQL)
+def q_store_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT top-k — the heavy-hitters companion of the HLL
+    sketch store (inventory_ext.q_sketch_store_distinct): persist one
+    compacted partial aggregate per day ((day, user_id, cnt) — the
+    combiner output a MapReduce job would spill,
+    lib/LongSumReducer.java:27, made durable), then answer "top users
+    over ALL days" by merging the stored partials — summing counts per
+    user and taking the top-k — without rescanning raw events.
+    Yesterday's partials never recompute; today's job appends one
+    day's rows; the merge costs O(days × distinct users/day), not
+    O(raw events).
+
+    THE ORACLE IS THE FULL RESCAN (global groupBy + top-k over raw
+    events): a hash match proves per-day partial aggregation + store
+    round-trip + merge ≡ the direct global aggregate — the associativity
+    contract that makes count-like aggregates incrementally
+    maintainable.
+
+    Scale shape: the daily partials partial-aggregate map-side (keyed
+    count); the merge is a keyed sum over the small store; top-k
+    compiles to TakeOrderedAndProject (per-partition partial top-k,
+    K rows to the driver, no global sort)."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    path = _fresh_subdir(_scratch_dir("topkstore"), "daily")
+    daily.write.parquet(path)
+    stored = spark.read.parquet(path)
+    merged = stored.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("total_events")
+    )
+    return merged.orderBy(
+        F.col("total_events").desc(), "user_id"
+    ).limit(10)
+
+
+# ===========================================================================
+# Fixed-iteration PageRank with integer-scaled ranks
+# ===========================================================================
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 5
+_PR_TOPN = 20
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One oracle iteration: the SAME integer arithmetic as the Spark
+    side (floor division via //; bigint sums are order-independent)."""
+    return f"""
+{cur} AS (
+  SELECT n.node,
+         CAST({15 * _PR_SCALE // 100} + (85 * COALESCE(s.inc, 0)) // 100
+              AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.r // e.d) AS BIGINT) AS inc
+    FROM edges_d e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+_PR_SQL = (
+    """
+WITH edges AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+edges_d AS (SELECT e.src, e.dst, g.d FROM edges e JOIN deg g USING (src)),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+it0 AS (SELECT node, CAST(%d AS BIGINT) AS r FROM nodes),"""
+    % _PR_SCALE
+    + ",".join(
+        _pr_iter_sql(f"it{i}", f"it{i + 1}") for i in range(_PR_ITERS)
+    )
+    + f"""
+SELECT node, r AS rank_scaled FROM it{_PR_ITERS}
+ORDER BY rank_scaled DESC, node
+LIMIT {_PR_TOPN}
+"""
+)
+
+
+@register("graph_pagerank", oracle=_PR_SQL)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999; damping 0.85, 5
+    iterations) over the part→supplier link graph — the second
+    iterative-dataflow operator family beside connected components
+    (dedup/components.py): rank propagation instead of label
+    propagation, weighted by out-degree.
+
+    Cross-engine determinism: ranks are INTEGER-scaled (1e9 = rank
+    1.0) and every step is integer arithmetic — contributions are
+    floor divisions ``r div out_degree`` and the damping update is
+    ``(15*SCALE) div 100 + (85*incoming) div 100`` — so partial sums
+    commute bit-exactly in both engines (the repo's order-independent
+    sum discipline applied to an iterative algorithm).  Dangling-node
+    mass is dropped (the standard simplification; both engines drop it
+    identically).  The oracle unrolls the same 5 iterations as chained
+    CTEs with DuckDB's ``//``.
+
+    Scale shape: each iteration is one src-keyed join (contributions)
+    + one dst-keyed partial-aggregable sum + one node-keyed left join
+    (re-attach silent nodes) — all keyed shuffles, no all-pairs; the
+    edge list with degrees is computed once and reused.  A hub dst
+    (many in-links) partial-aggregates map-side like every keyed sum.
+    Library form: graph.pagerank_integer (checkpoint_every for
+    web-graph iteration counts; 5 rounds keeps plan depth trivial)."""
+    from hadoop_20_warehouse_spark.graph import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 10_000_000).alias("dst"),
+    ).distinct()
+    ranks = pagerank_integer(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    return (
+        ranks.select("node", F.col("r").alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "node")
+        .limit(_PR_TOPN)
+    )
+
+
+# ===========================================================================
+# Robust anomaly detection: median / MAD gate over hourly counts
+# ===========================================================================
+
+_MAD_K = 3
+
+_MAD_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(cnt, 0.5) AS med
+  FROM hourly GROUP BY event_type
+),
+mad AS (
+  SELECT h.event_type, quantile_cont(abs(h.cnt - m.med), 0.5) AS mad
+  FROM hourly h JOIN med m USING (event_type)
+  GROUP BY h.event_type
+)
+SELECT h.event_type, strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour, h.cnt,
+       m.med, d.mad
+FROM hourly h JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE abs(h.cnt - m.med) > {_MAD_K} * d.mad
+ORDER BY h.event_type, hour
+"""
+
+
+@register("events_anomaly_mad", oracle=_MAD_SQL)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: flag (event_type, hour) cells
+    whose count deviates from the type's median by more than
+    {K}×MAD (median absolute deviation) — the outlier gate a pipeline
+    runs over ingest volumes, robust where mean/stddev is dragged by
+    the very outliers it hunts (Leys et al. 2013, the standard MAD
+    recommendation).
+
+    Cross-engine determinism: counts are integers, so exact medians
+    are x.0 or x.5 — exact in binary — and abs deviations, the MAD,
+    and the K×MAD comparison are all exact-half arithmetic with no
+    rounding drift (the agg_quartiles discipline).  Output keeps
+    (med, mad) so the gate itself is hash-checked, not just the
+    survivor set.
+
+    Scale shape: hourly counts partial-aggregate map-side; medians are
+    per-type exact percentiles (per-group sort at test scale; the
+    documented percentile_approx swap applies at 100 TB); the gate is
+    two broadcast-sized joins (one row per event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    mad = (
+        hourly.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(cnt - med), 0.5)").alias("mad"))
+    )
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("cnt") - F.col("med")) > _MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "cnt",
+            "med",
+            "mad",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ===========================================================================
+# Blocked edit-distance near-dup (character-level fuzzy dedup)
+# ===========================================================================
+
+_EDIT_T = 24  # max edit distance
+_EDIT_BLOCK = 32  # length-bucket width; must be >= _EDIT_T (see proof below)
+
+_EDIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lower(COALESCE(text, '')) AS tx,
+         length(COALESCE(text, '')) AS ln
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS dist
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= {_EDIT_T}
+WHERE levenshtein(a.tx, b.tx) <= {_EDIT_T}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_fuzzy_edit", oracle=_EDIT_SQL)
+def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy near-dup: pairs within Levenshtein
+    distance {T} — the edit-distance modality of the dedup family
+    (MinHash = token-set overlap, SimHash = weighted-feature angle,
+    this = character edits: catches small in-place edits, typo
+    variants, template instantiations).
+
+    Candidate generation is LENGTH-BLOCKED, not all-pairs: each doc
+    lands in length buckets floor(len/W) and floor(len/W)+1 with
+    W = {W} >= T, so any pair with |len_a - len_b| <= T (a NECESSARY
+    condition for distance <= T, since each edit changes length by at
+    most 1) shares a bucket: their bucket indices differ by at most 1,
+    and the +1 overlap row covers that straddle.  Pairs are verified
+    with the THRESHOLDED JVM levenshtein (early-abandons the DP past
+    T — O(T·min(m,n)) per pair, not O(m·n)) and deduped (a pair can
+    share two buckets).
+
+    THE ORACLE IS EXHAUSTIVE: DuckDB verifies every length-compatible
+    pair directly, so a hash match proves the blocking scheme is
+    COMPLETE (no candidate lost), not merely that verified candidates
+    were scored identically.
+
+    Scale shape: bucket join fan-out is 2 rows/doc; per-bucket
+    population is bounded by the corpus length distribution (a skewed
+    bucket — e.g. all docs ~300 chars — degrades toward quadratic
+    within that bucket, the known cost of length blocking; the fix at
+    100 TB is a second blocking key, e.g. rare-token anchor, exactly
+    like MinHash banding adds rows to cut bucket width)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.coalesce("text", F.lit(""))).alias("tx"),
+        F.length(F.coalesce("text", F.lit(""))).alias("ln"),
+    )
+    blocked = docs.select(
+        "*",
+        F.explode(
+            F.array(
+                F.floor(F.col("ln") / _EDIT_BLOCK),
+                F.floor(F.col("ln") / _EDIT_BLOCK) + 1,
+            )
+        ).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("tx").alias("tx_a"),
+        F.col("ln").alias("ln_a"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("tx").alias("tx_b"),
+        F.col("ln").alias("ln_b"),
+        "blk",
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= _EDIT_T)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("tx_a", "tx_b", _EDIT_T).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    ).orderBy("id_a", "id_b")
+
+
+# keep the docstring format placeholders honest
+q_dedup_fuzzy_edit.__doc__ = q_dedup_fuzzy_edit.__doc__.replace(
+    "{T}", str(_EDIT_T)
+).replace("{W}", str(_EDIT_BLOCK))
+q_events_anomaly_mad.__doc__ = q_events_anomaly_mad.__doc__.replace(
+    "{K}", str(_MAD_K)
+)

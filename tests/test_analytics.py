@@ -1,0 +1,136 @@
+"""Unit tests for the round-8 analytics operators (the DuckDB oracle
+equivalence is the driver's job; these pin the algorithmic invariants
+on shapes the driver tables lack)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_integer_hand_computed(spark):
+    """Exact integer arithmetic on a 3-node chain a->b->c, 2 rounds,
+    hand-computed: the library must reproduce it bit-for-bit (the
+    cross-engine contract depends on this arithmetic being THE
+    definition, not an approximation of float PageRank)."""
+    from hadoop_20_warehouse_spark.graph import pagerank_integer
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    s = 1_000_000_000
+    base = 15 * s // 100
+    # round 1: inc(b) = r(a)//1 = s; inc(c) = r(b)//1 = s
+    r1 = {"a": base, "b": base + 85 * s // 100, "c": base + 85 * s // 100}
+    # round 2: inc(b) = r1(a); inc(c) = r1(b)
+    r2 = {
+        "a": base,
+        "b": base + 85 * r1["a"] // 100,
+        "c": base + 85 * r1["b"] // 100,
+    }
+    got = {
+        r.node: r.r
+        for r in pagerank_integer(edges, iterations=2).collect()
+    }
+    assert got == r2
+
+
+def test_pagerank_mass_bound_and_hub(spark):
+    """Star graph: every leaf links to the hub — the hub must rank
+    first, total mass must not exceed nodes*scale (dangling mass only
+    leaks out, never in), and every rank >= the teleport base."""
+    from hadoop_20_warehouse_spark.graph import PR_SCALE, pagerank_integer
+
+    leaves = [(f"n{i}", "hub") for i in range(50)]
+    edges = spark.createDataFrame(leaves, ["src", "dst"])
+    rows = pagerank_integer(edges, iterations=3).collect()
+    ranks = {r.node: r.r for r in rows}
+    assert max(ranks, key=ranks.get) == "hub"
+    base = 15 * PR_SCALE // 100
+    assert all(r >= base for r in ranks.values())
+    assert sum(ranks.values()) <= len(ranks) * PR_SCALE
+
+
+def test_mad_gate_flags_planted_outlier(spark):
+    """One hour with 100x volume against a flat baseline must be the
+    only flagged cell, and the emitted med/mad must match the
+    baseline's exact values."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_events_anomaly_mad,
+    )
+    import hadoop_20_warehouse_spark.inventory_analytics as A
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for h in range(24):
+        n = 500 if h == 7 else 5  # planted spike at hour 7
+        for i in range(n):
+            rows.append((h * 1000 + i, t0 + dt.timedelta(hours=h), 1, "click", 0.0, ""))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = q_events_anomaly_mad(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cnt == 500 and r.hour.startswith("2024-01-01 07")
+    assert r.med == 5.0 and r.mad == 0.0
+
+
+def test_fuzzy_edit_blocking_catches_boundary_straddle(spark):
+    """A planted near-dup pair whose lengths fall in ADJACENT length
+    buckets (len 31 vs 33 with block width 32) must still be found —
+    the completeness property the +1 overlap row exists for — and a
+    far pair must not."""
+    import os
+    import tempfile
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _EDIT_BLOCK,
+        q_dedup_fuzzy_edit,
+    )
+
+    near_a = "x" * 31              # bucket 0
+    near_b = "x" * 31 + "yz"       # len 33 -> bucket 1, distance 2
+    far = "q" * 300
+    df = spark.createDataFrame(
+        [(1, near_a, "en", "s", len(near_a)),
+         (2, near_b, "en", "s", len(near_b)),
+         (3, far, "en", "s", len(far))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert len(near_a) // _EDIT_BLOCK != len(near_b) // _EDIT_BLOCK
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = [(r.id_a, r.id_b, r.dist) for r in q_dedup_fuzzy_edit(spark, d).collect()]
+    assert out == [(1, 2, 2)]
+
+
+def test_topk_store_merge_equals_direct(spark, tmp_path):
+    """The per-day partial store merged must equal the direct global
+    aggregate — on a frame with users spanning days (the associativity
+    contract the registered query's oracle checks at sf0.01)."""
+    import datetime as dt
+    import os
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_store_topk_incremental,
+    )
+
+    rows = []
+    t0 = dt.datetime(2024, 3, 1)
+    eid = 0
+    for day in range(3):
+        for u, n in ((1, 5), (2, 3), (3, day + 1)):
+            for _ in range(n):
+                rows.append((eid, t0 + dt.timedelta(days=day), u, "e", 0.0, ""))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = [(r.user_id, r.total_events) for r in q_store_topk_incremental(spark, d).collect()]
+    assert out == [(1, 15), (2, 9), (3, 6)]
