@@ -339,3 +339,231 @@ q_dedup_fuzzy_edit.__doc__ = q_dedup_fuzzy_edit.__doc__.replace(
 q_events_anomaly_mad.__doc__ = q_events_anomaly_mad.__doc__.replace(
     "{K}", str(_MAD_K)
 )
+
+
+# ===========================================================================
+# Containment near-dup (near-subset detection) via rare-gram anchors
+# ===========================================================================
+
+_CONT_W = 4       # gram width in tokens
+_CONT_DF_MAX = 8  # rare-gram document-frequency cap (blocking fan-out bound)
+_CONT_T = 0.8     # containment threshold
+
+_CONT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_CONT_W - 1}], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_CONT_W - 1})) AS i
+        FROM toks)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng FROM grams GROUP BY doc_id),
+gf AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+rare AS (SELECT gram FROM gf WHERE df BETWEEN 2 AND {_CONT_DF_MAX}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN rare r ON a.gram = r.gram
+  JOIN grams b ON b.gram = a.gram AND a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       CAST(s.n_shared AS DOUBLE) / LEAST(sa.ng, sb.ng) AS containment
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE CAST(s.n_shared AS DOUBLE) / LEAST(sa.ng, sb.ng) >= {_CONT_T}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_containment", oracle=_CONT_SQL)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: pairs where the SMALLER doc's token
+    {W}-gram set is >= {T} contained in the other's — the one-sided
+    overlap that catches near-SUBSET relationships (a doc quoting
+    another, a page wrapping a template) which symmetric Jaccard
+    misses by construction (a small doc inside a big one has low
+    Jaccard but containment ~1; Broder 1997 distinguishes exactly
+    these two resemblance measures).
+
+    Candidate generation is RARE-GRAM ANCHORED, not length- or
+    source-blocked (containment pairs have very different lengths, so
+    the Jaccard query's length blocking would be wrong here): only
+    grams whose document frequency is in [2, {DF}] generate pairs —
+    unique grams pair nothing, and the df cap bounds fan-out per gram
+    at C({DF},2) pairs, making the candidate stage skew-immune by
+    construction (a boilerplate mega-gram is simply not an anchor;
+    the C4/CCNet boilerplate scrub is the operator that handles those).
+    The containment VERIFY then runs on candidates only, exact.
+
+    Scale shape: gram document frequency is a keyed partial agg;
+    anchors bound the pair fan-out; the verify is one gram-keyed join
+    + a pair-keyed count.  No all-pairs anywhere.  Caveat (same class
+    as every anchor scheme): a true near-subset pair sharing ONLY
+    ubiquitous grams is missed; lowering the df cap trades recall for
+    fan-out, the documented knob."""
+    from hadoop_20_warehouse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= _CONT_W,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - _CONT_W),
+                        lambda i: F.array_join(
+                            F.slice(F.col("toks"), i + 1, _CONT_W), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _CONT_DF_MAX))
+        .select("gram")
+    )
+    anchored = grams.join(rare, "gram")
+    cand = (
+        anchored.select(F.col("doc_id").alias("id_a"), "gram")
+        .join(anchored.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
+    cont = F.col("n_shared").cast("double") / F.least("ng_a", "ng_b")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= _CONT_T)
+        .orderBy("id_a", "id_b")
+    )
+
+
+q_dedup_containment.__doc__ = (
+    q_dedup_containment.__doc__
+    .replace("{W}", str(_CONT_W))
+    .replace("{T}", str(_CONT_T))
+    .replace("{DF}", str(_CONT_DF_MAX))
+)
+
+
+# ===========================================================================
+# Z-order (Morton) layout: multidimensional locality clustering
+# ===========================================================================
+
+_Z_BITS = 14  # bits per dimension -> 28-bit z-value
+_Z_BUCKET_SHIFT = 12  # bucket = z div 2^12
+
+
+def _z_expr(x: str, y: str, shr) -> str:
+    """Bit-interleave builder: z = Σ ((x>>i)&1)·4^i·1 + ((y>>i)&1)·4^i·2.
+    ``shr(expr, i)`` renders a right-shift in the target dialect
+    (Spark: shiftright(); DuckDB: >>); multiplication stands in for
+    left-shift, which both dialects fold constant."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({shr(x, i)} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shr(y, i)} & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_xy_sql() -> tuple[str, str]:
+    """The two dimensions, from engine-portable date parts (no epoch
+    arithmetic — session-timezone-sensitive) and a modulo'd id."""
+    x = f"(user_id % {1 << _Z_BITS})"
+    y = (
+        "(hour(ts) + 24 * ((day(ts) - 1) + 31 * (month(ts) - 1)))"
+    )
+    return x, y
+
+
+_Z_SQL = f"""
+WITH z AS (
+  SELECT {_z_expr(*_z_xy_sql(), shr=lambda e, i: f"(({e}) >> {i})")} AS zval,
+         {_z_xy_sql()[0]} AS x, {_z_xy_sql()[1]} AS y
+  FROM events
+)
+SELECT zval // {1 << _Z_BUCKET_SHIFT} AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+       CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+FROM z
+GROUP BY 1
+ORDER BY n_rows DESC, zbucket
+LIMIT 50
+"""
+
+
+@register("zorder_layout", oracle=_Z_SQL)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of the events table on
+    (user_id, time) — the layout that makes parquet min/max row-group
+    stats prune BOTH a user predicate and a time predicate from ONE
+    sort order (Morton 1966; the technique behind Delta/Iceberg
+    Z-ORDER table maintenance).  A table sorted by one dimension
+    prunes only that dimension; sorted by the interleaved z-value,
+    each contiguous run (= row group at write time) covers a small
+    RECTANGLE in (user, time) space, so either predicate skips most
+    groups.
+
+    The query computes z-values with pure integer bit arithmetic
+    (identical expression tree in both engines — shifts render as
+    shiftright/>> per dialect, left-shifts as constant multiplies)
+    and reports per-z-bucket occupancy plus the bucket's x/y SPANS:
+    the spans being small fractions of the global ranges IS the
+    locality property, hash-checked rather than asserted.
+
+    Scale shape: the z-value is row-local; the bucket report is one
+    keyed partial agg.  The production use writes ``orderBy(zval)``
+    parquet — a total-order sort, the full_sort shape — then relies
+    on stats pruning; the report here is the layout-quality audit a
+    maintenance job would emit."""
+    ev = load_table(spark, sf_dir, "events")
+    xs, ys = _z_xy_sql()
+    zs = _z_expr(xs, ys, shr=lambda e, i: f"shiftright(({e}), {i})")
+    z = ev.select(
+        F.expr(zs).alias("zval"),
+        F.expr(xs).alias("x"),
+        F.expr(ys).alias("y"),
+    )
+    return (
+        z.groupBy(
+            F.expr(f"zval div {1 << _Z_BUCKET_SHIFT}").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("x") - F.min("x")).cast("long").alias("x_span"),
+            (F.max("y") - F.min("y")).cast("long").alias("y_span"),
+        )
+        .orderBy(F.col("n_rows").desc(), "zbucket")
+        .limit(50)
+    )

@@ -134,3 +134,41 @@ def test_topk_store_merge_equals_direct(spark, tmp_path):
     df.write.parquet(os.path.join(d, "events.parquet"))
     out = [(r.user_id, r.total_events) for r in q_store_topk_incremental(spark, d).collect()]
     assert out == [(1, 15), (2, 9), (3, 6)]
+
+
+def test_zorder_interleave_hand_computed(spark):
+    """z(x=3, y=1) = x bits at even positions, y bits at odd:
+    1 + 4 (x=0b11) + 2 (y=0b1) = 7; and z(5, 2) = 1 + 16 + 8 = 25."""
+    from hadoop_20_warehouse_spark.inventory_analytics import _z_expr
+
+    expr = _z_expr("x", "y", shr=lambda e, i: f"shiftright(({e}), {i})")
+    df = spark.createDataFrame([(3, 1), (5, 2)], ["x", "y"])
+    got = [r[0] for r in df.selectExpr(f"{expr} AS z").collect()]
+    assert got == [7, 25]
+
+
+def test_containment_finds_planted_subset(spark):
+    """A doc that is a strict substring (token-subset) of a larger doc
+    must surface with containment 1.0; an unrelated doc pairs with
+    nothing (its grams are unique)."""
+    import os
+    import tempfile
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_dedup_containment,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    big = "intro words here " + core + " trailing words after"
+    other = "completely different tokens one two three four five six"
+    df = spark.createDataFrame(
+        [(1, big, "en", "s", len(big)),
+         (2, core, "en", "s", len(core)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {(r.id_a, r.id_b): r.containment
+           for r in q_dedup_containment(spark, d).collect()}
+    assert out == {(1, 2): 1.0}
