@@ -306,6 +306,12 @@ BENCH_QUERIES: dict[str, object] = {
     # high-cardinality window)
     "pipeline_incremental_curate": QUERIES["pipeline_incremental_curate"],
     "text_tfidf_topk": QUERIES["text_tfidf_topk"],
+    # round-8 operator additions with real data terms: rare-gram
+    # containment, blocked+L1-filtered edit-distance dedup, and the
+    # 5-iteration integer PageRank
+    "dedup_containment": QUERIES["dedup_containment"],
+    "dedup_fuzzy_edit": QUERIES["dedup_fuzzy_edit"],
+    "graph_pagerank": QUERIES["graph_pagerank"],
 }
 
 

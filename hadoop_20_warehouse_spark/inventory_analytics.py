@@ -454,15 +454,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: gram document frequency is a keyed partial agg;
     anchors bound the pair fan-out; the verify is one gram-keyed join
-    + a pair-keyed count.  No all-pairs anywhere.  Caveat (same class
-    as every anchor scheme): a true near-subset pair sharing ONLY
-    ubiquitous grams is missed; lowering the df cap trades recall for
-    fan-out, the documented knob."""
+    + a pair-keyed count.  No all-pairs anywhere.  The gram frame
+    feeds FIVE plan branches (sizes, anchors, both verify sides), so
+    it is STAGED to scratch parquet once (the mix_place staging shape)
+    — the un-staged plan re-ran the tokenize+explode+distinct corpus
+    pass up to 8× (explain-audited), and the in-memory persist was
+    measured SLOWER than both (cache population cost > recompute at
+    bench scale, and worse at 100 TB where corpus-scale grams don't
+    fit memory; the parquet staging is what a production job does).
+    Caveat (same class as every
+    anchor scheme): a true near-subset pair sharing ONLY ubiquitous
+    grams is missed; lowering the df cap trades recall for fan-out,
+    the documented knob."""
     from hadoop_20_warehouse_spark.functions import text as T
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    grams = (
+    gram_stage = (
         toks.select(
             "doc_id",
             F.explode(
@@ -479,6 +491,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    staged = _fresh_subdir(_scratch_dir("containment"), "grams")
+    gram_stage.write.parquet(staged)
+    grams = spark.read.parquet(staged)
     sizes = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("ng")
     )
