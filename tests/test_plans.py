@@ -379,3 +379,39 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert "PartitionFilters" in plan, plan
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
+    """Runtime bloom-filter injection — the shuffle-side sibling of
+    dynamic partition pruning: joining a selectively-FILTERED dim onto
+    a large fact over a non-partition key must inject a bloom filter
+    (built from the dim's join keys) into the fact side, so fact rows
+    that cannot match are dropped BEFORE the join's shuffle.  At 100 TB
+    this turns a full-fact shuffle into a semi-join-reduced one; the
+    size thresholds (applicationSideScanSizeThreshold, default 10 GB)
+    gate it in production, so the test lowers them to fire at test
+    scale — asserting the OPTIMIZER path works under our session conf,
+    with broadcast disabled (a broadcast join needs no reduction and
+    suppresses the filter)."""
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in plan or "bloommight" in plan, plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
