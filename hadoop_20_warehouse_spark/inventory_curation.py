@@ -1669,6 +1669,16 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNotNull(), F.col("s").cast("double") / F.col("n")
         ).alias("avg_v"),
     )
+    # The carry-forward window partitions on event_type alone, so one
+    # partition holds the TYPE'S WHOLE GRID — bounded by grid length
+    # (hours in the data's time span), not by event count, which is
+    # fine for any hourly grid a driver SF produces.  At a 100 TB
+    # shape where the grid itself is huge (years at minute grain,
+    # millions of spine rows per type), this window would need a
+    # coarser spine or range-keyed SEGMENTS (carry within
+    # (type, day)-segments, then stitch segment boundaries with one
+    # per-segment pass — the sharded-cumsum trick pack_token_budget
+    # uses) (r7 VERDICT note).
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")
