@@ -630,3 +630,110 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "zbucket")
         .limit(50)
     )
+
+
+# ===========================================================================
+# Mergeable quantile-histogram store (the third store-family member)
+# ===========================================================================
+
+_QH_W = 5  # bucket width over l_quantity (1..50 -> 10 buckets)
+
+_QH_SQL = f"""
+WITH hist AS (
+  SELECT CAST(FLOOR((l_quantity - 1) / {_QH_W}) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM hist),
+cum AS (
+  SELECT bucket, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+  FROM hist
+)
+SELECT CAST((SELECT COUNT(DISTINCT date_trunc('month', l_shipdate))
+             FROM lineitem) AS BIGINT) AS n_periods,
+       (SELECT total FROM tot) AS n_rows,
+       CAST((SELECT MIN((bucket + 1) * {_QH_W}) FROM cum, tot
+             WHERE 2 * cum >= total) AS BIGINT) AS p50_est,
+       CAST((SELECT MIN((bucket + 1) * {_QH_W}) FROM cum, tot
+             WHERE 10 * cum >= 9 * total) AS BIGINT) AS p90_est
+"""
+
+
+@register("store_quantile_histogram", oracle=_QH_SQL)
+def q_store_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-HISTOGRAM store — the third member of the
+    incremental-store family (HLL sketches for distinct, per-day
+    partials for top-k, equi-width histograms for quantiles): persist
+    one bucket-count histogram per month, answer "p50/p90 over ALL
+    months" by SUMMING stored bucket counts — counts are the
+    mergeable sufficient statistic for rank queries at fixed bucket
+    grain, the same reduction ValueHistogram made per key
+    (lib/aggregate/ValueHistogram.java:78) turned into a durable
+    incremental artifact.  Estimate error is bounded by the bucket
+    width by construction.
+
+    Everything is INTEGER arithmetic (bucket = floor((q-1)/w), rank
+    test 2·cum >= total avoids fractions), so unlike the engine-
+    specific GK sketch (agg_percentile_approx's rank-interval oracle)
+    the estimate itself is bit-comparable: the oracle computes the
+    SAME histogram directly from raw rows, so a hash match proves
+    per-month partials + store round-trip + merge ≡ the one-shot
+    histogram AND pins the estimator.
+
+    Scale shape: monthly histograms partial-aggregate map-side; the
+    store is O(periods × buckets) rows; the merge never rescans raw
+    data; the cumulative pass runs over B=10 bucket rows (a
+    single-partition window over BUCKETS, not data — bounded by the
+    histogram grain, never by corpus size)."""
+    from pyspark.sql import Window
+
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("period"),
+        F.floor((F.col("l_quantity") - 1) / _QH_W).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    path = _fresh_subdir(_scratch_dir("qhstore"), "monthly")
+    monthly.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    merged = stored.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        "bucket", "cnt", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    total = merged.agg(F.sum("cnt").cast("long").alias("total"))
+    n_periods = stored.agg(
+        F.countDistinct("period").cast("long").alias("n_periods")
+    )
+    est = (
+        cum.crossJoin(F.broadcast(total))
+        .agg(
+            F.min(
+                F.when(
+                    2 * F.col("cum") >= F.col("total"),
+                    (F.col("bucket") + 1) * _QH_W,
+                )
+            ).cast("long").alias("p50_est"),
+            F.min(
+                F.when(
+                    10 * F.col("cum") >= 9 * F.col("total"),
+                    (F.col("bucket") + 1) * _QH_W,
+                )
+            ).cast("long").alias("p90_est"),
+        )
+    )
+    return (
+        n_periods.crossJoin(F.broadcast(total.withColumnRenamed("total", "n_rows")))
+        .crossJoin(F.broadcast(est))
+        .select("n_periods", "n_rows", "p50_est", "p90_est")
+    )
