@@ -231,3 +231,47 @@ def test_internal_persists_are_generation_bounded(spark, sf_dir):
     # however many times the operator runs — never 5x2
     assert grown <= 4, f"persisted RDDs grew by {grown} over 5 invocations"
     spark.catalog.clearCache()
+
+
+def test_persist_generation_eviction_warns_when_asked(spark, caplog):
+    """Operators whose cache carries a contract stronger than speed
+    (the pipe stderr spool's mapper-runs-once guarantee) pass
+    warn_on_evict=True: dropping a generation past `keep` must emit a
+    warning naming the tag, and the default (warn_on_evict=False)
+    must stay silent (r7 ADVICE)."""
+    import logging
+
+    from hadoop_20_warehouse_spark.session import persist_generation
+
+    with caplog.at_level(logging.WARNING, logger="hadoop_20_warehouse_spark.session"):
+        for _ in range(3):
+            persist_generation(
+                "evict_warn_test", spark.range(3), keep=1, warn_on_evict=True
+            )
+    assert any("evict_warn_test" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="hadoop_20_warehouse_spark.session"):
+        for _ in range(3):
+            persist_generation("evict_quiet_test", spark.range(3), keep=1)
+    assert not any("evict_quiet_test" in r.message for r in caplog.records)
+    spark.catalog.clearCache()
+
+
+def test_fresh_subdir_generations_are_unique_and_bounded(tmp_path):
+    """_fresh_subdir must hand out a UNIQUE path per invocation (two
+    concurrent tenants of the same staging query must not clobber each
+    other) while deleting generations beyond `keep` so disk stays
+    bounded (r7 ADVICE)."""
+    import os
+
+    from hadoop_20_warehouse_spark.inventory_ext import _fresh_subdir
+
+    parent = str(tmp_path)
+    paths = []
+    for _ in range(5):
+        p = _fresh_subdir(parent, "gen_test", keep=2)
+        os.makedirs(p)
+        paths.append(p)
+    assert len(set(paths)) == 5, "paths must be per-invocation unique"
+    alive = [p for p in paths if os.path.isdir(p)]
+    assert alive == paths[-2:], "only the newest keep=2 generations survive"
