@@ -853,6 +853,13 @@ def main() -> None:
             # per token) — its data term is the window-keyed
             # first-occurrence agg + doc-keyed removal join
             "dedup_substring_exact",
+            # r8 additions: fuzzy edit's candidate stage is
+            # density-quadratic within a length band (the documented
+            # caveat) — this probe is the alarm if the band
+            # population ever makes that bite; containment's fan-out
+            # is df-capped, so its probe should stay ~linear
+            "dedup_fuzzy_edit",
+            "dedup_containment",
             # join probe: GridMix's job classes deliberately include
             # join-shaped pipelines (GridMixRunner.java:230) and a join
             # is where a 100x blow-up bites first — a super-linear
