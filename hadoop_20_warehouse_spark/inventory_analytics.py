@@ -737,3 +737,69 @@ def q_store_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(est))
         .select("n_periods", "n_rows", "p50_est", "p90_est")
     )
+
+
+# ===========================================================================
+# BPE merge-step pair statistics (tokenizer vocabulary induction)
+# ===========================================================================
+
+_BPE_TOPN = 20
+
+_BPE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+         AS w
+  FROM documents
+),
+wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM toks GROUP BY w),
+pairs AS (
+  SELECT wf, substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM wc, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {_BPE_TOPN}
+"""
+
+
+@register("text_bpe_pair_stats", oracle=_BPE_SQL)
+def q_text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistics: corpus-wide adjacent character-pair
+    frequencies, weighted by word frequency — the quantity one
+    byte-pair-encoding iteration maximizes when inducing a tokenizer
+    vocabulary (Sennrich et al. 2016 §3: merge the most frequent
+    symbol pair; this query reports the top candidates for the FIRST
+    merge, the primitive an iterative trainer repeats on re-segmented
+    words).
+
+    Scale shape — the BPE trick itself: pair counting runs over the
+    DISTINCT-WORD table weighted by word frequency, never over raw
+    corpus positions, so the explode is O(vocab × word_len) while the
+    corpus contributes only a keyed word-count partial agg (100 TB of
+    text has a vocab millions of times smaller than its token
+    stream).  Final top-k compiles to TakeOrderedAndProject."""
+    from hadoop_20_warehouse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    pairs = wc.select(
+        "wf",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, 2),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(_BPE_TOPN)
+    )
