@@ -1467,3 +1467,43 @@ def q_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.lang").alias("lang"),
         F.md5(F.col("r.text").cast("binary")).alias("digest"),
     )
+
+
+_ORC_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-06-01'
+GROUP BY l_returnflag
+"""
+
+
+@register("orc_roundtrip", oracle=_ORC_SQL)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip with predicate pushdown — the
+    columnar-format seam of the reference's Hive warehouse layer
+    (RCFile, hive/ql/io/RCFile.java: the row-group columnar container
+    ORC superseded in the same lineage).  A lineitem projection is
+    written to ORC, read back with a date predicate, and aggregated;
+    the oracle runs the same query against the ORIGINAL parquet, so a
+    hash match proves the ORC codec round-trips values AND the
+    date/decimal types exactly.
+
+    The read-side plan is the part that matters at 100 TB: the date
+    filter reaches the ORC scan as PushedFilters (asserted in
+    tests/test_plans.py), so row groups outside the range never
+    decompress — the same stats-skipping contract the parquet paths
+    are plan-tested for."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    path = _fresh_subdir(_scratch_dir("orcrt"), "lineitem")
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    return back.filter(F.col("l_shipdate") >= F.lit("1995-06-01")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )

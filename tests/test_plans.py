@@ -415,3 +415,18 @@ def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_orc_read_pushes_date_filter(spark, sf_dir, tmp_path):
+    """The ORC round-trip's read side must push the date predicate to
+    the scan (PushedFilters) — the stats-skipping contract that makes
+    the columnar seam usable at 100 TB, same as the parquet paths."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "orc")
+    li.write.orc(path)
+    df = spark.read.orc(path).filter(F.col("l_shipdate") >= F.lit("1995-06-01"))
+    plan = physical_plan(df)
+    assert "Format: ORC" in plan, plan
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_shipdate" in plan, plan
