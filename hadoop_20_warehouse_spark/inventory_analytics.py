@@ -1,11 +1,14 @@
-"""Round-8 analytics inventory: incremental exact top-k store,
-fixed-iteration integer PageRank, robust (MAD) anomaly detection, and
-blocked edit-distance near-dup.
+"""Round-8 analytics inventory: the incremental-store family members
+(exact top-k via per-day partials, quantile histograms), iterative
+integer PageRank, robust (MAD) anomaly detection, the two extra dedup
+modalities (blocked edit-distance, rare-gram containment), z-order
+locality layout, and BPE merge-step pair statistics.
 
 Each query follows the repo's oracle discipline (registry.register):
 deterministic arithmetic only on the compared columns (integer scaling
-for iterative ranks, exact binary halves for medians), and every
-computed column aliased identically on both engines.
+for iterative ranks, exact binary halves for medians, integer rank
+tests for histogram quantiles), and every computed column aliased
+identically on both engines.
 """
 
 from __future__ import annotations

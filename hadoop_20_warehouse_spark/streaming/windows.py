@@ -553,3 +553,111 @@ def weighted_sample_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    capacity: int,
+    key_col: str = "key",
+    n_shards: int = 8,
+):
+    """Streaming heavy hitters — SpaceSaving summaries (Metwally,
+    Agrawal, El Abbadi 2005) with WEIGHTED batch updates, keyed into
+    ``n_shards`` shards so every occurrence of a key lands in one
+    shard's summary.  State per shard is three parallel arrays
+    (keys, count estimates, error bounds) hard-capped at ``capacity``
+    entries — O(shards × capacity) total, independent of both stream
+    length and key cardinality, which is the point: an exact
+    per-key count state (what a naive groupBy-count stream keeps)
+    grows with distinct keys and a 100 TB ingest has billions.
+
+    SpaceSaving contract, per shard: any key whose true count exceeds
+    (shard stream length / capacity) is IN the summary; each summary
+    count over-estimates by at most its err_bound (the evicted
+    minimum the key inherited).  Batch-weighted updates (insert a
+    key's whole micro-batch count at once, evicting the current
+    minimum) preserve both guarantees — the weighted generalization
+    of the per-item algorithm.
+
+    Emission (append mode): after each micro-batch a shard emits its
+    full current summary (key, count_est, err_bound).  A key's
+    estimates are monotone over time, so the consolidated answer is
+    ``MAX(count_est), MAX(err_bound)`` per key over all emitted rows
+    (pinned against exact batch counts in tests/test_streaming.py).
+
+    The per-insert minimum scan is O(capacity) — fine at summary
+    sizes; a production port swaps the dict for the paper's
+    min-heap + linked counts ("stream-summary") without changing the
+    contract."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+
+    if not df.isStreaming:
+        raise ValueError(
+            "heavy_hitters_stream is the streaming path; the batch "
+            "fixpoint is a groupBy().count() top-k"
+        )
+    key_t = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_t}, count_est long, err_bound long"
+    kc = key_col
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        if state.exists:
+            summary = {
+                k: [c, e]
+                for k, c, e in zip(state.get[0], state.get[1], state.get[2])
+            }
+        else:
+            summary = {}
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            for k, n in pdf[kc].value_counts().items():
+                n = int(n)
+                if k in summary:
+                    summary[k][0] += n
+                elif len(summary) < capacity:
+                    summary[k] = [n, 0]
+                else:
+                    mk = min(summary, key=lambda x: summary[x][0])
+                    mc = summary[mk][0]
+                    del summary[mk]
+                    summary[k] = [mc + n, mc]
+            state.update(
+                (
+                    list(summary),
+                    [v[0] for v in summary.values()],
+                    [v[1] for v in summary.values()],
+                )
+            )
+            yield _pd.DataFrame(
+                {
+                    kc: list(summary),
+                    "count_est": [v[0] for v in summary.values()],
+                    "err_bound": [v[1] for v in summary.values()],
+                }
+            )
+        else:
+            state.update(
+                (
+                    list(summary),
+                    [v[0] for v in summary.values()],
+                    [v[1] for v in summary.values()],
+                )
+            )
+
+    return (
+        df.withColumn("_shard", md5_bucket(F.col(key_col), n_shards))
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=(
+                f"keys array<{key_t}>, counts array<long>, errs array<long>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
