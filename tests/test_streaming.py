@@ -508,3 +508,77 @@ def test_streaming_weighted_sample_tolerates_redelivery(spark, tmp_path):
         f"SELECT * FROM wsample_redeliver ORDER BY skey DESC, doc_id LIMIT {K}"
     ).collect()]
     assert top == [1, 2, 3]
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_suffices(spark, events_stream_dir):
+    """With capacity >= distinct keys per shard there are no
+    evictions: the consolidated summary must EQUAL the batch
+    groupBy-count exactly, with every err_bound 0."""
+    ev_batch = load_table(spark, SF_DIR, "events")
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    hh = W.heavy_hitters_stream(
+        stream.select(F.col("user_id").alias("key")), capacity=100_000,
+        key_col="key", n_shards=4,
+    )
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("hh_exact_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM hh_exact_stream")
+        .groupBy("key")
+        .agg(F.max("count_est").alias("n"), F.max("err_bound").alias("e"))
+        .toPandas()
+    )
+    want = (
+        ev_batch.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    assert (got["e"] == 0).all()
+    g = got.set_index("key")["n"].sort_index()
+    w = want.set_index("key")["n"].sort_index()
+    assert g.astype("int64").equals(w.astype("int64"))
+
+
+def test_streaming_heavy_hitters_bounds_under_eviction(spark, tmp_path):
+    """Skewed stream with capacity << distinct keys: the SpaceSaving
+    guarantees must hold — the hot key is present, its estimate
+    brackets the true count (true <= est <= true + err), and state
+    never exceeded capacity per shard (summary emissions are capped)."""
+    import pandas as pd
+
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string")
+    d = str(tmp_path / "hhskew")
+    df.repartition(4).write.parquet(d)
+    stream = spark.readStream.schema("key string").parquet(d)
+    hh = W.heavy_hitters_stream(stream, capacity=8, key_col="key", n_shards=1)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("hh_skew_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = (
+        spark.sql("SELECT * FROM hh_skew_stream")
+        .groupBy("key")
+        .agg(F.max("count_est").alias("n"), F.max("err_bound").alias("e"))
+        .toPandas()
+        .set_index("key")
+    )
+    # per-batch emissions are whole summaries: never more than capacity
+    per_batch = spark.sql(
+        "SELECT count(*) AS c FROM hh_skew_stream"
+    ).toPandas()  # total rows <= batches * capacity, loose sanity below
+    assert "hot" in out.index, "true heavy hitter evicted"
+    n, e = int(out.loc["hot", "n"]), int(out.loc["hot", "e"])
+    assert n >= 500, "SpaceSaving must over-estimate, never under"
+    assert n - e <= 500, "est - err_bound must lower-bound the true count"
+    assert int(per_batch.loc[0, "c"]) <= 8 * 16  # <= capacity x batches
