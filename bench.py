@@ -577,6 +577,7 @@ def run_streaming_probe(spark, seconds: float = 12.0) -> dict:
     from hadoop_20_warehouse_spark.functions.hashing import es_sample_key
     from hadoop_20_warehouse_spark.streaming.windows import (
         budget_admit_stream,
+        heavy_hitters_stream,
         weighted_sample_stream,
     )
 
@@ -605,10 +606,23 @@ def run_streaming_probe(spark, seconds: float = 12.0) -> dict:
         )
         return weighted_sample_stream(ev, k=100, n_shards=32)
 
+    def _hh_build(rate):
+        # zipf-ish key mix: 80% of rows on 8 hot keys, the rest unique
+        ev = rate.select(
+            F.when(
+                F.col("value") % 10 < 8,
+                F.concat(F.lit("hot"), (F.col("value") % 8).cast("string")),
+            )
+            .otherwise(F.concat(F.lit("cold"), F.col("value").cast("string")))
+            .alias("key")
+        )
+        return heavy_hitters_stream(ev, capacity=64, key_col="key", n_shards=8)
+
     out: dict[str, dict] = {}
     for name, build, state_bound in (
         ("budget_admit_stream", _budget_build, 5),  # O(domains)
         ("weighted_sample_stream", _reservoir_build, 32 * 100),  # O(shards*k)
+        ("heavy_hitters_stream", _hh_build, 8),  # one state row per shard
     ):
         rate = (
             spark.readStream.format("rate")
