@@ -312,3 +312,46 @@ def test_substring_dedup_matches_python_model(spark):
     got = {r.doc_id: (r.n_tokens, r.n_removed, r.kept_digest)
            for r in substring_dedup_overlapping(docs, window_w=W).collect()}
     assert got == want
+
+
+def test_incremental_apply_equals_full_on_all_delta_classes(spark, tmp_path):
+    """Library-form build_curated_store / apply_incremental_curate:
+    with added, removed, changed AND unchanged docs between releases,
+    the stitched result must equal the full recompute of the new
+    release row-for-row (the equivalence the registered query's
+    DuckDB oracle checks; here on the library surface directly,
+    including that removed docs drop out and stored rows are reused
+    verbatim)."""
+    from hadoop_20_warehouse_spark.incremental import (
+        apply_incremental_curate,
+        build_curated_store,
+        curate_redact_gate,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    v1 = docs(
+        [(i, f"doc number {i} with several plain tokens here") for i in range(1, 11)]
+    )
+    v2_rows = (
+        [(i, f"doc number {i} with several plain tokens here") for i in (1, 2, 4, 6, 7, 8, 9, 10)]  # unchanged (3 removed)
+        + [(5, "doc number 5 REWRITTEN text with several plain tokens")]  # changed
+        + [(11, "a brand new doc with enough tokens to pass")]  # added
+    )
+    v2 = docs(v2_rows)
+    store_path = str(tmp_path / "store")
+    build_curated_store(v1, store_path)
+    store = spark.read.parquet(store_path)
+    got = {
+        r.doc_id: (r.tok_len, r.passed, r.curated_digest)
+        for r in apply_incremental_curate(v2, store).collect()
+    }
+    want = {
+        r.doc_id: (r.tok_len, r.passed, r.curated_digest)
+        for r in curate_redact_gate(
+            v2.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        ).collect()
+    }
+    assert got == want
+    assert 3 not in got and 11 in got and len(got) == 10
