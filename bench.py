@@ -214,26 +214,36 @@ def run_incremental_probe(spark, steady_time) -> dict:
     )
 
     out: dict[str, dict] = {}
-    for label, n_docs in (("small", 100_000), ("large", 1_000_000)):
-        root = tempfile.mkdtemp(prefix="h20w_incr_probe_")
-        corpus_path, store_path = root + "/corpus", root + "/store"
-        _incr_synth_corpus(spark, n_docs).write.parquet(corpus_path)
-        docs = spark.read.parquet(corpus_path)
-        build_curated_store(docs, store_path)
-        store = spark.read.parquet(store_path)
-        v2 = _incr_v2_fixed_delta(docs, spark)
+    roots: list[str] = []
+    try:
+        for label, n_docs in (("small", 100_000), ("large", 1_000_000)):
+            root = tempfile.mkdtemp(prefix="h20w_incr_probe_")
+            roots.append(root)
+            corpus_path, store_path = root + "/corpus", root + "/store"
+            _incr_synth_corpus(spark, n_docs).write.parquet(corpus_path)
+            docs = spark.read.parquet(corpus_path)
+            build_curated_store(docs, store_path)
+            store = spark.read.parquet(store_path)
+            v2 = _incr_v2_fixed_delta(docs, spark)
 
-        def apply_fn(s, sd, v2=v2, store=store):
-            return apply_incremental_curate(v2, store)
+            def apply_fn(s, sd, v2=v2, store=store):
+                return apply_incremental_curate(v2, store)
 
-        def full_fn(s, sd, v2=v2):
-            return curate_redact_gate(v2)
+            def full_fn(s, sd, v2=v2):
+                return curate_redact_gate(v2)
 
-        out[label] = {
-            "n_docs": n_docs,
-            "apply_delta_s": round(steady_time(apply_fn, SF_DIR), 3),
-            "full_recompute_s": round(steady_time(full_fn, SF_DIR), 3),
-        }
+            out[label] = {
+                "n_docs": n_docs,
+                "apply_delta_s": round(steady_time(apply_fn, SF_DIR), 3),
+                "full_recompute_s": round(steady_time(full_fn, SF_DIR), 3),
+            }
+    finally:
+        import shutil
+
+        # the 1M-doc synthetic corpus + store are hundreds of MB per
+        # invocation; leaving them in /tmp accumulates (r8 review)
+        for root in roots:
+            shutil.rmtree(root, ignore_errors=True)
     out["data_ratio"] = 10.0
     out["apply_time_ratio"] = round(
         out["large"]["apply_delta_s"]
@@ -441,11 +451,14 @@ GRIDMIX_MIX: dict[str, list[str]] = {
 }
 
 # class -> input scale subdir (relative to the SF root); the large
-# class runs at the bench's own SF_DIR scale
+# class runs at the bench's own SF_DIR scale (derived, not hardcoded —
+# with SPARK_GRAFT_SF_DIR pointing elsewhere, a literal "sf0.1" would
+# silently run the large pool and starvation probe at a different
+# scale than the rest of the bench; r8 review)
 GRIDMIX_CLASS_SF: dict[str, str] = {
     "small": "sf0.001",
     "medium": "sf0.01",
-    "large": "sf0.1",
+    "large": os.path.basename(SF_DIR.rstrip("/")),
 }
 
 
@@ -923,7 +936,15 @@ def main() -> None:
     # probes, before the cooldown, for the same same-conditions
     # reason): fixed-size delta against a prebuilt store at 1x and
     # 10x corpus.
-    incremental = run_incremental_probe(spark, steady_time)
+    try:
+        incremental = run_incremental_probe(spark, steady_time)
+    except Exception as e:  # noqa: BLE001 - reported, not raised (the
+        # timed set and remaining probes must still run; r8 review)
+        incremental = {"error": f"{type(e).__name__}: {e}"}
+        print(
+            f"INCREMENTAL probe failed: {incremental['error']}",
+            file=sys.stderr,
+        )
 
     # Cooldown between probes and the timed set: the 10M-row probe
     # leaves ~1 GB of shuffle files whose async cleanup (and the GC of

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.functions import text as T
 from hadoop_20_warehouse_spark.registry import register
 
 # ===========================================================================
@@ -316,15 +317,24 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.coalesce("text", F.lit(""))).alias("tx"),
         F.length(F.coalesce("text", F.lit(""))).alias("ln"),
     )
-    # 37 char counts packed 6-per-bigint (10 bits each; counts are
-    # bounded by doc length << 1024 at any SF where a doc is a doc)
+    # 37 char counts packed 6-per-bigint (10 bits each).  Counts are
+    # SATURATED at 1023 before packing: capping is 1-Lipschitz
+    # (|min(a,M) - min(b,M)| <= |a - b|), so the capped L1 is a lower
+    # bound of the true L1 and the <= 2T test stays a NECESSARY
+    # condition for ANY doc length — without the cap, a count
+    # straddling 1024 would corrupt neighboring lanes and could
+    # falsely reject a true pair (r8 review).
     packed = []
     for g in range(0, len(_EDIT_CHARS), 6):
         expr = None
         for k, c in enumerate(_EDIT_CHARS[g : g + 6]):
-            cnt = (
-                F.length("tx") - F.length(F.expr(f"replace(tx, '{c}', '')"))
-            ).cast("bigint")
+            cnt = F.least(
+                (
+                    F.length("tx")
+                    - F.length(F.expr(f"replace(tx, '{c}', '')"))
+                ).cast("bigint"),
+                F.lit(1023).cast("bigint"),
+            )
             term = cnt * (1024 ** k)
             expr = term if expr is None else expr + term
         packed.append(expr.alias(f"p{g // 6}"))
@@ -402,8 +412,7 @@ _CONT_T = 0.8     # containment threshold
 
 _CONT_SQL = f"""
 WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  SELECT doc_id, {T.tokens_sql('text')} AS toks
   FROM documents
 ),
 grams AS (
@@ -750,8 +759,7 @@ _BPE_TOPN = 20
 
 _BPE_SQL = f"""
 WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
-         AS w
+  SELECT unnest({T.tokens_sql('text')}) AS w
   FROM documents
 ),
 wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM toks GROUP BY w),

@@ -1528,8 +1528,10 @@ def q_pipeline_mix_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache), and unlike a persist there is nothing to leak — r6 held
     # the cache past return because the lazy consumer still needed it,
     # accumulating cached frames across invocations in a long-lived
-    # session (ADVICE r6).  Disk is bounded: _fresh_subdir pre-deletes
-    # the previous invocation's copy.
+    # session (ADVICE r6).  Disk is bounded: _fresh_subdir keeps the
+    # newest TWO per-invocation-unique generations (so concurrent
+    # tenants don't clobber each other mid-read) and deletes older
+    # ones — size scratch space for 2 copies per tag (r7 ADVICE).
     keyed = copies.withColumn(
         "copy_key",
         F.concat_ws(

@@ -81,9 +81,11 @@ def test_mad_gate_flags_planted_outlier(spark):
 
 def test_fuzzy_edit_blocking_catches_boundary_straddle(spark):
     """A planted near-dup pair whose lengths fall in ADJACENT length
-    buckets (len 31 vs 33 with block width 32) must still be found —
-    the completeness property the +1 overlap row exists for — and a
-    far pair must not."""
+    buckets (lengths 31 and 33 straddle a boundary at the current
+    _EDIT_BLOCK=16 — buckets 1 vs 2; the inline assert guards that
+    they really do straddle if the width is ever retuned) must still
+    be found — the completeness property the +1 overlap row exists
+    for — and a far pair must not."""
     import os
     import tempfile
 

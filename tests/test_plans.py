@@ -393,6 +393,10 @@ def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
     scale — asserting the OPTIMIZER path works under our session conf,
     with broadcast disabled (a broadcast join needs no reduction and
     suppresses the filter)."""
+    # save-and-restore, NOT unset: unset() reverts to Spark's hard
+    # default (10MB broadcast threshold), not the session factory's
+    # configured value — polluting later tests (r8 review)
+    prior_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         "0",
@@ -414,7 +418,7 @@ def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bcast)
 
 
 def test_orc_read_pushes_date_filter(spark, sf_dir, tmp_path):
