@@ -57,9 +57,22 @@ Measurement methodology (post r2/r3 phantom-regression postmortems):
   * concurrent mixed workload — GridMix's defining trait is
     SIMULTANEOUS submission of job classes (GridMixRunner.java:106-279)
     under the FB fair scheduler; run_gridmix_concurrent submits three
-    FAIR pools at once and reports wall vs sequential sum under the
-    ``"gridmix"`` JSON key.  Runs last so its contention can't bleed
-    into the steady-state timings.
+    FAIR pools at once — PROPORTIONED to gridmix_config.xml's
+    per-class job counts (13/6/2 jobs over 10x-stepped input scales) —
+    and reports sequential baselines, concurrent wall vs sequential
+    sum, and a minShare STARVATION probe (small pool vs an
+    oversubscribed large pool) under the ``"gridmix"`` JSON key.
+    Runs after the timed set so its contention can't bleed into the
+    steady-state timings.
+  * incremental-curation economics probe — fixed-size delta against a
+    prebuilt store at 100k and 1M synthetic docs; apply-delta vs full
+    recompute growth under the ``"incremental"`` key.
+  * streaming probe (dead last) — rate source through the three
+    custom stateful operators (domain-budget admission, weighted
+    reservoir, SpaceSaving heavy hitters): rows/sec plus first/last
+    state-store row counts under the ``"streaming"`` key — the
+    evidence that state stays O(domains)/O(shards·k)/O(capacity)
+    instead of growing with the stream.
 
 The regression anchor is the committed table in BASELINE.md (per-query
 MEDIAN across five independent runs, each run's number being the min
