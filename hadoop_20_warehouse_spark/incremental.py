@@ -48,14 +48,23 @@ def curate_redact_gate(
     """The default per-doc curation stage: PII redaction → token count
     → integer quality gate → digest of the curated text.  Row-local by
     construction (every expression is per-row), so it satisfies the
-    incremental contract."""
-    red = df.select(F.col(id_col), T.redact_pii(F.col(text_col)).alias("r"))
+    incremental contract.
+
+    Any ADDITIONAL input columns ride through unchanged (the
+    pack_token_budget passthrough convention): build_curated_store
+    relies on this to attach ``raw_digest`` in the SAME projection
+    instead of a corpus-sized id-keyed join after the fact."""
+    extra = [c for c in df.columns if c not in (id_col, text_col)]
+    red = df.select(
+        F.col(id_col), *extra, T.redact_pii(F.col(text_col)).alias("r")
+    )
     tok = T.token_count(F.col("r"))
     return red.select(
         F.col(id_col),
         tok.alias("tok_len"),
         (tok >= min_tokens).alias("passed"),
         F.md5("r").alias("curated_digest"),
+        *extra,
     )
 
 
@@ -69,17 +78,18 @@ def build_curated_store(
     """Full-refresh path: curate the whole release and write the store
     artifact (curated columns + ``raw_digest``) to ``store_path``.
 
-    Scale shape: one row-local curation pass, one id-keyed join to
-    attach the raw digest (both sides projections of the same scan —
-    Catalyst reuses the exchange), one parquet write.  This is the
-    O(corpus) job the apply path exists to avoid re-running."""
+    Scale shape: ONE row-local projection (the raw digest rides
+    through the curation as a passthrough column — no id-keyed join,
+    no shuffle at all before the write; the earlier join form
+    shuffled two corpus-sized projections) and one parquet write.
+    This is the O(corpus) job the apply path exists to avoid
+    re-running.  A custom ``curate`` must follow the passthrough
+    convention (preserve unknown input columns) — the default does."""
     base = docs.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
-    digests = base.select(F.col(id_col), F.md5(text_col).alias("raw_digest"))
-    curate(base).join(digests, id_col).write.mode("overwrite").parquet(
-        store_path
-    )
+    with_digest = base.withColumn("raw_digest", F.md5(text_col))
+    curate(with_digest).write.mode("overwrite").parquet(store_path)
 
 
 def apply_incremental_curate(
