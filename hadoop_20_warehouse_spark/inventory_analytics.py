@@ -246,7 +246,6 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDIT_T = 12  # max edit distance
 _EDIT_BLOCK = 16  # length-bucket width; must be >= _EDIT_T (see proof below)
-_EDIT_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
 _EDIT_SQL = f"""
 WITH d AS (
@@ -311,85 +310,16 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     within that bucket in PAIR COUNT, each pair paying only ~150
     codegen'd integer ops; the fix at 100 TB is a second blocking
     key — a PassJoin chunk signature or rare-gram anchor — exactly
-    like MinHash banding adds rows to cut bucket width)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.lower(F.coalesce("text", F.lit(""))).alias("tx"),
-        F.length(F.coalesce("text", F.lit(""))).alias("ln"),
-    )
-    # 37 char counts packed 6-per-bigint (10 bits each).  Counts are
-    # SATURATED at 1023 before packing: capping is 1-Lipschitz
-    # (|min(a,M) - min(b,M)| <= |a - b|), so the capped L1 is a lower
-    # bound of the true L1 and the <= 2T test stays a NECESSARY
-    # condition for ANY doc length — without the cap, a count
-    # straddling 1024 would corrupt neighboring lanes and could
-    # falsely reject a true pair (r8 review).
-    packed = []
-    for g in range(0, len(_EDIT_CHARS), 6):
-        expr = None
-        for k, c in enumerate(_EDIT_CHARS[g : g + 6]):
-            cnt = F.least(
-                (
-                    F.length("tx")
-                    - F.length(F.expr(f"replace(tx, '{c}', '')"))
-                ).cast("bigint"),
-                F.lit(1023).cast("bigint"),
-            )
-            term = cnt * (1024 ** k)
-            expr = term if expr is None else expr + term
-        packed.append(expr.alias(f"p{g // 6}"))
-    n_packed = len(packed)
-    narrow = docs.select("doc_id", "ln", *packed)
-    blocked = narrow.select(
-        "*",
-        F.explode(
-            F.array(
-                F.floor(F.col("ln") / _EDIT_BLOCK),
-                F.floor(F.col("ln") / _EDIT_BLOCK) + 1,
-            )
-        ).alias("blk"),
-    )
-    pc = [f"p{i}" for i in range(n_packed)]
-    a = blocked.select(
-        *[F.col(c).alias(f"{c}_a") for c in ("doc_id", "ln", *pc)], "blk"
-    )
-    b = blocked.select(
-        *[F.col(c).alias(f"{c}_b") for c in ("doc_id", "ln", *pc)], "blk"
-    )
-    l1 = None
-    for i in range(n_packed):
-        for k in range(6):
-            if i * 6 + k >= len(_EDIT_CHARS):
-                break
-            term = F.abs(
-                F.shiftright(F.col(f"p{i}_a"), 10 * k) % 1024
-                - F.shiftright(F.col(f"p{i}_b"), 10 * k) % 1024
-            )
-            l1 = term if l1 is None else l1 + term
-    cand = (
-        a.join(b, "blk")
-        .filter(
-            (F.col("doc_id_a") < F.col("doc_id_b"))
-            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= _EDIT_T)
-        )
-        .filter(l1 <= 2 * _EDIT_T)
-        .select(
-            F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b")
-        )
-        .distinct()
-    )
-    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("tx").alias("tx_a"))
-    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("tx").alias("tx_b"))
-    return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein("tx_a", "tx_b", _EDIT_T).cast("long").alias("dist"),
-        )
-        .filter(F.col("dist") >= 0)
-        .orderBy("id_a", "id_b")
+    like MinHash banding adds rows to cut bucket width).
+
+    Library form: dedup/editdist.fuzzy_edit_pairs (the hypothesis
+    property test there proves candidate completeness against a
+    brute-force reference on mutation shapes this corpus lacks)."""
+    from hadoop_20_warehouse_spark.dedup.editdist import fuzzy_edit_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_edit_pairs(
+        docs, max_dist=_EDIT_T, block_w=_EDIT_BLOCK
     )
 
 

@@ -174,3 +174,23 @@ def test_containment_finds_planted_subset(spark):
     out = {(r.id_a, r.id_b): r.containment
            for r in q_dedup_containment(spark, d).collect()}
     assert out == {(1, 2): 1.0}
+
+
+def test_pagerank_checkpoint_every_preserves_ranks(spark):
+    """checkpoint_every (the long-run lineage truncation) must not
+    change a single rank — same graph, with and without."""
+    from hadoop_20_warehouse_spark.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(60)], ["src", "dst"]
+    )
+    plain = {
+        r.node: r.r for r in pagerank_integer(edges, iterations=4).collect()
+    }
+    ckpt = {
+        r.node: r.r
+        for r in pagerank_integer(
+            edges, iterations=4, checkpoint_every=1
+        ).collect()
+    }
+    assert plain == ckpt

@@ -500,3 +500,75 @@ def test_boilerplate_scrub_matches_python_reference(spark):
     }
     assert got == expected
     assert sum(v[1] for v in expected.values()) > 0  # scrub actually fired
+
+
+def _levenshtein_py(a: str, b: str) -> int:
+    """Plain-DP reference (no threshold) for the fuzzy-edit property."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.data(),
+    n_docs=st.integers(min_value=2, max_value=8),
+)
+def test_fuzzy_edit_pairs_complete_vs_bruteforce(spark, data, n_docs):
+    """fuzzy_edit_pairs must equal the brute-force all-pairs reference
+    EXACTLY — both directions: the length blocking and the packed
+    char-count L1 filter are necessary conditions (no true pair
+    dropped), and the thresholded DP admits nothing extra.  Docs are
+    random strings plus mutated copies (char substitutions /
+    insertions / deletions), the adversarial shape for blocking
+    completeness (mutations walk lengths across bucket boundaries)."""
+    from hadoop_20_warehouse_spark.dedup.editdist import fuzzy_edit_pairs
+
+    T = 6
+    alphabet = "abcdz "
+    base = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=0, max_size=40),
+            min_size=n_docs,
+            max_size=n_docs,
+        )
+    )
+    texts = list(base)
+    # mutate a copy of doc 0 so true near-pairs exist
+    s = list(base[0])
+    for _ in range(data.draw(st.integers(min_value=0, max_value=T))):
+        op = data.draw(st.sampled_from(["sub", "ins", "del"]))
+        if op == "ins" or not s:
+            s.insert(
+                data.draw(st.integers(min_value=0, max_value=len(s))),
+                data.draw(st.sampled_from(alphabet)),
+            )
+        elif op == "del":
+            s.pop(data.draw(st.integers(min_value=0, max_value=len(s) - 1)))
+        else:
+            i = data.draw(st.integers(min_value=0, max_value=len(s) - 1))
+            s[i] = data.draw(st.sampled_from(alphabet))
+    texts.append("".join(s))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_edit_pairs(docs, max_dist=T).collect()
+    }
+    lowered = [t.lower() for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _levenshtein_py(lowered[i], lowered[j])
+            if d <= T:
+                want[(i, j)] = d
+    assert got == want
