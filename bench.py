@@ -66,7 +66,9 @@ Measurement methodology (post r2/r3 phantom-regression postmortems):
     steady-state timings.
   * incremental-curation economics probe — fixed-size delta against a
     prebuilt store at 100k and 1M synthetic docs; apply-delta vs full
-    recompute growth under the ``"incremental"`` key.
+    recompute growth under the ``"incremental"`` key.  Runs WITH the
+    scaling probes (before the cooldown and the timed set), not in
+    the late-probe block.
   * streaming probe (dead last) — rate source through the three
     custom stateful operators (domain-budget admission, weighted
     reservoir, SpaceSaving heavy hitters): rows/sec plus first/last

@@ -55,11 +55,15 @@ def fuzzy_edit_pairs(
     W = block_w if block_w is not None else max(T, 1)
     if W < T:
         raise ValueError(f"block_w ({W}) must be >= max_dist ({T})")
+    # ln is the length of the LOWERED text — the same string the DP
+    # scores.  Using the pre-lowercase length would break completeness
+    # for case mappings that change length (e.g. U+0130 lowers to two
+    # codepoints): a distance-0 pair could differ in raw length by
+    # more than T and be dropped by the blocking (r8 review).
     docs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("tx"),
-        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("ln"),
-    )
+    ).withColumn("ln", F.length("tx"))
     packed = []
     for g in range(0, len(EDIT_CHARS), 6):
         expr = None

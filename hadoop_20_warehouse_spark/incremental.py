@@ -53,8 +53,17 @@ def curate_redact_gate(
     Any ADDITIONAL input columns ride through unchanged (the
     pack_token_budget passthrough convention): build_curated_store
     relies on this to attach ``raw_digest`` in the SAME projection
-    instead of a corpus-sized id-keyed join after the fact."""
+    instead of a corpus-sized id-keyed join after the fact.
+    Passthrough names must not collide with the output columns or the
+    internal redaction alias — rejected loudly rather than producing
+    ambiguous references (r8 review)."""
     extra = [c for c in df.columns if c not in (id_col, text_col)]
+    reserved = {"r", "tok_len", "passed", "curated_digest"}
+    clash = reserved.intersection(extra)
+    if clash:
+        raise ValueError(
+            f"passthrough columns collide with curation outputs: {sorted(clash)}"
+        )
     red = df.select(
         F.col(id_col), *extra, T.redact_pii(F.col(text_col)).alias("r")
     )
@@ -89,7 +98,18 @@ def build_curated_store(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
     with_digest = base.withColumn("raw_digest", F.md5(text_col))
-    curate(with_digest).write.mode("overwrite").parquet(store_path)
+    curated = curate(with_digest)
+    if "raw_digest" not in curated.columns:
+        # fail at BUILD time, not at delta time after the O(corpus)
+        # build was already paid: a custom curate that projects a
+        # fixed schema (legal under the old join-based build) breaks
+        # the passthrough convention the store now depends on
+        raise ValueError(
+            "curate dropped the raw_digest passthrough column; "
+            "build_curated_store requires curation stages to preserve "
+            "unknown input columns (see curate_redact_gate)"
+        )
+    curated.write.mode("overwrite").parquet(store_path)
 
 
 def apply_incremental_curate(

@@ -250,7 +250,7 @@ _EDIT_BLOCK = 16  # length-bucket width; must be >= _EDIT_T (see proof below)
 _EDIT_SQL = f"""
 WITH d AS (
   SELECT doc_id, lower(COALESCE(text, '')) AS tx,
-         length(COALESCE(text, '')) AS ln
+         length(lower(COALESCE(text, ''))) AS ln
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
