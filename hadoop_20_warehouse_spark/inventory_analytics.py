@@ -744,3 +744,96 @@ def q_text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(_BPE_TOPN)
     )
+
+
+# ===========================================================================
+# Equi-depth decile assignment without a global sort
+# ===========================================================================
+
+_DECILE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {T.token_count_sql('text')} AS tok_len FROM documents
+),
+hist AS (SELECT tok_len AS tok, CAST(COUNT(*) AS BIGINT) AS c
+         FROM tk GROUP BY tok_len),
+cum AS (SELECT tok, CAST(SUM(c) OVER (ORDER BY tok) AS BIGINT) AS cum
+        FROM hist),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk),
+thr AS (
+  SELECT d, MIN(tok) AS v
+  FROM cum, tot, UNNEST(range(1, 10)) AS u(d)
+  WHERE 10 * cum >= d * n
+  GROUP BY d
+)
+SELECT t.doc_id, t.tok_len,
+       CAST(1 + (SELECT COUNT(*) FROM thr WHERE v < t.tok_len) AS BIGINT)
+         AS decile
+FROM tk t
+ORDER BY doc_id
+"""
+
+
+@register("corpus_length_deciles", oracle=_DECILE_SQL)
+def q_corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile assignment by token count WITHOUT a global
+    sort — the deterministic alternative to NTILE for quality-bucketed
+    mixture construction: NTILE splits ties arbitrarily across bucket
+    boundaries (non-deterministic under re-partitioning, useless as a
+    stable doc attribute), while threshold-based deciles give every
+    doc with the same value the same bucket, reproducibly.
+
+    Plan (the corpus_token_summary no-sort trick, generalized to a
+    per-doc LABEL): per-doc counts collapse to a distinct-value
+    HISTOGRAM (bounded cardinality); one cumulative window runs over
+    that tiny frame; the 9 integer-rank thresholds (10·cum >= d·n —
+    no fractions) fold into ONE broadcast array row; each doc's
+    decile is a row-local count of thresholds below its value.  The
+    anti-pattern (NTILE = row_number over a single global order = one
+    giant window partition) never appears; the corpus is scanned,
+    aggregated map-side, and labeled via broadcast — no corpus-sized
+    sort or shuffle beyond the histogram agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", T.token_count(F.col("text")).alias("tok_len"))
+    hist = tk.groupBy(F.col("tok_len").alias("tok")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "tok",
+        F.sum("c")
+        .over(
+            Window.orderBy("tok").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    total = tk.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    thr = (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").alias("d"))
+            )
+        )
+        .filter(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy("d")
+        .agg(F.min("tok").alias("v"))
+    )
+    thr_arr = thr.agg(F.collect_list("v").alias("vs"))
+    return (
+        tk.crossJoin(F.broadcast(thr_arr))
+        .select(
+            "doc_id",
+            "tok_len",
+            (
+                1
+                + F.size(
+                    F.filter("vs", lambda v: v < F.col("tok_len"))
+                )
+            ).cast("long").alias("decile"),
+        )
+        .orderBy("doc_id")
+    )
