@@ -837,3 +837,94 @@ def q_corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DECILE_GRP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source, {T.token_count_sql('text')} AS tok_len FROM documents
+),
+hist AS (SELECT source, tok_len AS tok, CAST(COUNT(*) AS BIGINT) AS c
+         FROM tk GROUP BY source, tok_len),
+cum AS (SELECT source, tok,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY tok)
+                    AS BIGINT) AS cum
+        FROM hist),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY source),
+thr AS (
+  SELECT cum.source, d, MIN(tok) AS v
+  FROM cum JOIN tot ON tot.source = cum.source,
+       UNNEST(range(1, 10)) AS u(d)
+  WHERE 10 * cum >= d * n
+  GROUP BY cum.source, d
+)
+SELECT t.doc_id, t.source, t.tok_len,
+       CAST(1 + (SELECT COUNT(*) FROM thr
+                 WHERE thr.source = t.source AND v < t.tok_len) AS BIGINT)
+         AS decile
+FROM tk t
+ORDER BY doc_id
+"""
+
+
+@register("corpus_length_deciles_by_source", oracle=_DECILE_GRP_SQL)
+def q_corpus_length_deciles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE equi-depth deciles — the grouped form of
+    corpus_length_deciles, which is how mixture construction actually
+    buckets (quality/length percentiles are computed within each
+    domain, not globally, so a verbose domain doesn't push every
+    terse domain into the bottom buckets).
+
+    Plan difference from the global form: thresholds are (source, d)
+    keyed rows — O(sources × 9), too many for one scalar broadcast
+    array — so the label step is a source-keyed JOIN against the
+    collected per-source threshold arrays (one row per source,
+    broadcast-sized for any realistic domain count).  The histogram
+    window partitions by source: each partition is that source's
+    distinct-value histogram, bounded by value cardinality, never by
+    doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("tok_len")
+    )
+    hist = tk.groupBy("source", F.col("tok_len").alias("tok")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "source",
+        "tok",
+        F.sum("c")
+        .over(
+            Window.partitionBy("source")
+            .orderBy("tok")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    total = tk.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    thr = (
+        cum.join(total, "source")
+        .crossJoin(
+            F.broadcast(spark.range(1, 10).select(F.col("id").alias("d")))
+        )
+        .filter(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy("source", "d")
+        .agg(F.min("tok").alias("v"))
+    )
+    thr_arr = thr.groupBy("source").agg(F.collect_list("v").alias("vs"))
+    return (
+        tk.join(F.broadcast(thr_arr), "source")
+        .select(
+            "doc_id",
+            "source",
+            "tok_len",
+            (
+                1 + F.size(F.filter("vs", lambda v: v < F.col("tok_len")))
+            ).cast("long").alias("decile"),
+        )
+        .orderBy("doc_id")
+    )
