@@ -589,17 +589,29 @@ def run_gridmix_concurrent(spark, force, sf_dir: str, _timings=None) -> dict:
     return out
 
 
-def run_streaming_probe(spark, seconds: float = 12.0) -> dict:
+def run_streaming_probe(spark, rows: int = 600_000, n_files: int = 12) -> dict:
     """Streaming throughput / state-stability probe (r7 VERDICT item
-    4, carried from r6): drive the two custom stateful operators from
-    a rate source for ~``seconds`` and report (a) processed rows/sec
-    and (b) the state-store row count at the first and last observed
+    4): drive the three custom stateful operators over a BOUNDED file
+    source with ``trigger(availableNow=True)`` so each query drains its
+    input and terminates on its own.  r8's shape (rate source +
+    time.sleep + stop()) aborted in-flight micro-batches mid
+    state-store commit, and Spark 4.1's checkpoint-checksum stream
+    (ChecksumCancellableFSDataOutputStream) turns every aborted commit
+    into an ERROR-level stack trace — the flood that drowned r8's
+    stdout JSON line (ADVICE r8 medium).  Reports (a) processed
+    rows/sec and (b) the state-store row count at the first and last
     batch — the evidence that state stays O(domains) / O(shards × k)
     instead of growing with the stream.
+
+    Each operator is ISOLATED: its own source dir, checkpoint dir, and
+    try/except (one failure can't kill the other probes or the bench),
+    with a finally-block rmtree of both temp dirs (ADVICE r8 low: the
+    r8 probe leaked one mkdtemp per operator per run).
 
     Runs AFTER the gridmix mix (dead last): a streaming query occupies
     the scheduler continuously and its Python state workers would
     contend with any timed query sharing the session."""
+    import shutil
     import tempfile
 
     from hadoop_20_warehouse_spark.functions.hashing import es_sample_key
@@ -609,42 +621,45 @@ def run_streaming_probe(spark, seconds: float = 12.0) -> dict:
         weighted_sample_stream,
     )
 
-    def _budget_build(rate):
-        ev = rate.select(
-            F.col("value").alias("doc_id"),
-            F.concat(
-                F.lit("dom"), (F.col("value") % 5).cast("string")
-            ).alias("source"),
-            (F.col("value") % 50 + 1).cast("long").alias("tok_len"),
-            F.col("value").alias("order_key"),
+    # One bounded synthetic table serves all three probes: 600k rows
+    # across n_files parquet files; maxFilesPerTrigger splits the
+    # availableNow drain into ~6 micro-batches so first-vs-last state
+    # counts are meaningful.
+    base = spark.range(rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % 5).cast("string")).alias(
+            "source"
+        ),
+        (F.col("id") % 50 + 1).cast("long").alias("tok_len"),
+        F.col("id").alias("order_key"),
+        # zipf-ish key mix: 80% of rows on 8 hot keys, the rest unique
+        F.when(
+            F.col("id") % 10 < 8,
+            F.concat(F.lit("hot"), (F.col("id") % 8).cast("string")),
         )
-        budgets = {f"dom{i}": 1_000_000_000 for i in range(5)}
-        return budget_admit_stream(ev, budgets)
+        .otherwise(F.concat(F.lit("cold"), F.col("id").cast("string")))
+        .alias("key"),
+    )
+    schema = base.schema
 
-    def _reservoir_build(rate):
-        ev = rate.select(
-            F.col("value").alias("doc_id"),
-            F.concat(
-                F.lit("s"), (F.col("value") % 3).cast("string")
-            ).alias("source"),
-            (F.col("value") % 50 + 1).cast("long").alias("wt"),
-        )
-        ev = ev.withColumn(
+    def _budget_build(src):
+        budgets = {f"dom{i}": 1_000_000_000 for i in range(5)}
+        return budget_admit_stream(src, budgets)
+
+    def _reservoir_build(src):
+        ev = src.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % 50 + 1).cast("long").alias("wt"),
+        ).withColumn(
             "skey", es_sample_key(F.col("doc_id").cast("string"), F.col("wt"))
         )
         return weighted_sample_stream(ev, k=100, n_shards=32)
 
-    def _hh_build(rate):
-        # zipf-ish key mix: 80% of rows on 8 hot keys, the rest unique
-        ev = rate.select(
-            F.when(
-                F.col("value") % 10 < 8,
-                F.concat(F.lit("hot"), (F.col("value") % 8).cast("string")),
-            )
-            .otherwise(F.concat(F.lit("cold"), F.col("value").cast("string")))
-            .alias("key")
+    def _hh_build(src):
+        return heavy_hitters_stream(
+            src.select("key"), capacity=64, key_col="key", n_shards=8
         )
-        return heavy_hitters_stream(ev, capacity=64, key_col="key", n_shards=8)
 
     out: dict[str, dict] = {}
     for name, build, state_bound in (
@@ -652,53 +667,67 @@ def run_streaming_probe(spark, seconds: float = 12.0) -> dict:
         ("weighted_sample_stream", _reservoir_build, 32 * 100),  # O(shards*k)
         ("heavy_hitters_stream", _hh_build, 8),  # one state row per shard
     ):
-        rate = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", 50_000)
-            .option("numPartitions", 8)
-            .load()
-        )
-        q = (
-            build(rate)
-            .writeStream.format("noop")
-            .queryName(f"probe_{name}")
-            .trigger(processingTime="1 second")
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix=f"h20w_stream_{name}_"),
-            )
-            .start()
-        )
+        src_dir = tempfile.mkdtemp(prefix=f"h20w_src_{name}_")
+        ckpt_dir = tempfile.mkdtemp(prefix=f"h20w_stream_{name}_")
+        q = None
         try:
-            time.sleep(seconds)
+            base.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, n_files // 6))
+                .parquet(src_dir)
+            )
+            q = (
+                build(src)
+                .writeStream.format("noop")
+                .queryName(f"probe_{name}")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt_dir)
+                .start()
+            )
+            # The fixed file list drains, the query terminates itself —
+            # no stop() mid-batch, no aborted state-store commit spew.
+            if not q.awaitTermination(300):
+                q.stop()
             progress = []
             for p in q.recentProgress:
                 if not isinstance(p, dict):
                     p = json.loads(p.json)
                 progress.append(p)
+            batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+            total_rows = sum(p["numInputRows"] for p in batches)
+            proc_s = (
+                sum(p["durationMs"]["triggerExecution"] for p in batches)
+                / 1000.0
+            )
+            state_counts = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in batches
+                if p.get("stateOperators")
+            ]
+            out[name] = {
+                "batches": len(batches),
+                "input_rows": total_rows,
+                "rows_per_sec": (
+                    round(total_rows / proc_s, 1) if proc_s else None
+                ),
+                "state_rows_first": state_counts[0] if state_counts else None,
+                "state_rows_last": state_counts[-1] if state_counts else None,
+                "state_rows_bound": state_bound,
+                "state_bounded": bool(
+                    state_counts and state_counts[-1] <= state_bound
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 - per-probe isolation
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:  # noqa: BLE001
+                    pass
         finally:
-            q.stop()
-        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
-        total_rows = sum(p["numInputRows"] for p in batches)
-        proc_s = (
-            sum(p["durationMs"]["triggerExecution"] for p in batches) / 1000.0
-        )
-        state_counts = [
-            p["stateOperators"][0]["numRowsTotal"]
-            for p in batches
-            if p.get("stateOperators")
-        ]
-        out[name] = {
-            "batches": len(batches),
-            "input_rows": total_rows,
-            "rows_per_sec": round(total_rows / proc_s, 1) if proc_s else None,
-            "state_rows_first": state_counts[0] if state_counts else None,
-            "state_rows_last": state_counts[-1] if state_counts else None,
-            "state_rows_bound": state_bound,
-            "state_bounded": bool(
-                state_counts and state_counts[-1] <= state_bound
-            ),
-        }
+            shutil.rmtree(src_dir, ignore_errors=True)
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
     return out
 
 
@@ -811,7 +840,11 @@ def main() -> None:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         pass
-    spark = get_session()
+    spark = get_session(
+        # no \r progress bars on the bench session: they interleave
+        # with (and in r8 displaced) the final stdout JSON line
+        extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM JIT, codegen, parquet footers, shuffle machinery —
     # run a small agg+join so the first timed query isn't absorbing
@@ -1068,27 +1101,60 @@ def main() -> None:
         streaming = {"error": f"{type(e).__name__}: {e}"}
         print(f"STREAMING probe failed: {streaming['error']}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "scaling": scaling,
-                "incremental": incremental,
-                "gridmix": gridmix,
-                "streaming": streaming,
-                # only confirmed flags — a consumer checking for a
-                # non-empty dict sees real regressions, not cleared
-                # ones (cleared flags land in "phantom_flags")
-                "regressions": confirmed,
-                "phantom_flags": phantom,
-                "watch": watch,
-            }
-        )
+    # Full payload -> committed detail file; COMPACT final stdout line
+    # (r8 VERDICT item 1: the driver's capture window is ~2k chars and
+    # the r7/r8 full payloads blew past it -> parsed: null two rounds
+    # running).  The stdout line carries metric/value/queries only,
+    # timings rounded to 10 ms; scaling/incremental/gridmix/streaming
+    # and the full flag dicts live in the detail file.
+    detail = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "scaling": scaling,
+        "incremental": incremental,
+        "gridmix": gridmix,
+        "streaming": streaming,
+        # only confirmed flags — a consumer checking for a
+        # non-empty dict sees real regressions, not cleared
+        # ones (cleared flags land in "phantom_flags")
+        "regressions": confirmed,
+        "phantom_flags": phantom,
+        "watch": watch,
+    }
+    detail_path = os.environ.get(
+        "BENCH_DETAIL_PATH",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        ),
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    compact = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {n: round(s, 2) for n, s in timings.items()},
+        "sf": sf,
+        # names only — prior/recorded/rerun numbers are in the detail
+        "regressions": sorted(confirmed),
+        "watch": sorted(watch),
+        "detail": os.path.basename(detail_path),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # paranoid: never blow the capture window
+        compact["queries"] = {
+            n: round(s, 2)
+            for n, s in sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+        }
+        compact["queries_truncated_to"] = 25
+        line = json.dumps(compact, separators=(",", ":"))
+    # leading newline: a clean line start even if a stray \r progress
+    # write or log fragment was the last thing on stdout
+    print("\n" + line, flush=True)
 
 
 if __name__ == "__main__":
