@@ -916,14 +916,26 @@ def q_corpus_length_deciles_by_source(
         .agg(F.min("tok").alias("v"))
     )
     thr_arr = thr.groupBy("source").agg(F.collect_list("v").alias("vs"))
+    # LEFT join + coalesce-to-empty (ADVICE r8): an inner join would
+    # silently DROP NULL-source docs while the DuckDB oracle's
+    # correlated COUNT(*) keeps them at decile 1 (a NULL source matches
+    # no threshold row) — a latent cross-engine divergence masked only
+    # because the fixture has no NULL sources.
+    empty = F.array().cast("array<bigint>")
     return (
-        tk.join(F.broadcast(thr_arr), "source")
+        tk.join(F.broadcast(thr_arr), "source", "left")
         .select(
             "doc_id",
             "source",
             "tok_len",
             (
-                1 + F.size(F.filter("vs", lambda v: v < F.col("tok_len")))
+                1
+                + F.size(
+                    F.filter(
+                        F.coalesce(F.col("vs"), empty),
+                        lambda v: v < F.col("tok_len"),
+                    )
+                )
             ).cast("long").alias("decile"),
         )
         .orderBy("doc_id")

@@ -48,7 +48,7 @@ def test_pagerank_mass_bound_and_hub(spark):
     assert sum(ranks.values()) <= len(ranks) * PR_SCALE
 
 
-def test_mad_gate_flags_planted_outlier(spark):
+def test_mad_gate_flags_planted_outlier(spark, tmp_path):
     """One hour with 100x volume against a flat baseline must be the
     only flagged cell, and the emitted med/mad must match the
     baseline's exact values."""
@@ -68,9 +68,9 @@ def test_mad_gate_flags_planted_outlier(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
-    import tempfile, os
+    import os
 
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     df.write.parquet(os.path.join(d, "events.parquet"))
     out = q_events_anomaly_mad(spark, d).collect()
     assert len(out) == 1
@@ -79,7 +79,7 @@ def test_mad_gate_flags_planted_outlier(spark):
     assert r.med == 5.0 and r.mad == 0.0
 
 
-def test_fuzzy_edit_blocking_catches_boundary_straddle(spark):
+def test_fuzzy_edit_blocking_catches_boundary_straddle(spark, tmp_path):
     """A planted near-dup pair whose lengths fall in ADJACENT length
     buckets (lengths 31 and 33 straddle a boundary at the current
     _EDIT_BLOCK=16 — buckets 1 vs 2; the inline assert guards that
@@ -87,7 +87,6 @@ def test_fuzzy_edit_blocking_catches_boundary_straddle(spark):
     be found — the completeness property the +1 overlap row exists
     for — and a far pair must not."""
     import os
-    import tempfile
 
     from hadoop_20_warehouse_spark.inventory_analytics import (
         _EDIT_BLOCK,
@@ -104,7 +103,7 @@ def test_fuzzy_edit_blocking_catches_boundary_straddle(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert len(near_a) // _EDIT_BLOCK != len(near_b) // _EDIT_BLOCK
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     df.write.parquet(os.path.join(d, "documents.parquet"))
     out = [(r.id_a, r.id_b, r.dist) for r in q_dedup_fuzzy_edit(spark, d).collect()]
     assert out == [(1, 2, 2)]
@@ -149,12 +148,11 @@ def test_zorder_interleave_hand_computed(spark):
     assert got == [7, 25]
 
 
-def test_containment_finds_planted_subset(spark):
+def test_containment_finds_planted_subset(spark, tmp_path):
     """A doc that is a strict substring (token-subset) of a larger doc
     must surface with containment 1.0; an unrelated doc pairs with
     nothing (its grams are unique)."""
     import os
-    import tempfile
 
     from hadoop_20_warehouse_spark.inventory_analytics import (
         q_dedup_containment,
@@ -169,7 +167,7 @@ def test_containment_finds_planted_subset(spark):
          (3, other, "en", "s", len(other))],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     df.write.parquet(os.path.join(d, "documents.parquet"))
     out = {(r.id_a, r.id_b): r.containment
            for r in q_dedup_containment(spark, d).collect()}
@@ -194,3 +192,49 @@ def test_pagerank_checkpoint_every_preserves_ranks(spark):
         ).collect()
     }
     assert plain == ckpt
+
+
+def test_deciles_by_source_keeps_null_source_docs(spark, tmp_path):
+    """A NULL-source doc must SURVIVE at decile 1 (left join +
+    coalesce-to-empty), matching the DuckDB oracle's correlated
+    COUNT(*) semantics — an inner join would silently drop it (ADVICE
+    r8).  Both engines are run on the same synthetic table and their
+    full results compared."""
+    import os
+
+    import duckdb
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _DECILE_GRP_SQL,
+        q_corpus_length_deciles_by_source,
+    )
+
+    rows = [
+        (i, " ".join(["w"] * (i + 1)), "en", "a" if i < 20 else "b", 10)
+        for i in range(40)
+    ]
+    rows.append((99, "one two three", "en", None, 13))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.source, r.tok_len, r.decile)
+        for r in q_corpus_length_deciles_by_source(spark, d).collect()
+    }
+    assert 99 in got and got[99] == (None, 3, 1)
+    assert len(got) == 41
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = {
+        int(doc_id): (src, int(tok), int(dec))
+        for doc_id, src, tok, dec in con.execute(_DECILE_GRP_SQL).fetchall()
+    }
+    assert got == want
