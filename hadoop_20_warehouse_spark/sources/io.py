@@ -10,7 +10,9 @@ Parquet is the native table format (the TFile/SequenceFile successor —
 | NLineInputFormat                       | read_text(n_per_partition=N)  |
 | SequenceFile{Input,Output}Format       | read_sequence / write_sequence|
 | DBInputFormat / DBOutputFormat         | read_jdbc / write_jdbc        |
-| MultipleOutputFormat / MultipleOutputs | write_partitioned             |
+| MultipleOutputFormat / MultipleOutputs | write_partitioned (per-key    |
+|                                        | files), write_named_outputs   |
+|                                        | (named multi-schema sinks)    |
 | MultiFile/CombineFileInputFormat       | maxPartitionBytes (built in)  |
 | NullOutputFormat                       | write_noop                    |
 
@@ -188,6 +190,109 @@ def write_noop(df: DataFrame) -> None:
     """NullOutputFormat (mapred/lib/NullOutputFormat.java): execute for
     side effects/metrics, write nothing."""
     df.write.format("noop").mode("overwrite").save()
+
+
+class NamedOutput:
+    """One named output channel of :func:`write_named_outputs` — the
+    declarative analog of ``MultipleOutputs.addNamedOutput`` /
+    ``addMultiNamedOutput`` (mapred/lib/MultipleOutputs.java:283,306):
+    its own row ``predicate`` (which records route here; the reference
+    decides per-record in mapper code, the declarative twin is a
+    filter), its own projected ``select`` schema, its own file ``fmt``
+    and writer ``options``, and — for the multi-named form, where
+    ``getCollector(name, subName)`` fans one named output into
+    per-sub-name files — an optional ``multi_col`` whose value becomes
+    a partition directory under the named output."""
+
+    def __init__(
+        self,
+        predicate=None,
+        select: list | None = None,
+        fmt: str = "parquet",
+        multi_col: str | None = None,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        self.predicate = predicate
+        self.select = select
+        self.fmt = fmt
+        self.multi_col = multi_col
+        self.options = options or {}
+
+
+def _check_named_output_name(name: str) -> None:
+    """Reference name rules (MultipleOutputs.java:163 checkTokenName,
+    :189 checkNamedOutputName): non-empty, alphanumeric only, and not
+    the reserved default-output prefix ``part``."""
+    if not name or not name.isalnum():
+        raise ValueError(f"named output '{name}' must be alphanumeric")
+    if name == "part":
+        raise ValueError("named output name 'part' is reserved")
+
+
+def named_output_frame(src: DataFrame, spec: NamedOutput) -> DataFrame:
+    """The per-sink plan: predicate filter then schema projection over
+    the (possibly staged) source — factored out so plan tests can
+    assert each sink's scan targets the staged copy."""
+    out = src
+    if spec.predicate is not None:
+        pred = (
+            F.expr(spec.predicate)
+            if isinstance(spec.predicate, str)
+            else spec.predicate
+        )
+        out = out.filter(pred)
+    if spec.select:
+        out = out.select(*spec.select)
+    return out
+
+
+def write_named_outputs(
+    df: DataFrame,
+    base_path: str,
+    outputs: dict[str, NamedOutput],
+    stage: bool = True,
+) -> dict[str, str]:
+    """MultipleOutputs named multi-sink fan-out
+    (mapred/lib/MultipleOutputs.java:283 addNamedOutput, :306
+    addMultiNamedOutput; test mapred/lib/TestMultipleOutputs.java):
+    route ONE record stream to N named outputs, each with its own
+    predicate, projected schema, file format, and options, written to
+    ``base_path/<name>/``.  Returns ``{name: path}``.
+
+    Single-pass discipline (the reference's whole point — one job, one
+    pass over the input, N sinks): with ``stage=True`` the input plan
+    is materialized to scratch parquet ONCE, and every named output
+    reads the staged copy with its own pushed filter + pruned columns
+    — the upstream pipeline (however expensive) runs exactly once
+    regardless of N.  With ``stage=False`` each output re-plans from
+    ``df`` directly — the right choice when ``df`` IS a bare table
+    scan, where re-reading with pushdown is cheaper than doubling the
+    I/O with a staged copy.
+
+    At 100 TB: the stage write is corpus-sized but each sink read of
+    it is column-pruned and filter-pushed; predicates should be
+    written with ``F.col``/SQL strings (unresolved — they bind against
+    the staged plan, not the original)."""
+    for name in outputs:
+        _check_named_output_name(name)
+    spark = df.sparkSession
+    src = df
+    if stage:
+        stage_path = base_path.rstrip("/") + "/_stage"
+        df.write.mode("overwrite").parquet(stage_path)
+        src = spark.read.parquet(stage_path)
+    paths: dict[str, str] = {}
+    for name, spec in outputs.items():
+        out = named_output_frame(src, spec)
+        w = out.write.mode("overwrite").format(spec.fmt)
+        for k, v in spec.options.items():
+            w = w.option(k, v)
+        if spec.multi_col:
+            w = w.partitionBy(spec.multi_col)
+        path = base_path.rstrip("/") + "/" + name
+        w.save(path)
+        paths[name] = path
+    return paths
 
 
 # --- MapFile analog: sorted table + point lookup ---------------------------
