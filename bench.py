@@ -1152,6 +1152,16 @@ def main() -> None:
         }
         compact["queries_truncated_to"] = 25
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # still over (long names / big regression lists): drop the
+        # per-query dict entirely — the detail file has all of it
+        compact.pop("queries", None)
+        compact["queries_truncated_to"] = 0
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # last resort: headline numbers only
+        compact = {k: compact[k] for k in ("metric", "value", "unit", "sf", "detail") if k in compact}
+        line = json.dumps(compact, separators=(",", ":"))
     # leading newline: a clean line start even if a stray \r progress
     # write or log fragment was the last thing on stdout
     print("\n" + line, flush=True)

@@ -1507,3 +1507,82 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
     )
+
+
+_NAMED_OUTPUTS_SQL = """
+SELECT 'urgent' AS output_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'openorders' AS output_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'bystatus' AS output_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+"""
+
+
+@register("named_outputs_roundtrip", oracle=_NAMED_OUTPUTS_SQL)
+def q_named_outputs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleOutputs named multi-sink fan-out round-trip
+    (mapred/lib/MultipleOutputs.java:283 addNamedOutput, :306
+    addMultiNamedOutput; test mapred/lib/TestMultipleOutputs.java): one
+    pass over orders routes records to THREE named outputs — a
+    predicate+projection parquet sink, a predicate CSV sink (different
+    format per name, the reference's per-name OutputFormat), and a
+    multi-named parquet sink sub-partitioned by o_orderstatus (the
+    ``getCollector(name, subName)`` fan-out).  Each output is read
+    back and aggregated; the oracle computes the same aggregates from
+    the ORIGINAL table, so a hash match proves per-name routing,
+    projection, format conversion, and sub-partitioning are all
+    lossless.  Single-pass discipline: the input plan is staged to
+    scratch parquet once and every sink reads the staged copy with its
+    own pushed filter + pruned columns (plan-pinned in
+    tests/test_plans.py); the stage is removed after the writes."""
+    from hadoop_20_warehouse_spark.sources.io import (
+        NamedOutput,
+        write_named_outputs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = _fresh_subdir(_scratch_dir("namedout"), "orders")
+    paths = write_named_outputs(
+        orders,
+        base,
+        {
+            "urgent": NamedOutput(
+                predicate="o_orderpriority = '1-URGENT'",
+                select=["o_orderkey", "o_totalprice"],
+            ),
+            "openorders": NamedOutput(
+                predicate="o_orderstatus = 'O'",
+                select=["o_orderkey", "o_orderpriority"],
+                fmt="csv",
+                options={"header": "true"},
+            ),
+            "bystatus": NamedOutput(
+                select=["o_orderkey", "o_orderstatus"],
+                multi_col="o_orderstatus",
+            ),
+        },
+    )
+
+    def _stats(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_orderkey").cast("long")).cast("long").alias("key_sum"),
+        ).select(F.lit(name).alias("output_name"), "n", "key_sum")
+
+    urgent = spark.read.parquet(paths["urgent"])
+    openorders = spark.read.option("header", "true").csv(paths["openorders"])
+    bystatus = spark.read.parquet(paths["bystatus"])
+    return (
+        _stats(urgent, "urgent")
+        .unionAll(_stats(openorders, "openorders"))
+        .unionAll(_stats(bystatus, "bystatus"))
+    )

@@ -221,10 +221,14 @@ class NamedOutput:
 
 def _check_named_output_name(name: str) -> None:
     """Reference name rules (MultipleOutputs.java:163 checkTokenName,
-    :189 checkNamedOutputName): non-empty, alphanumeric only, and not
-    the reserved default-output prefix ``part``."""
-    if not name or not name.isalnum():
-        raise ValueError(f"named output '{name}' must be alphanumeric")
+    :189 checkNamedOutputName): non-empty, ASCII alphanumeric only
+    (the reference loops ``A-Za-z0-9`` explicitly — ``str.isalnum``
+    would admit Unicode letters it rejects), and not the reserved
+    default-output prefix ``part``."""
+    import re
+
+    if not name or not re.fullmatch(r"[A-Za-z0-9]+", name):
+        raise ValueError(f"named output '{name}' must be ASCII alphanumeric")
     if name == "part":
         raise ValueError("named output name 'part' is reserved")
 
@@ -273,25 +277,37 @@ def write_named_outputs(
     it is column-pruned and filter-pushed; predicates should be
     written with ``F.col``/SQL strings (unresolved — they bind against
     the staged plan, not the original)."""
+    import shutil
+
     for name in outputs:
         _check_named_output_name(name)
     spark = df.sparkSession
     src = df
+    stage_path = None
     if stage:
         stage_path = base_path.rstrip("/") + "/_stage"
         df.write.mode("overwrite").parquet(stage_path)
         src = spark.read.parquet(stage_path)
     paths: dict[str, str] = {}
-    for name, spec in outputs.items():
-        out = named_output_frame(src, spec)
-        w = out.write.mode("overwrite").format(spec.fmt)
-        for k, v in spec.options.items():
-            w = w.option(k, v)
-        if spec.multi_col:
-            w = w.partitionBy(spec.multi_col)
-        path = base_path.rstrip("/") + "/" + name
-        w.save(path)
-        paths[name] = path
+    try:
+        for name, spec in outputs.items():
+            out = named_output_frame(src, spec)
+            w = out.write.mode("overwrite").format(spec.fmt)
+            for k, v in spec.options.items():
+                w = w.option(k, v)
+            if spec.multi_col:
+                w = w.partitionBy(spec.multi_col)
+            path = base_path.rstrip("/") + "/" + name
+            w.save(path)
+            paths[name] = path
+    finally:
+        # The corpus-sized staged copy is scratch: once every sink is
+        # written (or the write aborts) it must not persist next to the
+        # real outputs, where a recursive read of base_path would pick
+        # it up (r9 ADVICE).  Local-path removal only — on a shared-FS
+        # cluster pass a scratch-rooted base_path or stage=False.
+        if stage_path is not None:
+            shutil.rmtree(stage_path, ignore_errors=True)
     return paths
 
 

@@ -262,3 +262,60 @@ def test_scratch_dir_honors_env_override(tmp_path, monkeypatch):
     q = ext._scratch_dir("unit")
     assert "h20w_unit" in os.path.basename(q) and os.path.isdir(q)
     assert not q.startswith(str(tmp_path))
+
+
+def test_named_outputs_routing_and_schemas(spark, tmp_path):
+    """Mirror of reference TestMultipleOutputs (mapred/lib/
+    TestMultipleOutputs.java): one stream, N named outputs, each with
+    its own routing predicate, projected schema, and format."""
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_spark.sources.io import (
+        NamedOutput,
+        write_named_outputs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, status=("A" if i % 3 == 0 else "B"), v=float(i)) for i in range(90)]
+    )
+    base = str(tmp_path / "named")
+    paths = write_named_outputs(
+        df,
+        base,
+        {
+            "aonly": NamedOutput(predicate="status = 'A'", select=["k", "v"]),
+            "textkv": NamedOutput(
+                predicate=F.col("k") < 10,
+                select=["k", "status"],
+                fmt="csv",
+                options={"header": "true"},
+            ),
+            "bystat": NamedOutput(select=["k", "status"], multi_col="status"),
+        },
+    )
+    # routing: predicate rows only, projected schema only
+    aonly = spark.read.parquet(paths["aonly"])
+    assert aonly.columns == ["k", "v"]
+    assert aonly.count() == 30
+    assert aonly.agg(F.min("k")).first()[0] == 0
+    textkv = spark.read.option("header", "true").csv(paths["textkv"])
+    assert textkv.columns == ["k", "status"]
+    assert textkv.count() == 10
+    # multi-named: sub-name partition directories (getCollector(name, sub))
+    assert os.path.isdir(os.path.join(paths["bystat"], "status=A"))
+    assert os.path.isdir(os.path.join(paths["bystat"], "status=B"))
+    bystat = spark.read.parquet(paths["bystat"])
+    assert bystat.count() == 90
+    assert bystat.filter(F.col("status") == "A").count() == 30
+    # staged scratch copy must NOT persist next to the real outputs
+    assert not os.path.exists(os.path.join(base, "_stage"))
+    # stage=False re-plans from the source directly — same results
+    base2 = str(tmp_path / "named2")
+    paths2 = write_named_outputs(
+        df, base2, {"aonly": NamedOutput(predicate="status = 'A'")}, stage=False
+    )
+    assert spark.read.parquet(paths2["aonly"]).count() == 30
+    # name validation: reference checkTokenName rules (ASCII alnum, not 'part')
+    for bad in ("", "part", "a_b", "a-b", "é1", "ｅ", "a b"):
+        with _pytest.raises(ValueError):
+            write_named_outputs(df, base, {bad: NamedOutput()})

@@ -434,3 +434,38 @@ def test_orc_read_pushes_date_filter(spark, sf_dir, tmp_path):
     plan = physical_plan(df)
     assert "Format: ORC" in plan, plan
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_named_outputs_sinks_scan_staged_copy(spark, sf_dir, tmp_path):
+    """write_named_outputs single-pass discipline: every named sink's
+    plan scans the STAGED parquet copy with its own pushed filter and
+    pruned columns — the upstream pipeline runs once regardless of N
+    (MultipleOutputs.java's one-job/one-pass point)."""
+    from hadoop_20_warehouse_spark.plans.explain import (
+        pushed_filters,
+        read_schema,
+    )
+    from hadoop_20_warehouse_spark.sources.io import (
+        NamedOutput,
+        named_output_frame,
+    )
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    stage = str(tmp_path / "stage")
+    orders.write.parquet(stage)
+    src = spark.read.parquet(stage)
+    sink = named_output_frame(
+        src,
+        NamedOutput(
+            predicate="o_orderpriority = '1-URGENT'",
+            select=["o_orderkey", "o_totalprice"],
+        ),
+    )
+    # the sink's scan is the staged copy, filter pushed, columns pruned
+    plan = sink._jdf.queryExecution().executedPlan().toString()
+    assert "stage" in plan, plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in pushed_filters(sink)
+    schema = read_schema(sink)
+    assert "o_orderkey" in schema and "o_totalprice" in schema
+    assert "o_comment" not in schema, schema
