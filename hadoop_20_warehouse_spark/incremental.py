@@ -122,29 +122,43 @@ def apply_incremental_curate(
     """Between-releases path: stitch the curated NEW release from the
     stored artifact plus a delta-only recompute.
 
-    Classification is one id-keyed LEFT join of two digest projections
-    (the new corpus's row-local md5 vs the store's ``raw_digest`` —
-    text never ships into the join); docs whose digest matches reuse
-    their STORED curated row, docs that are new or changed go through
-    ``curate``.  Removed docs drop out naturally (they are absent from
-    ``new_docs``).  Work ∝ |delta| for curation and ∝ corpus for the
-    digest join only — the join carries two narrow columns."""
+    Classification is one id-keyed LEFT join of the new corpus's
+    row-local digest projection against the FULL store (text never
+    ships into the join — the store's columns are the narrow curated
+    outputs: counts, booleans, digests); docs whose digest matches
+    reuse their stored curated row straight off that join, docs that
+    are new or changed re-join the new corpus for their text and go
+    through ``curate``.  Removed docs drop out naturally (absent from
+    ``new_docs``).  Work ∝ |delta| for curation and ∝ corpus for TWO
+    narrow id-keyed joins (the classify join and the delta text
+    re-join; an earlier form paid a third corpus-sized join to fetch
+    stored rows for unchanged ids).
+
+    WHEN NOT TO USE THIS (measured, PLANS.md §incremental-crossover):
+    the apply path trades the full path's one curation pass for two
+    corpus-sized joins, so it wins only when per-doc curation cost
+    exceeds per-doc join overhead.  Corpus SIZE does not create a
+    crossover — both paths are O(corpus) — doc size/curation cost
+    does.  With the default redact+gate curation, short docs
+    (≲ a few hundred tokens) are curated faster than they are
+    joined: full recompute wins at every corpus size.  Use the apply
+    path for long documents or expensive curation (many regexes,
+    model scoring); use full recompute for short-doc corpora with
+    cheap row-local curation."""
     new_base = new_docs.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
     new_digest = new_base.select(
         F.col(id_col), F.md5(text_col).alias("new_digest")
     )
-    status = new_digest.join(
-        store.select(F.col(id_col), "raw_digest"), id_col, "left"
+    status = new_digest.join(store, id_col, "left")
+    reused = (
+        status.filter(F.col("raw_digest") == F.col("new_digest"))
+        .drop("raw_digest", "new_digest")
     )
-    unchanged_ids = status.filter(
-        F.col("raw_digest") == F.col("new_digest")
-    ).select(id_col)
     delta_ids = status.filter(
         F.col("raw_digest").isNull()
         | (F.col("raw_digest") != F.col("new_digest"))
     ).select(id_col)
-    reused = store.drop("raw_digest").join(unchanged_ids, id_col)
     fresh = curate(new_base.join(delta_ids, id_col))
     return reused.unionByName(fresh)

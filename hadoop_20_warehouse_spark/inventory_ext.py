@@ -1586,3 +1586,63 @@ def q_named_outputs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_stats(openorders, "openorders"))
         .unionAll(_stats(bystatus, "bystatus"))
     )
+
+
+_GENERIC_UNION_SQL = """
+SELECT 'LongWritable' AS type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS long_sum,
+       CAST(NULL AS VARCHAR) AS min_text
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'Text' AS type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS long_sum,
+       MIN(o_orderpriority) AS min_text
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+@register("generic_writable_union", oracle=_GENERIC_UNION_SQL)
+def q_generic_writable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenericWritable tagged-union round-trip (io/GenericWritable.java:
+    118 readFields — one tag byte indexing getTypes(), then the wrapped
+    Writable's wire bytes): orders rows are serialized as a two-variant
+    union (even keys → LongWritable custkey, odd → Text priority) into
+    a JVM-WRITTEN SequenceFile, read back through the pure-Python
+    container parser (sources/seqfile.py — no user subclass on any
+    classpath, the type LIST replaces getTypes()), and aggregated per
+    variant.  The oracle computes the same per-variant aggregates from
+    the ORIGINAL table: a hash match proves tag routing and both
+    variants' wire decoding are lossless."""
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        encode_tagged_value,
+        read_sequence_tagged,
+    )
+
+    LONG = "org.apache.hadoop.io.LongWritable"
+    TEXT = "org.apache.hadoop.io.Text"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+    def to_kv(row):
+        if row.o_orderkey % 2 == 0:
+            payload = encode_tagged_value(0, LONG, row.o_custkey)
+        else:
+            payload = encode_tagged_value(1, TEXT, row.o_orderpriority)
+        return (str(row.o_orderkey), bytearray(payload))
+
+    path = _fresh_subdir(_scratch_dir("genw"), "union")
+    orders.rdd.map(to_kv).saveAsSequenceFile(path)
+    tagged = read_sequence_tagged(
+        spark,
+        path,
+        [LONG, TEXT],
+        key_class="org.apache.hadoop.io.Text",
+    )
+    return tagged.groupBy("type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_LongWritable").cast("long").alias("long_sum"),
+        F.min("v_Text").alias("min_text"),
+    )

@@ -1,0 +1,372 @@
+"""Tagged-union SequenceFile ingestion — GenericWritable / ObjectWritable.
+
+Reference semantics (io/GenericWritable.java:118-135): a GenericWritable
+value is ONE byte indexing the subclass's ``getTypes()`` array followed
+by the wrapped Writable's wire bytes; ObjectWritable
+(io/ObjectWritable.java:114-179) instead writes the declared class NAME
+per record.  Reading either through any Hadoop reader requires the
+user's subclass on the classpath (GenericWritable.readFields
+reflectively instantiates ``getTypes()[type]``).
+
+Spark-first re-expression: the JVM route is closed by construction (the
+subclass is the USER'S class — exactly the artifact a migration no
+longer has), so ingestion parses the SequenceFile CONTAINER in Python,
+distributed one file per task over ``binaryFile`` + ``mapInPandas``,
+and decodes the tagged union from the caller's type LIST — the same
+contract as ``getTypes()``, minus the classpath.  Output is a tagged
+struct: ``tag`` (the byte), ``type`` (short class name), and one typed
+column per registered variant (non-matching variants NULL) — the
+DataFrame shape a union type takes when SQL needs to filter/aggregate
+per variant.
+
+Scale: per-file parallelism (a SequenceFile is record-framed but the
+sync-marker scan is cheap and files are the natural split for interop
+ingestion); decode is a generator over bytes — no per-record Python
+object churn beyond the emitted tuples.  Uncompressed and
+record-compressed-off files only (Spark's ``saveAsSequenceFile``
+default) — compressed inputs fail loudly with the codec name.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_20_warehouse_spark.sources.recordio import read_vlong
+
+_SEQ_MAGIC = b"SEQ"
+
+
+# --- Writable wire-format decoders (io/*.java readFields) -------------------
+# name -> (spark sql type, decode(bytes, pos) -> (value, new_pos))
+
+
+def _dec_int(b: bytes, pos: int):
+    return struct.unpack_from(">i", b, pos)[0], pos + 4
+
+
+def _dec_long(b: bytes, pos: int):
+    return struct.unpack_from(">q", b, pos)[0], pos + 8
+
+
+def _dec_float(b: bytes, pos: int):
+    return struct.unpack_from(">f", b, pos)[0], pos + 4
+
+
+def _dec_double(b: bytes, pos: int):
+    return struct.unpack_from(">d", b, pos)[0], pos + 8
+
+
+def _dec_bool(b: bytes, pos: int):
+    return b[pos] != 0, pos + 1
+
+
+def _dec_byte(b: bytes, pos: int):
+    return struct.unpack_from(">b", b, pos)[0], pos + 1
+
+
+def _dec_text(b: bytes, pos: int):
+    n, pos = read_vlong(b, pos)
+    return b[pos : pos + n].decode("utf-8"), pos + n
+
+
+def _dec_bytes(b: bytes, pos: int):
+    n = struct.unpack_from(">i", b, pos)[0]
+    pos += 4
+    return bytes(b[pos : pos + n]), pos + n
+
+
+def _dec_vint(b: bytes, pos: int):
+    return read_vlong(b, pos)
+
+
+def _dec_null(b: bytes, pos: int):
+    return None, pos
+
+
+WRITABLE_DECODERS: dict[str, tuple[str, object]] = {
+    "org.apache.hadoop.io.IntWritable": ("int", _dec_int),
+    "org.apache.hadoop.io.LongWritable": ("bigint", _dec_long),
+    "org.apache.hadoop.io.FloatWritable": ("float", _dec_float),
+    "org.apache.hadoop.io.DoubleWritable": ("double", _dec_double),
+    "org.apache.hadoop.io.BooleanWritable": ("boolean", _dec_bool),
+    "org.apache.hadoop.io.ByteWritable": ("tinyint", _dec_byte),
+    "org.apache.hadoop.io.Text": ("string", _dec_text),
+    "org.apache.hadoop.io.BytesWritable": ("binary", _dec_bytes),
+    "org.apache.hadoop.io.VIntWritable": ("bigint", _dec_vint),
+    "org.apache.hadoop.io.VLongWritable": ("bigint", _dec_vint),
+    "org.apache.hadoop.io.NullWritable": ("string", _dec_null),
+}
+
+
+def _short_name(cls: str) -> str:
+    return cls.rsplit(".", 1)[-1].rsplit("$", 1)[-1]
+
+
+def _decoder_for(cls: str):
+    try:
+        return WRITABLE_DECODERS[cls]
+    except KeyError:
+        raise ValueError(
+            f"no wire decoder registered for Writable class '{cls}'; "
+            f"known: {sorted(WRITABLE_DECODERS)}"
+        ) from None
+
+
+# --- SequenceFile container (io/SequenceFile.java:1478 init, :1930 next) ----
+
+
+def _read_text_string(b: bytes, pos: int) -> tuple[str, int]:
+    """Text.writeString wire form (vint byte-length + UTF-8)."""
+    n, pos = read_vlong(b, pos)
+    return b[pos : pos + n].decode("utf-8"), pos + n
+
+
+def parse_sequence_file(blob: bytes):
+    """Parse one SequenceFile: returns ``(key_class, value_class,
+    iter[(key_bytes, value_bytes)])`` of the RAW per-record wire bytes.
+
+    Container layout (io/SequenceFile.java:1478-1540): ``SEQ`` magic,
+    version byte, key/value class names (Text strings), compression
+    booleans (+codec), metadata pairs, 16-byte sync marker; then
+    records as BE-int record length + BE-int key length + key bytes +
+    value bytes, with an escape length of -1 introducing a 16-byte
+    sync marker (written every ~SYNC_INTERVAL bytes)."""
+    if blob[:3] != _SEQ_MAGIC:
+        raise ValueError("not a SequenceFile (missing SEQ magic)")
+    version = blob[3]
+    pos = 4
+    key_class, pos = _read_text_string(blob, pos)
+    value_class, pos = _read_text_string(blob, pos)
+    compressed = block_compressed = False
+    if version > 2:
+        compressed = blob[pos] != 0
+        pos += 1
+    if version >= 4:
+        block_compressed = blob[pos] != 0
+        pos += 1
+    if compressed or block_compressed:
+        codec = "(pre-v5 default)"
+        if version >= 5:
+            codec, pos = _read_text_string(blob, pos)
+        raise ValueError(
+            f"compressed SequenceFile not supported by the pure-Python "
+            f"container parser (codec {codec}); re-write uncompressed or "
+            f"read via a JVM path with the codec on the classpath"
+        )
+    if version >= 6:
+        n_meta = struct.unpack_from(">i", blob, pos)[0]
+        pos += 4
+        for _ in range(n_meta):
+            _, pos = _read_text_string(blob, pos)
+            _, pos = _read_text_string(blob, pos)
+    sync = bytes(blob[pos : pos + 16])
+    pos += 16
+
+    def records() -> Iterator[tuple[bytes, bytes]]:
+        p = pos
+        end = len(blob)
+        while p + 4 <= end:
+            rec_len = struct.unpack_from(">i", blob, p)[0]
+            p += 4
+            if rec_len == -1:  # sync escape
+                if bytes(blob[p : p + 16]) != sync:
+                    raise ValueError("corrupt SequenceFile: bad sync marker")
+                p += 16
+                continue
+            key_len = struct.unpack_from(">i", blob, p)[0]
+            p += 4
+            key = bytes(blob[p : p + key_len])
+            val = bytes(blob[p + key_len : p + rec_len])
+            p += rec_len
+            yield key, val
+
+    return key_class, value_class, records()
+
+
+def read_sequence_tagged(
+    spark: SparkSession,
+    path: str,
+    types: list[str],
+    key_class: str = "org.apache.hadoop.io.LongWritable",
+    union_format: str = "generic",
+) -> DataFrame:
+    """SequenceFile of tagged-union values → tagged-struct DataFrame.
+
+    ``types`` plays the role of the subclass's ``getTypes()`` array
+    (io/GenericWritable.java:144): index ``i`` decodes tag byte ``i``.
+    ``union_format``:
+
+    - ``"generic"`` — GenericWritable wire form (:118 readFields): one
+      tag byte then the wrapped Writable's bytes.
+    - ``"object"`` — ObjectWritable wire form (:114 readObject): a
+      java-UTF declared-class string then (for Writable payloads)
+      the instance bytes; the class name maps back to its ``types``
+      index for the ``tag`` column, so both formats yield the same
+      schema.  (The reference's own javadoc recommends GenericWritable
+      over ObjectWritable for exactly this per-record-string cost.)
+
+    If the file's value class is BytesWritable, each value is
+    unwrapped from its 4-byte length prefix first — the staging shape
+    used when union payloads are carried opaquely; any other value
+    class (e.g. the user's GenericWritable subclass name, which no
+    classpath here could load) is taken as the union bytes directly.
+
+    Output: ``key``, ``tag`` smallint, ``type`` string (short class
+    name), one typed column per registered variant — ``v_<ShortName>``
+    (indexed on duplicates), NULL except on the matching tag."""
+    if union_format not in ("generic", "object"):
+        raise ValueError(f"unknown union_format '{union_format}'")
+    key_type, key_dec = _decoder_for(key_class)
+    variants = []  # (col_name, sql_type, decoder)
+    seen: dict[str, int] = {}
+    for cls in types:
+        sql_type, dec = _decoder_for(cls)
+        short = _short_name(cls)
+        n = seen.get(short, 0)
+        seen[short] = n + 1
+        col = f"v_{short}" if n == 0 else f"v_{short}_{n}"
+        variants.append((col, sql_type, dec))
+    by_class = {cls: i for i, cls in enumerate(types)}
+
+    schema = ", ".join(
+        [f"key {key_type}", "tag smallint", "type string"]
+        + [f"{col} {sql_type}" for col, sql_type, _ in variants]
+    )
+    n_variants = len(variants)
+    fmt = union_format
+
+    def parse_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for blob in pdf["content"]:
+                kcls, vcls, recs = parse_sequence_file(blob)
+                if kcls != key_class:
+                    raise ValueError(
+                        f"key class mismatch: file has {kcls}, expected {key_class}"
+                    )
+                unwrap = vcls == "org.apache.hadoop.io.BytesWritable"
+                for kb, vb in recs:
+                    key, _ = key_dec(kb, 0)
+                    if unwrap:
+                        vb = vb[4:]  # BytesWritable length prefix
+                    if fmt == "generic":
+                        tag = vb[0]
+                        body, bpos = vb, 1
+                    else:  # ObjectWritable: java-UTF declared class
+                        n = struct.unpack_from(">H", vb, 0)[0]
+                        declared = vb[2 : 2 + n].decode("utf-8")
+                        # Writable payloads repeat the concrete class
+                        n2 = struct.unpack_from(">H", vb, 2 + n)[0]
+                        concrete = vb[4 + n : 4 + n + n2].decode("utf-8")
+                        if declared not in by_class and concrete in by_class:
+                            declared = concrete
+                        if declared not in by_class:
+                            raise ValueError(
+                                f"ObjectWritable class '{declared}' not in types"
+                            )
+                        tag = by_class[declared]
+                        body, bpos = vb, 4 + n + n2
+                    if tag >= n_variants:
+                        raise ValueError(
+                            f"tag byte {tag} out of range for {n_variants} types"
+                        )
+                    col, _sql, dec = variants[tag]
+                    val, _ = dec(body, bpos)
+                    row = [key, tag, col[2:]] + [None] * n_variants
+                    row[3 + tag] = val
+                    out.append(tuple(row))
+            cols = ["key", "tag", "type"] + [c for c, _, _ in variants]
+            yield pd.DataFrame(out, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(parse_files, schema)
+
+
+# --- encode side (GenericWritable.write, io/GenericWritable.java:129) -------
+
+
+def _enc_int(v) -> bytes:
+    return struct.pack(">i", int(v))
+
+
+def _enc_long(v) -> bytes:
+    return struct.pack(">q", int(v))
+
+
+def _enc_float(v) -> bytes:
+    return struct.pack(">f", float(v))
+
+
+def _enc_double(v) -> bytes:
+    return struct.pack(">d", float(v))
+
+
+def _enc_bool(v) -> bytes:
+    return b"\x01" if v else b"\x00"
+
+
+def _enc_byte(v) -> bytes:
+    return struct.pack(">b", int(v))
+
+
+def _enc_text(v) -> bytes:
+    from hadoop_20_warehouse_spark.sources.recordio import write_vlong
+
+    raw = str(v).encode("utf-8")
+    buf = bytearray()
+    write_vlong(buf, len(raw))
+    return bytes(buf) + raw
+
+
+def _enc_bytes(v) -> bytes:
+    return struct.pack(">i", len(v)) + bytes(v)
+
+
+def _enc_null(v) -> bytes:
+    return b""
+
+
+WRITABLE_ENCODERS: dict[str, object] = {
+    "org.apache.hadoop.io.IntWritable": _enc_int,
+    "org.apache.hadoop.io.LongWritable": _enc_long,
+    "org.apache.hadoop.io.FloatWritable": _enc_float,
+    "org.apache.hadoop.io.DoubleWritable": _enc_double,
+    "org.apache.hadoop.io.BooleanWritable": _enc_bool,
+    "org.apache.hadoop.io.ByteWritable": _enc_byte,
+    "org.apache.hadoop.io.Text": _enc_text,
+    "org.apache.hadoop.io.BytesWritable": _enc_bytes,
+    "org.apache.hadoop.io.NullWritable": _enc_null,
+}
+
+
+def encode_tagged_value(tag: int, cls: str, value) -> bytes:
+    """GenericWritable wire bytes for one value: the tag byte then the
+    wrapped Writable's bytes (io/GenericWritable.java:129-134 write).
+    Used to STAGE tagged unions from Spark (payloads carried opaquely
+    in BytesWritable — see read_sequence_tagged's unwrap) and by the
+    wire-compat tests."""
+    if not 0 <= tag <= 255:
+        raise ValueError(f"tag {tag} out of byte range")
+    try:
+        enc = WRITABLE_ENCODERS[cls]
+    except KeyError:
+        raise ValueError(f"no encoder for Writable class '{cls}'") from None
+    return bytes([tag]) + enc(value)
+
+
+def encode_object_value(cls: str, value) -> bytes:
+    """ObjectWritable wire bytes (io/ObjectWritable.java:114
+    writeObject, Writable branch): java-UTF declared class name,
+    java-UTF concrete class name, then the instance bytes."""
+    try:
+        enc = WRITABLE_ENCODERS[cls]
+    except KeyError:
+        raise ValueError(f"no encoder for Writable class '{cls}'") from None
+    name = cls.encode("utf-8")
+    utf = struct.pack(">H", len(name)) + name
+    return utf + utf + enc(value)
