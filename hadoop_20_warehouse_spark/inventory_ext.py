@@ -1646,3 +1646,46 @@ def q_generic_writable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_LongWritable").cast("long").alias("long_sum"),
         F.min("v_Text").alias("min_text"),
     )
+
+
+_LZMA_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("lzma_text_roundtrip", oracle=_LZMA_SQL)
+def q_lzma_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LzmaCodec round-trip (io/compress/LzmaCodec.java — FB addition):
+    orders serialized as tab-separated lines, written as one ``.lzma``
+    file per partition via stdlib lzma (no JVM codec exists here),
+    inflated back one file per task, re-parsed, and aggregated.  The
+    oracle aggregates the ORIGINAL table — equality proves the codec
+    and line framing round-trip losslessly.  Legacy-migration surface:
+    non-splittable by the reference's own contract, so parallelism =
+    file count, same as its gzip text inputs."""
+    from hadoop_20_warehouse_spark.sources.io import (
+        read_text_lzma,
+        write_text_lzma,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(
+            "\t", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+        ).alias("value")
+    )
+    path = _fresh_subdir(_scratch_dir("lzmart"), "orders")
+    write_text_lzma(lines, path)
+    back = read_text_lzma(spark, path)
+    parsed = back.select(
+        F.split_part("value", F.lit("\t"), F.lit(1)).cast("long").alias("o_orderkey"),
+        F.split_part("value", F.lit("\t"), F.lit(2)).alias("status"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

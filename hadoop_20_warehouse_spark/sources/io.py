@@ -58,6 +58,66 @@ def write_text(df: DataFrame, path: str, compression: str | None = None) -> None
     w.text(path)
 
 
+def read_text_lzma(spark: SparkSession, path: str) -> DataFrame:
+    """LZMA text read-compat (io/compress/LzmaCodec.java — the FB
+    addition; extension ``.lzma``): lines as DataFrame[value string]
+    from ``.lzma`` (alone-format) or ``.xz`` container files, inflated
+    via Python's stdlib ``lzma`` since no JVM codec ships here.
+
+    One file per task — the codec is non-splittable, exactly the
+    reference's constraint (LzmaCodec has no SplittableCompressionCodec
+    interface), so file count = read parallelism, same contract as the
+    gzip path.  Interop/migration surface, not a hot path: the engine's
+    native format is parquet+zstd."""
+
+    def _inflate(kv):
+        import lzma as _lzma
+
+        fname, blob = kv
+        try:
+            text = _lzma.decompress(blob).decode("utf-8")
+        except _lzma.LZMAError as e:
+            raise ValueError(f"not an lzma/xz stream: {fname}") from e
+        for line in text.splitlines():
+            yield (line,)
+
+    rdd = spark.sparkContext.binaryFiles(path).flatMap(_inflate)
+    return spark.createDataFrame(rdd, "value string")
+
+
+def write_text_lzma(
+    df: DataFrame, path: str, fmt: str = "alone", preset: int = 6
+) -> int:
+    """One ``.lzma`` (or ``.xz``) file per partition from a one-string-
+    column frame — the write half of LzmaCodec compat.  Executors write
+    part files directly (the write_record_binary pattern: local mode
+    shares the FS; on a cluster point ``path`` at the shared mount).
+    Returns the line count (the action forcing the write)."""
+    import os as _os
+
+    if fmt not in ("alone", "xz"):
+        raise ValueError(f"fmt must be 'alone' or 'xz', got '{fmt}'")
+    _os.makedirs(path, exist_ok=True)
+    ext = "lzma" if fmt == "alone" else "xz"
+
+    def _write_part(idx: int, rows):
+        import lzma as _lzma
+
+        lines = [r[0] for r in rows]
+        if lines:
+            data = ("\n".join(lines) + "\n").encode("utf-8")
+            wire = _lzma.compress(
+                data,
+                format=_lzma.FORMAT_ALONE if ext == "lzma" else _lzma.FORMAT_XZ,
+                preset=preset,
+            )
+            with open(_os.path.join(path, f"part-{idx:05d}.{ext}"), "wb") as fh:
+                fh.write(wire)
+        yield len(lines)
+
+    return sum(df.rdd.mapPartitionsWithIndex(_write_part).collect())
+
+
 def read_kv_text(spark: SparkSession, path: str, separator: str = "\t") -> DataFrame:
     """KeyValueTextInputFormat (mapred/KeyValueTextInputFormat.java:34):
     split each line at the FIRST separator; missing separator → whole

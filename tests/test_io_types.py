@@ -319,3 +319,37 @@ def test_named_outputs_routing_and_schemas(spark, tmp_path):
     for bad in ("", "part", "a_b", "a-b", "é1", "ｅ", "a b"):
         with _pytest.raises(ValueError):
             write_named_outputs(df, base, {bad: NamedOutput()})
+
+
+def test_lzma_text_roundtrip_both_formats(spark, tmp_path):
+    """LzmaCodec compat (reference io/compress/LzmaCodec.java): .lzma
+    (alone) and .xz containers round-trip through stdlib lzma."""
+    import lzma as _lzma
+
+    from hadoop_20_warehouse_spark.sources.io import (
+        read_text_lzma,
+        write_text_lzma,
+    )
+
+    df = spark.createDataFrame([(f"line-{i}",) for i in range(100)], "value string")
+    for fmt, ext in (("alone", "lzma"), ("xz", "xz")):
+        path = str(tmp_path / fmt)
+        n = write_text_lzma(df.repartition(3), path, fmt=fmt)
+        assert n == 100
+        parts = [p for p in os.listdir(path) if p.endswith("." + ext)]
+        assert len(parts) == 3
+        # the bytes really are the advertised container format
+        blob = open(os.path.join(path, parts[0]), "rb").read()
+        _lzma.decompress(blob)  # raises if not lzma/xz
+        back = read_text_lzma(spark, path)
+        assert sorted(r["value"] for r in back.collect()) == sorted(
+            f"line-{i}" for i in range(100)
+        )
+    # a non-lzma file fails loudly with the file named
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "junk.lzma").write_bytes(b"not compressed")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not an lzma/xz stream"):
+        read_text_lzma(spark, str(bad)).collect()
