@@ -134,17 +134,21 @@ def apply_incremental_curate(
     re-join; an earlier form paid a third corpus-sized join to fetch
     stored rows for unchanged ids).
 
-    WHEN NOT TO USE THIS (measured, PLANS.md §incremental-crossover):
-    the apply path trades the full path's one curation pass for two
-    corpus-sized joins, so it wins only when per-doc curation cost
-    exceeds per-doc join overhead.  Corpus SIZE does not create a
-    crossover — both paths are O(corpus) — doc size/curation cost
-    does.  With the default redact+gate curation, short docs
-    (≲ a few hundred tokens) are curated faster than they are
-    joined: full recompute wins at every corpus size.  Use the apply
-    path for long documents or expensive curation (many regexes,
-    model scoring); use full recompute for short-doc corpora with
-    cheap row-local curation."""
+    WHEN NOT TO USE THIS (measured round 10, PLANS.md §incremental-
+    crossover): the apply path trades the full path's one curation
+    pass for two corpus-sized narrow joins plus several jobs of fixed
+    overhead (~2s on the bench host), so full recompute WINS for
+    small corpora of short documents — measured 0.5x at 1M docs of
+    40 tokens.  The apply path wins on either axis out of that
+    corner: per-doc curation cost (1.8x at 200 tokens, 3.2x at 1000
+    tokens, 1M docs — crossover ≈100-150 tokens with the default
+    redact+gate curation) or corpus size (2.3x at 4M docs even at 40
+    tokens: the digest-join slope ~0.3µs/doc is BELOW the curation
+    slope ~2µs/doc, so once fixed overhead amortizes the apply path
+    wins regardless).  Rule of thumb: use full recompute below ~1M
+    short docs; use the apply path for long docs, expensive curation,
+    or any corpus big enough that a full curation pass is the cost
+    you are trying to avoid — which is exactly the 100 TB regime."""
     new_base = new_docs.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )

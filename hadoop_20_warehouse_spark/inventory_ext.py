@@ -1689,3 +1689,163 @@ def q_lzma_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+_IMG_DECODE_SQL = """
+SELECT o_orderkey AS id,
+       CASE WHEN o_orderkey % 2 = 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CAST(o_orderkey % 31 + 2 AS BIGINT) AS width,
+       CAST(o_orderkey % 17 + 2 AS BIGINT) AS height,
+       CAST(o_custkey % 256 AS DOUBLE) AS mean_r,
+       CAST((o_orderkey * 7) % 256 AS DOUBLE) AS mean_g,
+       CAST((o_orderkey * 13) % 256 AS DOUBLE) AS mean_b
+FROM orders
+"""
+
+
+@register("multimodal_image_decode", oracle=_IMG_DECODE_SQL)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round 10 — the multimodal gate narrowed):
+    per-row PPM/BMP container bytes are SYNTHESIZED from order columns
+    (dims and a constant fill color derived from keys; even keys → P6
+    PPM, odd → 24-bit bottom-up BMP), then decoded by the pure
+    numpy/stdlib codecs (multimodal/codecs.py) — format sniff, header
+    parse, pixel decode, channel means over actual pixels.  The oracle
+    recomputes the expected dims/means from the SAME generating
+    columns: a hash match proves the decoder parsed real container
+    bytes, not metadata.  Both stages are Arrow-batched mapInPandas,
+    zero shuffle."""
+    from hadoop_20_warehouse_spark.multimodal.binary import decode_image_meta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 31 + 2).cast("int").alias("w"),
+        (F.col("o_orderkey") % 17 + 2).cast("int").alias("h"),
+        (F.col("o_custkey") % 256).cast("int").alias("r"),
+        ((F.col("o_orderkey") * 7) % 256).cast("int").alias("g"),
+        ((F.col("o_orderkey") * 13) % 256).cast("int").alias("b"),
+        (F.col("o_orderkey") % 2).cast("int").alias("use_bmp"),
+    )
+
+    def enc(batches):
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import (
+            encode_bmp,
+            encode_ppm,
+        )
+
+        for pdf in batches:
+            payloads = [
+                encode_bmp(w, h, (r, g, b))
+                if ub
+                else encode_ppm(w, h, (r, g, b))
+                for w, h, r, g, b, ub in zip(
+                    pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"], pdf["use_bmp"]
+                )
+            ]
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    return decode_image_meta(imgs, "id", "payload")
+
+
+_AUDIO_SQL = """
+SELECT c_custkey AS id,
+       CAST(8000 + (c_custkey % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(c_custkey % 1900 + 100 AS BIGINT) AS n_samples,
+       CAST(c_custkey % 30000 + 1 AS BIGINT) AS peak,
+       CAST(c_custkey % 30000 + 1 AS DOUBLE) AS rms
+FROM customer
+"""
+
+
+@register("multimodal_audio_features", oracle=_AUDIO_SQL)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: per-customer PCM16 WAV files are synthesized
+    (stdlib ``wave`` writer; a ±A square wave whose RMS is exactly A)
+    and parsed back by ``audio_features`` — true header fields and
+    numpy sample statistics over the actual int16 frames.  Oracle
+    recomputes every feature from the generating columns."""
+    from hadoop_20_warehouse_spark.multimodal.binary import audio_features
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(8000) + (F.col("c_custkey") % 3) * 4000).cast("int").alias("sr"),
+        (F.col("c_custkey") % 1900 + 100).cast("int").alias("n"),
+        (F.col("c_custkey") % 30000 + 1).cast("int").alias("amp"),
+    )
+
+    def enc(batches):
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import (
+            encode_wav_square,
+        )
+
+        for pdf in batches:
+            payloads = [
+                encode_wav_square(sr, n, amp)
+                for sr, n, amp in zip(pdf["sr"], pdf["n"], pdf["amp"])
+            ]
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    wavs = cust.mapInPandas(enc, "id long, payload binary")
+    return audio_features(wavs, "id", "payload")
+
+
+_RESIZE_REAL_SQL = """
+WITH meta AS (
+  SELECT doc_id AS id,
+         CAST(doc_id % 120 + 20 AS BIGINT) AS width,
+         CAST(doc_id % 90 + 10 AS BIGINT) AS height,
+         CAST(doc_id % 256 AS DOUBLE) AS out_mean_r
+  FROM documents
+)
+SELECT id, width, height,
+       CASE WHEN width <= 64 AND height <= 48 THEN width
+            WHEN 64 * height <= 48 * width THEN 64
+            ELSE greatest(1, (width * 48) // height) END AS out_width,
+       CASE WHEN width <= 64 AND height <= 48 THEN height
+            WHEN 64 * height <= 48 * width THEN greatest(1, (height * 64) // width)
+            ELSE 48 END AS out_height,
+       out_mean_r
+FROM meta
+"""
+
+
+@register("multimodal_resize_real", oracle=_RESIZE_REAL_SQL)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL aspect-fit resize: synthesized PPM pixels are decoded and
+    nearest-neighbor-resampled by numpy into a 64x48 box (integer-exact
+    fit math shared with resize_stub's SQL twin; never upscale — the
+    small-image branch is exercised), and the resampled pixels' mean
+    proves the output payload is the real resample of the input.
+    Oracle reproduces dims via the same CASE math and the mean from
+    the generating color column."""
+    from hadoop_20_warehouse_spark.multimodal.binary import resize_image_real
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 120 + 20).cast("int").alias("w"),
+        (F.col("doc_id") % 90 + 10).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("r"),
+    )
+
+    def enc(batches):
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import encode_ppm
+
+        for pdf in batches:
+            payloads = [
+                encode_ppm(w, h, (r, (r * 3) % 256, (r * 5) % 256))
+                for w, h, r in zip(pdf["w"], pdf["h"], pdf["r"])
+            ]
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(enc, "id long, payload binary")
+    return resize_image_real(imgs, "id", "payload", box_w=64, box_h=48).drop(
+        "resized_ppm"
+    )

@@ -6,12 +6,16 @@ lives in a ``binary`` column (or object-store pointers), metadata in
 typed columns, and decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-The actual image/audio decoders are NOT in this container, so
-``decode_meta`` extracts real byte-level metadata (length, digest,
-magic sniff) and ``decode_image_stub`` derives deterministic fake
-dimensions from the digest — clearly marked; swap ``_fake_dims`` for a
-PIL/ffmpeg call in production. The Spark-side plumbing (schema,
-Arrow batching, partition-parallel UDF) is real and oracle-tested.
+Decode reality, by format (round 10): PPM / BMP / WAV decode is REAL
+— stdlib + numpy parse the actual containers (multimodal/codecs.py;
+see decode_image_meta / audio_features / resize_image_real below).
+JPEG / PNG / MP4 decoders are NOT in this container (PIL/cv2/ffmpeg —
+re-checked every round), so for those ``decode_meta`` extracts real
+byte-level metadata (length, digest, magic sniff) and the ``*_stub``
+paths derive deterministic fake dimensions from the digest — clearly
+marked; swap ``_fake_dims`` for a PIL/ffmpeg call in production. The
+Spark-side plumbing (schema, Arrow batching, partition-parallel UDF)
+is identical in both regimes and oracle-tested.
 
 Scale notes: mapInPandas streams Arrow record batches; with binary
 payloads set ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a
@@ -50,10 +54,22 @@ def _fake_dims(digest_hex: str) -> tuple[int, int]:
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decode path — NOT available in this container."""
+    """Real decode for the formats the container can parse (PPM/BMP —
+    multimodal/codecs.py); jpeg/png still require PIL/opencv, not
+    installed here — those fall back to this gate."""
+    from hadoop_20_warehouse_spark.multimodal.codecs import (
+        decode_image,
+        sniff_format,
+    )
+
+    fmt = sniff_format(payload)
+    if fmt in ("ppm", "bmp"):
+        _, img = decode_image(payload)
+        return img.shape[1], img.shape[0]
     raise NotImplementedError(
-        "image decoding requires PIL/opencv, not installed here; "
-        "decode_meta uses _fake_dims instead"
+        f"decoding '{fmt}' requires PIL/opencv, not installed here; "
+        "decode_meta uses _fake_dims instead (ppm/bmp/wav decode IS real "
+        "— see decode_image_meta/audio_features)"
     )
 
 
@@ -253,3 +269,154 @@ FROM (
   FROM meta
 )
 """.strip()
+
+
+# --- REAL decode paths (round 10) -------------------------------------------
+# The container still lacks PIL/cv2/ffmpeg (re-checked every round), but
+# three production formats decode with stdlib + numpy alone — so for
+# PPM / BMP / WAV the decode below is REAL (true dimensions, true
+# pixels, true sample statistics, true nearest-neighbor resample), via
+# multimodal/codecs.py.  JPEG/PNG/MP4 stay gated as before.  These
+# closures reference the codecs module (the recordio-writer precedent:
+# workers import the package), unlike decode_meta's deliberately
+# self-contained closure.
+
+IMAGE_META_SCHEMA = (
+    "id long, fmt string, width long, height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL image decode over Arrow batches: sniff the container magic,
+    parse PPM/BMP pixels with numpy, and emit true dimensions and
+    per-channel means (rounded to 6 decimals, the transcendental
+    discipline).  Unsupported formats (jpeg/png/...) raise — the honest
+    gate moved from 'all decode' down to 'codecs this container lacks'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import decode_image
+
+        for pdf in batches:
+            fmts, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for payload in pdf[bin_col]:
+                fmt, img = decode_image(bytes(payload))
+                fmts.append(fmt)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                means = img.reshape(-1, 3).mean(axis=0)
+                mr.append(round(float(means[0]), 6))
+                mg.append(round(float(means[1]), 6))
+                mb.append(round(float(means[2]), 6))
+            yield _pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "fmt": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    from hadoop_20_warehouse_spark.session import scatter
+
+    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+        run, schema=IMAGE_META_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "id long, sample_rate long, channels long, n_samples long, "
+    "peak long, rms double"
+)
+
+
+def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL audio feature extraction: PCM WAV parsed with stdlib
+    ``wave``, sample statistics (peak, RMS) computed with numpy over
+    the actual int16 samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import (
+            decode_wav_features,
+        )
+
+        for pdf in batches:
+            rows = [decode_wav_features(bytes(p)) for p in pdf[bin_col]]
+            yield _pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sample_rate": [r["sample_rate"] for r in rows],
+                    "channels": [r["channels"] for r in rows],
+                    "n_samples": [r["n_samples"] for r in rows],
+                    "peak": [r["peak"] for r in rows],
+                    "rms": [r["rms"] for r in rows],
+                }
+            )
+
+    from hadoop_20_warehouse_spark.session import scatter
+
+    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+RESIZE_REAL_SCHEMA = (
+    "id long, width long, height long, out_width long, out_height long, "
+    "out_mean_r double, resized_ppm binary"
+)
+
+
+def resize_image_real(
+    df: DataFrame, id_col: str, bin_col: str, box_w: int = 256, box_h: int = 256
+) -> DataFrame:
+    """REAL aspect-fit resize: decode (PPM/BMP), integer-exact fit-box
+    (same math as resize_stub and its SQL twin), numpy nearest-neighbor
+    resample of the actual pixels, re-encoded P6 payload out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import (
+            decode_image,
+            fit_box,
+            resize_nearest,
+        )
+
+        for pdf in batches:
+            ws, hs, ows, ohs, means, blobs = [], [], [], [], [], []
+            for payload in pdf[bin_col]:
+                _, img = decode_image(bytes(payload))
+                h, w = img.shape[:2]
+                ow, oh = fit_box(w, h, box_w, box_h)
+                out = resize_nearest(img, ow, oh)
+                ws.append(w)
+                hs.append(h)
+                ows.append(ow)
+                ohs.append(oh)
+                means.append(round(float(out[:, :, 0].mean()), 6))
+                header = f"P6\n{ow} {oh}\n255\n".encode("ascii")
+                blobs.append(header + out.tobytes())
+            yield _pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": ws,
+                    "height": hs,
+                    "out_width": ows,
+                    "out_height": ohs,
+                    "out_mean_r": means,
+                    "resized_ppm": blobs,
+                }
+            )
+
+    from hadoop_20_warehouse_spark.session import scatter
+
+    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+        run, schema=RESIZE_REAL_SCHEMA
+    )
