@@ -50,7 +50,17 @@ def fuzzy_edit_pairs(
     Both filters are NECESSARY conditions, so no true pair is ever
     dropped — proven two ways: the registered query's exhaustive
     DuckDB oracle, and tests/test_property.py's brute-force
-    comparison under hypothesis-generated mutations."""
+    comparison under hypothesis-generated mutations.
+
+    DENSE-CLUSTER CAVEAT (measured r10, PLANS.md sf1 rehearsals):
+    the contract is "emit EVERY pair under the threshold", so the
+    output — and therefore the cost — is O(cluster²) in duplicate-
+    cluster size; a corpus of 10-member near-identical clusters
+    produced 978x the pairs (and 92x the time — per-pair cost FELL)
+    of its 1x original.  For boilerplate-heavy corpora where clusters
+    are huge, dedup decisions should ride minhash-LSH → connected
+    components → cluster representative (O(docs) output) and reserve
+    this operator for bounded candidate sets or pair verification."""
     T = max_dist
     W = block_w if block_w is not None else max(T, 1)
     if W < T:
