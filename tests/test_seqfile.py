@@ -139,3 +139,82 @@ def test_unknown_type_and_bad_tag(spark, tmp_path):
         read_sequence_tagged(
             spark, path, TYPES, key_class="org.apache.hadoop.io.IntWritable"
         ).collect()
+
+
+# --- property: the container parser against arbitrary unions ---------------
+
+from hypothesis import given, settings, strategies as st
+
+_VARIANT_STRATEGIES = [
+    ("org.apache.hadoop.io.IntWritable", st.integers(-(2**31), 2**31 - 1)),
+    ("org.apache.hadoop.io.LongWritable", st.integers(-(2**63), 2**63 - 1)),
+    ("org.apache.hadoop.io.Text", st.text(max_size=80)),
+    ("org.apache.hadoop.io.DoubleWritable", st.floats(allow_nan=False, allow_infinity=False)),
+    ("org.apache.hadoop.io.BooleanWritable", st.booleans()),
+    ("org.apache.hadoop.io.BytesWritable", st.binary(max_size=40)),
+]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 5), st.data()), min_size=0, max_size=30
+    ),
+    sync_every=st.integers(1, 7),
+)
+def test_container_roundtrip_random_unions(data, sync_every):
+    """Hand-built SequenceFile bytes (random tagged-union records,
+    random sync-escape placement) parse back to exactly the encoded
+    records — pure container/wire level, no Spark."""
+    import struct as _struct
+
+    from hadoop_20_warehouse_spark.sources.recordio import write_vlong
+
+    def text_str(s: str) -> bytes:
+        buf = bytearray()
+        write_vlong(buf, len(s.encode()))
+        return bytes(buf) + s.encode()
+
+    types = [cls for cls, _ in _VARIANT_STRATEGIES]
+    rows = []
+    for tag, d in data:
+        cls, strat = _VARIANT_STRATEGIES[tag]
+        rows.append((tag, cls, d.draw(strat)))
+
+    sync = bytes(range(16))
+    blob = bytearray(
+        b"SEQ\x06"
+        + text_str("org.apache.hadoop.io.LongWritable")
+        + text_str("com.example.RandomUnion")
+        + b"\x00\x00"
+        + _struct.pack(">i", 0)
+        + sync
+    )
+    for i, (tag, cls, val) in enumerate(rows):
+        key = _struct.pack(">q", i)
+        value = encode_tagged_value(tag, cls, val)
+        blob += _struct.pack(">ii", len(key) + len(value), len(key))
+        blob += key + value
+        if (i + 1) % sync_every == 0:
+            blob += _struct.pack(">i", -1) + sync
+
+    kcls, vcls, recs = parse_sequence_file(bytes(blob))
+    assert kcls.endswith("LongWritable") and vcls == "com.example.RandomUnion"
+    from hadoop_20_warehouse_spark.sources.seqfile import WRITABLE_DECODERS
+
+    got = []
+    for kb, vb in recs:
+        key = _struct.unpack(">q", kb)[0]
+        tag = vb[0]
+        _, dec = WRITABLE_DECODERS[types[tag]]
+        val, _ = dec(vb, 1)
+        got.append((key, tag, val))
+    assert len(got) == len(rows)
+    for i, ((key, tag, val), (etag, cls, eval_)) in enumerate(zip(got, rows)):
+        assert key == i and tag == etag
+        if cls.endswith("DoubleWritable"):
+            assert val == eval_ or (val != val and eval_ != eval_)
+        elif cls.endswith("BytesWritable"):
+            assert val == bytes(eval_)
+        else:
+            assert val == eval_
