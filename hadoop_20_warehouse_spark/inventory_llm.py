@@ -22,6 +22,7 @@ from hadoop_20_warehouse_spark.functions import text as T
 from hadoop_20_warehouse_spark.registry import register
 from hadoop_20_warehouse_spark.similarity import ivf as IVF
 from hadoop_20_warehouse_spark.similarity import knn as KNN
+from hadoop_20_warehouse_spark.similarity import pq as PQ
 
 # ===========================================================================
 # Deduplication
@@ -661,3 +662,32 @@ def q_text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("lang", "token", "n", "rank")
     )
+
+
+@register("knn_pq_adc", oracle=PQ.pq_adc_topk_sql("embeddings"))
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (similarity/pq.py; Jégou et al. 2011):
+    deterministic sampled sub-codebooks (8 subspaces × 16 codes over
+    the 64-dim embeddings — the same smallest-k-by-md5 seed rule as
+    ivf.centroids), row-local encode to 8 code bytes per vector (32x
+    compression), then an ADC top-20 scan for the md5-LARGEST vector
+    as query: a per-query 8×16 integer lookup table, per-candidate
+    distance = 8 integer lookups summed, global TakeOrdered top-k.
+    Every distance is micro-unit integer squared-L2 so the oracle
+    reproduces codebooks, code assignments (returned as ``codes_str``
+    — the encode is hash-checked, not just the ranking), ADC sums,
+    and tiebreaks exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_codebook(emb)
+    codes = PQ.pq_encode(emb, cb)
+    query = (
+        emb.select(
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy(F.desc("h"), F.desc("vec_id"))
+        .limit(1)
+        .select("qv")
+    )
+    return PQ.pq_adc_topk(codes, cb, query)

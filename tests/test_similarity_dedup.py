@@ -154,3 +154,68 @@ def test_connected_components_rounds_diameter_bound(spark):
     # min-label propagation over a 3-edge chain: >1 round to reach the
     # far end, plus one no-change round to detect convergence
     assert 2 <= stats["rounds"] <= 5
+
+
+def test_pq_encode_and_adc_match_numpy_reference(spark):
+    """PQ (similarity/pq.py) against a brute-force numpy reference on
+    a small corpus: codebook determinism, code assignments, and ADC
+    ranking all reproduce."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.similarity import pq as PQ
+
+    rng = np.random.RandomState(7)
+    dim, m, k = 8, 2, 3
+    vecs = {i: rng.randn(dim).round(3).tolist() for i in range(12)}
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    cb_df = PQ.pq_codebook(df, dim=dim, m=m, k=k)
+    codes_df = PQ.pq_encode(df, cb_df, dim=dim, m=m)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+
+    # numpy reference: same seed rule, same micro-unit argmin
+    order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    seeds = order[:k]
+    sub = dim // m
+
+    def sqd_u(a, b):
+        d = np.asarray(a) - np.asarray(b)
+        return round(float((d * d).sum()) * 1_000_000)
+
+    def enc(v):
+        out = []
+        for s in range(m):
+            sl = v[s * sub : (s + 1) * sub]
+            cands = [
+                (sqd_u(sl, vecs[seeds[j]][s * sub : (s + 1) * sub]), j)
+                for j in range(k)
+            ]
+            out.append(min(cands)[1])
+        return out
+
+    for i, v in vecs.items():
+        assert got_codes[i] == enc(v), (i, got_codes[i], enc(v))
+
+    qid = max(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    q = vecs[qid]
+    query = df.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qv")
+    )
+    got = [
+        (r["vec_id"], r["adc_u"], r["rank"])
+        for r in PQ.pq_adc_topk(codes_df, cb_df, query, topk=5, dim=dim, m=m)
+        .orderBy("rank")
+        .collect()
+    ]
+    lut = [
+        [sqd_u(q[s * sub : (s + 1) * sub], vecs[seeds[j]][s * sub : (s + 1) * sub]) for j in range(k)]
+        for s in range(m)
+    ]
+    ref = sorted(
+        (sum(lut[s][c] for s, c in enumerate(enc(v))), i) for i, v in vecs.items()
+    )[:5]
+    assert got == [(i, d, r + 1) for r, (d, i) in enumerate(ref)], (got, ref)
