@@ -691,3 +691,29 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qv")
     )
     return PQ.pq_adc_topk(codes, cb, query)
+
+
+@register("knn_ivfpq", oracle=PQ.ivfpq_topk_sql("embeddings"))
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual index (similarity/pq.ivfpq_topk; Jégou et al.
+    2011 §IV — the canonical billion-scale ANN layout): vectors route
+    to 8 IVF cells (deterministic sampled centroids, rank-1 cosine)
+    and their residuals are PQ-encoded to 8 code bytes; search probes
+    the query's 2 nearest cells with per-cell query residuals and
+    integer LUTs, scoring ONLY vectors stored in probed cells (the
+    cell_id join is the candidate pruning — at scale the scan touches
+    nprobe/num_centroids of the codes).  Fully deterministic, so the
+    oracle reproduces cells, residuals, codebooks, code assignments,
+    ADC sums, and ranking exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = (
+        emb.select(
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy(F.desc("h"), F.desc("vec_id"))
+        .limit(1)
+        .select("qv")
+    )
+    return PQ.ivfpq_topk(emb, query)

@@ -98,10 +98,13 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = DEFAULT_M,
     dim: int = 64,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — row-local encode: each subspace takes
-    the argmin over its k codes by micro-unit squared-L2, tie-broken
-    on the smaller code (min of (dist_u, j) structs)."""
+    """(id, [keep_cols...], codes array<int>) — row-local encode: each
+    subspace takes the argmin over its k codes by micro-unit
+    squared-L2, tie-broken on the smaller code (min of (dist_u, j)
+    structs).  ``keep_cols`` ride through the projection (e.g. the
+    IVF cell id in the IVF-PQ layout) — no post-encode join needed."""
     sub = dim // m
     d = _sqdist_u_sql_spark(f"slice({vec_col}, s * {sub} + 1, {sub})", "cb[s][j]")
     codes = F.expr(
@@ -110,7 +113,7 @@ def pq_encode(
         f"struct({d} as du, j as code))).code)"
     )
     return corpus.crossJoin(F.broadcast(codebook)).select(
-        F.col(id_col), codes.alias("codes")
+        F.col(id_col), *[F.col(c) for c in keep_cols], codes.alias("codes")
     )
 
 
@@ -223,6 +226,267 @@ adc AS (
   GROUP BY enc.vec_id
 )
 SELECT vec_id, codes_str, adc_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vec_id ASC) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= {topk}
+""".strip()
+
+
+# --- IVF-PQ: residual product quantization over IVF cells -------------------
+
+
+def _assign_with_centroid(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell_id, resid) — rank-1 cosine cell assignment AND the
+    residual (v − centroid) in ONE row-local projection: the centroid
+    table travels as a broadcast array row and array_min picks
+    (rounded-neg-cosine, cid, cv) structs, so the winning centroid's
+    VECTOR comes back from the same argmin — no id-keyed join between
+    assignment and residual (struct comparison never reaches the cv
+    field: (negsim, cid) is already unique)."""
+    from hadoop_20_warehouse_spark.similarity.ivf import _centroid_array
+    from hadoop_20_warehouse_spark.similarity.knn import (
+        _dot,
+        _norm,
+        _safe_div,
+    )
+
+    def scorer(vec, vnorm):
+        def score(c):
+            return F.struct(
+                F.coalesce(
+                    -F.round(
+                        _safe_div(_dot(vec, c["cv"]), vnorm * c["cn"]), 6
+                    ),
+                    F.lit(float("inf")),
+                ).alias("negsim"),
+                c["centroid_id"].alias("cid"),
+                c["cv"].alias("cv"),
+            )
+
+        return score
+
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
+    )
+    best = F.array_min(
+        F.transform(F.col("cs"), scorer(F.col(vec_col), F.col("vn")))
+    )
+    return vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
+        F.col(id_col),
+        best["cid"].alias("cell_id"),
+        F.zip_with(
+            F.col(vec_col),
+            best["cv"],
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias("resid"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = DEFAULT_M,
+    k_codes: int = DEFAULT_K,
+    dim: int = 64,
+    topk: int = 20,
+) -> DataFrame:
+    """(vec_id, cell_id, codes_str, adc_u, rank) — the canonical
+    IVF-PQ layout (Jégou et al. 2011 §IV): vectors are routed to IVF
+    cells (rank-1 cosine, ivf.centroids' deterministic sampled
+    quantizer) and their RESIDUALS (v − centroid) are PQ-encoded —
+    residuals are smaller than raw vectors, so the same codebook
+    budget quantizes them finer.  Search probes the query's ``nprobe``
+    nearest cells; each probed cell gets its own query residual and
+    its own m×k integer LUT, and only vectors stored in probed cells
+    are scored (the inner join on cell_id IS the candidate pruning) —
+    at 100 TB this is why the scan touches 1/num_centroids·nprobe of
+    the codes, each candidate costing m integer adds.
+
+    Everything is deterministic (sampled centroids + sampled residual
+    codebook + micro-unit integer distances), so the DuckDB oracle
+    reproduces the full pipeline exactly — see ivfpq_topk_sql."""
+    from hadoop_20_warehouse_spark.similarity.ivf import centroids
+
+    cents = centroids(corpus, id_col, vec_col, num_centroids)
+    assigned = _assign_with_centroid(corpus, cents, id_col, vec_col)
+    cb = pq_codebook(assigned, id_col=id_col, vec_col="resid", dim=dim, m=m, k=k_codes)
+    codes = pq_encode(
+        assigned, cb, id_col=id_col, vec_col="resid", m=m, dim=dim,
+        keep_cols=("cell_id",),
+    )
+    # the query's nprobe cells + per-cell query residuals (row-local)
+    sub = dim // m
+    from hadoop_20_warehouse_spark.similarity.ivf import _centroid_array
+    from hadoop_20_warehouse_spark.similarity.knn import (
+        _dot,
+        _norm,
+        _safe_div,
+    )
+
+    def qscorer(vec, vnorm):
+        def score(c):
+            return F.struct(
+                F.coalesce(
+                    -F.round(
+                        _safe_div(_dot(vec, c["cv"]), vnorm * c["cn"]), 6
+                    ),
+                    F.lit(float("inf")),
+                ).alias("negsim"),
+                c["centroid_id"].alias("cid"),
+                c["cv"].alias("cv"),
+            )
+
+        return score
+
+    qprobes = (
+        query.select(F.col(qvec_col), _norm(F.col(qvec_col)).alias("qn"))
+        .crossJoin(F.broadcast(_centroid_array(cents)))
+        .select(
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cs"), qscorer(F.col(qvec_col), F.col("qn"))
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+            F.col(qvec_col),
+        )
+        .select(
+            F.col("p")["cid"].alias("cell_id"),
+            F.zip_with(
+                F.col(qvec_col),
+                F.col("p")["cv"],
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("qres"),
+        )
+    )
+    d = _sqdist_u_sql_spark(f"slice(qres, s * {sub} + 1, {sub})", "cv")
+    lut = qprobes.crossJoin(F.broadcast(cb)).select(
+        "cell_id",
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s -> "
+            f"transform(cb[s], cv -> {d}))"
+        ).alias("lut"),
+    )
+    # inner join on cell_id = candidate pruning to the probed cells
+    scored = codes.join(F.broadcast(lut), "cell_id").select(
+        F.col(id_col),
+        "cell_id",
+        F.expr("array_join(transform(codes, c -> cast(c as string)), '-')").alias("codes_str"),
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), "
+            "(acc, s) -> acc + lut[s][codes[s]])"
+        ).alias("adc_u"),
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("adc_u").asc(), F.col(id_col).asc()).limit(topk)
+    w = Window.orderBy(F.col("adc_u").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def ivfpq_topk_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = DEFAULT_M,
+    k_codes: int = DEFAULT_K,
+    topk: int = 20,
+) -> str:
+    """DuckDB oracle for ``ivfpq_topk`` — identical sampled centroids,
+    rank-1 cosine cells, residuals, sampled residual codebook,
+    micro-unit encode/LUT, probed-cell pruning, and ranking.  Query =
+    the md5-largest vector."""
+    from hadoop_20_warehouse_spark.similarity.knn import cosine_sql
+
+    sub = dim // m
+    ccos = cosine_sql("v.v", "c.cv")
+    qcos = cosine_sql("q.qv", "c.cv")
+    rsub = "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    sq = (
+        "CAST(round(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS centroid_id, {vec_col} AS cv FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {num_centroids}
+),
+v AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+cellranks AS (
+  SELECT id, centroid_id, cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY round({ccos}, 6) DESC, centroid_id ASC
+         ) AS crank
+  FROM v CROSS JOIN cents c
+),
+resv AS (
+  SELECT v.id, cr.centroid_id AS cell_id,
+         {rsub.format(a="v.v", b="cr.cv")} AS rv
+  FROM v JOIN cellranks cr ON cr.id = v.id AND cr.crank = 1
+),
+seeds AS (
+  SELECT rv, ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS j
+  FROM resv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k_codes}
+),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+cbflat AS (
+  SELECT g.s, seeds.j, seeds.rv[g.s * {sub} + 1 : g.s * {sub} + {sub}] AS sv
+  FROM seeds CROSS JOIN subs g
+),
+dists AS (
+  SELECT r.id AS vec_id, r.cell_id, cb.s, cb.j,
+         {sq.format(a=f"r.rv[cb.s * {sub} + 1 : cb.s * {sub} + {sub}]", b="cb.sv")} AS du
+  FROM resv r CROSS JOIN cbflat cb
+),
+enc AS (
+  SELECT vec_id, cell_id, s, j AS code FROM (
+    SELECT vec_id, cell_id, s, j, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, s ORDER BY du ASC, j ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT {vec_col} AS qv FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)) DESC, {id_col} DESC LIMIT 1
+),
+qprobes AS (
+  SELECT c.centroid_id AS cell_id, {rsub.format(a="q.qv", b="c.cv")} AS qres
+  FROM q CROSS JOIN cents c
+  ORDER BY round({qcos}, 6) DESC, c.centroid_id ASC LIMIT {nprobe}
+),
+lut AS (
+  SELECT p.cell_id, cb.s, cb.j,
+         {sq.format(a=f"p.qres[cb.s * {sub} + 1 : cb.s * {sub} + {sub}]", b="cb.sv")} AS du
+  FROM qprobes p CROSS JOIN cbflat cb
+),
+adc AS (
+  SELECT enc.vec_id, enc.cell_id,
+         array_to_string(list(enc.code ORDER BY enc.s), '-') AS codes_str,
+         CAST(SUM(lut.du) AS BIGINT) AS adc_u
+  FROM enc
+  JOIN lut ON lut.cell_id = enc.cell_id AND lut.s = enc.s AND lut.j = enc.code
+  GROUP BY enc.vec_id, enc.cell_id
+)
+SELECT vec_id, cell_id, codes_str, adc_u,
        CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vec_id ASC) AS BIGINT) AS rank
 FROM adc
 QUALIFY rank <= {topk}

@@ -219,3 +219,38 @@ def test_pq_encode_and_adc_match_numpy_reference(spark):
         (sum(lut[s][c] for s, c in enumerate(enc(v))), i) for i, v in vecs.items()
     )[:5]
     assert got == [(i, d, r + 1) for r, (d, i) in enumerate(ref)], (got, ref)
+
+
+def test_ivfpq_prunes_to_probed_cells(spark):
+    """IVF-PQ: every scored candidate comes from one of the query's
+    nprobe cells (the cell_id join IS the pruning), codes are in
+    range, and the full result matches the DuckDB oracle's shape.
+    (Value-exactness is the driver query's hash-checked oracle.)"""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.similarity import pq as PQ
+    from hadoop_20_warehouse_spark.similarity.ivf import centroids
+
+    rng = np.random.RandomState(11)
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in rng.randn(16).round(3)])
+            for i in range(40)
+        ]
+    )
+    query = df.filter(F.col("vec_id") == 39).select(F.col("embedding").alias("qv"))
+    out = PQ.ivfpq_topk(
+        df, query, num_centroids=4, nprobe=2, m=4, k_codes=4, dim=16, topk=10
+    ).collect()
+    assert 0 < len(out) <= 10
+    cells = {r["cell_id"] for r in out}
+    assert len(cells) <= 2  # at most nprobe distinct cells survive
+    for r in out:
+        codes = [int(c) for c in r["codes_str"].split("-")]
+        assert len(codes) == 4 and all(0 <= c < 4 for c in codes)
+        assert r["adc_u"] >= 0
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(out) + 1))
+    # centroid table is the deterministic sampled quantizer (shared rule)
+    assert centroids(df, "vec_id", "embedding", 4).count() == 4
