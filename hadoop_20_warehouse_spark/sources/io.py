@@ -78,8 +78,17 @@ def read_text_lzma(spark: SparkSession, path: str) -> DataFrame:
             text = _lzma.decompress(blob).decode("utf-8")
         except _lzma.LZMAError as e:
             raise ValueError(f"not an lzma/xz stream: {fname}") from e
-        for line in text.splitlines():
-            yield (line,)
+        # LineRecordReader framing exactly (mapred/LineRecordReader.java
+        # readLine): records split on \n with a trailing \r stripped —
+        # NOT str.splitlines(), which also splits on \v \f \x1c-\x1e
+        # U+2028/29 and would frame differently than every other text
+        # reader here
+        if not text:
+            return
+        if text.endswith("\n"):
+            text = text[:-1]
+        for line in text.split("\n"):
+            yield (line[:-1] if line.endswith("\r") else line,)
 
     rdd = spark.sparkContext.binaryFiles(path).flatMap(_inflate)
     return spark.createDataFrame(rdd, "value string")

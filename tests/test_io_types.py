@@ -353,3 +353,19 @@ def test_lzma_text_roundtrip_both_formats(spark, tmp_path):
 
     with _pytest.raises(Exception, match="not an lzma/xz stream"):
         read_text_lzma(spark, str(bad)).collect()
+
+
+def test_lzma_line_framing_matches_line_record_reader(spark, tmp_path):
+    """read_text_lzma frames records exactly like LineRecordReader:
+    \\n-split, trailing \\r stripped, and NO splitting on \\v/\\f/U+2028
+    (str.splitlines would)."""
+    import lzma as _lzma
+
+    from hadoop_20_warehouse_spark.sources.io import read_text_lzma
+
+    content = "a b\vc\r\nplain\nlast"
+    d = tmp_path / "framing"
+    d.mkdir()
+    (d / "x.xz").write_bytes(_lzma.compress(content.encode("utf-8")))
+    got = sorted(r["value"] for r in read_text_lzma(spark, str(d)).collect())
+    assert got == sorted(["a b\vc", "plain", "last"])
