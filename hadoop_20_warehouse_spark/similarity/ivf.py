@@ -79,23 +79,33 @@ def _centroid_array(cents: DataFrame) -> DataFrame:
     )
 
 
-def _scorer(vec, vnorm):
+def _scorer(vec, vnorm, include_cv: bool = False):
     """Per-centroid scoring lambda for the array HOFs: maps a centroid
     struct to (negsim, cid) so array_min/array_sort order by rounded
     cosine DESC with centroid-id ASC tiebreaks — identical to the old
-    row_number(desc csim, asc centroid_id) ranking."""
+    row_number(desc csim, asc centroid_id) ranking.
+
+    ``include_cv=True`` appends the centroid's VECTOR as a third
+    struct field so an argmin caller gets the winning centroid's cv
+    back from the same comparison (struct ordering never reaches it:
+    (negsim, cid) is already unique) — the IVF-PQ residual path
+    (similarity/pq.py) needs exactly this, and a single scorer keeps
+    the NULL-cosine/+inf tiebreak subtlety in ONE place."""
 
     def score(c):
         # NULL cosine (zero norm) → +inf so it sorts LAST under min /
         # ascending sort, matching the old desc(csim) NULLS-LAST
         # ranking exactly (a bare NULL struct field would sort FIRST)
-        return F.struct(
+        fields = [
             F.coalesce(
                 -F.round(_safe_div(_dot(vec, c["cv"]), vnorm * c["cn"]), 6),
                 F.lit(float("inf")),
             ).alias("negsim"),
             c["centroid_id"].alias("cid"),
-        )
+        ]
+        if include_cv:
+            fields.append(c["cv"].alias("cv"))
+        return F.struct(*fields)
 
     return score
 

@@ -37,6 +37,14 @@ from pyspark.sql import functions as F
 DEFAULT_M = 8
 DEFAULT_K = 16
 
+# DuckDB twin of _sqdist_u_sql_spark — the ONE place the cross-engine
+# distance shape (double casts, round placement, x1e6) is maintained
+_SQDIST_U_SQL_DUCK = (
+    "CAST(round(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT)"
+)
+
 
 def _sqdist_u_sql_spark(a: str, b: str) -> str:
     """Squared L2 between two array slices, in integer micro-units —
@@ -173,11 +181,7 @@ def pq_adc_topk_sql(
     query vector is the corpus vector with the LARGEST (md5(id), id)
     — disjoint from the seed set's smallest-k in practice."""
     sub = dim // m
-    sq = (
-        "CAST(round(list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
-        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT)"
-    )
+    sq = _SQDIST_U_SQL_DUCK
     enc_d = sq.format(
         a=f"e.{vec_col}[g.s * {sub} + 1 : g.s * {sub} + {sub}]", b="cb.sv"
     )
@@ -248,33 +252,19 @@ def _assign_with_centroid(
     VECTOR comes back from the same argmin — no id-keyed join between
     assignment and residual (struct comparison never reaches the cv
     field: (negsim, cid) is already unique)."""
-    from hadoop_20_warehouse_spark.similarity.ivf import _centroid_array
-    from hadoop_20_warehouse_spark.similarity.knn import (
-        _dot,
-        _norm,
-        _safe_div,
+    from hadoop_20_warehouse_spark.similarity.ivf import (
+        _centroid_array,
+        _scorer,
     )
-
-    def scorer(vec, vnorm):
-        def score(c):
-            return F.struct(
-                F.coalesce(
-                    -F.round(
-                        _safe_div(_dot(vec, c["cv"]), vnorm * c["cn"]), 6
-                    ),
-                    F.lit(float("inf")),
-                ).alias("negsim"),
-                c["centroid_id"].alias("cid"),
-                c["cv"].alias("cv"),
-            )
-
-        return score
+    from hadoop_20_warehouse_spark.similarity.knn import _norm
 
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
     )
     best = F.array_min(
-        F.transform(F.col("cs"), scorer(F.col(vec_col), F.col("vn")))
+        F.transform(
+            F.col("cs"), _scorer(F.col(vec_col), F.col("vn"), include_cv=True)
+        )
     )
     return vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
         F.col(id_col),
@@ -317,8 +307,18 @@ def ivfpq_topk(
     reproduces the full pipeline exactly — see ivfpq_topk_sql."""
     from hadoop_20_warehouse_spark.similarity.ivf import centroids
 
+    from hadoop_20_warehouse_spark.session import persist_generation
+
     cents = centroids(corpus, id_col, vec_col, num_centroids)
-    assigned = _assign_with_centroid(corpus, cents, id_col, vec_col)
+    # the assignment+residual projection feeds BOTH the codebook seed
+    # top-k and the encode (and cents feeds it plus the query probes):
+    # persist one generation so the corpus-wide pass runs once per
+    # index build, not once per consumer (the ivf_topk cells
+    # precedent; at 100 TB stage to parquet instead — one corpus pass
+    # either way)
+    assigned = persist_generation(
+        "ivfpq_assigned", _assign_with_centroid(corpus, cents, id_col, vec_col)
+    )
     cb = pq_codebook(assigned, id_col=id_col, vec_col="resid", dim=dim, m=m, k=k_codes)
     codes = pq_encode(
         assigned, cb, id_col=id_col, vec_col="resid", m=m, dim=dim,
@@ -326,27 +326,11 @@ def ivfpq_topk(
     )
     # the query's nprobe cells + per-cell query residuals (row-local)
     sub = dim // m
-    from hadoop_20_warehouse_spark.similarity.ivf import _centroid_array
-    from hadoop_20_warehouse_spark.similarity.knn import (
-        _dot,
-        _norm,
-        _safe_div,
+    from hadoop_20_warehouse_spark.similarity.ivf import (
+        _centroid_array,
+        _scorer,
     )
-
-    def qscorer(vec, vnorm):
-        def score(c):
-            return F.struct(
-                F.coalesce(
-                    -F.round(
-                        _safe_div(_dot(vec, c["cv"]), vnorm * c["cn"]), 6
-                    ),
-                    F.lit(float("inf")),
-                ).alias("negsim"),
-                c["centroid_id"].alias("cid"),
-                c["cv"].alias("cv"),
-            )
-
-        return score
+    from hadoop_20_warehouse_spark.similarity.knn import _norm
 
     qprobes = (
         query.select(F.col(qvec_col), _norm(F.col(qvec_col)).alias("qn"))
@@ -356,7 +340,10 @@ def ivfpq_topk(
                 F.slice(
                     F.array_sort(
                         F.transform(
-                            F.col("cs"), qscorer(F.col(qvec_col), F.col("qn"))
+                            F.col("cs"),
+                            _scorer(
+                                F.col(qvec_col), F.col("qn"), include_cv=True
+                            ),
                         )
                     ),
                     1,
@@ -420,11 +407,7 @@ def ivfpq_topk_sql(
     ccos = cosine_sql("v.v", "c.cv")
     qcos = cosine_sql("q.qv", "c.cv")
     rsub = "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
-    sq = (
-        "CAST(round(list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
-        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT)"
-    )
+    sq = _SQDIST_U_SQL_DUCK
     return f"""
 WITH cents AS (
   SELECT {id_col} AS centroid_id, {vec_col} AS cv FROM {table}

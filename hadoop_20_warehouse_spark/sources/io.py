@@ -78,17 +78,21 @@ def read_text_lzma(spark: SparkSession, path: str) -> DataFrame:
             text = _lzma.decompress(blob).decode("utf-8")
         except _lzma.LZMAError as e:
             raise ValueError(f"not an lzma/xz stream: {fname}") from e
-        # LineRecordReader framing exactly (mapred/LineRecordReader.java
-        # readLine): records split on \n with a trailing \r stripped —
-        # NOT str.splitlines(), which also splits on \v \f \x1c-\x1e
-        # U+2028/29 and would frame differently than every other text
-        # reader here
+        # LineRecordReader framing exactly (util/LineReader.java
+        # readLine): a record ends at LF, CR, or CRLF — bare \r IS a
+        # terminator (Mac-style legacy text), but NOT \v \f \x1c-\x1e
+        # U+2028/29, which str.splitlines() would split on and no
+        # Hadoop/Spark text reader does
+        import re as _re
+
         if not text:
             return
-        if text.endswith("\n"):
-            text = text[:-1]
-        for line in text.split("\n"):
-            yield (line[:-1] if line.endswith("\r") else line,)
+        ends_with_term = text.endswith(("\n", "\r"))
+        lines = _re.split("\r\n|\r|\n", text)
+        if ends_with_term:
+            lines.pop()
+        for line in lines:
+            yield (line,)
 
     rdd = spark.sparkContext.binaryFiles(path).flatMap(_inflate)
     return spark.createDataFrame(rdd, "value string")

@@ -356,16 +356,17 @@ def test_lzma_text_roundtrip_both_formats(spark, tmp_path):
 
 
 def test_lzma_line_framing_matches_line_record_reader(spark, tmp_path):
-    """read_text_lzma frames records exactly like LineRecordReader:
-    \\n-split, trailing \\r stripped, and NO splitting on \\v/\\f/U+2028
-    (str.splitlines would)."""
+    """read_text_lzma frames records exactly like LineReader.java
+    readLine: records end at LF, CR, or CRLF (bare \\r IS a
+    terminator — Mac-style legacy text), and do NOT split on
+    \\v/\\f/U+2028, which str.splitlines() would."""
     import lzma as _lzma
 
     from hadoop_20_warehouse_spark.sources.io import read_text_lzma
 
-    content = "a b\vc\r\nplain\nlast"
+    content = "a\u2028b\vc\r\nplain\nmac\rstyle\nlast"
     d = tmp_path / "framing"
     d.mkdir()
     (d / "x.xz").write_bytes(_lzma.compress(content.encode("utf-8")))
     got = sorted(r["value"] for r in read_text_lzma(spark, str(d)).collect())
-    assert got == sorted(["a b\vc", "plain", "last"])
+    assert got == sorted(["a\u2028b\vc", "plain", "mac", "style", "last"])

@@ -49,24 +49,26 @@ def steady(fn, reps: int = 2) -> float:
 def build_sf1_documents(spark, root: str) -> str:
     """10x-upsampled documents: copy 0/1 exact, 2-9 mutated."""
     docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
-    up = (
-        docs.crossJoin(spark.range(10).select(F.col("id").alias("copy")))
-        .select(
-            (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
-            F.when(F.col("copy") < 2, F.col("text"))
-            .otherwise(
-                F.concat(
-                    F.col("text"),
-                    F.lit(" mut"),
-                    F.col("copy").cast("string"),
-                    (F.col("doc_id") % 97).cast("string"),
-                )
-            )
-            .alias("text"),
-            "lang",
-            "source",
-            F.length("text").alias("n_chars"),
+    mutated = F.when(F.col("copy") < 2, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" mut"),
+            F.col("copy").cast("string"),
+            (F.col("doc_id") % 97).cast("string"),
         )
+    )
+    # n_chars from the MUTATED text (an alias is not referenceable in
+    # its own select, so F.length("text") would read the input column
+    # and leave mutated copies with a stale length, breaking the
+    # n_chars == length(text) invariant real tables uphold)
+    up = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("copy"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
+        mutated.alias("text"),
+        "lang",
+        "source",
+        F.length(mutated).alias("n_chars"),
     )
     sf1 = os.path.join(root, "sf1")
     os.makedirs(sf1, exist_ok=True)
