@@ -337,6 +337,10 @@ BENCH_QUERIES: dict[str, object] = {
     "dedup_containment": QUERIES["dedup_containment"],
     "dedup_fuzzy_edit": QUERIES["dedup_fuzzy_edit"],
     "graph_pagerank": QUERIES["graph_pagerank"],
+    # round-10 ANN compression layer: PQ ADC scan and the IVF-PQ
+    # residual index (appended; anchored on landing per BASELINE.md)
+    "knn_pq_adc": QUERIES["knn_pq_adc"],
+    "knn_ivfpq": QUERIES["knn_ivfpq"],
 }
 
 
