@@ -17,6 +17,7 @@ from hadoop_20_warehouse_spark.catalog import load_table
 from hadoop_20_warehouse_spark.dedup import embedding as EMB
 from hadoop_20_warehouse_spark.dedup import exact as DX
 from hadoop_20_warehouse_spark.dedup import minhash as MH
+from hadoop_20_warehouse_spark.dedup import semantic as SEM
 from hadoop_20_warehouse_spark.dedup import simhash as SH
 from hadoop_20_warehouse_spark.functions import text as T
 from hadoop_20_warehouse_spark.registry import register
@@ -717,3 +718,48 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qv")
     )
     return PQ.ivfpq_topk(emb, query)
+
+
+@register("knn_pq_rerank", oracle=PQ.pq_rerank_topk_sql("embeddings"))
+def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (similarity/pq.pq_rerank_topk;
+    Jégou et al. 2011 §V.C): the ADC scan over 8-byte PQ codes keeps a
+    100-candidate shortlist, whose FULL-PRECISION vectors are fetched
+    by a broadcast id join and re-ranked top-20 by exact micro-unit
+    squared-L2 — the production ANN layout where compressed codes
+    bound the scan cost and exact math runs on O(shortlist) rows only.
+    Output carries BOTH distances (adc_u, exact_u) so the
+    approximation gap is visible and hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_codebook(emb)
+    codes = PQ.pq_encode(emb, cb)
+    query = (
+        emb.select(
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy(F.desc("h"), F.desc("vec_id"))
+        .limit(1)
+        .select("qv")
+    )
+    return PQ.pq_rerank_topk(codes, cb, query, emb)
+
+
+@register(
+    "dedup_semantic_cells",
+    oracle=SEM.semantic_dedup_removed_sql("embeddings"),
+)
+def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup/semantic.py; Abbas et al.
+    2023): every embedding quantizes to its nearest of 32 sampled
+    centroid cells (row-local broadcast argmin — no shuffle), pairwise
+    cosine runs ONLY within cells, and a document is removed iff a
+    smaller-id cell-mate is ≥ 0.35 similar — the min-id survivor is
+    the deterministic canonical exemplar.  Returns the removed set
+    with each doc's representative (dup_of) and similarity; the kept
+    corpus is an anti-join on vec_id.  The cluster bound is what makes
+    embedding dedup feasible at 100 TB: Σ|cell|² work, cells O(N/k)
+    with k raised ∝ N."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SEM.semantic_dedup_removed(emb)

@@ -167,19 +167,16 @@ def pq_adc_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
-def pq_adc_topk_sql(
+def _pq_adc_ctes(
     table: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    m: int = DEFAULT_M,
-    k: int = DEFAULT_K,
-    topk: int = 20,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
 ) -> str:
-    """DuckDB oracle: identical seeds, codebook slices, micro-unit
-    distances, argmin tiebreaks, integer ADC sums, and ranking.  The
-    query vector is the corpus vector with the LARGEST (md5(id), id)
-    — disjoint from the seed set's smallest-k in practice."""
+    """The shared CTE chain (seeds → codebook → query → encode → LUT →
+    adc) used by both the plain ADC oracle and the re-rank oracle."""
     sub = dim // m
     sq = _SQDIST_U_SQL_DUCK
     enc_d = sq.format(
@@ -228,10 +225,104 @@ adc AS (
          CAST(SUM(lut.du) AS BIGINT) AS adc_u
   FROM enc JOIN lut ON lut.s = enc.s AND lut.j = enc.code
   GROUP BY enc.vec_id
-)
+)""".strip()
+
+
+def pq_adc_topk_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    topk: int = 20,
+) -> str:
+    """DuckDB oracle: identical seeds, codebook slices, micro-unit
+    distances, argmin tiebreaks, integer ADC sums, and ranking.  The
+    query vector is the corpus vector with the LARGEST (md5(id), id)
+    — disjoint from the seed set's smallest-k in practice."""
+    ctes = _pq_adc_ctes(table, id_col, vec_col, dim, m, k)
+    return f"""
+{ctes}
 SELECT vec_id, codes_str, adc_u,
        CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vec_id ASC) AS BIGINT) AS rank
 FROM adc
+QUALIFY rank <= {topk}
+""".strip()
+
+
+def pq_rerank_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    shortlist: int = 100,
+    topk: int = 20,
+    m: int = DEFAULT_M,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, adc_u, exact_u, rank) — two-stage retrieve-then-rerank,
+    the standard production ANN layout (Jégou et al. 2011 §V.C: ADC
+    shortlist + exact re-ranking): stage 1 scans the 8-byte PQ codes
+    with ADC and keeps the ``shortlist`` best candidates; stage 2
+    fetches ONLY those rows' full-precision vectors and re-ranks the
+    final ``topk`` by exact micro-unit squared-L2.
+
+    Scale shape: the shortlist is O(R) rows — it BROADCASTS to the
+    corpus join, so the exact-distance fetch is a broadcast hash
+    semi-join against the full-precision store (no corpus shuffle; at
+    100 TB the vector store is a parquet table and the join prunes to
+    R row-group point reads).  Exact math runs on R rows, never N —
+    recall is governed by R/topk, cost by the PQ scan."""
+    short = pq_adc_topk(
+        codes, codebook, query, id_col=id_col, qvec_col=qvec_col,
+        topk=shortlist, m=m, dim=dim,
+    ).select(id_col, "adc_u")
+    d = _sqdist_u_sql_spark(vec_col, qvec_col)
+    exact = (
+        corpus.join(F.broadcast(short), on=id_col)
+        .crossJoin(F.broadcast(query))
+        .select(F.col(id_col), F.col("adc_u"), F.expr(d).alias("exact_u"))
+    )
+    from pyspark.sql import Window
+
+    top = exact.orderBy(F.col("exact_u").asc(), F.col(id_col).asc()).limit(topk)
+    w = Window.orderBy(F.col("exact_u").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def pq_rerank_topk_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    shortlist: int = 100,
+    topk: int = 20,
+) -> str:
+    """DuckDB oracle for ``pq_rerank_topk`` — same ADC CTE chain, then
+    the shortlist joins back to the base table for exact distances."""
+    ctes = _pq_adc_ctes(table, id_col, vec_col, dim, m, k)
+    exact_d = _SQDIST_U_SQL_DUCK.format(a=f"e.{vec_col}", b="q.qv")
+    return f"""
+{ctes},
+short AS (
+  SELECT vec_id, adc_u FROM adc
+  ORDER BY adc_u ASC, vec_id ASC LIMIT {shortlist}
+),
+exact AS (
+  SELECT s.vec_id, s.adc_u, {exact_d} AS exact_u
+  FROM short s
+  JOIN {table} e ON e.{id_col} = s.vec_id
+  CROSS JOIN q
+)
+SELECT vec_id, adc_u, exact_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY exact_u ASC, vec_id ASC) AS BIGINT) AS rank
+FROM exact
 QUALIFY rank <= {topk}
 """.strip()
 

@@ -254,3 +254,126 @@ def test_ivfpq_prunes_to_probed_cells(spark):
     assert ranks == list(range(1, len(out) + 1))
     # centroid table is the deterministic sampled quantizer (shared rule)
     assert centroids(df, "vec_id", "embedding", 4).count() == 4
+
+
+def test_pq_rerank_full_shortlist_equals_exact_brute(spark):
+    """With shortlist == corpus size, re-rank degrades to the EXACT
+    top-k: ranking must match a numpy brute-force by full-precision
+    micro-unit squared-L2 (the ADC stage then only orders the fetch)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.similarity import pq as PQ
+
+    rng = np.random.RandomState(21)
+    dim, m, k = 8, 2, 3
+    vecs = {i: rng.randn(dim).round(3).tolist() for i in range(15)}
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    cb = PQ.pq_codebook(df, dim=dim, m=m, k=k)
+    codes = PQ.pq_encode(df, cb, dim=dim, m=m)
+    qid = max(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    query = df.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+    got = (
+        PQ.pq_rerank_topk(
+            codes, cb, query, df, shortlist=len(vecs), topk=5, m=m, dim=dim
+        )
+        .orderBy("rank")
+        .collect()
+    )
+
+    q = np.asarray(vecs[qid])
+
+    def exact_u(v):
+        d = np.asarray(v) - q
+        return round(float((d * d).sum()) * 1_000_000)
+
+    ref = sorted((exact_u(v), i) for i, v in vecs.items())[:5]
+    assert [(r["vec_id"], r["exact_u"]) for r in got] == [(i, d) for d, i in ref]
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    # both distances ride through; adc_u is the stage-1 ordering key
+    assert all(r["adc_u"] is not None and r["adc_u"] >= 0 for r in got)
+
+
+def test_pq_rerank_results_come_from_adc_shortlist(spark, emb):
+    """With a tight shortlist, every re-ranked row must be one of the
+    stage-1 ADC shortlist ids, ranks contiguous, exact_u ascending —
+    the two-stage contract (approximation error allowed, invention
+    not)."""
+    from hadoop_20_warehouse_spark.similarity import pq as PQ
+
+    cb = PQ.pq_codebook(emb)
+    codes = PQ.pq_encode(emb, cb)
+    query = (
+        emb.select(
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy(F.desc("h"), F.desc("vec_id"))
+        .limit(1)
+        .select("qv")
+    )
+    short_ids = {
+        r["vec_id"]
+        for r in PQ.pq_adc_topk(codes, cb, query, topk=30).collect()
+    }
+    out = (
+        PQ.pq_rerank_topk(codes, cb, query, emb, shortlist=30, topk=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(out) == 10
+    assert {r["vec_id"] for r in out} <= short_ids
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    eu = [r["exact_u"] for r in out]
+    assert eu == sorted(eu)
+
+
+def test_semantic_dedup_matches_bruteforce_within_cells(spark, emb):
+    """The removed set must be EXACTLY {id_b : some same-cell id_a <
+    id_b with cosine >= tau} recomputed from the all-pairs baseline
+    plus an independent cell assignment, and dup_of the minimum such
+    id_a — SemDeDup's cluster bound changes cost, never semantics."""
+    from hadoop_20_warehouse_spark.dedup import semantic as SEM
+    from hadoop_20_warehouse_spark.similarity.ivf import _cells
+
+    tau = SEM.DEFAULT_SEM_THRESHOLD
+    got = {
+        r["vec_id"]: (r["cell_id"], r["dup_of"], r["sim"])
+        for r in SEM.semantic_dedup_removed(emb).collect()
+    }
+
+    cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _cells(
+            emb, "vec_id", "embedding", SEM.DEFAULT_NUM_CELLS, nprobe=1
+        ).collect()
+    }
+    brute = EMB.brute_force_pairs(emb, threshold=tau).collect()
+    expected = {}
+    for r in brute:
+        if cells[r.id_a] == cells[r.id_b]:
+            cur = expected.get(r.id_b)
+            if cur is None or r.id_a < cur[1]:
+                expected[r.id_b] = (cells[r.id_b], r.id_a, r.sim)
+    assert got == expected
+    # every removed doc's cell minimum survives (greedy chain bottoms out)
+    for vid, (cell, dup_of, _) in got.items():
+        assert dup_of < vid and cells[dup_of] == cell
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark, emb):
+    """A Lloyd-trained quantizer plugs into cents= unchanged and still
+    yields a valid removed set (smaller-id links, threshold honored)."""
+    from hadoop_20_warehouse_spark.dedup import semantic as SEM
+
+    cents = IVF.train_centroids(emb, k=8, iters=1)
+    rows = SEM.semantic_dedup_removed(emb, num_cells=8, cents=cents).collect()
+    assert rows
+    for r in rows:
+        assert r["dup_of"] < r["vec_id"]
+        assert r["sim"] >= SEM.DEFAULT_SEM_THRESHOLD - 1e-9
