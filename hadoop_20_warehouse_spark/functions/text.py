@@ -178,3 +178,40 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         }
     ).drop("_toks")
+
+
+# --- hashed linear classifier (fastText-shaped quality scoring) -------------
+
+CLS_DIM = 256  # feature-hash buckets (a real model ships ~2M; shape identical)
+CLS_SALT = "qw"  # weight-derivation salt
+
+
+def hashed_weight_array(dim: int = CLS_DIM, salt: str = CLS_SALT) -> Column:
+    """ONE array<bigint> of milli-unit weights, w[i] =
+    md5_int64(salt||i) % 2001 − 1000 ∈ [−1000, 1000] — a deterministic
+    stand-in for a trained weight vector.  A real fastText / logistic
+    quality model drops in by replacing this derivation with the
+    model's weights (same broadcast-array shape, same scorer); the
+    md5 derivation is what keeps the DuckDB oracle bit-identical."""
+    return F.expr(
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"cast(conv(substring(md5(concat('{salt}', cast(i as string))), 1, 15), "
+        f"16, 10) as bigint) % 2001 - 1000)"
+    )
+
+
+def hashed_classifier_raw_milli(
+    toks_col: str, w_col: str = "w", dim: int = CLS_DIM
+) -> Column:
+    """Integer milli-unit raw score: Σ over tokens of w[md5(t) % dim].
+    Pure codegen'd HOF — token hashing and the weight lookup are both
+    row-local against the broadcast weight array; integer adds are
+    order-independent (the repo's cross-engine sum discipline)."""
+    idx = (
+        f"cast(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) "
+        f"% {dim} as int) + 1"
+    )
+    return F.expr(
+        f"aggregate({toks_col}, cast(0 as bigint), "
+        f"(acc, t) -> acc + element_at({w_col}, {idx}))"
+    )

@@ -664,6 +664,83 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLS_SQL = f"""
+WITH w AS (
+  SELECT i,
+         CAST('0x' || substring(md5('{T.CLS_SALT}' || CAST(i AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2001 - 1000 AS wm
+  FROM generate_series(0, {T.CLS_DIM - 1}) t(i)
+),
+tok AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS token FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % {T.CLS_DIM} AS i
+  FROM tok
+),
+agg AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.wm) AS BIGINT) AS raw_milli
+  FROM feat f JOIN w ON w.i = f.i
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, raw_milli,
+       round(1.0 / (1.0 + exp(-(CAST(raw_milli AS DOUBLE)
+                                / (1000.0 * n_tokens)))), 6) AS score,
+       (round(1.0 / (1.0 + exp(-(CAST(raw_milli AS DOUBLE)
+                                 / (1000.0 * n_tokens)))), 6) >= 0.5) AS keep
+FROM agg WHERE n_tokens > 0
+""".strip()
+
+
+@register("text_quality_classifier", oracle=_CLS_SQL)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText-shaped (Joulin et al.
+    2017; the classifier filters of GPT-3/LLaMA data work): per-doc
+    logistic score over HASHED bag-of-words features — each token
+    indexes w[md5(token) % 256] in a broadcast milli-unit weight
+    vector, the doc's raw score is the integer sum (order-independent
+    — the repo's cross-engine sum rule), and score =
+    sigmoid(raw / (1000·n_tokens)) rounded to 6; keep = score ≥ 0.5
+    computed on the ROUNDED value so the cut is engine-stable.
+
+    The weight vector here is md5-derived (functions/text.py
+    hashed_weight_array) so the oracle can reproduce it; a TRAINED
+    model drops in as the same one-row broadcast array.  Scale shape:
+    zero shuffle — tokenize, hash, and sum are one codegen'd
+    projection against the broadcast weights; at 100 TB this is the
+    cheapest possible classifier inference (no Python, no explode,
+    no join — the explode+join twin is what the oracle runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrow = spark.range(1).select(T.hashed_weight_array().alias("w"))
+    scored = (
+        docs.crossJoin(F.broadcast(wrow))
+        .withColumn("_toks", T.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            T.hashed_classifier_raw_milli("_toks").alias("raw_milli"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("raw_milli").cast("double") / (F.col("n_tokens") * 1000.0)))
+        ),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "raw_milli",
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 # ===========================================================================
 # Per-group quota sampling
 # ===========================================================================

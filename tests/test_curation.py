@@ -355,3 +355,39 @@ def test_incremental_apply_equals_full_on_all_delta_classes(spark, tmp_path):
     }
     assert got == want
     assert 3 not in got and 11 in got and len(got) == 10
+
+
+def test_hashed_classifier_weights_and_score_contract(spark, sf_dir):
+    """functions/text.py hashed classifier: weight vector is CLS_DIM
+    milli-units in [-1000, 1000]; per-doc score is the sigmoid of the
+    integer raw sum; keep matches the rounded-score cut; and the whole
+    query plans with ZERO shuffle (broadcast weights + row-local HOFs
+    — classifier inference must not exchange the corpus)."""
+    from hadoop_20_warehouse_spark.functions import text as T
+    from hadoop_20_warehouse_spark.inventory_curation import (
+        q_text_quality_classifier,
+    )
+
+    w = spark.range(1).select(T.hashed_weight_array().alias("w")).collect()[0]["w"]
+    assert len(w) == T.CLS_DIM
+    assert all(-1000 <= x <= 1000 for x in w)
+    assert len(set(w)) > 1, "degenerate weight vector"
+
+    df = q_text_quality_classifier(spark, sf_dir)
+    import math
+
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        want = round(1.0 / (1.0 + math.exp(-(r.raw_milli / (1000.0 * r.n_tokens)))), 6)
+        assert abs(r.score - want) < 1e-9, (r.doc_id, r.score, want)
+        assert r.keep == (r.score >= 0.5)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+    ]
+    assert not shuffles, f"classifier inference must be shuffle-free: {shuffles}"
