@@ -595,3 +595,90 @@ def boilerplate_scrub(
     if keep_text:
         cols.append("clean_text")
     return agged.select(*cols)
+
+
+def chunk_sliding_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """(id, chunk_idx, start_tok, n_chunk_tokens, chunk_digest) —
+    overlapping sliding-window chunking, the context-window layout of
+    pretraining corpora and RAG indexes: chunk i covers tokens
+    [i·stride+1, i·stride+window] (1-based, tail chunk may run
+    short), with n_chunks = 1 + ceil(max(0, n−window)/stride) so the
+    final window always reaches the last token and a ≤window doc is
+    exactly one chunk.  stride < window ⇒ window−stride tokens of
+    overlap between neighbors.
+
+    ROW-LOCAL throughout: tokenize once, explode only the chunk
+    ordinals (fan-out n/stride — the output size, not a join), slice
+    and digest inside the projection.  No shuffle, no window function;
+    at 100 TB this is a map-only pass whose output is the chunk table.
+    ceil is computed as (n−window+stride−1) div stride in BOTH engines
+    (exact integer math — no float ceil at the boundary)."""
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    staged = df.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    # integer ceil via expr's `div` (exact integer division — Spark's
+    # Column `/` is double division and drifts at 2^53-scale counts)
+    nc = F.when(
+        F.col("_n") <= window, F.lit(1).cast("long")
+    ).otherwise(
+        1 + F.expr(f"(_n - {window} + {stride} - 1) div {stride}")
+    ).cast("long")
+    chunks = staged.filter(F.col("_n") > 0).select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), nc - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(
+        F.col("_toks"), (F.col("chunk_idx") * stride + 1).cast("int"), window
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * stride + 1).cast("long").alias("start_tok"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_digest"),
+    )
+
+
+def chunk_sliding_windows_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> str:
+    """DuckDB oracle for ``chunk_sliding_windows`` — identical token
+    rule, integer ceil, slice clamping, and digest."""
+    toks = T.tokens_sql(text_col)
+    return f"""
+WITH staged AS (
+  SELECT {id_col}, {toks} AS toks, CAST(len({toks}) AS BIGINT) AS n
+  FROM {table}
+),
+counted AS (
+  SELECT {id_col}, toks, n,
+         CASE WHEN n <= {window} THEN 1
+              ELSE 1 + (n - {window} + {stride} - 1) // {stride}
+         END AS nc
+  FROM staged WHERE n > 0
+),
+chunks AS (
+  SELECT {id_col}, toks, n, CAST(i AS BIGINT) AS chunk_idx,
+         toks[CAST(i * {stride} + 1 AS BIGINT) :
+              CAST(least(i * {stride} + {window}, n) AS BIGINT)] AS sl
+  FROM counted, LATERAL unnest(generate_series(0, nc - 1)) t(i)
+)
+SELECT {id_col}, chunk_idx,
+       CAST(chunk_idx * {stride} + 1 AS BIGINT) AS start_tok,
+       CAST(len(sl) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(sl, ' ')) AS chunk_digest
+FROM chunks
+""".strip()

@@ -1278,6 +1278,28 @@ def q_pack_token_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_budget_split(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
 
 
+def _chunk_sliding_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.spans import chunk_sliding_windows_sql
+
+    return chunk_sliding_windows_sql("documents")
+
+
+@register("doc_chunk_sliding", oracle=_chunk_sliding_oracle())
+def q_doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (dedup/spans.py
+    chunk_sliding_windows): 32-token windows at stride 24 (8-token
+    overlap), tail window always reaching the last token — the
+    context-window layout of pretraining corpora and RAG indexes,
+    complementing pack_token_split's non-overlapping strict-budget
+    slices.  Map-only: tokenize once, explode chunk ordinals, slice +
+    digest in the projection; no shuffle, no window function.  Chunk
+    counts use exact integer ceil in both engines."""
+    from hadoop_20_warehouse_spark.dedup.spans import chunk_sliding_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_sliding_windows(docs)
+
+
 # ===========================================================================
 # Corpus-export endgame: curate -> global shuffle -> split-pack ->
 # partitioned shard write -> readback digest

@@ -391,3 +391,57 @@ def test_hashed_classifier_weights_and_score_contract(spark, sf_dir):
         if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
     ]
     assert not shuffles, f"classifier inference must be shuffle-free: {shuffles}"
+
+
+def test_chunk_sliding_windows_python_model(spark):
+    """Sliding chunking against a literal python model on edge shapes:
+    empty (dropped), 1 token, exactly window, window+1, window+stride,
+    long — chunk count, starts, lengths, digests, tail reach, and the
+    window-stride overlap all reproduce."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.dedup.spans import chunk_sliding_windows
+
+    W, S = 5, 3
+    docs = {
+        1: "",
+        2: "a",
+        3: "a b c d e",            # == W  -> 1 chunk
+        4: "a b c d e f",          # W+1   -> 2 chunks
+        5: "a b c d e f g h",      # W+S   -> 2 chunks
+        6: " ".join(f"t{i}" for i in range(17)),
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_chunk_tokens, r.chunk_digest)
+        for r in chunk_sliding_windows(df, window=W, stride=S).collect()
+    )
+
+    want = []
+    for i, t in docs.items():
+        toks = [x for x in t.split() if x]
+        n = len(toks)
+        if n == 0:
+            continue
+        nc = 1 if n <= W else 1 + -(-(n - W) // S)
+        for c in range(nc):
+            sl = toks[c * S : c * S + W]
+            want.append(
+                (
+                    i,
+                    c,
+                    c * S + 1,
+                    len(sl),
+                    hashlib.md5(" ".join(sl).encode()).hexdigest(),
+                )
+            )
+    assert got == sorted(want)
+    # tail chunk of every multi-chunk doc reaches the last token
+    for i, t in docs.items():
+        toks = [x for x in t.split() if x]
+        mine = [g for g in got if g[0] == i]
+        if mine:
+            last = max(mine, key=lambda g: g[1])
+            assert last[2] + last[3] - 1 == len(toks)
