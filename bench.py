@@ -172,6 +172,28 @@ def _embed_ann(n: int, n_planes: int):
     return fn
 
 
+def _semantic_dedup_probe(n: int, num_cells: int):
+    """SemDeDup at ``n`` synthetic vectors with ``num_cells`` centroid
+    cells — the cluster-bound scaling claim under measurement: cells
+    scale ∝ n (the paper's deployment rule; 32 → 320 for 2k → 20k) so
+    per-cell population stays ~O(n/k) and the cell-keyed self-join's
+    pair work Σ|cell|² grows ~linearly in rows.  Holding cells fixed
+    would grow pairs ~100x for 10x rows — the quadratic blowup the
+    knob exists to prevent (same probe design as _embed_ann's
+    signature-depth scaling)."""
+
+    def fn(spark, sf_dir: str) -> DataFrame:
+        from hadoop_20_warehouse_spark.dedup.semantic import (
+            semantic_dedup_removed,
+        )
+
+        return semantic_dedup_removed(
+            _embed_synth(spark, n), num_cells=num_cells
+        )
+
+    return fn
+
+
 def _incr_synth_corpus(spark, n_docs: int) -> DataFrame:
     """``n_docs`` deterministic synthetic documents of ~40 md5-derived
     word tokens — the incremental probe's corpus generator, identical
@@ -341,6 +363,14 @@ BENCH_QUERIES: dict[str, object] = {
     # residual index (appended; anchored on landing per BASELINE.md)
     "knn_pq_adc": QUERIES["knn_pq_adc"],
     "knn_ivfpq": QUERIES["knn_ivfpq"],
+    # round-10 session-2 additions (appended; anchored on landing):
+    # retrieve-then-rerank, SemDeDup semantic dedup, the fastText-shaped
+    # classifier gate, sliding-window chunking, and the Count-Min store
+    "knn_pq_rerank": QUERIES["knn_pq_rerank"],
+    "dedup_semantic_cells": QUERIES["dedup_semantic_cells"],
+    "text_quality_classifier": QUERIES["text_quality_classifier"],
+    "doc_chunk_sliding": QUERIES["doc_chunk_sliding"],
+    "store_countmin_freq": QUERIES["store_countmin_freq"],
 }
 
 
@@ -913,6 +943,16 @@ def main() -> None:
         "data_ratio": 10.0,
     }
     probe_large["dedup_embedding_ann"] = lambda: steady_time(_ann_large, SF_DIR)
+    # SemDeDup probe: same synthetic vectors, cells scaled with n (the
+    # documented deployment knob — see _semantic_dedup_probe).
+    _sem_small = _semantic_dedup_probe(2_000, 32)
+    _sem_large = _semantic_dedup_probe(20_000, 320)
+    scaling["dedup_semantic_cells"] = {
+        "small_s": round(steady_time(_sem_small, SF_DIR), 3),
+        "large_s": round(steady_time(_sem_large, SF_DIR), 3),
+        "data_ratio": 10.0,
+    }
+    probe_large["dedup_semantic_cells"] = lambda: steady_time(_sem_large, SF_DIR)
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     try:
         small_sf = float(os.path.basename(small_dir).replace("sf", ""))
@@ -939,6 +979,11 @@ def main() -> None:
             # is df-capped, so its probe should stay ~linear
             "dedup_fuzzy_edit",
             "dedup_containment",
+            # r10 map-only curation additions: both should track the
+            # document count ~linearly (classifier inference is one
+            # codegen'd projection; chunking's explode is output-sized)
+            "text_quality_classifier",
+            "doc_chunk_sliding",
             # join probe: GridMix's job classes deliberately include
             # join-shaped pipelines (GridMixRunner.java:230) and a join
             # is where a 100x blow-up bites first — a super-linear

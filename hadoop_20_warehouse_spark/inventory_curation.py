@@ -1284,6 +1284,77 @@ def _chunk_sliding_oracle() -> str:
     return chunk_sliding_windows_sql("documents")
 
 
+def _cls_sem_chunk_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.semantic import (
+        semantic_dedup_removed_sql,
+    )
+    from hadoop_20_warehouse_spark.dedup.spans import chunk_sliding_windows_sql
+
+    return f"""
+WITH cls AS (
+  SELECT doc_id FROM ( {_CLS_SQL} ) WHERE keep
+),
+rem AS (
+  SELECT vec_id FROM ( {semantic_dedup_removed_sql('embeddings')} )
+),
+surv AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN cls USING (doc_id)
+  LEFT JOIN rem ON rem.vec_id = d.doc_id
+  WHERE rem.vec_id IS NULL
+)
+SELECT * FROM ( {chunk_sliding_windows_sql('surv')} )
+""".strip()
+
+
+@register("pipeline_classifier_semantic_chunk", oracle=_cls_sem_chunk_oracle())
+def q_pipeline_classifier_semantic_chunk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-10 curation endgame composed: (1) fastText-shaped
+    classifier gate computed INLINE on the document scan (a projection
+    + filter — no join, the zero-shuffle inference shape), (2)
+    SemDeDup removal over the embeddings table anti-joined on doc id,
+    (3) sliding-window chunking of the survivors.  One id-keyed
+    anti-join is the only corpus-vs-corpus shuffle the composition
+    adds to its parts; the oracle is the three stages' SQL composed
+    verbatim, so stage wiring (filter direction, anti-join side,
+    chunking the survivor set only) is hash-checked end-to-end."""
+    from hadoop_20_warehouse_spark.dedup.semantic import semantic_dedup_removed
+    from hadoop_20_warehouse_spark.dedup.spans import chunk_sliding_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    wrow = spark.range(1).select(T.hashed_weight_array().alias("w"))
+    gated = (
+        docs.crossJoin(F.broadcast(wrow))
+        .withColumn("_toks", T.tokens(F.col("text")))
+        .withColumn("_n", F.size("_toks").cast("long"))
+        .filter(F.col("_n") > 0)
+        .withColumn("_raw", T.hashed_classifier_raw_milli("_toks"))
+        .filter(
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(F.col("_raw").cast("double") / (F.col("_n") * 1000.0))
+                    )
+                ),
+                6,
+            )
+            >= 0.5
+        )
+        .select("doc_id", "text")
+    )
+    removed = semantic_dedup_removed(emb).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    surv = gated.join(removed, on="doc_id", how="left_anti")
+    return chunk_sliding_windows(surv)
+
+
 @register("doc_chunk_sliding", oracle=_chunk_sliding_oracle())
 def q_doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping sliding-window chunking (dedup/spans.py
