@@ -746,6 +746,163 @@ def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_rerank_topk(codes, cb, query, emb)
 
 
+_RECALL_PRED = "vec_id % 50 = 0"
+_RECALL_K = 10
+
+
+def _knn_recall_oracle() -> str:
+    from hadoop_20_warehouse_spark.similarity.knn import brute_force_topk_sql
+
+    return f"""
+WITH ivfres AS (
+  SELECT query_id, neighbor_id
+  FROM ( {IVF.ivf_topk_sql('embeddings', k=_RECALL_K)} )
+  WHERE query_id % 50 = 0
+),
+bruteres AS (
+  SELECT query_id, neighbor_id
+  FROM ( {brute_force_topk_sql('embeddings', _RECALL_PRED, k=_RECALL_K)} )
+),
+hits AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ivfres JOIN bruteres USING (query_id, neighbor_id)
+  GROUP BY query_id
+),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE {_RECALL_PRED})
+SELECT qs.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_RECALL_K}.0 AS recall_at_k
+FROM qs LEFT JOIN hits h USING (query_id)
+""".strip()
+
+
+@register("knn_recall_eval", oracle=_knn_recall_oracle())
+def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION as a first-class query: recall@10 of the
+    IVF index against the exact brute-force ranking for a
+    deterministic query subset (vec_id % 50 = 0) — the measurement a
+    production ANN deployment runs continuously to tune
+    num_centroids/nprobe (recall is governed by the probe budget, cost
+    by the cell pruning; the dial has to be MEASURED to be set).  At
+    scale the brute pass runs on a sampled query set exactly like
+    this one — the eval cost is |Q|·N, bounded by the sample.  Both
+    rankings, the intersection counts, and the recall ratios are
+    hash-checked cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = (
+        IVF.ivf_topk(emb, k=_RECALL_K)
+        .filter(F.expr(f"query_id % 50 = 0"))
+        .select("query_id", "neighbor_id")
+    )
+    brute = KNN.brute_force_topk(
+        emb, emb.filter(F.expr(_RECALL_PRED)), k=_RECALL_K
+    ).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(brute, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qs = emb.filter(F.expr(_RECALL_PRED)).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return qs.join(hits, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / _RECALL_K
+        ).alias("recall_at_k"),
+    )
+
+
+_CENTROID_SQL = """
+WITH subs AS (SELECT unnest(generate_series(0, 63)) AS pos),
+u AS (
+  SELECT e.label, e.vec_id, s.pos,
+         CAST(round(CAST(e.embedding[s.pos + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xu
+  FROM embeddings e CROSS JOIN subs s
+),
+dims AS (
+  SELECT label, pos, CAST(SUM(xu) AS BIGINT) AS sxu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY label, pos
+),
+cent AS (
+  SELECT label,
+         md5(string_agg(CAST(sxu AS VARCHAR), ',' ORDER BY pos)) AS centroid_digest,
+         MIN(n) AS n_vecs
+  FROM dims GROUP BY label
+),
+dev AS (
+  SELECT u.label, abs(d.n * u.xu - d.sxu) AS t
+  FROM u JOIN dims d ON d.label = u.label AND d.pos = u.pos
+),
+mad AS (SELECT label, CAST(SUM(t) AS BIGINT) AS mad_total FROM dev GROUP BY label)
+SELECT c.label, c.n_vecs, c.centroid_digest, m.mad_total,
+       CAST(m.mad_total AS DOUBLE) / (c.n_vecs * c.n_vecs * 64.0 * 1000000.0)
+         AS avg_abs_dev
+FROM cent c JOIN mad m USING (label)
+""".strip()
+
+
+@register("embedding_group_centroid", oracle=_CENTROID_SQL)
+def q_embedding_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space corpus analytics: per-label centroid (as a
+    digest over exact per-dimension micro-unit sums — no float-sum
+    drift, no float-to-string formatting divergence) plus mean
+    absolute dispersion around the centroid — the per-topic balance /
+    compactness monitoring a curation pipeline runs over its clusters.
+
+    Exact-integer discipline throughout: components quantize to
+    micro-units ONCE (the same ×1e6 trade as similarity/pq), so the
+    per-dim sums, the deviation terms |n·xu − sxu| (abs values avoid
+    the fractional mean), and both aggregates are order-independent
+    integer math; only the final scaling divides to double.  Shapes:
+    one (label, pos)-keyed partial agg (≤ labels×64 rows out), one
+    broadcast-sized join back (dims is labels×64 rows), one
+    label-keyed agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "vec_id",
+        "pos",
+        F.expr("cast(round(cast(x as double) * 1000000) as bigint)").alias("xu"),
+    )
+    dims = u.groupBy("label", "pos").agg(
+        F.sum("xu").cast("long").alias("sxu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cent = dims.groupBy("label").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sxu"))),
+                    lambda s: s["sxu"].cast("string"),
+                ),
+            )
+        ).alias("centroid_digest"),
+        F.min("n").alias("n_vecs"),
+    )
+    dev = u.join(F.broadcast(dims), on=["label", "pos"]).select(
+        "label", F.abs(F.col("n") * F.col("xu") - F.col("sxu")).alias("t")
+    )
+    mad = dev.groupBy("label").agg(F.sum("t").cast("long").alias("mad_total"))
+    return cent.join(mad, on="label").select(
+        "label",
+        "n_vecs",
+        "centroid_digest",
+        "mad_total",
+        (
+            F.col("mad_total").cast("double")
+            / (F.col("n_vecs") * F.col("n_vecs") * 64.0 * 1000000.0)
+        ).alias("avg_abs_dev"),
+    )
+
+
 @register(
     "dedup_semantic_cells",
     oracle=SEM.semantic_dedup_removed_sql("embeddings"),

@@ -377,3 +377,80 @@ def test_semantic_dedup_accepts_trained_centroids(spark, emb):
     for r in rows:
         assert r["dup_of"] < r["vec_id"]
         assert r["sim"] >= SEM.DEFAULT_SEM_THRESHOLD - 1e-9
+
+
+def test_knn_recall_eval_bounds_and_exactness(spark, emb):
+    """Recall eval: one row per eval query, n_hits in [0, k], recall =
+    n_hits/k, and n_hits recomputed from the two rankings' collected
+    intersection matches — the eval must MEASURE, not estimate."""
+    from hadoop_20_warehouse_spark.inventory_llm import (
+        _RECALL_K,
+        _RECALL_PRED,
+        q_knn_recall_eval,
+    )
+    from hadoop_20_warehouse_spark.similarity.knn import brute_force_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    from hadoop_20_warehouse_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {r.query_id: r for r in q_knn_recall_eval(spark, sf_dir).collect()}
+    n_queries = e.filter(_RECALL_PRED).count()
+    assert len(got) == n_queries
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in IVF.ivf_topk(e, k=_RECALL_K)
+        .filter(f"query_id % 50 = 0")
+        .collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, e.filter(_RECALL_PRED), k=_RECALL_K).collect()
+    }
+    inter = ivf & brute
+    for qid, r in got.items():
+        want = sum(1 for q, _ in inter if q == qid)
+        assert r.n_hits == want
+        assert 0 <= r.n_hits <= _RECALL_K
+        assert abs(r.recall_at_k - r.n_hits / _RECALL_K) < 1e-12
+
+
+def test_embedding_group_centroid_matches_numpy(spark, emb):
+    """Per-label centroid digests and dispersion against a numpy
+    reference using the same micro-unit quantization — the
+    exact-integer discipline must reproduce the math, not just be
+    self-consistent."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_20_warehouse_spark.inventory_llm import (
+        q_embedding_group_centroid,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.label: r
+        for r in q_embedding_group_centroid(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        f"select label, embedding from '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    by_label: dict = {}
+    for lab, vec in rows:
+        by_label.setdefault(lab, []).append(
+            [round(float(x) * 1_000_000) for x in vec]
+        )
+    for lab, vecs in by_label.items():
+        a = np.asarray(vecs, dtype=np.int64)
+        n = a.shape[0]
+        sxu = a.sum(axis=0)
+        digest = hashlib.md5(",".join(str(int(s)) for s in sxu).encode()).hexdigest()
+        mad = int(np.abs(n * a - sxu[None, :]).sum())
+        r = got[lab]
+        assert r.n_vecs == n
+        assert r.centroid_digest == digest, lab
+        assert r.mad_total == mad
+        assert abs(r.avg_abs_dev - mad / (n * n * 64.0 * 1e6)) < 1e-12
