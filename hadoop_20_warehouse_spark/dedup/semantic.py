@@ -60,6 +60,7 @@ def semantic_dedup_removed(
     num_cells: int = DEFAULT_NUM_CELLS,
     threshold: float = DEFAULT_SEM_THRESHOLD,
     cents: DataFrame | None = None,
+    method: str | None = None,
 ) -> DataFrame:
     """(vec_id, cell_id, dup_of, sim) — the REMOVED set: each row is a
     document with at least one same-cell neighbor of smaller id whose
@@ -76,10 +77,12 @@ def semantic_dedup_removed(
     defaults to the deterministic sampled centroids."""
     from hadoop_20_warehouse_spark.session import persist_generation
 
-    # rank-1 cell per vector — row-local broadcast argmin, no shuffle
-    cells = _cells(df, id_col, vec_col, num_cells, nprobe=1, cents=cents).drop(
-        "crank"
-    )
+    # rank-1 cell per vector — shuffle-free broadcast argmin (HOF below
+    # the measured k crossover, Arrow-batched GEMM above it — the
+    # paper-scale num_cells ∝ N path; method=None auto-picks)
+    cells = _cells(
+        df, id_col, vec_col, num_cells, nprobe=1, cents=cents, method=method
+    ).drop("crank")
     vecs = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
     )

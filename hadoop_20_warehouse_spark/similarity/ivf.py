@@ -116,6 +116,7 @@ def train_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 3,
+    method: str | None = None,
 ) -> DataFrame:
     """Lloyd-trained centroid table (k-means on cosine assignment,
     per-dimension mean update) — the trained quantizer the sampled
@@ -132,6 +133,10 @@ def train_centroids(
 
     Returns (centroid_id, cv, cn) like ``centroids()`` — plug-in
     compatible with ``ivf_topk(cents=...)``."""
+    from hadoop_20_warehouse_spark.similarity import assign as ASSIGN
+
+    if method is None:
+        method = "gemm" if k >= ASSIGN.GEMM_ASSIGN_MIN_K else "hof"
     init = centroids(corpus, id_col, vec_col, k)
     vecs = corpus.select(
         F.col(id_col).alias("_vid"),
@@ -145,13 +150,21 @@ def train_centroids(
         # array HOFs — no exchange of the |corpus|×k sims frame (the r5
         # rewrite; the prior window-over-_vid shuffled corpus×k rows
         # per iteration).  min(struct(-csim, cid)) == the old
-        # row_number(desc csim, asc cid) tiebreak exactly.
-        members = vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
-            F.array_min(
-                F.transform(F.col("cs"), _scorer(F.col("_v"), F.col("_vn")))
-            )["cid"].alias("centroid_id"),
-            "_v",
-        )
+        # row_number(desc csim, asc cid) tiebreak exactly.  Above the
+        # measured k crossover the same assignment runs as one numpy
+        # GEMM per Arrow batch (similarity.assign — bit-identical).
+        if method == "gemm":
+            members = ASSIGN.assign_topn(
+                vecs, cents, id_col="_vid", vec_col="_v", nprobe=1,
+                include_vec=True,
+            ).select("centroid_id", "_v")
+        else:
+            members = vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
+                F.array_min(
+                    F.transform(F.col("cs"), _scorer(F.col("_v"), F.col("_vn")))
+                )["cid"].alias("centroid_id"),
+                "_v",
+            )
         dims = members.select(
             "centroid_id", F.posexplode(F.col("_v")).alias("pos", "x")
         )
@@ -176,20 +189,42 @@ def _cells(
     num_centroids: int,
     nprobe: int,
     cents: DataFrame | None = None,
+    method: str | None = None,
 ) -> DataFrame:
     """(id, centroid_id, crank): each vector's ``nprobe`` nearest
     centroids by rounded cosine, centroid-id tiebreak. Computed ONCE —
     callers derive both the rank-1 assignment and the probe set from
     this frame.
 
-    ROW-LOCAL (r5 rewrite): the k centroids travel as ONE broadcast
-    array row; each vector sorts its k scores with array HOFs and
-    explodes only the ``nprobe`` survivors.  Quantization therefore
-    shuffles NOTHING — the prior form windowed over a |corpus|×k
-    exploded frame, an Exchange that grew 40× the corpus at the
-    default centroid count."""
+    Two bit-identical physical strategies, both shuffle-free:
+
+    - ``"hof"`` — ROW-LOCAL array HOFs (r5 rewrite): the k centroids
+      travel as ONE broadcast array row; each vector sorts its k
+      scores and explodes only the ``nprobe`` survivors.  JVM-side but
+      INTERPRETED (HOFs break whole-stage codegen — the repo's
+      measured finding), so the O(N·k·d) constant factor grows with k.
+      Wins at small k by avoiding the Python worker round-trip.
+    - ``"gemm"`` — Arrow-batched numpy matmul against the broadcast
+      centroid matrix (``similarity.assign``), the plan a paper-scale
+      cell count (SemDeDup's ~50k clusters) needs.  Wins above
+      ``assign.GEMM_ASSIGN_MIN_K`` centroids (measured crossover,
+      PLANS.md r11).
+
+    ``method=None`` auto-picks by ``num_centroids``; results are
+    bit-identical either way (property-tested), so the choice is pure
+    physical planning."""
     if cents is None:
         cents = centroids(corpus, id_col, vec_col, num_centroids)
+    from hadoop_20_warehouse_spark.similarity import assign as ASSIGN
+
+    if method is None:
+        method = (
+            "gemm" if num_centroids >= ASSIGN.GEMM_ASSIGN_MIN_K else "hof"
+        )
+    if method == "gemm":
+        return ASSIGN.assign_topn(
+            corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        )
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
     )
@@ -220,6 +255,7 @@ def ivf_topk(
     num_centroids: int = DEFAULT_NUM_CENTROIDS,
     nprobe: int = DEFAULT_NPROBE,
     cents: DataFrame | None = None,
+    method: str | None = None,
 ) -> DataFrame:
     """ANN top-k with every corpus vector as query: (query_id,
     neighbor_id, sim, rank); candidates = vectors assigned (rank-1
@@ -238,7 +274,8 @@ def ivf_topk(
     from hadoop_20_warehouse_spark.session import persist_generation
 
     cells = persist_generation(
-        "ivf_cells", _cells(corpus, id_col, vec_col, num_centroids, nprobe, cents)
+        "ivf_cells",
+        _cells(corpus, id_col, vec_col, num_centroids, nprobe, cents, method),
     )
     assign = cells.filter(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"

@@ -335,6 +335,8 @@ def _assign_with_centroid(
     cents: DataFrame,
     id_col: str,
     vec_col: str,
+    num_centroids: int | None = None,
+    method: str | None = None,
 ) -> DataFrame:
     """(id, cell_id, resid) — rank-1 cosine cell assignment AND the
     residual (v − centroid) in ONE row-local projection: the centroid
@@ -342,13 +344,29 @@ def _assign_with_centroid(
     (rounded-neg-cosine, cid, cv) structs, so the winning centroid's
     VECTOR comes back from the same argmin — no id-keyed join between
     assignment and residual (struct comparison never reaches the cv
-    field: (negsim, cid) is already unique)."""
+    field: (negsim, cid) is already unique).  JVM-side but interpreted
+    (HOFs break codegen); above the measured k crossover the same
+    assignment+residual dispatches to the Arrow-batched GEMM
+    (``similarity.assign.assign_topn(include_resid=True)`` —
+    bit-identical, see that module's equality argument)."""
+    from hadoop_20_warehouse_spark.similarity import assign as ASSIGN
     from hadoop_20_warehouse_spark.similarity.ivf import (
         _centroid_array,
         _scorer,
     )
     from hadoop_20_warehouse_spark.similarity.knn import _norm
 
+    if method is None and num_centroids is not None:
+        method = (
+            "gemm" if num_centroids >= ASSIGN.GEMM_ASSIGN_MIN_K else "hof"
+        )
+    if method == "gemm":
+        return ASSIGN.assign_topn(
+            corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1,
+            include_resid=True,
+        ).select(
+            F.col(id_col), F.col("centroid_id").alias("cell_id"), "resid"
+        )
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
     )
@@ -380,6 +398,7 @@ def ivfpq_topk(
     k_codes: int = DEFAULT_K,
     dim: int = 64,
     topk: int = 20,
+    method: str | None = None,
 ) -> DataFrame:
     """(vec_id, cell_id, codes_str, adc_u, rank) — the canonical
     IVF-PQ layout (Jégou et al. 2011 §IV): vectors are routed to IVF
@@ -408,7 +427,11 @@ def ivfpq_topk(
     # precedent; at 100 TB stage to parquet instead — one corpus pass
     # either way)
     assigned = persist_generation(
-        "ivfpq_assigned", _assign_with_centroid(corpus, cents, id_col, vec_col)
+        "ivfpq_assigned",
+        _assign_with_centroid(
+            corpus, cents, id_col, vec_col,
+            num_centroids=num_centroids, method=method,
+        ),
     )
     cb = pq_codebook(assigned, id_col=id_col, vec_col="resid", dim=dim, m=m, k=k_codes)
     codes = pq_encode(

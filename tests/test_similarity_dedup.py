@@ -454,3 +454,107 @@ def test_embedding_group_centroid_matches_numpy(spark, emb):
         assert r.centroid_digest == digest, lab
         assert r.mad_total == mad
         assert abs(r.avg_abs_dev - mad / (n * n * 64.0 * 1e6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# GEMM-batched centroid assignment (similarity/assign.py): bit-identity
+# with the HOF argmin is the load-bearing property — the DuckDB oracles
+# hash downstream results, so the two physical strategies must agree on
+# every row, including rounding-boundary ties, exact-duplicate vectors,
+# and NULL cosines (zero norms).
+
+
+@pytest.fixture(scope="module")
+def adversarial_vecs(spark):
+    """400 synthetic doubles: every 17th is all-zero (NULL cosine),
+    every 5th duplicates another id's vector exactly (rounded-cosine
+    ties → centroid-id tiebreaks), the rest carry ±1e-9 perturbations
+    (forces the GEMM path's exact tie-band recompute)."""
+    return spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            """
+            CASE
+              WHEN id % 17 = 0 THEN transform(sequence(1,64), j -> 0.0D)
+              WHEN id % 5 = 0 THEN transform(sequence(1,64), j ->
+                cast(conv(substr(md5(concat(cast(cast(id/5 as bigint)*5 as string),
+                  chr(35), cast(j as string))),1,8),16,10) as double)/2147483648.0 - 1.0)
+              ELSE transform(sequence(1,64), j ->
+                cast(conv(substr(md5(concat(cast(id as string), chr(35),
+                  cast(j as string))),1,8),16,10) as double)/2147483648.0 - 1.0
+                + cast(id % 3 as double) * 1e-9)
+            END"""
+        ).alias("embedding"),
+    ).cache()
+
+
+@pytest.mark.parametrize("k,nprobe", [(8, 1), (32, 2), (16, 5), (64, 3)])
+def test_gemm_assign_matches_hof_on_real_embeddings(spark, emb, k, nprobe):
+    h = IVF._cells(emb, "vec_id", "embedding", k, nprobe, method="hof")
+    g = IVF._cells(emb, "vec_id", "embedding", k, nprobe, method="gemm")
+    assert sorted(map(tuple, h.collect())) == sorted(map(tuple, g.collect()))
+
+
+@pytest.mark.parametrize("k,nprobe", [(8, 1), (50, 2), (64, 4)])
+def test_gemm_assign_matches_hof_adversarial(spark, adversarial_vecs, k, nprobe):
+    h = IVF._cells(adversarial_vecs, "vec_id", "embedding", k, nprobe, method="hof")
+    g = IVF._cells(adversarial_vecs, "vec_id", "embedding", k, nprobe, method="gemm")
+    assert sorted(map(tuple, h.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_gemm_resid_matches_hof(spark, adversarial_vecs):
+    """The IVF-PQ assignment+residual path: winner AND the exact
+    (v − centroid) doubles must agree element-for-element."""
+    from hadoop_20_warehouse_spark.similarity import pq as PQ
+
+    cents = IVF.centroids(adversarial_vecs, "vec_id", "embedding", 24)
+    h = PQ._assign_with_centroid(
+        adversarial_vecs, cents, "vec_id", "embedding", method="hof"
+    )
+    g = PQ._assign_with_centroid(
+        adversarial_vecs, cents, "vec_id", "embedding", method="gemm"
+    )
+    hk = sorted((r["vec_id"], r["cell_id"], tuple(r["resid"])) for r in h.collect())
+    gk = sorted((r["vec_id"], r["cell_id"], tuple(r["resid"])) for r in g.collect())
+    assert hk == gk
+
+
+def test_round6_scaled_matches_spark_round(spark, emb):
+    """The tie-band's Python rounding must reproduce Spark's round(x,6)
+    (BigDecimal HALF_UP on the shortest decimal) — checked on every
+    pairwise cosine of the real embeddings plus boundary literals."""
+    from hadoop_20_warehouse_spark.similarity.assign import _round6_scaled
+    from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, _safe_div
+
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            _safe_div(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+            .alias("sim")
+        )
+        .filter(F.col("sim").isNotNull())
+        .select("sim", F.round(F.col("sim"), 6).alias("r6"))
+    )
+    for row in sims.collect():
+        assert _round6_scaled(row["sim"]) == round(row["r6"] * 1e6), row["sim"]
+    for lit in [0.0000005, -0.0000005, 0.1234565, 1.0, -1.0, 0.9999995]:
+        got = _round6_scaled(lit)
+        want = spark.sql(f"SELECT round({lit!r}D, 6) AS r").collect()[0]["r"]
+        assert got == round(want * 1e6), lit
+
+
+def test_train_centroids_gemm_matches_hof(spark, emb):
+    h = IVF.train_centroids(emb, k=16, iters=2, method="hof")
+    g = IVF.train_centroids(emb, k=16, iters=2, method="gemm")
+    hk = sorted((r["centroid_id"], tuple(r["cv"]), r["cn"]) for r in h.collect())
+    gk = sorted((r["centroid_id"], tuple(r["cv"]), r["cn"]) for r in g.collect())
+    assert hk == gk
