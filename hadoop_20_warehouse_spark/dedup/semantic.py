@@ -22,15 +22,26 @@ is within the threshold, so the kept set is exactly the ids with no
 smaller near-dup, reproducible across engines and runs (the same
 min-id-representative convention as ``dedup.components``).
 
-Spark shape (100 TB posture):
-- cell assignment is ROW-LOCAL: the k centroids travel as ONE
-  broadcast array row and each vector argmins with array HOFs
-  (``similarity.ivf._cells`` — no shuffle, no window);
-- the only data-sized shuffle is the self-join keyed on cell id;
-  per-cell skew is bounded by the clustering itself — at scale you
-  raise ``num_cells`` ∝ N (the paper uses 50k clusters for LAION) so
-  cells stay O(N/k) and Σ|cell|² stays near-linear;
-- pairs ship (id, vector) only — no document payload ever shuffles;
+Spark shape (100 TB posture) — both compute-dense stages have a small-k
+form and a batched large-k form, dispatched on ``num_cells`` and
+bit-identical (property-tested):
+
+- cell assignment is shuffle-free either way: below the measured k
+  threshold the k centroids travel as ONE broadcast array row and each
+  vector argmins with array HOFs (JVM-side but *interpreted* — HOFs
+  break whole-stage codegen, the repo's measured finding, so the
+  O(N·k·d) constant grows with k); above it the assignment is one
+  numpy GEMM per Arrow batch (``similarity.assign`` — the paper-scale
+  path, where num_cells ∝ N reaches ~50k clusters);
+- the pairwise stage is one cell-keyed exchange either way: the
+  ``join`` form self-joins on cell id and scores each pair with the
+  (interpreted) HOF cosine; the ``grouped`` form computes each cell's
+  cosine matrix as one matmul inside ``applyInPandas`` and ships NO
+  pair rows at all (r11 rehearsal, 200k docs / 2k cells: 50.3s → 11.0s
+  end-to-end).  Per-cell skew is bounded by the clustering itself —
+  at scale you raise ``num_cells`` ∝ N so cells stay O(N/k) and
+  Σ|cell|² stays near-linear;
+- pairs ship (id, vector) only (join form) or never ship (grouped);
 - the removal aggregation (min smaller-neighbor per doc) is a partial
   agg (min of struct), combiner-friendly.
 
@@ -45,12 +56,112 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from hadoop_20_warehouse_spark.similarity.ivf import _cells
 from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, _safe_div, cosine_sql
 
 DEFAULT_NUM_CELLS = 32
 DEFAULT_SEM_THRESHOLD = 0.35
+
+
+def _pairs_grouped(
+    tagged: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """(cell_id, id_a, id_b, sim) — the within-cell threshold pairs,
+    computed as ONE numpy GEMM per cell (applyInPandas) instead of a
+    cell-keyed self-join with an interpreted per-pair HOF cosine.
+
+    The r11 rehearsal showed the self-join form's per-pair cost
+    dominating once the assign stage was batched (200k docs / 2k
+    cells: 42s of the 50s total was the Σ|cell|² pairwise term).  Here
+    each cell's |cell|×|cell| cosine matrix is one matmul; the GEMM
+    values act only as a FILTER (candidates ≥ threshold − band, the
+    same reassociation-error band as similarity.assign), and the
+    OUTPUT sims — which the oracle hashes — are recomputed for the
+    output-sized survivor set with the exact sequential fold +
+    HALF_UP shortest-decimal rounding, bit-identical to
+    round(_dot/..., 6) (property-tested).  Norms ride in from the
+    Spark-computed ``nrm`` column, so the denominator is the identical
+    double.
+
+    Shuffle shape: ONE exchange of (id, cell, vector) rows keyed on
+    cell — half the self-join's two-sided shuffle — and pairs never
+    ship at all (they are born and filtered inside the worker).
+    Worker memory is row-chunked (chunk × |cell| scores); a skewed
+    cell costs one long task, the same skew the clustering knob
+    (num_cells ∝ N) exists to bound."""
+    import numpy as np
+
+    from hadoop_20_warehouse_spark.similarity.assign import (
+        _BAND,
+        _round6_scaled,
+        _seq_dot,
+    )
+
+    sel = tagged.select(
+        F.col("centroid_id").alias("cell_id"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("nrm"),
+    )
+    id_type = sel.schema[1].dataType
+    cid_type = sel.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("cell_id", cid_type),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def fn(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"cell_id": [], "id_a": [], "id_b": [], "sim": []}
+        ).astype({"sim": "float64"})
+        if n < 2:
+            return empty
+        cell = pdf["cell_id"].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        vn = pdf["nrm"].to_numpy(dtype=np.float64)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, (1 << 24) // n)
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            S = V[lo:hi] @ V.T
+            denom = vn[lo:hi, None] * vn[None, :]
+            valid = denom > 0.0
+            sims = np.where(valid, S / np.where(valid, denom, 1.0), -np.inf)
+            mask = (sims >= threshold - _BAND) & (
+                ids[lo:hi, None] < ids[None, :]
+            )
+            for i, j in zip(*np.nonzero(mask)):
+                gi = lo + i
+                exact = _seq_dot(V[gi], V[j])
+                sim6 = _round6_scaled(exact / (vn[gi] * vn[j])) / 1_000_000.0
+                if sim6 >= threshold:
+                    out_a.append(ids[gi])
+                    out_b.append(ids[j])
+                    out_s.append(sim6)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "cell_id": [cell] * len(out_a),
+                "id_a": out_a,
+                "id_b": out_b,
+                "sim": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    return sel.groupBy("cell_id").applyInPandas(fn, schema=schema)
 
 
 def semantic_dedup_removed(
@@ -61,6 +172,7 @@ def semantic_dedup_removed(
     threshold: float = DEFAULT_SEM_THRESHOLD,
     cents: DataFrame | None = None,
     method: str | None = None,
+    pair_method: str | None = None,
 ) -> DataFrame:
     """(vec_id, cell_id, dup_of, sim) — the REMOVED set: each row is a
     document with at least one same-cell neighbor of smaller id whose
@@ -86,6 +198,29 @@ def semantic_dedup_removed(
     vecs = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
     )
+    if pair_method is None:
+        from hadoop_20_warehouse_spark.similarity.assign import (
+            GEMM_ASSIGN_MIN_K,
+        )
+
+        pair_method = (
+            "grouped" if num_cells >= GEMM_ASSIGN_MIN_K else "join"
+        )
+    if pair_method == "grouped":
+        # per-cell GEMM: pairs are born inside the worker — one
+        # cell-keyed exchange, no pair rows ever shuffle
+        pairs = _pairs_grouped(
+            cells.join(vecs, on=id_col), id_col, vec_col, threshold
+        )
+        best = pairs.groupBy("id_b", "cell_id").agg(
+            F.min(F.struct("id_a", "sim")).alias("m")
+        )
+        return best.select(
+            F.col("id_b").alias(id_col),
+            "cell_id",
+            F.col("m")["id_a"].alias("dup_of"),
+            F.col("m")["sim"].alias("sim"),
+        )
     # (id, cell, v, n) feeds BOTH sides of the self-join — persist once
     tagged = persist_generation(
         "semdedup_tagged", cells.join(vecs, on=id_col)

@@ -558,3 +558,33 @@ def test_train_centroids_gemm_matches_hof(spark, emb):
     hk = sorted((r["centroid_id"], tuple(r["cv"]), r["cn"]) for r in h.collect())
     gk = sorted((r["centroid_id"], tuple(r["cv"]), r["cn"]) for r in g.collect())
     assert hk == gk
+
+
+@pytest.mark.parametrize("cells,tau", [(32, 0.35), (8, 0.2)])
+def test_semantic_pairs_grouped_matches_join(spark, emb, cells, tau):
+    """The per-cell-GEMM pairwise stage must reproduce the self-join
+    form exactly — including the emitted rounded sim doubles, which
+    the oracle hashes."""
+    from hadoop_20_warehouse_spark.dedup import semantic as SEM
+
+    j = SEM.semantic_dedup_removed(
+        emb, num_cells=cells, threshold=tau, pair_method="join"
+    )
+    g = SEM.semantic_dedup_removed(
+        emb, num_cells=cells, threshold=tau, pair_method="grouped"
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_semantic_pairs_grouped_matches_join_adversarial(
+    spark, adversarial_vecs
+):
+    from hadoop_20_warehouse_spark.dedup import semantic as SEM
+
+    j = SEM.semantic_dedup_removed(
+        adversarial_vecs, num_cells=24, threshold=0.3, pair_method="join"
+    )
+    g = SEM.semantic_dedup_removed(
+        adversarial_vecs, num_cells=24, threshold=0.3, pair_method="grouped"
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, g.collect()))
