@@ -204,9 +204,13 @@ def hashed_classifier_raw_milli(
     toks_col: str, w_col: str = "w", dim: int = CLS_DIM
 ) -> Column:
     """Integer milli-unit raw score: Σ over tokens of w[md5(t) % dim].
-    Pure codegen'd HOF — token hashing and the weight lookup are both
-    row-local against the broadcast weight array; integer adds are
-    order-independent (the repo's cross-engine sum discipline)."""
+    One JVM-side HOF fold — token hashing and the weight lookup are
+    both row-local against the broadcast weight array, and integer
+    adds are order-independent (the repo's cross-engine sum
+    discipline).  Note the fold is an INTERPRETED expression (array
+    HOFs break whole-stage codegen — the repo's measured finding); the
+    plan property that matters is zero shuffle and one corpus scan,
+    and the per-token constant is md5 + one array index."""
     idx = (
         f"cast(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) "
         f"% {dim} as int) + 1"

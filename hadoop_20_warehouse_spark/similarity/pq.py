@@ -14,7 +14,10 @@ float math per candidate.
 Spark shape (100 TB posture):
 - the codebook is O(m·k) — ONE broadcast row of nested arrays;
 - encode is a row-local projection (argmin over k codes per subspace,
-  inside whole-stage-codegen'd HOFs) — no shuffle;
+  JVM-side array HOFs — note: HOFs run as INTERPRETED expressions, not
+  whole-stage codegen, the repo's measured finding; the important
+  property is that encode is shuffle-free and embarrassingly parallel,
+  and k_codes here is small and fixed) — no shuffle;
 - the ADC scan is row-local lookups + one global top-k (TakeOrdered:
   per-partition partial top-k, k-row shuffle).
 
