@@ -245,9 +245,12 @@ def pq_adc_topk_sql(
     query vector is the corpus vector with the LARGEST (md5(id), id)
     — disjoint from the seed set's smallest-k in practice."""
     ctes = _pq_adc_ctes(table, id_col, vec_col, dim, m, k)
+    # the CTE chain's internal id alias is vec_id; re-alias the OUTPUT
+    # to the caller's id_col so Spark/DuckDB schemas align for every
+    # parameterization, not just the default (ADVICE r10)
     return f"""
 {ctes}
-SELECT vec_id, codes_str, adc_u,
+SELECT vec_id AS {id_col}, codes_str, adc_u,
        CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vec_id ASC) AS BIGINT) AS rank
 FROM adc
 QUALIFY rank <= {topk}
@@ -323,7 +326,7 @@ exact AS (
   JOIN {table} e ON e.{id_col} = s.vec_id
   CROSS JOIN q
 )
-SELECT vec_id, adc_u, exact_u,
+SELECT vec_id AS {id_col}, adc_u, exact_u,
        CAST(ROW_NUMBER() OVER (ORDER BY exact_u ASC, vec_id ASC) AS BIGINT) AS rank
 FROM exact
 QUALIFY rank <= {topk}
@@ -586,7 +589,7 @@ adc AS (
   JOIN lut ON lut.cell_id = enc.cell_id AND lut.s = enc.s AND lut.j = enc.code
   GROUP BY enc.vec_id, enc.cell_id
 )
-SELECT vec_id, cell_id, codes_str, adc_u,
+SELECT vec_id AS {id_col}, cell_id, codes_str, adc_u,
        CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vec_id ASC) AS BIGINT) AS rank
 FROM adc
 QUALIFY rank <= {topk}

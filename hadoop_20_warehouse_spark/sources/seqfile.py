@@ -38,6 +38,18 @@ from hadoop_20_warehouse_spark.sources.recordio import read_vlong
 
 _SEQ_MAGIC = b"SEQ"
 
+# Declared classes whose ObjectWritable payload is the VALUE directly
+# (no repeated concrete-class string): Java primitives, their java.lang
+# names as written by getName(), and String (ObjectWritable.java:
+# PRIMITIVE_NAMES + the String branch).  Arrays are caught separately
+# by the "[" getName() prefix.
+_NON_WRITABLE_DECLARED = frozenset(
+    {
+        "boolean", "byte", "char", "short", "int", "long", "float",
+        "double", "void", "java.lang.String",
+    }
+)
+
 
 # --- Writable wire-format decoders (io/*.java readFields) -------------------
 # name -> (spark sql type, decode(bytes, pos) -> (value, new_pos))
@@ -137,6 +149,21 @@ def parse_sequence_file(blob: bytes):
     if blob[:3] != _SEQ_MAGIC:
         raise ValueError("not a SequenceFile (missing SEQ magic)")
     version = blob[3]
+    # this parser assumes v4+ framing: Text (vint-length) class names
+    # and an unconditional sync marker.  The reference reads UTF8
+    # 2-byte-length class names for version < 4 and a sync marker only
+    # when version > 1 (io/SequenceFile.java:1462), so a legacy v1-v3
+    # file would misparse the header (a vint read of a UTF8 length
+    # field) and fail later with a confusing decoder error — raise
+    # early and say why (ADVICE r10).
+    if not 4 <= version <= 6:
+        raise ValueError(
+            f"SequenceFile version {version} unsupported: this parser "
+            f"implements v4-v6 framing (Text class names, unconditional "
+            f"sync); pre-v4 files use UTF8 class names and conditional "
+            f"sync markers — re-write with a modern writer or read via "
+            f"a JVM path"
+        )
     pos = 4
     key_class, pos = _read_text_string(blob, pos)
     value_class, pos = _read_text_string(blob, pos)
@@ -260,17 +287,45 @@ def read_sequence_tagged(
                     else:  # ObjectWritable: java-UTF declared class
                         n = struct.unpack_from(">H", vb, 0)[0]
                         declared = vb[2 : 2 + n].decode("utf-8")
-                        # Writable payloads repeat the concrete class
-                        n2 = struct.unpack_from(">H", vb, 2 + n)[0]
-                        concrete = vb[4 + n : 4 + n + n2].decode("utf-8")
-                        if declared not in by_class and concrete in by_class:
-                            declared = concrete
-                        if declared not in by_class:
+                        # Only WRITABLE payloads repeat a concrete
+                        # class string; primitive/String/array/enum
+                        # declared classes write the value directly
+                        # (ObjectWritable.java:120-160) — reading a
+                        # second java-UTF there would misparse value
+                        # bytes as a string length (ADVICE r10), so
+                        # check the declared class FIRST and fail
+                        # cleanly on non-Writable payload kinds.
+                        if (
+                            declared in _NON_WRITABLE_DECLARED
+                            or declared.startswith("[")
+                        ):
                             raise ValueError(
-                                f"ObjectWritable class '{declared}' not in types"
+                                f"ObjectWritable payload of declared "
+                                f"class '{declared}' is a primitive/"
+                                f"String/array value, not a Writable "
+                                f"union member — unsupported by this "
+                                f"tagged-union reader"
                             )
-                        tag = by_class[declared]
-                        body, bpos = vb, 4 + n + n2
+                        if declared in by_class:
+                            tag = by_class[declared]
+                            # skip the repeated concrete class string
+                            n2 = struct.unpack_from(">H", vb, 2 + n)[0]
+                            body, bpos = vb, 4 + n + n2
+                        else:
+                            # unknown declared class (interface or
+                            # supertype): the concrete class string
+                            # identifies the actual Writable
+                            n2 = struct.unpack_from(">H", vb, 2 + n)[0]
+                            concrete = vb[4 + n : 4 + n + n2].decode(
+                                "utf-8"
+                            )
+                            if concrete not in by_class:
+                                raise ValueError(
+                                    f"ObjectWritable class '{declared}' "
+                                    f"(concrete '{concrete}') not in types"
+                                )
+                            tag = by_class[concrete]
+                            body, bpos = vb, 4 + n + n2
                     if tag >= n_variants:
                         raise ValueError(
                             f"tag byte {tag} out of range for {n_variants} types"
