@@ -217,6 +217,7 @@ def pack_token_budget(
     budget: int = 512,
     n_shards: int = 8,
     passthrough: tuple[str, ...] = (),
+    tok_len_col: str | None = None,
 ) -> DataFrame:
     """Deterministic token-budget sequence packing: assign every doc a
     (shard, batch_id, batch_offset) placement such that each batch
@@ -244,13 +245,23 @@ def pack_token_budget(
     lib/HashPartitioner.java:36): every window partition is
     corpus/``n_shards`` rows, so the shard count scales the op to any
     corpus; ordering by (md5, id) makes placement reproducible across
-    runs and engines.  All integer arithmetic — exact cross-engine."""
+    runs and engines.  All integer arithmetic — exact cross-engine.
+
+    ``tok_len_col``: name of a precomputed per-doc token-count column
+    to pack by instead of the whitespace count — the hook that lets
+    packing run on REAL tokenizer counts (e.g. BPE subword counts from
+    functions/bpe.tokenize_with_merges) rather than word counts."""
     from pyspark.sql import Window
 
+    tok_len = (
+        F.col(tok_len_col).cast("long")
+        if tok_len_col
+        else T.token_count(F.col(text_col))
+    )
     base = docs.select(
         id_col,
         *passthrough,
-        T.token_count(F.col(text_col)).alias("tok_len"),
+        tok_len.alias("tok_len"),
         md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
         F.md5(F.col(id_col).cast("string")).alias("h"),
     )

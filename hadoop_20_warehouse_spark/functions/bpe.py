@@ -1,0 +1,392 @@
+"""Byte-pair-encoding tokenizer induction and application (Sennrich,
+Haddow, Birch, "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016 — the BPE vocabulary every modern pretraining
+pipeline trains between curation and packing).
+
+The repo already had the single merge-STEP statistic
+(text_bpe_pair_stats); this module adds the iterative trainer and the
+vocab-apply tokenizer, so the pack_token_* family can count REAL
+subword tokens instead of whitespace words.
+
+Spark shape (100 TB posture):
+
+- The corpus contributes exactly ONE shuffle: the word-frequency
+  partial agg (the BPE trick — pair statistics run over the
+  DISTINCT-WORD table weighted by frequency, never over raw corpus
+  positions).  The word table is then capped to the ``max_words`` most
+  frequent words (TakeOrdered, the standard practice — top ~1M words
+  carry ~all the mass of a web corpus), which BOUNDS every training
+  round regardless of corpus size.
+- Each merge round is one vocab-sized agg (adjacent-pair counts,
+  partial-aggregable) plus a 1-row argmax collect; the word frame is
+  localCheckpoint'd per round so the plan doesn't grow O(rounds) deep
+  (the train_centroids precedent).  Rounds are O(max_words · avg_len),
+  independent of corpus size.
+- Applying a trained vocabulary is a ROW-LOCAL projection: the N
+  merges become N nested ``replace`` calls per word (string literals
+  — the merge table is bounded metadata, like the centroid
+  broadcast), so tokenization is one corpus scan, no shuffle, no UDF.
+
+Cross-engine determinism (the repo's oracle discipline): BPE is
+all-integer — pair counts are exact longs, ties break lexicographically
+on (pair_a, pair_b), and the merged-token strings are byte-exact — so
+the DuckDB oracle reproduces the ENTIRE merge sequence bit-for-bit by
+unrolling the N rounds as generated CTE stages.  No floats anywhere.
+
+Token-sequence encoding — the one representational trick: a word's
+symbol sequence is carried as a ``||``-delimited string with DOUBLE
+delimiters at every boundary (``||h||e||y||</w>||``).  Applying merge
+(a, b) is then ``replace(seq, '|a||b|', '|ab|')``: the pattern consumes
+ONE bar from each side's pair, so the surviving bars still mark the
+boundary for the next non-overlapping left-to-right match — exactly
+BPE's greedy single-pass semantics, including runs (``a a a a`` with
+merge (a,a) → ``aa aa``), in BOTH engines' plain (non-regex)
+``replace``.  Words are restricted to ``[a-z0-9]+`` so the delimiter
+can never collide (normalization is standard; the filter is explicit
+and documented in the word-count stage).
+
+Reference lineage: the reference has no tokenizer induction; the
+iterate-a-small-state-table shape is its AggregateWordCount /
+iterative-job chaining pattern (examples/AggregateWordCount.java,
+jobcontrol chaining) applied to a vocabulary state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from hadoop_20_warehouse_spark.functions import text as T
+
+DEFAULT_N_MERGES = 12
+DEFAULT_MAX_WORDS = 1000
+
+# end-of-word marker (Sennrich et al. §3) — lets merges learn
+# word-final subwords; contains no delimiter bars and cannot collide
+# with [a-z0-9]+ word characters.
+_EOW = "</w>"
+
+_WORD_RE = "^[a-z0-9]+$"
+
+# Spark-side tokens-from-seq: split on the literal double bar, drop the
+# empty boundary artifacts.  ('\\|\\|' in SQL text = the regex \|\|.)
+_SPARK_TOKS = "filter(split(seq, '\\\\|\\\\|'), x -> x != '')"
+
+
+def _seq0_spark(w: str) -> str:
+    """SQL text: the initial ||-encoded char sequence + marker for
+    word column ``w``."""
+    return (
+        f"concat('||', array_join(transform(sequence(1, length({w})), "
+        f"i -> substring({w}, i, 1)), '||'), '||{_EOW}||')"
+    )
+
+
+def _seq0_duck(w: str) -> str:
+    return (
+        f"'||' || array_to_string(list_transform(generate_series(1, length({w})), "
+        f"i -> substr({w}, i, 1)), '||') || '||{_EOW}||'"
+    )
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> DataFrame:
+    """(w, wf, seq): the ``max_words`` most frequent [a-z0-9]+ words
+    (count DESC, word ASC — deterministic cap) with their initial
+    symbol-sequence encoding.  One corpus shuffle (word-count partial
+    agg), then a TakeOrdered cap."""
+    words = docs.select(
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.col("w").rlike(_WORD_RE))
+    wc = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+        .orderBy(F.desc("wf"), F.asc("w"))
+        .limit(max_words)
+    )
+    return wc.withColumn("seq", F.expr(_seq0_spark("w")))
+
+
+def train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> DataFrame:
+    """The BPE trainer: ``n_merges`` rounds of (count adjacent symbol
+    pairs weighted by word frequency → merge the most frequent pair,
+    ties lexicographic).  Returns the merge TABLE — (step, pair_a,
+    pair_b, merged, pair_count) in training order — which IS the
+    tokenizer model (apply with :func:`tokenize_with_merges`).
+
+    Each round is one vocab-sized agg + a 1-row collect; the word
+    frame is localCheckpoint'd every few rounds (bounded ≤ max_words
+    rows — the checkpoint bounds lineage depth, and spacing it every 4
+    rounds halves the trainer's job count: replaying ≤3 replace
+    projections over a capped table is cheaper than a checkpoint job).
+    Stops early if the vocabulary exhausts (every word one symbol);
+    the oracle's CASE-guarded stages reproduce the early stop."""
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col, max_words).localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            wc.select("wf", F.expr(_SPARK_TOKS).alias("t"))
+            # a fully-merged word (one symbol) contributes no pairs —
+            # and must be excluded BEFORE the sequence() call: Spark's
+            # sequence(1, 0) yields a DESCENDING [1, 0], not empty
+            # (DuckDB's generate_series(1, 0) IS empty), so an
+            # unguarded transform would index past the array
+            .filter(F.expr("size(t) >= 2"))
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> struct(element_at(t, i) AS pa, "
+                        "element_at(t, i + 1) AS pb))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p")["pa"].alias("pa"), F.col("p")["pb"].alias("pb"))
+            .agg(F.sum("wf").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("pa"), F.asc("pb")
+        ).limit(1).collect()
+        if not best:
+            break  # vocabulary exhausted — every word is one symbol
+        pa, pb, cnt = best[0]["pa"], best[0]["pb"], best[0]["cnt"]
+        merged = pa + pb
+        merges.append((step, pa, pb, merged, cnt))
+        wc = wc.withColumn(
+            "seq",
+            F.expr(f"replace(seq, '|{pa}||{pb}|', '|{merged}|')"),
+        )
+        if step % 4 == 0:
+            wc = wc.localCheckpoint(eager=True)
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("pair_a", StringType()),
+            StructField("pair_b", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema=schema)
+
+
+def _train_ctes_duck(
+    table: str,
+    text_col: str,
+    n_merges: int,
+    max_words: int,
+) -> str:
+    """The unrolled training CTE chain: w0 (capped word counts with
+    initial encodings), then per round i: p{i} pair counts, m{i} the
+    1-row argmax, w{i} the merged re-encoding.  CASE-guarded so an
+    exhausted vocabulary (empty m{i}) passes seq through unchanged —
+    matching the Spark trainer's early stop."""
+    stages = [
+        f"""w0 AS MATERIALIZED (
+  SELECT w, wf, {_seq0_duck("w")} AS seq FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+      SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM {table}
+    ) WHERE regexp_matches(w, '{_WORD_RE}')
+    GROUP BY w ORDER BY wf DESC, w ASC LIMIT {max_words}
+  )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        stages.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT t[i] AS pa, t[i + 1] AS pb, CAST(SUM(wf) AS BIGINT) AS cnt
+  FROM (SELECT wf, list_filter(string_split(seq, '||'), x -> x <> '') AS t
+        FROM {prev}),
+       UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+  SELECT CAST({i} AS BIGINT) AS step, pa, pb, pa || pb AS merged, cnt
+  FROM p{i} ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT w, wf,
+         CASE WHEN EXISTS (SELECT 1 FROM m{i})
+              THEN replace(seq,
+                           '|' || (SELECT pa FROM m{i}) || '||' ||
+                                  (SELECT pb FROM m{i}) || '|',
+                           '|' || (SELECT merged FROM m{i}) || '|')
+              ELSE seq END AS seq
+  FROM {prev}
+)"""
+        )
+    return ",\n".join(stages)
+
+
+def train_merges_sql(
+    table: str,
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> str:
+    """DuckDB oracle for :func:`train_merges` — the full merge sequence
+    reproduced exactly (integer counts, lexicographic ties)."""
+    ctes = _train_ctes_duck(table, text_col, n_merges, max_words)
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, pa AS pair_a, pb AS pair_b, merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {ctes}\n{union}".strip()
+
+
+def apply_merges_expr_spark(word_expr: str, merges: list[tuple]) -> str:
+    """SQL text: encode ``word_expr`` and apply the trained merges in
+    order — N nested replace calls, all literals (bounded metadata)."""
+    s = _seq0_spark(word_expr)
+    for _, pa, pb, merged, _ in merges:
+        s = f"replace({s}, '|{pa}||{pb}|', '|{merged}|')"
+    return s
+
+
+def tokenize_with_merges(
+    docs: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bpe_len, tok_digest): per-document subword-token count and
+    an md5 digest of the space-joined token stream — the corpus
+    tokenized with a trained vocabulary, as ONE row-local projection
+    (no shuffle, no UDF; the merge table rides as string literals).
+    Words outside [a-z0-9]+ are dropped by the same normalization the
+    trainer applies."""
+    chain = apply_merges_expr_spark("w", merges)
+    flat = (
+        f"flatten(transform("
+        f"filter(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        f"x -> x rlike '{_WORD_RE}'), "
+        f"w -> filter(split({chain}, '\\\\|\\\\|'), x -> x != '')))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"cast(size({flat}) as bigint)").alias("bpe_len"),
+        F.expr(f"md5(array_join({flat}, ' '))").alias("tok_digest"),
+    )
+
+
+def tokenize_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> str:
+    """DuckDB oracle for train→tokenize: the training CTE chain plus a
+    per-(doc, word) unroll of the same N replaces (scalar subqueries —
+    lambdas can't host subqueries, so words unnest to rows first),
+    re-aggregated in word order."""
+    ctes = _tokenize_ctes_duck(table, id_col, text_col, n_merges, max_words)
+    return f"""
+WITH {ctes}
+SELECT d.{id_col},
+       COALESCE(a.bpe_len, 0) AS bpe_len,
+       md5(COALESCE(a.joined, '')) AS tok_digest
+FROM {table} d LEFT JOIN docagg a ON a.did = d.{id_col}
+""".strip()
+
+
+def _tokenize_ctes_duck(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+    max_words: int,
+) -> str:
+    """Training chain + per-(doc, word) merge application, ending at
+    ``docagg`` (did, bpe_len, joined) — shared by the tokenize and the
+    BPE-driven packing oracles."""
+    ctes = _train_ctes_duck(table, text_col, n_merges, max_words)
+    stages = [
+        f"""wordrows AS MATERIALIZED (
+  SELECT {id_col} AS did, u.i AS widx, ws[u.i] AS w
+  FROM (SELECT {id_col},
+               list_filter(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                           t -> t <> ''), t -> regexp_matches(t, '{_WORD_RE}')) AS ws
+        FROM {table}),
+       UNNEST(generate_series(1, len(ws))) AS u(i)
+),
+s0 AS MATERIALIZED (SELECT did, widx, {_seq0_duck("w")} AS seq FROM wordrows)"""
+    ]
+    for i in range(1, n_merges + 1):
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT did, widx,
+         CASE WHEN EXISTS (SELECT 1 FROM m{i})
+              THEN replace(seq,
+                           '|' || (SELECT pa FROM m{i}) || '||' ||
+                                  (SELECT pb FROM m{i}) || '|',
+                           '|' || (SELECT merged FROM m{i}) || '|')
+              ELSE seq END AS seq
+  FROM s{i - 1}
+)"""
+        )
+    body = ",\n".join(stages)
+    return f"""{ctes},
+{body},
+tokrows AS (
+  SELECT did, widx,
+         list_filter(string_split(seq, '||'), x -> x <> '') AS ts
+  FROM s{n_merges}
+),
+docagg AS (
+  SELECT did,
+         CAST(SUM(len(ts)) AS BIGINT) AS bpe_len,
+         string_agg(array_to_string(ts, ' '), ' ' ORDER BY widx) AS joined
+  FROM tokrows GROUP BY did
+)"""
+
+
+def pack_bpe_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+    budget: int = 512,
+    n_shards: int = 8,
+) -> str:
+    """DuckDB oracle for BPE-driven token-budget packing: the
+    train→tokenize chain supplies per-doc SUBWORD counts, then the
+    same md5-shard cumulative-sum placement as pack_token_budget."""
+    ctes = _tokenize_ctes_duck(table, id_col, text_col, n_merges, max_words)
+    return f"""
+WITH {ctes},
+d AS (
+  SELECT t.{id_col},
+         COALESCE(a.bpe_len, 0) AS tok_len,
+         CAST(CAST('0x' || substring(md5(CAST(t.{id_col} AS VARCHAR)), 1, 15) AS BIGINT)
+              % {n_shards} AS BIGINT) AS shard,
+         md5(CAST(t.{id_col} AS VARCHAR)) AS h
+  FROM {table} t LEFT JOIN docagg a ON a.did = t.{id_col}
+),
+c AS (
+  SELECT {id_col}, shard, tok_len,
+         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, {id_col}
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM d
+)
+SELECT {id_col}, shard, tok_len,
+       CAST(start_off // {budget} AS BIGINT) AS batch_id,
+       CAST(start_off % {budget} AS BIGINT) AS batch_offset
+FROM c
+""".strip()

@@ -940,3 +940,118 @@ def q_corpus_length_deciles_by_source(
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# BPE tokenizer: induction, application, and BPE-driven packing
+# (functions/bpe.py; Sennrich et al. 2016 — the trainer the
+# text_bpe_pair_stats primitive anticipated)
+# ===========================================================================
+
+_BPE_N_MERGES = 12
+_BPE_MAX_WORDS = 1000
+
+
+def _bpe_mod():
+    from hadoop_20_warehouse_spark.functions import bpe as B
+
+    return B
+
+
+def _bpe_train_oracle() -> str:
+    return _bpe_mod().train_merges_sql(
+        "documents", n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (functions/bpe.train_merges; Sennrich
+    et al. 2016): 12 rounds of (adjacent symbol-pair counts weighted by
+    word frequency → merge the argmax, lexicographic ties).  The corpus
+    contributes ONE shuffle (the word-count partial agg, capped to the
+    top-1000 words — the bound that makes every round corpus-size-
+    independent); each round is a vocab-sized agg + 1-row collect with
+    periodic lineage checkpoints (the train_centroids posture).  The
+    entire merge SEQUENCE — pairs, merged tokens, and integer counts —
+    is hash-checked against a DuckDB oracle that unrolls the rounds as
+    generated materialized CTE stages; all-integer, no floats, so the
+    reproduction is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe_mod().train_merges(
+        docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+
+
+def _bpe_tokenize_oracle() -> str:
+    return _bpe_mod().tokenize_sql(
+        "documents", n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+
+
+@register("tokenize_bpe", oracle=_bpe_tokenize_oracle())
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-apply tokenization (functions/bpe.tokenize_with_merges):
+    train the 12-merge BPE vocabulary, then tokenize every document
+    with it — per doc the subword-token COUNT and an md5 digest of the
+    full space-joined token stream, so the oracle hash-checks the
+    exact token sequences, not just counts.  Application is one
+    row-local projection (the trained merges ride as nested replace
+    literals — bounded metadata, no UDF, no shuffle), so at 100 TB
+    tokenization costs exactly one corpus scan after the bounded
+    training job."""
+    B = _bpe_mod()
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        tuple(r)
+        for r in sorted(
+            B.train_merges(
+                docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+            ).collect()
+        )
+    ]
+    return B.tokenize_with_merges(docs, merges)
+
+
+def _bpe_pack_oracle() -> str:
+    return _bpe_mod().pack_bpe_sql(
+        "documents",
+        n_merges=_BPE_N_MERGES,
+        max_words=_BPE_MAX_WORDS,
+        budget=512,
+        n_shards=8,
+    )
+
+
+@register("pack_token_bpe", oracle=_bpe_pack_oracle())
+def q_pack_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing driven by REAL tokenizer counts: the
+    pack_token_budget layout (md5-shard cumulative-sum placement,
+    T5-style) with per-doc lengths from the trained BPE tokenizer
+    instead of whitespace words — the combination a pretraining
+    pipeline actually runs (pack by the counts the model will see).
+    Wiring: tokenize_with_merges supplies (doc_id, bpe_len);
+    dedup/spans.pack_token_budget(tok_len_col='bpe_len') packs by it.
+    The oracle composes the tokenize chain with the packing window
+    verbatim, so the CROSS-STAGE wiring is hash-checked."""
+    B = _bpe_mod()
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        tuple(r)
+        for r in sorted(
+            B.train_merges(
+                docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+            ).collect()
+        )
+    ]
+    lens = B.tokenize_with_merges(docs, merges).select(
+        "doc_id", "bpe_len"
+    )
+    return pack_token_budget(
+        docs.join(lens, on="doc_id"),
+        budget=512,
+        n_shards=8,
+        tok_len_col="bpe_len",
+    )

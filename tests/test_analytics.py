@@ -276,3 +276,89 @@ def test_countmin_store_never_undercounts_and_merges(spark, tmp_path):
         # 7 keys in 4x64 cells: collisions possible but bounded by the
         # total increment mass
         assert r.cm_estimate <= sum(freq.values())
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer/tokenizer (functions/bpe.py) vs a literal python reference
+
+
+def _py_bpe(word_freqs: dict, n_merges: int):
+    """Literal Sennrich-style reference: greedy single-pass merges,
+    ties (count DESC, pair lexicographic ASC)."""
+    seqs = {w: [*w, "</w>"] for w in word_freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, toks in seqs.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = (
+                    counts.get((toks[i], toks[i + 1]), 0) + word_freqs[w]
+                )
+        if not counts:
+            break
+        (pa, pb), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, pa, pb, pa + pb, cnt))
+        for w, toks in seqs.items():
+            out = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from hadoop_20_warehouse_spark.functions import bpe as B
+
+    rows = [
+        (0, "aaaa aaaa ab"),
+        (1, "banana bandana"),
+        (2, "aaaa banana banana"),
+        (3, "ab ab ab cable"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf: dict = {}
+    for _, t in rows:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want, seqs = _py_bpe(wf, 8)
+    got = sorted(map(tuple, B.train_merges(docs, n_merges=8).collect()))
+    assert got == sorted(want)
+    # tokenize must reproduce the reference's final segmentations,
+    # including the greedy run semantics (aaaa with merge (a,a) -> aa aa)
+    merges = got
+    tk = {
+        r["doc_id"]: r
+        for r in B.tokenize_with_merges(docs, merges).collect()
+    }
+    import hashlib
+
+    for did, t in rows:
+        toks = [tok for w in t.split() for tok in seqs[w]]
+        assert tk[did]["bpe_len"] == len(toks)
+        assert (
+            tk[did]["tok_digest"]
+            == hashlib.md5(" ".join(toks).encode()).hexdigest()
+        )
+
+
+def test_bpe_early_stop_on_exhausted_vocab(spark):
+    """More requested merges than the vocabulary supports: the trainer
+    must stop (not loop or emit duplicates) and tokenize must still
+    apply the partial table."""
+    from hadoop_20_warehouse_spark.functions import bpe as B
+
+    docs = spark.createDataFrame([(0, "ab ab ba")], "doc_id long, text string")
+    rows = B.train_merges(docs, n_merges=50).collect()
+    # vocab {ab:2, ba:1} supports at most 4 merges (2 per word shape)
+    assert 0 < len(rows) <= 8
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    tk = B.tokenize_with_merges(docs, [tuple(r) for r in rows]).collect()
+    assert tk[0]["bpe_len"] >= 1
