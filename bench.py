@@ -128,6 +128,37 @@ def _teragen_sort_10m(spark, sf_dir: str) -> DataFrame:
     return teragen(spark, 10_000_000, partitions=32).orderBy("key")
 
 
+# The 12-merge BPE table trained on the sf0.1 documents (deterministic
+# artifact of the committed trainer + testdata — bpe_train_merges is
+# separately timed and hash-checked).  The apply-only thunk times the
+# TOKENIZE data term (one row-local corpus scan) without re-paying the
+# training rounds inside the same timing.
+_BPE_FIXED_MERGES = [
+    (1, "e", "</w>", "e</w>", 45289),
+    (2, "e", "r", "er", 45089),
+    (3, "i", "n", "in", 27190),
+    (4, "o", "r", "or", 27095),
+    (5, "s", "t", "st", 27060),
+    (6, "er", "</w>", "er</w>", 27051),
+    (7, "o", "w", "ow", 27044),
+    (8, "ow", "</w>", "ow</w>", 27044),
+    (9, "t", "a", "ta", 18248),
+    (10, "l", "u", "lu", 18239),
+    (11, "a", "r", "ar", 18111),
+    (12, "p", "ar", "par", 18111),
+]
+
+
+def _tokenize_bpe_apply(spark, sf_dir: str) -> DataFrame:
+    """Vocab-apply tokenization with a FIXED trained merge table — the
+    projection-only data term of tokenize_bpe."""
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.functions.bpe import tokenize_with_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize_with_merges(docs, _BPE_FIXED_MERGES)
+
+
 def _embed_synth(spark, n: int) -> DataFrame:
     """n deterministic synthetic 64-dim vectors (md5-derived uniforms
     in [-1,1)) — the ANN probe's data generator, linear and identical
@@ -371,6 +402,16 @@ BENCH_QUERIES: dict[str, object] = {
     "text_quality_classifier": QUERIES["text_quality_classifier"],
     "doc_chunk_sliding": QUERIES["doc_chunk_sliding"],
     "store_countmin_freq": QUERIES["store_countmin_freq"],
+    # round-11 additions (appended; anchored on landing): the GEMM-
+    # pinned assign/pairwise paths, the BPE trainer (12 rounds over the
+    # capped word table), and apply-only tokenization with a fixed
+    # trained table (the corpus-scan data term; the registered
+    # tokenize_bpe query trains+applies and is driver-checked — timing
+    # it here would double-count the training rounds)
+    "dedup_semantic_gemm": QUERIES["dedup_semantic_gemm"],
+    "knn_ivf_gemm": QUERIES["knn_ivf_gemm"],
+    "bpe_train_merges": QUERIES["bpe_train_merges"],
+    "tokenize_bpe_apply": _tokenize_bpe_apply,
 }
 
 
