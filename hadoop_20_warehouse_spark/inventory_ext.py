@@ -1963,3 +1963,63 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_image_real(imgs, "id", "payload", box_w=64, box_h=48).drop(
         "resized_ppm"
     )
+
+
+_TFILE_SQL = """
+SELECT o_orderkey, o_orderstatus AS status,
+       md5(CAST(o_orderkey AS VARCHAR)) AS digest
+FROM orders
+ORDER BY o_orderkey LIMIT 400
+"""
+
+
+@register("tfile_roundtrip", oracle=_TFILE_SQL)
+def q_tfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFile/BCFile interop round-trip (sources/tfile.py; reference
+    io/file/tfile/TFile.java:128): 400 orders rows serialize as
+    memcmp-sorted (key = zero-padded orderkey) gz-compressed TFile
+    records through the REAL JVM writer bundled in Spark's
+    hadoop-common, then the pure-Python classpath-free parser reads
+    the container back inside mapInPandas — BCFile tail/meta-index/
+    data-index, TFile.meta record count, chunked values, zlib blocks —
+    and the oracle regenerates the content from the original table:
+    equality proves the byte-level format round-trips losslessly.
+    Legacy-migration surface (SURVEY maps TFile's ROLE to parquet);
+    parallelism = file count, the format's own contract."""
+    from hadoop_20_warehouse_spark.sources.tfile import (
+        read_tfile,
+        write_tfile_jvm,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (
+        orders.select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(400)
+        .collect()
+    )
+    import hashlib
+
+    pairs = [
+        (
+            f"{r['o_orderkey']:020d}".encode(),
+            (
+                r["o_orderstatus"]
+                + "\t"
+                + hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()
+            ).encode(),
+        )
+        for r in rows
+    ]
+    path = _fresh_subdir(_scratch_dir("tfilert"), "orders") + "/part0.tfile"
+    write_tfile_jvm(spark, path, pairs, compression="gz")
+    back = read_tfile(spark, path)
+    return back.select(
+        F.col("key").cast("string").cast("long").alias("o_orderkey"),
+        F.split_part(F.col("value").cast("string"), F.lit("\t"), F.lit(1)).alias(
+            "status"
+        ),
+        F.split_part(F.col("value").cast("string"), F.lit("\t"), F.lit(2)).alias(
+            "digest"
+        ),
+    )

@@ -218,3 +218,61 @@ def test_container_roundtrip_random_unions(data, sync_every):
             assert val == bytes(eval_)
         else:
             assert val == eval_
+
+
+# ---------------------------------------------------------------------------
+# TFile/BCFile interop reader (sources/tfile.py) — pinned against REAL
+# files written by the JVM TFile writer bundled in Spark's hadoop-common.
+
+
+def _tfile_pairs(n=500):
+    import hashlib
+
+    return [
+        (
+            f"k{i:05d}".encode(),
+            hashlib.md5(str(i).encode()).hexdigest().encode()
+            * (50 if i == 7 else 1),  # one multi-chunk value
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("comp", ["none", "gz"])
+def test_tfile_jvm_roundtrip(spark, tmp_path, comp):
+    from hadoop_20_warehouse_spark.sources import tfile as TF
+
+    pairs = _tfile_pairs()
+    p = str(tmp_path / f"a_{comp}.tfile")
+    # min_block_size=512 forces multi-block layout for the 'none' file
+    TF.write_tfile_jvm(spark, p, pairs, compression=comp, min_block_size=512)
+    meta, recs = TF.parse_tfile(open(p, "rb").read())
+    assert meta["record_count"] == len(pairs)
+    assert meta["comparator"] == "memcmp"
+    assert meta["compression"] == comp
+    assert list(recs) == pairs
+    if comp == "none":
+        assert meta["n_blocks"] > 1, "block split did not engage"
+
+
+def test_tfile_unsorted_and_spark_read(spark, tmp_path):
+    from hadoop_20_warehouse_spark.sources import tfile as TF
+
+    pairs = _tfile_pairs(120)[::-1]  # reverse order → needs unsorted mode
+    p = str(tmp_path / "b.tfile")
+    TF.write_tfile_jvm(spark, p, pairs, compression="gz", comparator="")
+    meta, recs = TF.parse_tfile(open(p, "rb").read())
+    assert meta["comparator"] == ""
+    assert list(recs) == pairs
+    rows = sorted(
+        (bytes(r["key"]), bytes(r["value"]))
+        for r in TF.read_tfile(spark, p).collect()
+    )
+    assert rows == sorted(pairs)
+
+
+def test_tfile_rejects_garbage_and_lzo(spark, tmp_path):
+    from hadoop_20_warehouse_spark.sources import tfile as TF
+
+    with pytest.raises(ValueError, match="magic"):
+        TF.parse_tfile(b"x" * 64)
