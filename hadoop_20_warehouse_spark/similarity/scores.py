@@ -1,0 +1,306 @@
+"""Batched exact-cosine scoring kernels — the GEMM twins of the
+remaining interpreted-HOF hot paths in the vector family.
+
+``similarity.assign`` batched the centroid-assign stage; this module
+applies the same bit-identity discipline (numpy matmul for the bulk,
+exact sequential-fold recompute inside a numerically-justified tie
+band, HALF_UP shortest-decimal rounding where a rounded value is
+emitted or compared) to:
+
+- :func:`plane_signs` — the sign-LSH signature stage
+  (``dedup.embedding.sign_buckets`` / ``knn.lsh_topk``'s bucketing):
+  all n_tables × n_planes plane dots as ONE matmul against the
+  broadcast plane matrix, signs packed to per-table bucket ints.
+  Sign-flip risk exists only where |dot| falls inside the
+  reassociation error bound (plane components are ±1000 integers, so
+  float32×int products are exact in float64 and the bound is
+  d·eps·1000·‖v‖₁); banded entries are recomputed with the exact
+  sequential fold, so every emitted bucket bit equals the HOF fold's.
+- :func:`brute_topk` — the exact |Q|×N cosine top-k
+  (``knn.brute_force_topk``'s scorer, which also prices every
+  recall@k evaluation): corpus batches score against the broadcast
+  query matrix, each batch emits only its per-query top-(k + ties)
+  survivors with EXACT rounded sims (band + sequential recompute +
+  Decimal rounding), and a final per-query window ranks the
+  partition-pruned candidate set — TakeOrdered's shape, rows shuffled
+  = O(partitions · |Q| · k), never N·|Q|.
+- :func:`pairs_threshold` — the exact all-pairs threshold baseline
+  (``dedup.embedding.brute_force_pairs``): batch × broadcast-corpus
+  matmul as a candidate FILTER (≥ threshold − band), exact rounded
+  sims recomputed for the output-sized survivor set (the
+  ``dedup.semantic._pairs_grouped`` pattern without the cell
+  grouping; test-yardstick only, O(n²) by definition).
+
+Equality with the HOF forms is property-tested (including zero-norm
+NULL-cosine ordering and duplicate-vector rounding ties); dispatch
+stays with the callers — these kernels win at every scale measured,
+but the HOF forms remain the no-Python-worker default for tiny inputs
+and as the executable specification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hadoop_20_warehouse_spark.similarity.assign import (
+    _BAND,
+    _round6_scaled,
+    _seq_dot,
+)
+
+# float64 unit roundoff; sign/tie bands scale it by the dot's magnitude
+_EPS = 2.3e-16
+
+
+def plane_signs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+) -> DataFrame:
+    """(id, table_idx, bucket) — sign-LSH buckets via one plane-matrix
+    GEMM per Arrow batch; bit-identical to the HOF fold (see module
+    docstring for the sign-band argument)."""
+    import numpy as np
+
+    from hadoop_20_warehouse_spark.similarity.knn import _plane_component_py
+
+    spark = df.sparkSession
+    n_all = n_tables * n_planes
+    P = np.array(
+        [
+            [_plane_component_py(p, d) for d in range(dim)]
+            for p in range(n_all)
+        ],
+        dtype=np.float64,
+    )
+    bc = spark.sparkContext.broadcast(P)
+    sel = df.select(F.col(id_col), F.col(vec_col))
+    id_type = sel.schema[0].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("table_idx", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        P_ = bc.value
+        Pt = P_.T
+        w2 = np.arange(n_planes, dtype=np.int64)
+        weights = (1 << w2).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            S = V @ Pt  # (B, n_all) — products are exact (int × f32)
+            # sign-flip band: |dot| within the reassociation bound
+            bound = (
+                4.0 * dim * _EPS * 1000.0 * np.abs(V).sum(axis=1)
+            )  # per row
+            risky = np.abs(S) <= bound[:, None]
+            for i, j in zip(*np.nonzero(risky)):
+                S[i, j] = _seq_dot(V[i], P_[j])
+            signs = S > 0.0
+            B = V.shape[0]
+            out_id = np.repeat(ids, n_tables)
+            out_t = np.tile(
+                np.arange(n_tables, dtype=np.int32), B
+            )
+            buckets = (
+                signs.reshape(B, n_tables, n_planes).astype(np.int64)
+                * weights[None, None, :]
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "table_idx": out_t,
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return sel.mapInPandas(gen, schema=schema)
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank) — exact cosine top-k,
+    bit-identical to ``knn.brute_force_topk``: per corpus batch one
+    matmul against the broadcast query matrix, batch-local top-(k +
+    tie band) pruning with exact rounded sims, then a per-query window
+    over the pruned candidates (rows = O(partitions·|Q|·k)).
+
+    NULL cosines (zero norms) rank LAST with neighbor-id tiebreaks and
+    are emitted only when a batch has fewer than k finite candidates —
+    matching the HOF form's NULLS-LAST ranking exactly."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [r[id_col] for r in qrows]
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+    sel = corpus.select(F.col(id_col), F.col(vec_col))
+    id_type = sel.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        qids_, Q_, qn_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            S = V @ Q_.T  # (B, nq)
+            denom = vn[:, None] * qn_[None, :]
+            valid = denom > 0.0
+            sims = np.where(valid, S / np.where(valid, denom, 1.0), -np.inf)
+            out_q, out_n, out_s = [], [], []
+            for qj in range(nq):
+                col = sims[:, qj]
+                self_mask = ids == qids_[qj]
+                col = np.where(self_mask, -np.inf, col)
+                finite = np.isfinite(col)
+                n_fin = int(finite.sum())
+                kk = min(k, n_fin)
+                if kk:
+                    # batch-local k-th largest, then the tie band
+                    t = np.partition(col, len(col) - kk)[len(col) - kk]
+                    cand = np.nonzero(col >= t - _BAND)[0]
+                    keyed = []
+                    for i in cand:
+                        exact = _seq_dot(V[i], Q_[qj])
+                        sim6 = (
+                            _round6_scaled(exact / denom[i, qj]) / 1_000_000.0
+                        )
+                        keyed.append((-sim6, ids[i], sim6))
+                    keyed.sort(key=lambda x: (x[0], x[1]))
+                    for negs, nid, sim6 in keyed[:k]:
+                        out_q.append(qids_[qj])
+                        out_n.append(nid)
+                        out_s.append(sim6)
+                if n_fin < k:
+                    # fill with NULL-cosine neighbors (smallest ids
+                    # first — the HOF NULLS-LAST tiebreak); every
+                    # batch emits enough of its own smallest nulls
+                    # that the global window always sees the true
+                    # NULLS-LAST tail
+                    nulls = np.sort(ids[(~np.isfinite(col)) & (~self_mask)])
+                    for nid in nulls[: k - n_fin]:
+                        out_q.append(qids_[qj])
+                        out_n.append(nid)
+                        out_s.append(None)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "sim": pd.array(out_s, dtype="float64"),
+                }
+            )
+
+    cand = sel.mapInPandas(gen, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def pairs_threshold(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """(id_a, id_b, sim) — exact all-pairs ≥ threshold, bit-identical
+    to ``dedup.embedding.brute_force_pairs``: one matmul per corpus
+    batch against the broadcast full corpus (test-yardstick scale by
+    contract), GEMM values filter candidates, exact rounded sims
+    recomputed for the survivors."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    all_ids = np.array([r[id_col] for r in rows])
+    A = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    an = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((all_ids, A, an))
+    sel = df.select(F.col(id_col), F.col(vec_col))
+    id_type = sel.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_, A_, an_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            S = V @ A_.T
+            denom = vn[:, None] * an_[None, :]
+            valid = denom > 0.0
+            sims = np.where(valid, S / np.where(valid, denom, 1.0), -np.inf)
+            mask = (sims >= threshold - _BAND) & (ids[:, None] < ids_[None, :])
+            out_a, out_b, out_s = [], [], []
+            for i, j in zip(*np.nonzero(mask)):
+                exact = _seq_dot(V[i], A_[j])
+                sim6 = _round6_scaled(exact / denom[i, j]) / 1_000_000.0
+                if sim6 >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids_[j])
+                    out_s.append(sim6)
+            yield pd.DataFrame(
+                {
+                    "id_a": out_a,
+                    "id_b": out_b,
+                    "sim": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    return sel.mapInPandas(gen, schema=schema)

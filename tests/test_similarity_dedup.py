@@ -588,3 +588,38 @@ def test_semantic_pairs_grouped_matches_join_adversarial(
         adversarial_vecs, num_cells=24, threshold=0.3, pair_method="grouped"
     )
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, g.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Batched scoring kernels (similarity/scores.py) vs their HOF forms
+
+
+def test_plane_signs_matches_hof(spark, emb, adversarial_vecs):
+    from hadoop_20_warehouse_spark.similarity import scores as SC
+
+    for df in (emb, adversarial_vecs):
+        h = EMB.sign_buckets(df, "vec_id", "embedding", 4, 8, 64, method="hof")
+        g = SC.plane_signs(df, "vec_id", "embedding", 4, 8, 64)
+        assert sorted(map(tuple, h.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_brute_topk_gemm_matches_hof(spark, emb, adversarial_vecs):
+    """Includes the NULL-cosine tail: the adversarial frame's zero
+    vectors produce all-NULL queries whose top-k is the NULLS-LAST
+    neighbor-id order."""
+    from hadoop_20_warehouse_spark.similarity import scores as SC
+
+    for df in (emb, adversarial_vecs):
+        q = df.filter(F.expr("vec_id % 50 = 0"))
+        h = brute_force_topk(df, q, k=5, method="hof")
+        g = SC.brute_topk(df, q, "vec_id", "embedding", 5)
+        assert sorted(map(tuple, h.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_pairs_threshold_gemm_matches_hof(spark, emb, adversarial_vecs):
+    from hadoop_20_warehouse_spark.similarity import scores as SC
+
+    for df, tau in ((emb, 0.3), (adversarial_vecs, 0.3)):
+        h = EMB.brute_force_pairs(df, threshold=tau, method="hof")
+        g = SC.pairs_threshold(df, "vec_id", "embedding", tau)
+        assert sorted(map(tuple, h.collect())) == sorted(map(tuple, g.collect()))
