@@ -304,3 +304,97 @@ def pairs_threshold(
             )
 
     return sel.mapInPandas(gen, schema=schema)
+
+
+def lsh_grouped_topk(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank) — per-bucket exact top-k for
+    sign-LSH search (``knn.lsh_topk``'s scorer): ``vecs`` carries
+    (id, vec, nrm, bucket); each vector's candidate set is exactly its
+    own bucket (ONE signature per vector), so the per-query top-k is
+    computable ENTIRELY inside the bucket group — one bucket-keyed
+    exchange, one cosine matmul per bucket (row-chunked), tie-band
+    exact rounded sims, ranks emitted in-group with the HOF form's
+    (rounded sim DESC, neighbor ASC, NULLS LAST) ordering.  No pair
+    rows, no second shuffle, no window — vs the self-join form's
+    two-sided exchange plus a corpus-pair-sized window input.
+    Bit-identity with the join form is property-tested."""
+    import numpy as np
+
+    sel = vecs.select(F.col(id_col), F.col(vec_col), F.col("nrm"), F.col("bucket"))
+    id_type = sel.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("sim", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+
+    def fn(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "sim": [], "rank": []}
+        ).astype({"sim": "float64", "rank": "int64"})
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        vn = pdf["nrm"].to_numpy(dtype=np.float64)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        chunk = max(1, (1 << 24) // n)
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            S = V[lo:hi] @ V.T
+            denom = vn[lo:hi, None] * vn[None, :]
+            valid = denom > 0.0
+            sims = np.where(valid, S / np.where(valid, denom, 1.0), -np.inf)
+            for r in range(hi - lo):
+                i = lo + r
+                col = sims[r].copy()
+                col[i] = -np.inf  # no self-pair
+                self_mask = np.zeros(n, dtype=bool)
+                self_mask[i] = True
+                finite = np.isfinite(col)
+                n_fin = int(finite.sum())
+                kk = min(k, n_fin)
+                keyed = []
+                if kk:
+                    t = np.partition(col, n - kk)[n - kk]
+                    cand = np.nonzero(col >= t - _BAND)[0]
+                    for j in cand:
+                        exact = _seq_dot(V[i], V[j])
+                        sim6 = (
+                            _round6_scaled(exact / denom[r, j]) / 1_000_000.0
+                        )
+                        keyed.append((-sim6, ids[j], sim6))
+                    keyed.sort(key=lambda x: (x[0], x[1]))
+                    keyed = keyed[:k]
+                if n_fin < k:
+                    nulls = np.sort(ids[(~np.isfinite(col)) & (~self_mask)])
+                    for nid in nulls[: k - n_fin]:
+                        keyed.append((None, nid, None))
+                for rank, (_, nid, sim6) in enumerate(keyed, start=1):
+                    out_q.append(ids[i])
+                    out_n.append(nid)
+                    out_s.append(sim6)
+                    out_r.append(rank)
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": out_q,
+                "neighbor_id": out_n,
+                "sim": pd.array(out_s, dtype="float64"),
+                "rank": np.array(out_r, dtype=np.int64),
+            }
+        )
+
+    return sel.groupBy("bucket").applyInPandas(fn, schema=schema)

@@ -623,3 +623,12 @@ def test_pairs_threshold_gemm_matches_hof(spark, emb, adversarial_vecs):
         h = EMB.brute_force_pairs(df, threshold=tau, method="hof")
         g = SC.pairs_threshold(df, "vec_id", "embedding", tau)
         assert sorted(map(tuple, h.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_lsh_grouped_matches_join(spark, emb, adversarial_vecs):
+    from hadoop_20_warehouse_spark.similarity.knn import lsh_topk
+
+    for df, k in ((emb, 5), (adversarial_vecs, 4)):
+        j = lsh_topk(df, k=k, method="join")
+        g = lsh_topk(df, k=k, method="grouped")
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, g.collect()))
