@@ -614,6 +614,7 @@ def chunk_sliding_windows(
     text_col: str = "text",
     window: int = 32,
     stride: int = 24,
+    tokens_expr=None,
 ) -> DataFrame:
     """(id, chunk_idx, start_tok, n_chunk_tokens, chunk_digest) —
     overlapping sliding-window chunking, the context-window layout of
@@ -624,6 +625,11 @@ def chunk_sliding_windows(
     exactly one chunk.  stride < window ⇒ window−stride tokens of
     overlap between neighbors.
 
+    ``tokens_expr``: optional Column producing the per-doc token ARRAY
+    to chunk instead of whitespace words — the hook that chunks by the
+    counts the model will see (e.g. a BPE subword stream via
+    functions/bpe.bpe_tokens_expr).
+
     ROW-LOCAL throughout: tokenize once, explode only the chunk
     ordinals (fan-out n/stride — the output size, not a join), slice
     and digest inside the projection.  No shuffle, no window function;
@@ -632,9 +638,10 @@ def chunk_sliding_windows(
     (exact integer math — no float ceil at the boundary)."""
     if not (0 < stride <= window):
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
-    staged = df.select(
-        F.col(id_col), T.tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("_n", F.size("_toks").cast("long"))
+    toks = tokens_expr if tokens_expr is not None else T.tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks").cast("long")
+    )
     # integer ceil via expr's `div` (exact integer division — Spark's
     # Column `/` is double division and drifts at 2^53-scale counts)
     nc = F.when(

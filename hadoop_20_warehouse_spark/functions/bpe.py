@@ -257,6 +257,20 @@ def apply_merges_expr_spark(word_expr: str, merges: list[tuple]) -> str:
     return s
 
 
+def bpe_tokens_expr(text_col: str, merges: list[tuple]) -> str:
+    """Spark SQL text: the document's full subword-token ARRAY under
+    the trained merges — normalize/split words, encode each, apply the
+    N replaces, split back, flatten in word order.  One row-local
+    expression; the building block of tokenize/pack/chunk-by-BPE."""
+    chain = apply_merges_expr_spark("w", merges)
+    return (
+        f"flatten(transform("
+        f"filter(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        f"x -> x rlike '{_WORD_RE}'), "
+        f"w -> filter(split({chain}, '\\\\|\\\\|'), x -> x != '')))"
+    )
+
+
 def tokenize_with_merges(
     docs: DataFrame,
     merges: list[tuple],
@@ -269,13 +283,7 @@ def tokenize_with_merges(
     (no shuffle, no UDF; the merge table rides as string literals).
     Words outside [a-z0-9]+ are dropped by the same normalization the
     trainer applies."""
-    chain = apply_merges_expr_spark("w", merges)
-    flat = (
-        f"flatten(transform("
-        f"filter(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
-        f"x -> x rlike '{_WORD_RE}'), "
-        f"w -> filter(split({chain}, '\\\\|\\\\|'), x -> x != '')))"
-    )
+    flat = bpe_tokens_expr(text_col, merges)
     return docs.select(
         F.col(id_col),
         F.expr(f"cast(size({flat}) as bigint)").alias("bpe_len"),
@@ -350,7 +358,8 @@ tokrows AS (
 docagg AS (
   SELECT did,
          CAST(SUM(len(ts)) AS BIGINT) AS bpe_len,
-         string_agg(array_to_string(ts, ' '), ' ' ORDER BY widx) AS joined
+         string_agg(array_to_string(ts, ' '), ' ' ORDER BY widx) AS joined,
+         flatten(list(ts ORDER BY widx)) AS toks
   FROM tokrows GROUP BY did
 )"""
 
@@ -389,4 +398,102 @@ SELECT {id_col}, shard, tok_len,
        CAST(start_off // {budget} AS BIGINT) AS batch_id,
        CAST(start_off % {budget} AS BIGINT) AS batch_offset
 FROM c
+""".strip()
+
+
+def vocab_after_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> DataFrame:
+    """(token, freq, n_words) — the SUBWORD VOCABULARY after training:
+    every symbol surviving in the capped word table's segmentations,
+    with its frequency-weighted occurrence count and the number of
+    distinct words containing it.  This is the artifact a tokenizer
+    ships (merge table + symbol inventory); cost = the trainer plus
+    one vocab-sized explode/agg."""
+    spark = docs.sparkSession
+    merges = [
+        tuple(r)
+        for r in sorted(
+            train_merges(docs, text_col, n_merges, max_words).collect()
+        )
+    ]
+    wc = word_counts(docs, text_col, max_words)
+    chain = "seq"
+    for _, pa, pb, merged, _ in merges:
+        chain = f"replace({chain}, '|{pa}||{pb}|', '|{merged}|')"
+    toks = wc.select(
+        "w",
+        "wf",
+        F.explode(
+            F.expr(f"filter(split({chain}, '\\\\|\\\\|'), x -> x != '')")
+        ).alias("token"),
+    )
+    return toks.groupBy("token").agg(
+        F.sum("wf").cast("long").alias("freq"),
+        F.countDistinct("w").cast("long").alias("n_words"),
+    )
+
+
+def vocab_sql(
+    table: str,
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> str:
+    """DuckDB oracle for :func:`vocab_after_merges` — the training
+    chain's final word table, exploded and re-aggregated."""
+    ctes = _train_ctes_duck(table, text_col, n_merges, max_words)
+    return f"""
+WITH {ctes},
+toks AS (
+  SELECT w, wf, unnest(list_filter(string_split(seq, '||'), x -> x <> '')) AS token
+  FROM w{n_merges}
+)
+SELECT token, CAST(SUM(wf) AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM toks GROUP BY token
+""".strip()
+
+
+def chunk_bpe_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+    window: int = 48,
+    stride: int = 32,
+) -> str:
+    """DuckDB oracle for sliding-window chunking over the BPE SUBWORD
+    stream: the tokenize chain supplies each doc's token array, then
+    the same integer-ceil window/stride/slice/digest rule as
+    dedup/spans.chunk_sliding_windows_sql."""
+    ctes = _tokenize_ctes_duck(table, id_col, text_col, n_merges, max_words)
+    return f"""
+WITH {ctes},
+staged AS (
+  SELECT did AS {id_col}, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM docagg
+),
+counted AS (
+  SELECT {id_col}, toks, n,
+         CASE WHEN n <= {window} THEN 1
+              ELSE 1 + (n - {window} + {stride} - 1) // {stride}
+         END AS nc
+  FROM staged WHERE n > 0
+),
+chunks AS (
+  SELECT {id_col}, toks, n, CAST(i AS BIGINT) AS chunk_idx,
+         toks[CAST(i * {stride} + 1 AS BIGINT) :
+              CAST(least(i * {stride} + {window}, n) AS BIGINT)] AS sl
+  FROM counted, LATERAL unnest(generate_series(0, nc - 1)) t(i)
+)
+SELECT {id_col}, chunk_idx,
+       CAST(chunk_idx * {stride} + 1 AS BIGINT) AS start_tok,
+       CAST(len(sl) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(sl, ' ')) AS chunk_digest
+FROM chunks
 """.strip()

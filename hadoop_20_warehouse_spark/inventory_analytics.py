@@ -1055,3 +1055,71 @@ def q_pack_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=8,
         tok_len_col="bpe_len",
     )
+
+
+def _bpe_vocab_oracle() -> str:
+    return _bpe_mod().vocab_sql(
+        "documents", n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+
+
+@register("bpe_vocab", oracle=_bpe_vocab_oracle())
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's SYMBOL INVENTORY (functions/bpe.
+    vocab_after_merges): after the 12 merges, every surviving subword
+    across the capped word table's segmentations with its
+    frequency-weighted count and distinct-word support — the second
+    half of the artifact a tokenizer ships (merge table + vocabulary).
+    Cost = the trainer plus one vocab-sized explode/agg; the oracle
+    replays the training chain and aggregates its final word table,
+    so the hash pins the post-merge segmentations themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe_mod().vocab_after_merges(
+        docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+
+
+_BPE_CHUNK_W, _BPE_CHUNK_S = 48, 32
+
+
+def _bpe_chunk_oracle() -> str:
+    return _bpe_mod().chunk_bpe_sql(
+        "documents",
+        n_merges=_BPE_N_MERGES,
+        max_words=_BPE_MAX_WORDS,
+        window=_BPE_CHUNK_W,
+        stride=_BPE_CHUNK_S,
+    )
+
+
+@register("doc_chunk_bpe", oracle=_bpe_chunk_oracle())
+def q_doc_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking over the BPE SUBWORD stream — the
+    context-window layout cut by the counts the model actually sees:
+    train the 12-merge vocabulary, tokenize each document row-locally
+    (functions/bpe.bpe_tokens_expr as chunk_sliding_windows'
+    tokens_expr hook), then the established window/stride/integer-ceil
+    slice+digest rule over subwords instead of whitespace words.
+    Map-only after the bounded training job; the oracle composes the
+    tokenize chain with the chunk rule verbatim, hash-checking the
+    exact chunk contents (digests), boundaries, and tail handling."""
+    from pyspark.sql import functions as FF
+
+    from hadoop_20_warehouse_spark.dedup.spans import chunk_sliding_windows
+
+    B = _bpe_mod()
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        tuple(r)
+        for r in sorted(
+            B.train_merges(
+                docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+            ).collect()
+        )
+    ]
+    return chunk_sliding_windows(
+        docs,
+        window=_BPE_CHUNK_W,
+        stride=_BPE_CHUNK_S,
+        tokens_expr=FF.expr(B.bpe_tokens_expr("text", merges)),
+    )
