@@ -2223,3 +2223,98 @@ def q_text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_scrub(
         docs, chunk_w=_BOILER_W, max_docs=_BOILER_MAX_DOCS
     )
+
+
+_BIGRAM_NLL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS prev,
+         t[i] AS cur
+  FROM toks, UNNEST(generate_series(1, len(t))) u(i)
+),
+bc AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_big
+  FROM big GROUP BY prev, cur
+),
+ctx AS (
+  SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_ctx FROM big GROUP BY prev
+),
+voc AS (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) AS v FROM big)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(round(ln(CAST(c.c_ctx + voc.v AS DOUBLE)
+                              / (bc.c_big + 1)) * 1000) AS BIGINT)) AS BIGINT)
+         AS nll_milli,
+       CAST(SUM(CAST(round(ln(CAST(c.c_ctx + voc.v AS DOUBLE)
+                              / (bc.c_big + 1)) * 1000) AS BIGINT)) AS DOUBLE)
+         / (1000.0 * COUNT(*)) AS avg_nll
+FROM big b
+JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
+JOIN ctx c ON c.prev = b.prev
+CROSS JOIN voc
+GROUP BY b.doc_id
+"""
+
+
+@register("text_bigram_nll", oracle=_BIGRAM_NLL_SQL)
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — the higher-order sibling
+    of text_unigram_nll (CCNet's filter, Wenzek et al. 2020 §3.2, uses
+    a real LM; a Laplace-smoothed bigram model is the smallest LM that
+    sees word ORDER, so scrambled or templated text scores worse than
+    its unigram mix suggests): per-doc average of
+    -ln p(tᵢ | tᵢ₋₁) with p = (c(prev,cur)+1)/(c(prev)+V), a ``<s>``
+    context scoring each document's first token.
+
+    Bigram extraction is ROW-LOCAL (the pair list comes from the
+    token array in one projection — no window over corpus positions);
+    counts are wordcount-style partial aggs; scoring is one
+    (prev,cur)-keyed join + one prev-keyed join + the broadcast scalar
+    V.  Cross-engine exactness: integer counts everywhere, each
+    term's -ln p rounded to INTEGER milli-nats before the
+    order-independent sum (the text_unigram_nll discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)), i -> struct("
+                "IF(i = 1, '<s>', element_at(t, i - 1)) AS prev, "
+                "element_at(t, i) AS cur))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    bc = big.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_big")
+    )
+    ctx = big.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ctx")
+    )
+    voc = big.agg(F.countDistinct("cur").cast("long").alias("v"))
+    milli = F.round(
+        F.log(
+            (F.col("c_ctx") + F.col("v")).cast("double")
+            / (F.col("c_big") + 1)
+        )
+        * 1000,
+        0,
+    ).cast("long")
+    return (
+        big.join(bc, on=["prev", "cur"])
+        .join(ctx, on="prev")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", milli.alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("m").cast("long").alias("nll_milli"),
+            (
+                F.sum("m").cast("double") / (F.count(F.lit(1)) * 1000.0)
+            ).alias("avg_nll"),
+        )
+    )
