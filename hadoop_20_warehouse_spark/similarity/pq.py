@@ -594,3 +594,271 @@ SELECT vec_id AS {id_col}, cell_id, codes_str, adc_u,
 FROM adc
 QUALIFY rank <= {topk}
 """.strip()
+
+
+# --- Trained (Lloyd) PQ codebooks — exactly reproducible integer k-means ----
+
+# Positive offset making every accumulated micro-unit sum non-negative
+# inside the rounded-mean division (Spark `div` truncates toward zero,
+# DuckDB `//` floors — they only agree on non-negative operands, the
+# repo's documented trap).  Components are micro-units in [-2^21, 2^21]
+# (|x| ≤ 2 after normalization slack), so sums of n ≤ 2^31 members stay
+# far inside 2^62 after the offset multiply.
+_MEAN_OFFSET = 1 << 22
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd-trained PQ codebook — the trained quantizer the sampled
+    ``pq_codebook`` anticipates, built so the ENTIRE training loop is
+    exactly reproducible cross-engine (unlike ``ivf.train_centroids``,
+    whose float means carry documented drift):
+
+    - sub-vector components quantize ONCE to integer micro-units
+      (round(x·1e6) — exact in both engines);
+    - assignment distances are pure INTEGER squared-L2 (no rounding,
+      no band — argmin ties break on the smaller code);
+    - each round's new centroid components are integer HALF-UP rounded
+      means, computed entirely in integer arithmetic via the offset
+      trick ``((2·(sum + n·B) + n) div (2·n)) − B`` (positive operands,
+      so Spark's truncating ``div`` == DuckDB's flooring ``//``);
+    - empty cells keep their previous centroid.
+
+    Returns the ONE-row nested-array codebook in the same shape as
+    ``pq_codebook`` (``cb[s][j]`` arrays of DOUBLE = micro-units/1e6 —
+    the correctly-rounded division is identical in both engines), so
+    ``pq_encode``/``pq_adc_topk`` consume it unchanged.  Each round is
+    one broadcast integer argmin over the (corpus × m) sub-vector
+    frame plus one (s, j, d)-keyed integer partial agg; the codebook
+    state (m·k rows) localCheckpoints per round."""
+    sub = dim // m
+    spark = corpus.sparkSession
+    from hadoop_20_warehouse_spark.session import persist_generation
+
+    # (id, s, su): integer micro-unit sub-vectors — ONE corpus pass
+    subs = persist_generation(
+        "pq_train_subs",
+        corpus.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> struct(s, "
+                    f"transform(slice({vec_col}, s * {sub} + 1, {sub}), "
+                    f"x -> cast(round(cast(x as double) * 1000000) as bigint)) AS su))"
+                )
+            ).alias("e"),
+        ).select(F.col(id_col), F.col("e.s").alias("s"), F.col("e.su").alias("su")),
+    )
+    # init: seed j = the j-th corpus vector under (md5(id), id) — the
+    # pq_codebook rule, but quantized to micro-units
+    from pyspark.sql import Window
+
+    seeds = (
+        corpus.select(
+            F.col(vec_col).alias("sv"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("sid"),
+        )
+        .orderBy("h", "sid")
+        .limit(k)
+        .withColumn("j", F.row_number().over(Window.orderBy("h", "sid")) - 1)
+    )
+    cb = seeds.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct(s, "
+                f"transform(slice(sv, s * {sub} + 1, {sub}), "
+                f"x -> cast(round(cast(x as double) * 1000000) as bigint)) AS cu))"
+            )
+        ).alias("e"),
+        "j",
+    ).select(
+        F.col("e.s").alias("s"), F.col("j"), F.col("e.cu").alias("cu")
+    ).localCheckpoint(eager=True)
+
+    B = _MEAN_OFFSET
+    for _ in range(iters):
+        # ONE-row broadcast codebook: cbarr[s][j] = cu (sorted by s, j)
+        cbarr = cb.groupBy("s").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cu"))),
+                lambda e: e["cu"],
+            ).alias("row")
+        ).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "row"))),
+                lambda e: e["row"],
+            ).alias("cbu")
+        )
+        # integer squared-L2 argmin, smaller-j tiebreak — EXACT, no band
+        assigned = subs.crossJoin(F.broadcast(cbarr)).select(
+            "s",
+            "su",
+            F.expr(
+                "array_min(transform(sequence(0, size(cbu[s]) - 1), j -> "
+                "struct(aggregate(zip_with(su, cbu[s][j], "
+                "(a, b) -> (a - b) * (a - b)), cast(0 as bigint), "
+                "(acc, v) -> acc + v) AS du, j AS j))).j"
+            ).alias("j"),
+        )
+        dims = assigned.select(
+            "s", "j", F.posexplode("su").alias("d", "xu")
+        )
+        means = dims.groupBy("s", "j", "d").agg(
+            F.sum("xu").alias("sx"), F.count(F.lit(1)).alias("n")
+        )
+        # integer division via `div` (Spark's `/` is double division)
+        newc = means.groupBy("s", "j").agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(d, sx, n))), "
+                f"e -> (2 * (e.sx + e.n * {B}) + e.n) div (2 * e.n) - {B})"
+            ).alias("cu")
+        )
+        # empty cells keep the previous centroid
+        cb = (
+            cb.select("s", "j", F.col("cu").alias("old"))
+            .join(newc, on=["s", "j"], how="left")
+            .select("s", "j", F.coalesce("cu", "old").alias("cu"))
+            .localCheckpoint(eager=True)
+        )
+    # emit the pq_codebook shape: DOUBLE arrays = micro-units / 1e6
+    return cb.groupBy("s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "cu"))),
+            lambda e: F.transform(
+                e["cu"], lambda c: c.cast("double") / 1000000.0
+            ),
+        ).alias("row")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "row"))),
+            lambda e: e["row"],
+        ).alias("cb")
+    )
+
+
+def pq_trained_adc_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    iters: int = 2,
+    topk: int = 20,
+) -> str:
+    """DuckDB oracle for train→encode→ADC with the Lloyd-trained
+    codebook: the training iterations unroll as MATERIALIZED CTE
+    stages (integer micro-unit sub-vectors, integer squared-L2
+    argmins, offset-div half-up integer means, empty cells carried) —
+    the whole k-means sequence is reproduced bit-for-bit, then the
+    encode/LUT/ADC run on the double codebook (micro-units / 1e6)
+    exactly like the sampled-codebook oracle."""
+    sub = dim // m
+    B = _MEAN_OFFSET
+    q = lambda arr: (  # noqa: E731
+        f"list_transform({arr}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    stages = [
+        f"""gsub AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+subs0 AS MATERIALIZED (
+  SELECT e.{id_col} AS vid, g.s,
+         {q(f"e.{vec_col}[g.s * {sub} + 1 : g.s * {sub} + {sub}]")} AS su
+  FROM {table} e CROSS JOIN gsub g
+),
+cb0 AS MATERIALIZED (
+  SELECT g.s, seeds.j,
+         {q(f"seeds.sv[g.s * {sub} + 1 : g.s * {sub} + {sub}]")} AS cu
+  FROM (
+    SELECT {vec_col} AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS j
+    FROM {table}
+    ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k}
+  ) seeds CROSS JOIN gsub g
+)"""
+    ]
+    idist = (
+        "CAST(list_sum(list_transform(list_zip(v.su, c.cu), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    for i in range(1, iters + 1):
+        prev = f"cb{i - 1}"
+        stages.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT vid, s, su, j FROM (
+    SELECT v.vid, v.s, v.su, c.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vid, v.s
+                              ORDER BY {idist} ASC, c.j ASC) AS rn
+    FROM subs0 v JOIN {prev} c ON c.s = v.s
+  ) WHERE rn = 1
+),
+mean{i} AS MATERIALIZED (
+  SELECT s, j, d,
+         (2 * (SUM(xu) + COUNT(*) * {B}) + COUNT(*)) // (2 * COUNT(*)) - {B} AS cud
+  FROM (
+    SELECT a.s, a.j, u.i AS d, a.su[u.i] AS xu
+    FROM asg{i} a, UNNEST(generate_series(1, len(a.su))) u(i)
+  )
+  GROUP BY s, j, d
+),
+newc{i} AS MATERIALIZED (
+  SELECT s, j, list(cud ORDER BY d) AS cu FROM mean{i} GROUP BY s, j
+),
+cb{i} AS MATERIALIZED (
+  SELECT p.s, p.j, COALESCE(n.cu, p.cu) AS cu
+  FROM {prev} p LEFT JOIN newc{i} n ON n.s = p.s AND n.j = p.j
+)"""
+        )
+    # double codebook + encode + LUT + ADC (the sampled-oracle shapes)
+    sq = _SQDIST_U_SQL_DUCK
+    enc_d = sq.format(
+        a=f"e.{vec_col}[cb.s * {sub} + 1 : cb.s * {sub} + {sub}]", b="cb.cd"
+    )
+    lut_d = sq.format(
+        a=f"q.qv[cb.s * {sub} + 1 : cb.s * {sub} + {sub}]", b="cb.cd"
+    )
+    stages.append(
+        f"""cbd AS MATERIALIZED (
+  SELECT s, j, list_transform(cu, c -> CAST(c AS DOUBLE) / 1000000.0) AS cd
+  FROM cb{iters}
+),
+q AS (
+  SELECT {vec_col} AS qv FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)) DESC, {id_col} DESC LIMIT 1
+),
+enc AS MATERIALIZED (
+  SELECT vid, s, j AS code FROM (
+    SELECT e.{id_col} AS vid, cb.s, cb.j,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}, cb.s
+                              ORDER BY {enc_d} ASC, cb.j ASC) AS rn
+    FROM {table} e CROSS JOIN cbd cb
+  ) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT cb.s, cb.j, {lut_d} AS du
+  FROM q CROSS JOIN cbd cb
+),
+adc AS (
+  SELECT enc.vid,
+         array_to_string(list(enc.code ORDER BY enc.s), '-') AS codes_str,
+         CAST(SUM(lut.du) AS BIGINT) AS adc_u
+  FROM enc JOIN lut ON lut.s = enc.s AND lut.j = enc.code
+  GROUP BY enc.vid
+)"""
+    )
+    ctes = ",\n".join(stages)
+    return f"""
+WITH {ctes}
+SELECT vid AS {id_col}, codes_str, adc_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vid ASC) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= {topk}
+""".strip()

@@ -632,3 +632,34 @@ def test_lsh_grouped_matches_join(spark, emb, adversarial_vecs):
         j = lsh_topk(df, k=k, method="join")
         g = lsh_topk(df, k=k, method="grouped")
         assert sorted(map(tuple, j.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_pq_trained_codebook_improves_quantization(spark, emb):
+    """The integer-Lloyd codebook must (a) keep the pq_codebook shape
+    so encode/scan consume it unchanged, (b) strictly reduce total
+    quantization error vs the sampled seeds it starts from."""
+    from hadoop_20_warehouse_spark.similarity import pq as PQ
+
+    cb_s = PQ.pq_codebook(emb)
+    cb_t = PQ.pq_train_codebook(emb, iters=2)
+    row = cb_t.collect()[0]["cb"]
+    assert len(row) == PQ.DEFAULT_M
+    assert all(len(r) == PQ.DEFAULT_K for r in row)
+
+    def qerr(cb):
+        sub = 64 // PQ.DEFAULT_M
+        d = PQ._sqdist_u_sql_spark(
+            f"slice(embedding, s * {sub} + 1, {sub})", "cb[s][j]"
+        )
+        e = emb.crossJoin(F.broadcast(cb)).select(
+            F.expr(
+                f"aggregate(transform(sequence(0, {PQ.DEFAULT_M - 1}), s -> "
+                f"array_min(transform(sequence(0, size(cb[s]) - 1), j -> "
+                f"struct({d} as du, j as code))).du), cast(0 as bigint), "
+                "(a, v) -> a + v)"
+            ).alias("e")
+        )
+        return e.agg(F.sum("e")).collect()[0][0]
+
+    es, et = qerr(cb_s), qerr(cb_t)
+    assert et < es, f"training did not reduce quantization error: {et} vs {es}"
