@@ -412,6 +412,12 @@ BENCH_QUERIES: dict[str, object] = {
     "knn_ivf_gemm": QUERIES["knn_ivf_gemm"],
     "bpe_train_merges": QUERIES["bpe_train_merges"],
     "tokenize_bpe_apply": _tokenize_bpe_apply,
+    # round-11 session-2 additions (appended; anchored on landing):
+    # the bigram-LM quality gate (two corpus-keyed joins over the
+    # bigram stream) and the exactly-reproducible trained-PQ pipeline
+    # (two integer-Lloyd rounds + encode + ADC)
+    "text_bigram_nll": QUERIES["text_bigram_nll"],
+    "knn_pq_trained": QUERIES["knn_pq_trained"],
 }
 
 
