@@ -412,12 +412,15 @@ BENCH_QUERIES: dict[str, object] = {
     "knn_ivf_gemm": QUERIES["knn_ivf_gemm"],
     "bpe_train_merges": QUERIES["bpe_train_merges"],
     "tokenize_bpe_apply": _tokenize_bpe_apply,
-    # round-11 session-2 additions (appended; anchored on landing):
+    # round-11 session-2 addition (appended; anchored on landing):
     # the bigram-LM quality gate (two corpus-keyed joins over the
-    # bigram stream) and the exactly-reproducible trained-PQ pipeline
-    # (two integer-Lloyd rounds + encode + ADC)
+    # bigram stream).  knn_pq_trained was anchored on landing with the
+    # same five-run protocol (BASELINE.md: 4.144s) but is EXCLUDED
+    # from the per-round timed set: its settle+3-rep block costs ~17s
+    # of wall time for a train-once pipeline whose data terms (encode,
+    # ADC scan) are already tracked by knn_pq_adc — adding it pushed
+    # the full bench past its historical wall-time envelope.
     "text_bigram_nll": QUERIES["text_bigram_nll"],
-    "knn_pq_trained": QUERIES["knn_pq_trained"],
 }
 
 
