@@ -155,6 +155,11 @@ def assign_topn(
     spark = corpus.sparkSession
     cids, C, cn = collect_centroid_matrix(cents)
     k = len(cids)
+    if k == 0:
+        raise ValueError(
+            "assign_topn: empty centroid table — the argmin is "
+            "undefined (check the quantizer's source frame)"
+        )
     bc = spark.sparkContext.broadcast((cids, C, cn))
 
     sel = corpus.select(F.col(id_col), F.col(vec_col))

@@ -158,6 +158,16 @@ def brute_topk(
 
     spark = corpus.sparkSession
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        # empty query set → empty result with the right schema (the
+        # HOF crossJoin form degenerates the same way)
+        sel0 = corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(None).cast("double").alias("sim"),
+            F.lit(0).cast("long").alias("rank"),
+        )
+        return sel0.filter(F.lit(False))
     qids = [r[id_col] for r in qrows]
     Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])

@@ -663,3 +663,20 @@ def test_pq_trained_codebook_improves_quantization(spark, emb):
 
     es, et = qerr(cb_s), qerr(cb_t)
     assert et < es, f"training did not reduce quantization error: {et} vs {es}"
+
+
+def test_gemm_kernels_degenerate_inputs(spark, emb):
+    from hadoop_20_warehouse_spark.similarity import assign as ASSIGN
+    from hadoop_20_warehouse_spark.similarity import scores as SC
+
+    empty_cents = IVF.centroids(emb, "vec_id", "embedding", 5).filter(
+        F.lit(False)
+    )
+    with pytest.raises(ValueError, match="empty centroid table"):
+        ASSIGN.assign_topn(emb, empty_cents)
+    empty_q = emb.filter(F.lit(False))
+    out = SC.brute_topk(emb, empty_q, "vec_id", "embedding", 5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "sim", "rank",
+    ]
