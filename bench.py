@@ -149,13 +149,38 @@ _BPE_FIXED_MERGES = [
 ]
 
 
+_BPE_MERGES_CHECKED = False
+
+
 def _tokenize_bpe_apply(spark, sf_dir: str) -> DataFrame:
     """Vocab-apply tokenization with a FIXED trained merge table — the
-    projection-only data term of tokenize_bpe."""
+    projection-only data term of tokenize_bpe.
+
+    Preflight (once per bench process, OUTSIDE the timed region): the
+    hardcoded table must equal train_merges() on the bench dataset —
+    a regenerated testdata set would otherwise silently time a stale
+    vocabulary (r11 ADVICE)."""
     from hadoop_20_warehouse_spark.catalog import load_table
-    from hadoop_20_warehouse_spark.functions.bpe import tokenize_with_merges
+    from hadoop_20_warehouse_spark.functions.bpe import (
+        tokenize_with_merges,
+        train_merges,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    global _BPE_MERGES_CHECKED
+    if not _BPE_MERGES_CHECKED and sf_dir == SF_DIR:
+        # merge STRUCTURE (step, pa, pb, merged) is what apply uses;
+        # counts are dataset-size-dependent and irrelevant to timing
+        trained = [
+            tuple(r)[:4] for r in sorted(train_merges(docs).collect())
+        ]
+        fixed = [m[:4] for m in _BPE_FIXED_MERGES]
+        if trained != fixed:
+            raise AssertionError(
+                "_BPE_FIXED_MERGES is stale for this dataset — regenerate "
+                f"it from train_merges(): {trained!r}"
+            )
+        _BPE_MERGES_CHECKED = True
     return tokenize_with_merges(docs, _BPE_FIXED_MERGES)
 
 

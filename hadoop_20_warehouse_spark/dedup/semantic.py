@@ -94,7 +94,7 @@ def _pairs_grouped(
     import numpy as np
 
     from hadoop_20_warehouse_spark.similarity.assign import (
-        _BAND,
+        _band,
         _round6_scaled,
         _seq_dot,
     )
@@ -139,7 +139,7 @@ def _pairs_grouped(
             denom = vn[lo:hi, None] * vn[None, :]
             valid = denom > 0.0
             sims = np.where(valid, S / np.where(valid, denom, 1.0), -np.inf)
-            mask = (sims >= threshold - _BAND) & (
+            mask = (sims >= threshold - _band(V.shape[1])) & (
                 ids[lo:hi, None] < ids[None, :]
             )
             for i, j in zip(*np.nonzero(mask)):

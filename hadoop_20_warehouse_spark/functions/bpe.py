@@ -263,9 +263,14 @@ def bpe_tokens_expr(text_col: str, merges: list[tuple]) -> str:
     N replaces, split back, flatten in word order.  One row-local
     expression; the building block of tokenize/pack/chunk-by-BPE."""
     chain = apply_merges_expr_spark("w", merges)
+    # coalesce(text, '') — a NULL document must tokenize to the EMPTY
+    # array (bpe_len 0, md5('') digest), matching the oracle's LEFT
+    # JOIN + COALESCE; without it Spark's split/flatten/size propagate
+    # NULL and the hash diverges on the first NULL doc (r11 ADVICE).
     return (
         f"flatten(transform("
-        f"filter(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        f"filter(filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+        f"x -> x != ''), "
         f"x -> x rlike '{_WORD_RE}'), "
         f"w -> filter(split({chain}, '\\\\|\\\\|'), x -> x != '')))"
     )

@@ -71,9 +71,19 @@ from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, S
 GEMM_ASSIGN_MIN_K = 16
 
 # Decision band on the cosine scale: 1e-6 covers the 6-decimal
-# rounding granularity; 1e-12 dominates the GEMM reassociation error
-# (d·eps ≈ 1.5e-14 for d=64) with 100x headroom.
-_BAND = 1e-6 + 1e-12
+# rounding granularity; the error term dominates the GEMM
+# reassociation bound (≈ 2·d·eps on the normalized cosine, eps =
+# 2^-52 ≈ 2.3e-16) with ≥4x headroom AT EVERY DIMENSION — the fixed
+# 1e-12 floor alone would be outgrown past d ≈ 4000 (r11 ADVICE), so
+# the band is derived from the actual vector dimension at each call
+# site (the kernels all know d from the batch/matrix shape).
+def _band(d: int) -> float:
+    return 1e-6 + max(1e-12, 8.0 * float(d) * 2.3e-16)
+
+
+# Backward-compat alias at the repo's 64-dim convention (imported by
+# older call sites/tests); new code should call _band(d).
+_BAND = _band(64)
 
 # Sort key for NULL cosines (zero norm): the HOF scorer coalesces the
 # NULL negsim to +inf so those candidates rank LAST with centroid-id
@@ -184,6 +194,7 @@ def assign_topn(
         cids_, C_, cn_ = bc.value
         kk = C_.shape[0]
         cid_arr = np.arange(kk)
+        band = _band(C_.shape[1])
 
         def emit(ids_chunk, V, raw_chunk, rows_sel):
             # rows_sel: list over rows of [centroid_index, ...] ordered
@@ -239,7 +250,7 @@ def assign_topn(
                     # → the row takes the exact path, as it must
                     with np.errstate(invalid="ignore"):
                         gaps = s_sorted[:, :ncheck] - s_sorted[:, 1 : ncheck + 1]
-                        clean = np.all(gaps > _BAND, axis=1)
+                        clean = np.all(gaps > band, axis=1)
                 else:
                     clean = np.ones(B, dtype=bool)
                 rows_sel: list = [None] * B
@@ -253,7 +264,7 @@ def assign_topn(
                         if np.isinf(m) and m < 0:
                             cand = cid_arr  # whole row is in the tie set
                         else:
-                            cand = np.nonzero(sims[i] >= m - _BAND)[0]
+                            cand = np.nonzero(sims[i] >= m - band)[0]
                         keyed = []
                         for c in cand:
                             if not valid[i, c]:

@@ -93,6 +93,12 @@ def brute_force_topk(
     gap grows with |Q|·N — this scorer prices every recall@k eval);
     ``"hof"`` is the crossJoin + interpreted-fold executable
     specification.
+
+    NOTE: the default gemm path COLLECTS the query set to the driver
+    before broadcasting (scores.brute_topk enforces a 1M-row cap and
+    raises above it); the hof path broadcasts without a driver-side
+    materialization — pick it (or chunk the queries into passes) when
+    the query frame is large.
     """
     from hadoop_20_warehouse_spark.session import scatter
 

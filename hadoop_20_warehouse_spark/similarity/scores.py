@@ -51,7 +51,7 @@ from pyspark.sql.types import (
 )
 
 from hadoop_20_warehouse_spark.similarity.assign import (
-    _BAND,
+    _band,
     _round6_scaled,
     _seq_dot,
 )
@@ -153,11 +153,31 @@ def brute_topk(
 
     NULL cosines (zero norms) rank LAST with neighbor-id tiebreaks and
     are emitted only when a batch has fewer than k finite candidates —
-    matching the HOF form's NULLS-LAST ranking exactly."""
+    matching the HOF form's NULLS-LAST ranking exactly.
+
+    The query set is COLLECTED TO THE DRIVER (then broadcast) — the
+    'bounded per pass' contract is enforced, not just documented:
+    above ``max_query_rows`` the collect raises instead of silently
+    pressuring driver memory; callers with larger query sets should
+    chunk the queries into passes (or use knn.brute_force_topk
+    (method='hof'), whose broadcast crossJoin never materializes the
+    query frame on the driver)."""
     import numpy as np
 
     spark = corpus.sparkSession
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    max_query_rows = 1_000_000  # ~0.5 GB of 64-dim float64 vectors
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"brute_topk: query set exceeds {max_query_rows} rows — the "
+            "GEMM scorer collects queries to the driver (bounded per "
+            "pass by contract); chunk the query set into passes or use "
+            "brute_force_topk(method='hof')"
+        )
     if not qrows:
         # empty query set → empty result with the right schema (the
         # HOF crossJoin form degenerates the same way)
@@ -210,7 +230,7 @@ def brute_topk(
                 if kk:
                     # batch-local k-th largest, then the tie band
                     t = np.partition(col, len(col) - kk)[len(col) - kk]
-                    cand = np.nonzero(col >= t - _BAND)[0]
+                    cand = np.nonzero(col >= t - _band(V.shape[1]))[0]
                     keyed = []
                     for i in cand:
                         exact = _seq_dot(V[i], Q_[qj])
@@ -296,7 +316,9 @@ def pairs_threshold(
             denom = vn[:, None] * an_[None, :]
             valid = denom > 0.0
             sims = np.where(valid, S / np.where(valid, denom, 1.0), -np.inf)
-            mask = (sims >= threshold - _BAND) & (ids[:, None] < ids_[None, :])
+            mask = (sims >= threshold - _band(A_.shape[1])) & (
+                ids[:, None] < ids_[None, :]
+            )
             out_a, out_b, out_s = [], [], []
             for i, j in zip(*np.nonzero(mask)):
                 exact = _seq_dot(V[i], A_[j])
@@ -378,7 +400,7 @@ def lsh_grouped_topk(
                 keyed = []
                 if kk:
                     t = np.partition(col, n - kk)[n - kk]
-                    cand = np.nonzero(col >= t - _BAND)[0]
+                    cand = np.nonzero(col >= t - _band(V.shape[1]))[0]
                     for j in cand:
                         exact = _seq_dot(V[i], V[j])
                         sim6 = (
