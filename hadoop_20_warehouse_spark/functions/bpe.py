@@ -117,6 +117,25 @@ def train_merges(
     n_merges: int = DEFAULT_N_MERGES,
     max_words: int = DEFAULT_MAX_WORDS,
 ) -> DataFrame:
+    """Dispatching trainer: at ≤ LARGE_MERGE_THRESHOLD merges the
+    per-round Spark-aggregation form below (one vocab-sized agg + a
+    1-row collect per round — the form the DuckDB oracle unrolls);
+    above it, the driver-local exact trainer (bpe_scale.
+    train_merges_driver — same semantics, zero Spark jobs per round,
+    verified cross-engine by seq_prefix_sql to depth 128)."""
+    from hadoop_20_warehouse_spark.functions import bpe_scale as BS
+
+    if n_merges > BS.LARGE_MERGE_THRESHOLD:
+        return BS.train_merges_driver(docs, text_col, n_merges, max_words)
+    return _train_merges_rounds(docs, text_col, n_merges, max_words)
+
+
+def _train_merges_rounds(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> DataFrame:
     """The BPE trainer: ``n_merges`` rounds of (count adjacent symbol
     pairs weighted by word frequency → merge the most frequent pair,
     ties lexicographic).  Returns the merge TABLE — (step, pair_a,
@@ -287,7 +306,18 @@ def tokenize_with_merges(
     tokenized with a trained vocabulary, as ONE row-local projection
     (no shuffle, no UDF; the merge table rides as string literals).
     Words outside [a-z0-9]+ are dropped by the same normalization the
-    trainer applies."""
+    trainer applies.
+
+    Dispatch: above LARGE_MERGE_THRESHOLD merges the nested-replace
+    expression tree stops being sensible (N replace calls per word —
+    inexpressible at a production 32k-merge vocabulary); the large
+    form (bpe_scale.tokenize_with_merges_large, one Arrow-batched
+    replay pass with the merge table broadcast) takes over with the
+    identical output contract."""
+    from hadoop_20_warehouse_spark.functions import bpe_scale as BS
+
+    if len(merges) > BS.LARGE_MERGE_THRESHOLD:
+        return BS.tokenize_with_merges_large(docs, merges, id_col, text_col)
     flat = bpe_tokens_expr(text_col, merges)
     return docs.select(
         F.col(id_col),

@@ -1123,3 +1123,228 @@ def q_doc_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         stride=_BPE_CHUNK_S,
         tokens_expr=FF.expr(B.bpe_tokens_expr("text", merges)),
     )
+
+
+# ===========================================================================
+# BPE at production merge counts (round 12 — functions/bpe_scale.py):
+# driver-local exact training, distributed batched training, and
+# merge-count-independent mapInPandas application, all at 2048 merges.
+#
+# The documents table has only 31 distinct words (vocabulary exhausts
+# at ~106 merges), so these queries synthesize a deterministic md5-hex
+# corpus from order keys — the multimodal-codec precedent
+# (inventory_ext.q_multimodal_image_decode): both engines derive
+# identical inputs from the same generating columns, so the heavy
+# transform is pinned end-to-end.  1500 distinct words of length 8-24
+# over the hex alphabet ≈ 17k weighted symbols in the capped table —
+# comfortably more merge capacity than the 2048 demonstrated.
+# ===========================================================================
+
+_BPEL_ROUNDS, _BPEL_BATCH = 8, 256  # 2048 merges
+_BPEL_MAX_WORDS = 1000
+_BPEL_SEQ_MERGES = 2048
+_BPEL_PREFIX = 128  # exact cross-engine prefix depth (B=1 oracle)
+
+# DuckDB word-rows subquery (did, j, w) — the corpus derivation both
+# engines share.  Must stay in lockstep with _bpe_synth_docs below.
+_BPEL_WORDROWS = """
+  SELECT o_orderkey AS did, j,
+         substr(md5(CAST((o_orderkey * 7 + j * 13) % 1500 AS VARCHAR)), 1,
+                8 + CAST((o_orderkey * 7 + j * 13) % 1500 AS INTEGER) % 17) AS w
+  FROM orders, UNNEST(generate_series(1, 8)) AS g(j)
+"""
+
+
+def _bpe_synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text): 8 md5-hex words per order row, word v_j =
+    substr(md5((o_orderkey·7 + j·13) mod 1500), 1, 8 + v mod 17) —
+    1500 distinct words, deterministic and identical in both engines
+    (md5 of the decimal string, the repo's cross-engine hash
+    convention)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 8), j -> "
+            "substr(md5(cast((o_orderkey * 7 + j * 13) % 1500 as string)), 1, "
+            "8 + cast((o_orderkey * 7 + j * 13) % 1500 as int) % 17)), ' ')"
+        ).alias("text"),
+    )
+
+
+def _bpes_mod():
+    from hadoop_20_warehouse_spark.functions import bpe_scale as BS
+
+    return BS
+
+
+def _bpel_seq_prefix_oracle() -> str:
+    return _bpes_mod().seq_prefix_sql(
+        _BPEL_WORDROWS, n_prefix=_BPEL_PREFIX, max_words=_BPEL_MAX_WORDS
+    )
+
+
+@register("bpe_train_merges_large", oracle=_bpel_seq_prefix_oracle())
+def q_bpe_train_merges_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sequential BPE training at a production merge count
+    (functions/bpe_scale.train_merges_driver): 2048 Sennrich rounds
+    over the capped word table, run DRIVER-LOCALLY on the collected
+    ≤1000-row table — one corpus shuffle + one bounded collect TOTAL
+    (the r11 trainer paid ~1 Spark job per round; at 32k merges that
+    is 32k jobs vs. still exactly one here).  Emits the first
+    {prefix} rounds; the oracle reproduces them cross-engine with the
+    batch=1 instantiation of the batched derivation (top-1 per round
+    IS the sequential update), so the hash pins the driver trainer's
+    argmax, tie-breaks, counts, and encodings verbatim.  Training is
+    sequential — rounds beyond the prefix run the identical loop;
+    their full-depth validity is hash-checked by
+    bpe_train_large_invariants, and tests pin python == Spark-round
+    trainer to vocabulary exhaustion."""
+    BS = _bpes_mod()
+    docs = _bpe_synth_docs(spark, sf_dir)
+    full = BS.train_merges_driver(
+        docs, n_merges=_BPEL_SEQ_MERGES, max_words=_BPEL_MAX_WORDS
+    )
+    return full.filter(F.col("step") <= _BPEL_PREFIX)
+
+
+def _bpel_invariants_oracle() -> str:
+    return _bpes_mod().train_large_invariants_sql(
+        _BPEL_WORDROWS, n_merges=_BPEL_SEQ_MERGES, max_words=_BPEL_MAX_WORDS
+    )
+
+
+@register("bpe_train_large_invariants", oracle=_bpel_invariants_oracle())
+def q_bpe_train_large_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-depth validity of the 2048-merge driver-local training run
+    as EXACT INTEGER facts (the invariant-oracle pattern —
+    agg_uniq_approx precedent): the capped table's initial
+    frequency-weighted symbol mass (recomputed independently by the
+    oracle from the corpus — pins the word table), merge count, the
+    applied-mass conservation identity (final mass == initial − Σ
+    applied merges, exact over all 2048 rounds), incremental-trainer ==
+    independent-replay state equality (the trainer's pair-count index
+    cross-validated against the apply kernel, token-exact per word),
+    non-increasing argmax counts, and merge-table structural closure.
+    See functions/bpe_scale.train_large_invariants."""
+    BS = _bpes_mod()
+    docs = _bpe_synth_docs(spark, sf_dir)
+    return BS.train_large_invariants(
+        docs, n_merges=_BPEL_SEQ_MERGES, max_words=_BPEL_MAX_WORDS
+    )
+
+
+def _bpel_batched_oracle() -> str:
+    return _bpes_mod().batched_train_sql(
+        _BPEL_WORDROWS,
+        rounds=_BPEL_ROUNDS,
+        batch=_BPEL_BATCH,
+        max_words=_BPEL_MAX_WORDS,
+    )
+
+
+@register("bpe_train_batched", oracle=_bpel_batched_oracle())
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batched top-B BPE (functions/bpe_scale.
+    train_merges_batched): 8 rounds × top-256 pairs = the FULL
+    2048-row merge table hash-checked cross-engine (the oracle derives
+    every round: one pair aggregation + a row-wise replay recursion
+    per round — ~9s at sf0.01).  This is the scalable-trainer
+    construction for vocabularies beyond the driver path's comfort: a
+    32k-merge vocabulary costs 32k/B bounded Spark jobs over the
+    capped word table (the corpus is touched once, by the word count),
+    and with B=1 the procedure IS exact Sennrich — the property the
+    sequential prefix oracle exploits."""
+    BS = _bpes_mod()
+    docs = _bpe_synth_docs(spark, sf_dir)
+    return BS.train_merges_batched(
+        docs,
+        rounds=_BPEL_ROUNDS,
+        batch=_BPEL_BATCH,
+        max_words=_BPEL_MAX_WORDS,
+    )
+
+
+def _bpel_tokenize_oracle() -> str:
+    return _bpes_mod().batched_tokenize_sql(
+        _BPEL_WORDROWS,
+        rounds=_BPEL_ROUNDS,
+        batch=_BPEL_BATCH,
+        max_words=_BPEL_MAX_WORDS,
+    )
+
+
+@register("tokenize_bpe_large", oracle=_bpel_tokenize_oracle())
+def q_tokenize_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-count-independent tokenization (functions/bpe_scale.
+    tokenize_with_merges_large): train the 2048-merge batched
+    vocabulary, then tokenize every document in ONE Arrow-batched
+    mapInPandas corpus pass — merge table broadcast, per-word replay
+    with a present-pair-set guard, distinct words memoized per worker.
+    Emits the small form's exact contract (bpe_len + md5 digest of the
+    space-joined token stream), so the oracle — which derives the same
+    merge table and replays it over every distinct corpus word, OOV
+    words included — hash-checks the exact token sequences of all
+    15000 documents under a vocabulary 170× the r11 form's
+    demonstrated depth.  The r11 nested-replace expression remains the
+    dispatch target below LARGE_MERGE_THRESHOLD=64 merges."""
+    BS = _bpes_mod()
+    docs = _bpe_synth_docs(spark, sf_dir)
+    merges = [
+        tuple(r)
+        for r in sorted(
+            BS.train_merges_batched(
+                docs,
+                rounds=_BPEL_ROUNDS,
+                batch=_BPEL_BATCH,
+                max_words=_BPEL_MAX_WORDS,
+            ).collect()
+        )
+    ]
+    return BS.tokenize_with_merges_large(docs, merges)
+
+
+def _bpel_pack_oracle() -> str:
+    return _bpes_mod().batched_pack_sql(
+        _BPEL_WORDROWS,
+        rounds=_BPEL_ROUNDS,
+        batch=_BPEL_BATCH,
+        max_words=_BPEL_MAX_WORDS,
+        budget=512,
+        n_shards=8,
+    )
+
+
+@register("pack_token_bpe_large", oracle=_bpel_pack_oracle())
+def q_pack_token_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing under the PRODUCTION-SCALE tokenizer: the
+    2048-merge batched vocabulary supplies per-doc subword counts via
+    the large apply path, then the established md5-shard
+    cumulative-sum placement (dedup/spans.pack_token_budget) packs by
+    them — the large-vocabulary twin of pack_token_bpe, proving the
+    scale path composes with the packing endgame.  The oracle chains
+    the full batched derivation + replay + packing window verbatim."""
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget
+
+    BS = _bpes_mod()
+    docs = _bpe_synth_docs(spark, sf_dir)
+    merges = [
+        tuple(r)
+        for r in sorted(
+            BS.train_merges_batched(
+                docs,
+                rounds=_BPEL_ROUNDS,
+                batch=_BPEL_BATCH,
+                max_words=_BPEL_MAX_WORDS,
+            ).collect()
+        )
+    ]
+    lens = BS.tokenize_with_merges_large(docs, merges).select(
+        "doc_id", "bpe_len"
+    )
+    return pack_token_budget(
+        docs.join(lens, on="doc_id"),
+        budget=512,
+        n_shards=8,
+        tok_len_col="bpe_len",
+    )
