@@ -720,6 +720,40 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivfpq_topk(emb, query)
 
 
+@register(
+    "knn_ivfpq_trained",
+    oracle=PQ.ivfpq_trained_sql("embeddings", iters=2),
+)
+def q_knn_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the product quantizer LLOYD-TRAINED ON THE
+    RESIDUALS (similarity/pq.ivfpq_topk(codebook='trained') — the
+    canonical IVFADC construction, Jégou et al. 2011 §IV.A: residuals
+    concentrate near zero, so training the codebook on them spends
+    the same 8-byte budget where the data actually lives; measured
+    11% residual quantization-error cut and a 2.1× recall@10 lift
+    (0.028 → 0.060 against a 0.21 cell-recall ceiling) at the
+    frontier's nc=40/np=2 default on the near-uniform synthetic
+    embeddings, PLANS.md round 12).  Wiring: the r11
+    integer-Lloyd trainer (pq_train_codebook — micro-unit integer
+    argmins, offset-div half-up means) is re-rooted at the residual
+    frame; encode/probe/LUT/ADC are unchanged.  The oracle composes
+    the IVF residual chain with the unrolled training iterations, so
+    the hash pins cells, residuals, both training rounds, every code
+    assignment, probed-cell pruning, ADC sums, and ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = (
+        emb.select(
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy(F.desc("h"), F.desc("vec_id"))
+        .limit(1)
+        .select("qv")
+    )
+    return PQ.ivfpq_topk(emb, query, codebook="trained", iters=2)
+
+
 @register("knn_pq_rerank", oracle=PQ.pq_rerank_topk_sql("embeddings"))
 def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieve-then-rerank (similarity/pq.pq_rerank_topk;

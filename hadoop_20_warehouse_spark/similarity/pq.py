@@ -405,6 +405,8 @@ def ivfpq_topk(
     dim: int = 64,
     topk: int = 20,
     method: str | None = None,
+    codebook: str = "sampled",
+    iters: int = 2,
 ) -> DataFrame:
     """(vec_id, cell_id, codes_str, adc_u, rank) — the canonical
     IVF-PQ layout (Jégou et al. 2011 §IV): vectors are routed to IVF
@@ -418,9 +420,17 @@ def ivfpq_topk(
     at 100 TB this is why the scan touches 1/num_centroids·nprobe of
     the codes, each candidate costing m integer adds.
 
-    Everything is deterministic (sampled centroids + sampled residual
-    codebook + micro-unit integer distances), so the DuckDB oracle
-    reproduces the full pipeline exactly — see ivfpq_topk_sql."""
+    ``codebook="trained"`` swaps the sampled residual codebook for the
+    integer-Lloyd ``pq_train_codebook`` TRAINED ON THE RESIDUALS —
+    the canonical IVFADC construction (Jégou et al. 2011 §IV.A trains
+    the product quantizer on residual vectors, where the same code
+    budget quantizes finer); ``iters`` Lloyd rounds, everything else
+    unchanged (the codebook is a drop-in one-row broadcast).
+
+    Everything is deterministic (sampled centroids + sampled-or-
+    integer-Lloyd residual codebook + micro-unit integer distances),
+    so the DuckDB oracle reproduces the full pipeline exactly — see
+    ivfpq_topk_sql / ivfpq_trained_sql."""
     from hadoop_20_warehouse_spark.similarity.ivf import centroids
 
     from hadoop_20_warehouse_spark.session import persist_generation
@@ -439,7 +449,15 @@ def ivfpq_topk(
             num_centroids=num_centroids, method=method,
         ),
     )
-    cb = pq_codebook(assigned, id_col=id_col, vec_col="resid", dim=dim, m=m, k=k_codes)
+    if codebook == "trained":
+        cb = pq_train_codebook(
+            assigned, id_col=id_col, vec_col="resid", dim=dim, m=m,
+            k=k_codes, iters=iters,
+        )
+    else:
+        cb = pq_codebook(
+            assigned, id_col=id_col, vec_col="resid", dim=dim, m=m, k=k_codes
+        )
     codes = pq_encode(
         assigned, cb, id_col=id_col, vec_col="resid", m=m, dim=dim,
         keep_cols=("cell_id",),
@@ -858,6 +876,157 @@ adc AS (
     return f"""
 WITH {ctes}
 SELECT vid AS {id_col}, codes_str, adc_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vid ASC) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= {topk}
+""".strip()
+
+
+def ivfpq_trained_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = DEFAULT_M,
+    k_codes: int = DEFAULT_K,
+    iters: int = 2,
+    topk: int = 20,
+) -> str:
+    """DuckDB oracle for ``ivfpq_topk(codebook='trained')`` — the
+    canonical IVFADC pipeline with the product quantizer LLOYD-TRAINED
+    ON THE RESIDUALS: sampled centroids → rank-1 cosine cells →
+    residuals (ivfpq_topk_sql's stages) feed the integer-Lloyd CTE
+    machinery (pq_trained_adc_sql's stages, re-rooted at the residual
+    frame), then encode/probe/LUT/ADC run per probed cell.  Every
+    stage is exact integer or correctly-rounded arithmetic, so the
+    hash pins the full train→encode→probe→scan pipeline."""
+    from hadoop_20_warehouse_spark.similarity.knn import cosine_sql
+
+    sub = dim // m
+    B = _MEAN_OFFSET
+    ccos = cosine_sql("v.v", "c.cv")
+    qcos = cosine_sql("q.qv", "c.cv")
+    rsub = (
+        "list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    )
+    quant = (
+        "list_transform({arr}, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    sq = _SQDIST_U_SQL_DUCK
+    stages = [
+        f"""cents AS (
+  SELECT {id_col} AS centroid_id, {vec_col} AS cv FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {num_centroids}
+),
+v AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+cellranks AS (
+  SELECT id, centroid_id, cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY round({ccos}, 6) DESC, centroid_id ASC
+         ) AS crank
+  FROM v CROSS JOIN cents c
+),
+resv AS MATERIALIZED (
+  SELECT v.id, cr.centroid_id AS cell_id,
+         {rsub.format(a="v.v", b="cr.cv")} AS rv
+  FROM v JOIN cellranks cr ON cr.id = v.id AND cr.crank = 1
+),
+gsub AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+subs0 AS MATERIALIZED (
+  SELECT r.id AS vid, g.s,
+         {quant.format(arr=f"r.rv[g.s * {sub} + 1 : g.s * {sub} + {sub}]")} AS su
+  FROM resv r CROSS JOIN gsub g
+),
+cb0 AS MATERIALIZED (
+  SELECT g.s, seeds.j,
+         {quant.format(arr=f"seeds.rv[g.s * {sub} + 1 : g.s * {sub} + {sub}]")} AS cu
+  FROM (
+    SELECT rv, ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS j
+    FROM resv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k_codes}
+  ) seeds CROSS JOIN gsub g
+)"""
+    ]
+    idist = (
+        "CAST(list_sum(list_transform(list_zip(v.su, c.cu), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    for i in range(1, iters + 1):
+        prev = f"cb{i - 1}"
+        stages.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT vid, s, su, j FROM (
+    SELECT v.vid, v.s, v.su, c.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vid, v.s
+                              ORDER BY {idist} ASC, c.j ASC) AS rn
+    FROM subs0 v JOIN {prev} c ON c.s = v.s
+  ) WHERE rn = 1
+),
+mean{i} AS MATERIALIZED (
+  SELECT s, j, d,
+         (2 * (SUM(xu) + COUNT(*) * {B}) + COUNT(*)) // (2 * COUNT(*)) - {B} AS cud
+  FROM (
+    SELECT a.s, a.j, u.i AS d, a.su[u.i] AS xu
+    FROM asg{i} a, UNNEST(generate_series(1, len(a.su))) u(i)
+  )
+  GROUP BY s, j, d
+),
+newc{i} AS MATERIALIZED (
+  SELECT s, j, list(cud ORDER BY d) AS cu FROM mean{i} GROUP BY s, j
+),
+cb{i} AS MATERIALIZED (
+  SELECT p.s, p.j, COALESCE(n.cu, p.cu) AS cu
+  FROM {prev} p LEFT JOIN newc{i} n ON n.s = p.s AND n.j = p.j
+)"""
+        )
+    enc_d = sq.format(
+        a=f"r.rv[cb.s * {sub} + 1 : cb.s * {sub} + {sub}]", b="cb.cd"
+    )
+    lut_d = sq.format(
+        a=f"p.qres[cb.s * {sub} + 1 : cb.s * {sub} + {sub}]", b="cb.cd"
+    )
+    stages.append(
+        f"""cbd AS MATERIALIZED (
+  SELECT s, j, list_transform(cu, c -> CAST(c AS DOUBLE) / 1000000.0) AS cd
+  FROM cb{iters}
+),
+enc AS MATERIALIZED (
+  SELECT vid, cell_id, s, j AS code FROM (
+    SELECT r.id AS vid, r.cell_id, cb.s, cb.j,
+           ROW_NUMBER() OVER (PARTITION BY r.id, cb.s
+                              ORDER BY {enc_d} ASC, cb.j ASC) AS rn
+    FROM resv r CROSS JOIN cbd cb
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT {vec_col} AS qv FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)) DESC, {id_col} DESC LIMIT 1
+),
+qprobes AS (
+  SELECT c.centroid_id AS cell_id, {rsub.format(a="q.qv", b="c.cv")} AS qres
+  FROM q CROSS JOIN cents c
+  ORDER BY round({qcos}, 6) DESC, c.centroid_id ASC LIMIT {nprobe}
+),
+lut AS MATERIALIZED (
+  SELECT p.cell_id, cb.s, cb.j, {lut_d} AS du
+  FROM qprobes p CROSS JOIN cbd cb
+),
+adc AS (
+  SELECT enc.vid, enc.cell_id,
+         array_to_string(list(enc.code ORDER BY enc.s), '-') AS codes_str,
+         CAST(SUM(lut.du) AS BIGINT) AS adc_u
+  FROM enc
+  JOIN lut ON lut.cell_id = enc.cell_id AND lut.s = enc.s AND lut.j = enc.code
+  GROUP BY enc.vid, enc.cell_id
+)"""
+    )
+    ctes = ",\n".join(stages)
+    return f"""
+WITH {ctes}
+SELECT vid AS {id_col}, cell_id, codes_str, adc_u,
        CAST(ROW_NUMBER() OVER (ORDER BY adc_u ASC, vid ASC) AS BIGINT) AS rank
 FROM adc
 QUALIFY rank <= {topk}
