@@ -136,37 +136,50 @@ def _read_text_string(b: bytes, pos: int) -> tuple[str, int]:
     return b[pos : pos + n].decode("utf-8"), pos + n
 
 
+def _read_utf8_string(b: bytes, pos: int) -> tuple[str, int]:
+    """UTF8.readFields wire form (2-byte BE unsigned length +
+    Java-modified-UTF8 bytes) — the pre-v4 SequenceFile class-name
+    framing (io/UTF8.java:96 readFields; io/SequenceFile.java:1462).
+    Class names are ASCII, where modified UTF-8 == UTF-8."""
+    n = struct.unpack_from(">H", b, pos)[0]
+    pos += 2
+    return b[pos : pos + n].decode("utf-8"), pos + n
+
+
 def parse_sequence_file(blob: bytes):
     """Parse one SequenceFile: returns ``(key_class, value_class,
     iter[(key_bytes, value_bytes)])`` of the RAW per-record wire bytes.
 
     Container layout (io/SequenceFile.java:1478-1540): ``SEQ`` magic,
-    version byte, key/value class names (Text strings), compression
-    booleans (+codec), metadata pairs, 16-byte sync marker; then
-    records as BE-int record length + BE-int key length + key bytes +
-    value bytes, with an escape length of -1 introducing a 16-byte
-    sync marker (written every ~SYNC_INTERVAL bytes)."""
+    version byte, key/value class names (Text strings for v4+, UTF8
+    2-byte-length strings for v1-v3 — io/SequenceFile.java:1462),
+    compression booleans (+codec), metadata pairs, 16-byte sync
+    marker (present only for version > 1); then records as BE-int
+    record length + BE-int key length + key bytes + value bytes, with
+    an escape length of -1 introducing a 16-byte sync marker (written
+    every ~SYNC_INTERVAL bytes; never present in v1, which has no
+    sync at all)."""
     if blob[:3] != _SEQ_MAGIC:
         raise ValueError("not a SequenceFile (missing SEQ magic)")
     version = blob[3]
-    # this parser assumes v4+ framing: Text (vint-length) class names
-    # and an unconditional sync marker.  The reference reads UTF8
-    # 2-byte-length class names for version < 4 and a sync marker only
-    # when version > 1 (io/SequenceFile.java:1462), so a legacy v1-v3
-    # file would misparse the header (a vint read of a UTF8 length
-    # field) and fail later with a confusing decoder error — raise
-    # early and say why (ADVICE r10).
-    if not 4 <= version <= 6:
+    if not 1 <= version <= 6:
         raise ValueError(
             f"SequenceFile version {version} unsupported: this parser "
-            f"implements v4-v6 framing (Text class names, unconditional "
-            f"sync); pre-v4 files use UTF8 class names and conditional "
-            f"sync markers — re-write with a modern writer or read via "
-            f"a JVM path"
+            f"implements v1-v6 framing (v4+: Text class names + "
+            f"unconditional sync; v1-v3: UTF8 class names + conditional "
+            f"sync, io/SequenceFile.java:1462) — re-write with a modern "
+            f"writer or read via a JVM path"
         )
     pos = 4
-    key_class, pos = _read_text_string(blob, pos)
-    value_class, pos = _read_text_string(blob, pos)
+    if version < 4:
+        # UTF8.readFields framing: 2-byte BE unsigned length +
+        # Java-modified-UTF8 bytes (identical to UTF-8 for the ASCII
+        # class names these fields hold)
+        key_class, pos = _read_utf8_string(blob, pos)
+        value_class, pos = _read_utf8_string(blob, pos)
+    else:
+        key_class, pos = _read_text_string(blob, pos)
+        value_class, pos = _read_text_string(blob, pos)
     compressed = block_compressed = False
     if version > 2:
         compressed = blob[pos] != 0
@@ -189,8 +202,14 @@ def parse_sequence_file(blob: bytes):
         for _ in range(n_meta):
             _, pos = _read_text_string(blob, pos)
             _, pos = _read_text_string(blob, pos)
-    sync = bytes(blob[pos : pos + 16])
-    pos += 16
+    # sync marker exists only for version > 1 (io/SequenceFile.java:
+    # 1462: "if (version > 1) in.readFully(sync)"); v1 streams have no
+    # sync and therefore no -1 escapes between records
+    has_sync = version > 1
+    sync = b""
+    if has_sync:
+        sync = bytes(blob[pos : pos + 16])
+        pos += 16
 
     def records() -> Iterator[tuple[bytes, bytes]]:
         p = pos
@@ -198,7 +217,7 @@ def parse_sequence_file(blob: bytes):
         while p + 4 <= end:
             rec_len = struct.unpack_from(">i", blob, p)[0]
             p += 4
-            if rec_len == -1:  # sync escape
+            if has_sync and rec_len == -1:  # sync escape
                 if bytes(blob[p : p + 16]) != sync:
                     raise ValueError("corrupt SequenceFile: bad sync marker")
                 p += 16

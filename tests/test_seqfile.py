@@ -276,3 +276,68 @@ def test_tfile_rejects_garbage_and_lzo(spark, tmp_path):
 
     with pytest.raises(ValueError, match="magic"):
         TF.parse_tfile(b"x" * 64)
+
+
+# --- legacy v1-v3 framing (io/SequenceFile.java:1462) ----------------------
+
+
+def _legacy_seqfile(version: int, rows, sync_every: int = 0) -> bytes:
+    """Hand-built pre-v4 SequenceFile bytes (no modern writer can emit
+    these — golden-bytes construction per the r11 VERDICT): UTF8
+    2-byte-length class names, compression boolean only for v3, sync
+    marker only for v2+, record framing identical to v4+."""
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        _enc_long,
+        _enc_text,
+    )
+
+    kcls = b"org.apache.hadoop.io.LongWritable"
+    vcls = b"org.apache.hadoop.io.Text"
+    blob = bytearray(b"SEQ" + bytes([version]))
+    for cls in (kcls, vcls):
+        blob += struct.pack(">H", len(cls)) + cls
+    if version > 2:
+        blob += b"\x00"  # uncompressed
+    sync = bytes(range(16))
+    if version > 1:
+        blob += sync
+    for i, (k, v) in enumerate(rows):
+        if version > 1 and sync_every and i and i % sync_every == 0:
+            blob += struct.pack(">i", -1) + sync
+        kb, vb = _enc_long(k), _enc_text(v)
+        blob += struct.pack(">ii", len(kb) + len(vb), len(kb)) + kb + vb
+    return bytes(blob)
+
+
+@pytest.mark.parametrize("version,sync_every", [(1, 0), (2, 3), (3, 2)])
+def test_legacy_v1_v3_golden_bytes_roundtrip(version, sync_every):
+    """v1 (no sync), v2 (sync, no compression flag), v3 (sync +
+    compression boolean) all parse: UTF8 class names, conditional
+    sync, record payloads byte-exact."""
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        WRITABLE_DECODERS,
+        parse_sequence_file,
+    )
+
+    rows = [(i * 7, f"value-{i}") for i in range(10)]
+    blob = _legacy_seqfile(version, rows, sync_every=sync_every)
+    kcls, vcls, recs = parse_sequence_file(blob)
+    assert kcls == "org.apache.hadoop.io.LongWritable"
+    assert vcls == "org.apache.hadoop.io.Text"
+    _, kdec = WRITABLE_DECODERS[kcls]
+    _, vdec = WRITABLE_DECODERS[vcls]
+    got = [
+        (kdec(kb, 0)[0], vdec(vb, 0)[0]) for kb, vb in recs
+    ]
+    assert got == rows
+
+
+def test_version_guard_points_at_supported_range():
+    """Out-of-range versions still fail loudly, and the message now
+    names the v1-v6 range the parser covers."""
+    from hadoop_20_warehouse_spark.sources.seqfile import parse_sequence_file
+
+    with pytest.raises(ValueError, match="v1-v6"):
+        parse_sequence_file(b"SEQ\x07" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="v1-v6"):
+        parse_sequence_file(b"SEQ\x00" + b"\x00" * 32)
