@@ -198,3 +198,26 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/windows.tumbling_distinct_ids)."""
     ev = load_table(spark, sf_dir, "events")
     return W.tumbling_distinct_ids(ev, "ts", ["event_type"], "user_id", "1 hour")
+
+
+def _stream_cls_oracle() -> str:
+    from hadoop_20_warehouse_spark.inventory_curation import _CLS_SQL
+
+    return _CLS_SQL
+
+
+@register("stream_classifier_gate", oracle=_stream_cls_oracle())
+def q_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of text_quality_classifier
+    (streaming/windows.classifier_gate_stream): hashed bag-of-words
+    logistic gating as a STATELESS stream projection — broadcast
+    constant-foldable weights, no join, no watermark, no state store,
+    so ingest-time quality admission costs a map over micro-batches.
+    Registered on the batch table via the unified batch/stream API
+    (this module's convention); the real readStream → writeStream
+    replay is pinned stream == batch by
+    tests/test_streaming.test_streaming_classifier_matches_batch.
+    Same oracle as the batch query — the twin must reproduce it
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return W.classifier_gate_stream(docs)

@@ -582,3 +582,42 @@ def test_streaming_heavy_hitters_bounds_under_eviction(spark, tmp_path):
     assert n >= 500, "SpaceSaving must over-estimate, never under"
     assert n - e <= 500, "est - err_bound must lower-bound the true count"
     assert int(per_batch.loc[0, "c"]) <= 8 * 16  # <= capacity x batches
+
+
+def test_streaming_classifier_matches_batch(spark, tmp_path):
+    """Stream-path quality gating: classifier_gate_stream over a
+    file-source replay of the documents table must equal the batch
+    text_quality_classifier query row-for-row — stateless broadcast-
+    weights inference, no watermark, no state store (the query
+    finishes in one availableNow pass)."""
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.inventory_curation import (
+        q_text_quality_classifier,
+    )
+    from hadoop_20_warehouse_spark.streaming.windows import (
+        classifier_gate_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_cls_stream")
+    docs.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        classifier_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cls_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["raw_milli"], r["score"], r["keep"])
+        for r in spark.sql("SELECT * FROM cls_gate").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["raw_milli"], r["score"], r["keep"])
+        for r in q_text_quality_classifier(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
