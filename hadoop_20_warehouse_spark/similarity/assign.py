@@ -195,6 +195,21 @@ def assign_topn(
         kk = C_.shape[0]
         cid_arr = np.arange(kk)
         band = _band(C_.shape[1])
+        # pre-normalized centroid matrix, computed ONCE per worker:
+        # Sp = V @ (C/cn).T gives Sp[i,j] = dot(v_i, c_j)/cn_j, which
+        # ORDERS each row exactly like the cosine (vn_i is a constant
+        # positive scale per row), so the full (B, k) denominator
+        # outer product, validity mask, and division passes — which
+        # dominated the 200k×2k-cell rehearsal at 3 full (B·k)-sized
+        # temporaries per chunk — never materialize.  Cosine-scale
+        # comparisons (the band) rescale by vn_i per row instead.
+        # The extra per-element rounding from pre-normalizing C adds
+        # O(eps) relative error, far inside the band's ≥4x margin
+        # (module docstring); rows/columns with zero norms pin to
+        # -inf and fall to the exact fallback as before.
+        zero_c = cn_ <= 0.0
+        CnT = (C_ / np.where(zero_c, 1.0, cn_)[:, None]).T
+        any_zero_c = bool(zero_c.any())
 
         def emit(ids_chunk, V, raw_chunk, rows_sel):
             # rows_sel: list over rows of [centroid_index, ...] ordered
@@ -231,26 +246,41 @@ def assign_topn(
                 raw_chunk = raw[lo : lo + chunk]
                 B = V.shape[0]
                 vn = np.sqrt(_seq_dot(V, V))
-                S = V @ C_.T  # (B, k) — THE batch GEMM
-                denom = vn[:, None] * cn_[None, :]
-                valid = denom > 0.0
-                sims = np.where(valid, S / np.where(valid, denom, 1.0), -np.inf)
-                # per-row order: cosine desc, centroid-id asc (lexsort:
-                # last key is primary). -(-inf) = +inf sorts last. ✓
-                order = np.lexsort(
-                    (np.broadcast_to(cid_arr, sims.shape), -sims), axis=1
-                )
-                s_sorted = np.take_along_axis(sims, order, axis=1)
+                Sp = V @ CnT  # (B, k) — THE batch GEMM, cosine·vn scale
+                if any_zero_c:
+                    Sp[:, zero_c] = -np.inf
+                zero_v = vn <= 0.0
+                if zero_v.any():
+                    Sp[zero_v, :] = -np.inf
+                # top-(np_eff+1) per row via argpartition, THEN order
+                # the small subset by (score desc, centroid-id asc) —
+                # a full per-row lexsort over all k is O(N·k·log k)
+                # and, with the former (B·k) denominator/where passes,
+                # dominated the kernel at paper-scale k (together:
+                # steady-state 29.7s → 2.2s at 200k×2000, PLANS.md
+                # r12).  Selection semantics are unchanged: clean rows
+                # are strictly band-separated inside the subset, so
+                # argpartition's arbitrary tie order can only matter on
+                # rows the gap check already routes to the exact
+                # fallback.  -(-inf) = +inf sorts last. ✓
+                sel_n = min(np_eff + 1, kk)
+                part = np.argpartition(-Sp, sel_n - 1, axis=1)[:, :sel_n]
+                psims = np.take_along_axis(Sp, part, axis=1)
+                o = np.lexsort((cid_arr[part], -psims), axis=1)
+                order = np.take_along_axis(part, o, axis=1)
+                s_sorted = np.take_along_axis(psims, o, axis=1)
                 # clean rows: every consecutive gap across the selected
                 # prefix AND the selection boundary exceeds the band —
-                # GEMM order == exact rounded order, no rounding needed.
+                # GEMM order == exact rounded order, no rounding
+                # needed.  Gaps live on the cosine·vn scale, so the
+                # cosine-scale band rescales by vn per row.
                 ncheck = min(np_eff, kk - 1)
                 if ncheck > 0:
                     # −inf − −inf = NaN (all-NULL rows): compares False
                     # → the row takes the exact path, as it must
                     with np.errstate(invalid="ignore"):
                         gaps = s_sorted[:, :ncheck] - s_sorted[:, 1 : ncheck + 1]
-                        clean = np.all(gaps > band, axis=1)
+                        clean = np.all(gaps > band * vn[:, None], axis=1)
                 else:
                     clean = np.ones(B, dtype=bool)
                 rows_sel: list = [None] * B
@@ -264,14 +294,27 @@ def assign_topn(
                         if np.isinf(m) and m < 0:
                             cand = cid_arr  # whole row is in the tie set
                         else:
-                            cand = np.nonzero(sims[i] >= m - band)[0]
+                            with np.errstate(invalid="ignore"):
+                                cand = np.nonzero(
+                                    Sp[i] >= m - band * vn[i]
+                                )[0]
+                        # exact recompute VECTORIZED across the tie
+                        # set: _seq_dot broadcasts to (|cand|, d) and
+                        # folds each row sequentially (np.cumsum) —
+                        # bit-identical to the one-candidate-at-a-time
+                        # form (same per-row fold), one numpy call
+                        # instead of |cand|; matters when tie-dense
+                        # data (near-duplicate clusters) inflates the
+                        # dirty fraction
+                        exact = _seq_dot(V[i][None, :], C_[cand])
+                        vi = vn[i]
                         keyed = []
-                        for c in cand:
-                            if not valid[i, c]:
+                        for idx, c in enumerate(cand):
+                            den = vi * cn_[c]
+                            if not den > 0.0:
                                 keyed.append((_NULL_KEY, cids_[c], c))
                                 continue
-                            exact = _seq_dot(V[i], C_[c])
-                            sim = exact / denom[i, c]
+                            sim = exact[idx] / den
                             keyed.append((-_round6_scaled(sim), cids_[c], c))
                         keyed.sort(key=lambda t: (t[0], t[1]))
                         rows_sel[i] = [t[2] for t in keyed[:np_eff]]
