@@ -184,6 +184,34 @@ def _tokenize_bpe_apply(spark, sf_dir: str) -> DataFrame:
     return tokenize_with_merges(docs, _BPE_FIXED_MERGES)
 
 
+_BPE_LARGE_MERGES: dict[str, list] = {}
+
+
+def _tokenize_bpe_large_apply(spark, sf_dir: str) -> DataFrame:
+    """Merge-count-independent tokenization at 2048 merges — the
+    mapInPandas replay corpus pass (functions/bpe_scale.
+    tokenize_with_merges_large) over the deterministic md5-hex
+    synthetic corpus.  The batched 2048-merge vocabulary trains ONCE
+    per (process, sf_dir) outside the timed region (the settle run
+    pays it — the registered tokenize_bpe_large query trains+applies
+    and is driver-checked; timing it here would double-count the
+    training rounds, the tokenize_bpe_apply precedent)."""
+    from hadoop_20_warehouse_spark.functions import bpe_scale as BS
+    from hadoop_20_warehouse_spark.inventory_analytics import _bpe_synth_docs
+
+    docs = _bpe_synth_docs(spark, sf_dir)
+    merges = _BPE_LARGE_MERGES.get(sf_dir)
+    if merges is None:
+        merges = [
+            tuple(r)
+            for r in sorted(
+                BS.train_merges_batched(docs, rounds=8, batch=256).collect()
+            )
+        ]
+        _BPE_LARGE_MERGES[sf_dir] = merges
+    return BS.tokenize_with_merges_large(docs, merges)
+
+
 def _embed_synth(spark, n: int) -> DataFrame:
     """n deterministic synthetic 64-dim vectors (md5-derived uniforms
     in [-1,1)) — the ANN probe's data generator, linear and identical
@@ -446,6 +474,17 @@ BENCH_QUERIES: dict[str, object] = {
     # ADC scan) are already tracked by knn_pq_adc — adding it pushed
     # the full bench past its historical wall-time envelope.
     "text_bigram_nll": QUERIES["text_bigram_nll"],
+    # round-12 addition (appended; anchored on landing): the large-
+    # vocabulary apply corpus pass (2048 merges, trained once per
+    # process outside timing).  The round-12 train-once pipelines —
+    # bpe_train_batched (8 bounded jobs), bpe_train_merges_large
+    # (driver rounds), knn_ivfpq_trained (residual Lloyd training) —
+    # got on-landing five-run anchors in BASELINE.md but are EXCLUDED
+    # from the per-round timed set (the knn_pq_trained precedent:
+    # index/vocab builds are paid once, their data terms are already
+    # tracked by tokenize_bpe_large_apply / knn_ivfpq, and each would
+    # cost ~4x its single-run time of per-round wall clock).
+    "tokenize_bpe_large_apply": _tokenize_bpe_large_apply,
 }
 
 

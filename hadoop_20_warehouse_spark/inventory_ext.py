@@ -954,6 +954,76 @@ def q_mapfile_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setfile_membership",
+    oracle="""
+SELECT DISTINCT c_nationkey AS nationkey
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+""",
+)
+def q_setfile_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetFile round-trip (io/SetFile.java:27 — a MapFile with
+    NullWritable values, i.e. a sorted on-disk SET): the distinct
+    customer nation keys are written as a key-sorted set
+    (sources/io.write_key_set), then membership-probed with the
+    region-1 nations via a broadcast LEFT SEMI join
+    (sources/io.set_membership) — SetFile's seek-based membership
+    re-expressed as stats-skipping + semi join.  The oracle computes
+    the same intersection from the ORIGINAL tables: equality proves
+    the distinct→sorted-write→probe round-trip is lossless."""
+    from hadoop_20_warehouse_spark.sources.io import (
+        set_membership,
+        write_key_set,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    probes = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 1)
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    path = _scratch_dir("setfile")
+    write_key_set(cust, path, ["nationkey"], partitions=4)
+    return set_membership(spark, path, probes, "nationkey")
+
+
+@register(
+    "arrayfile_position_lookup",
+    oracle="""
+WITH idxed AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS idx,
+         o_orderkey, o_orderdate
+  FROM orders
+)
+SELECT idx, o_orderkey, o_orderdate FROM idxed
+WHERE idx IN (0, 17, 1024, 9999)
+""",
+)
+def q_arrayfile_position_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayFile round-trip (io/ArrayFile.java:29 — a MapFile keyed by
+    the LongWritable append position): orders are ordinal-indexed
+    under a total (o_orderdate, o_orderkey) order and written
+    idx-sorted (sources/io.write_indexed_array), then fetched by
+    POSITION (sources/io.array_position_get) — ArrayFile.Reader.get(n)
+    as parquet stats-skipping on the ordinal.  The oracle recomputes
+    the ordinals with ROW_NUMBER over the original table: equality
+    proves ordinal assignment and the positional read agree."""
+    from hadoop_20_warehouse_spark.sources.io import (
+        array_position_get,
+        write_indexed_array,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    path = _scratch_dir("arrayfile")
+    write_indexed_array(orders, path, ["o_orderdate", "o_orderkey"], partitions=4)
+    return array_position_get(spark, path, [0, 17, 1024, 9999])
+
+
+@register(
     "compact_roundtrip",
     oracle="""
 SELECT event_type,

@@ -407,6 +407,57 @@ def point_lookup(spark: SparkSession, path: str, key_col: str, key_value) -> Dat
     return spark.read.parquet(path).filter(F.col(key_col) == F.lit(key_value))
 
 
+def write_key_set(df: DataFrame, path: str, key_cols: list[str], partitions: int = 8) -> None:
+    """SetFile analog (io/SetFile.java:27 — a MapFile whose values are
+    NullWritable, i.e. a sorted on-disk SET with membership lookups):
+    the DISTINCT key tuples written key-sorted, so parquet min/max
+    stats give the same sparse-index skip SetFile's MapFile index
+    gave ``seek``."""
+    write_sorted_table(
+        df.select(*key_cols).distinct(), path, key_cols, partitions=partitions
+    )
+
+
+def set_membership(
+    spark: SparkSession, path: str, probes: DataFrame, key_col: str
+) -> DataFrame:
+    """SetFile.InMemorySetFile-membership analog: which probe keys are
+    present in the stored set — a broadcast LEFT SEMI join of the
+    sorted set against the (small) probe frame; at scale the probe
+    side broadcasts and parquet stats skip row groups no probe key
+    can hit."""
+    keys = spark.read.parquet(path)
+    return keys.join(
+        F.broadcast(probes.select(key_col).distinct()), on=key_col, how="left_semi"
+    )
+
+
+def write_indexed_array(
+    df: DataFrame, path: str, order_cols: list[str], partitions: int = 8
+) -> None:
+    """ArrayFile analog (io/ArrayFile.java:29 — a MapFile keyed by the
+    LongWritable APPEND POSITION): assign each row its 0-based ordinal
+    under a total deterministic order and write idx-sorted.  The
+    ordinal is a global row_number — computed as a range-partitioned
+    sort + per-partition ordinal + broadcast partition-offset cumsum
+    would be at 100 TB; at registered scale the window form is the
+    same plan Spark picks."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    idx = df.withColumn("idx", F.row_number().over(w).cast("long") - 1)
+    write_sorted_table(idx, path, ["idx"], partitions=partitions)
+
+
+def array_position_get(spark: SparkSession, path: str, positions: list[int]) -> DataFrame:
+    """ArrayFile.Reader.get(n) analog: fetch rows by ordinal —
+    pushdown against the idx-sorted table skips every row group whose
+    [min,max] excludes the probed positions."""
+    return spark.read.parquet(path).filter(
+        F.col("idx").isin([int(p) for p in positions])
+    )
+
+
 def write_bloom_table(
     df: DataFrame,
     path: str,
