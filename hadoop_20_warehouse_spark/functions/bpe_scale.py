@@ -155,6 +155,50 @@ def replay_word(word: str, merges3: list) -> list:
     return toks
 
 
+def build_merge_index(merges3: list) -> dict:
+    """merged-string → list of (rank, pa, pb, merged) in rank order —
+    the apply-side prefilter: a merge can only ever fire on a word if
+    its MERGED string is a contiguous region of word+EOW (every token
+    is one), so a word's relevant merges are found by enumerating its
+    O(L²) substrings instead of scanning the whole table (32k probes →
+    ~L² lookups per distinct word; measured 18-63x at 32k merges,
+    PLANS.md r12).  Duplicate merged strings (two merges with
+    different splits producing the same token) keep ALL their entries,
+    preserving exact replay order."""
+    idx: dict = {}
+    for rank, (pa, pb, merged) in enumerate(merges3):
+        idx.setdefault(merged, []).append((rank, pa, pb, merged))
+    return idx
+
+
+def replay_word_indexed(word: str, merge_index: dict) -> list:
+    """:func:`replay_word` through the substring prefilter — identical
+    output (property-tested), O(L² + |relevant| log) per distinct
+    word instead of O(n_merges)."""
+    relevant: list = []
+    L = len(word)
+    seen: set = set()
+    for i in range(L):
+        for j in range(i + 1, L + 1):
+            s = word[i:j]
+            if s not in seen:
+                seen.add(s)
+                hit = merge_index.get(s)
+                if hit:
+                    relevant.extend(hit)
+        s = word[i:] + _EOW
+        hit = merge_index.get(s)
+        if hit:
+            relevant.extend(hit)
+    hit = merge_index.get(_EOW)
+    if hit:
+        relevant.extend(hit)
+    if not relevant:
+        return list(word) + [_EOW]
+    relevant.sort()
+    return replay_word(word, [(pa, pb, m) for _r, pa, pb, m in relevant])
+
+
 def train_merges_local(
     wc_rows: list,
     n_merges: int,
@@ -180,6 +224,7 @@ def train_merges_local(
     ``state_out`` (optional list) receives the trainer's final
     incrementally-evolved (tokens, freq) word states, for the
     replay-equivalence invariant."""
+    import heapq
     from collections import Counter, defaultdict
 
     words: list = [
@@ -191,17 +236,28 @@ def train_merges_local(
         for a, b in zip(toks, toks[1:]):
             counts[(a, b)] += wf
             where[(a, b)].add(idx)
+    # lazy max-heap over (-cnt, pa, pb): entries go stale when counts
+    # change; pops validate against the live Counter.  The argmax was
+    # a full O(|pairs|) scan per round, which dominated a 32k-round
+    # run (490s → 21s on the 6k-word rehearsal, PLANS.md r12);
+    # heap order (cnt DESC, pa ASC, pb ASC) is exactly the scan's.
+    heap: list = [(-c, p[0], p[1]) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list = []
     for step in range(1, n_merges + 1):
-        if not counts:
+        pa = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            if counts.get((a, b)) == -negc:
+                pa, pb, cnt = a, b, -negc
+                break
+        if pa is None:
             break
-        (pa, pb), cnt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
         merged = pa + pb
         merges.append((step, pa, pb, merged, cnt))
         touched = where.pop((pa, pb), set())
         applied = 0
+        changed: set = set()
         for idx in touched:
             toks, wf = words[idx]
             pairs_old = list(zip(toks, toks[1:]))
@@ -209,6 +265,7 @@ def train_merges_local(
                 continue  # stale index entry — word changed earlier
             for a, b in pairs_old:
                 counts[(a, b)] -= wf
+                changed.add((a, b))
                 if counts[(a, b)] <= 0:
                     del counts[(a, b)]
             new = _one_pass(toks, pa, pb, merged)
@@ -216,7 +273,15 @@ def train_merges_local(
             words[idx][0] = new
             for a, b in zip(new, new[1:]):
                 counts[(a, b)] += wf
+                changed.add((a, b))
                 where[(a, b)].add(idx)
+        # re-arm the heap with every pair whose count changed this
+        # round (including DECREASES — a pair whose only heap entries
+        # carry stale higher counts would otherwise become unreachable)
+        for p in changed:
+            c = counts.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p[0], p[1]))
         if applied_out is not None:
             applied_out.append(applied)
     if state_out is not None:
@@ -290,7 +355,7 @@ def tokenize_with_merges_large(
     def gen(batches):
         import pandas as pd
 
-        mseq = bc.value
+        midx = build_merge_index(bc.value)
         memo: dict = {}
         for pdf in batches:
             lens, digs = [], []
@@ -303,7 +368,7 @@ def tokenize_with_merges_large(
                         continue
                     t = memo.get(w)
                     if t is None:
-                        t = replay_word(w, mseq)
+                        t = replay_word_indexed(w, midx)
                         memo[w] = t
                     toks_all.extend(t)
                 lens.append(len(toks_all))
@@ -353,11 +418,11 @@ def train_merges_batched(
         def gen(batches):
             import pandas as pd
 
-            mseq = bcast.value
+            midx = build_merge_index(bcast.value)
             for pdf in batches:
                 pa_l, pb_l, wf_l = [], [], []
                 for w, wf in zip(pdf["w"], pdf["wf"]):
-                    toks = replay_word(str(w), mseq)
+                    toks = replay_word_indexed(str(w), midx)
                     for i in range(len(toks) - 1):
                         pa_l.append(toks[i])
                         pb_l.append(toks[i + 1])

@@ -994,10 +994,10 @@ def q_setfile_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH idxed AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS idx,
-         o_orderkey, o_orderdate
+         o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
   FROM orders
 )
-SELECT idx, o_orderkey, o_orderdate FROM idxed
+SELECT idx, o_orderkey, orderdate FROM idxed
 WHERE idx IN (0, 17, 1024, 9999)
 """,
 )
@@ -1016,11 +1016,15 @@ def q_arrayfile_position_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
+        "o_orderkey",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
     )
     path = _scratch_dir("arrayfile")
     write_indexed_array(orders, path, ["o_orderdate", "o_orderkey"], partitions=4)
-    return array_position_get(spark, path, [0, 17, 1024, 9999])
+    return array_position_get(spark, path, [0, 17, 1024, 9999]).select(
+        "idx", "o_orderkey", "orderdate"
+    )
 
 
 @register(

@@ -165,3 +165,39 @@ def test_replay_word_overlap_semantics():
     # chained merges replay in order
     m2 = [("a", "a", "aa"), ("aa", "aa", "aaaa")]
     assert BS.replay_word("aaaa", m2) == ["aaaa", "</w>"]
+
+
+def test_replay_indexed_equals_plain():
+    """The substring-prefiltered replay must equal the full-scan
+    replay on adversarial inputs: duplicate merged strings with
+    different splits, runs, EOW-suffix merges, merges that never fire,
+    and random hex words under a trained-at-depth table."""
+    import random
+
+    rng = random.Random(12)
+    # hand-built adversarial table: ("a","bc") and ("ab","c") both
+    # produce "abc"; EOW merges; dead merges
+    merges3 = [
+        ("a", "b", "ab"),
+        ("b", "c", "bc"),
+        ("a", "bc", "abc"),
+        ("ab", "c", "abc"),
+        ("abc", "</w>", "abc</w>"),
+        ("z", "z", "zz"),
+        ("zz", "zz", "zzzz"),
+        ("q", "x", "qx"),  # never fires below
+    ]
+    idx = BS.build_merge_index(merges3)
+    for w in ["abc", "abcabc", "aabbcc", "zzzzz", "abca", "cab", "a", "zzz"]:
+        assert BS.replay_word_indexed(w, idx) == BS.replay_word(w, merges3), w
+    # random words under a table trained on them
+    words = [
+        "".join(rng.choice("0123456789abcdef") for _ in range(rng.randint(1, 24)))
+        for _ in range(200)
+    ]
+    wc = [(w, 1) for w in sorted(set(words))]
+    trained = BS.train_merges_local(wc, 300)
+    t3 = [(m[1], m[2], m[3]) for m in trained]
+    tidx = BS.build_merge_index(t3)
+    for w in words:
+        assert BS.replay_word_indexed(w, tidx) == BS.replay_word(w, t3), w
