@@ -737,3 +737,69 @@ def train_large_invariants(
         [StructField("metric", StringType()), StructField("val", LongType())]
     )
     return spark.createDataFrame(rows, schema=schema)
+
+
+def vocab_after_merges_large(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> DataFrame:
+    """(token, freq, n_words) — the SUBWORD VOCABULARY under an
+    arbitrarily large merge table: the capped word table tokenized by
+    the indexed replay worker (one vocab-sized mapInPandas pass), then
+    exploded and aggregated — functions/bpe.vocab_after_merges' exact
+    output contract with the nested-replace chain swapped for the
+    merge-count-flat apply.  Cost = one corpus word-count shuffle +
+    a bounded-table pass, any vocabulary size."""
+    spark = docs.sparkSession
+    merges3 = [(m[1], m[2], m[3]) for m in merges]
+    bc = spark.sparkContext.broadcast(merges3)
+    wc = word_counts(docs, text_col, max_words).select("w", "wf")
+
+    def gen(batches):
+        import pandas as pd
+
+        midx = build_merge_index(bc.value)
+        for pdf in batches:
+            w_l, wf_l, t_l = [], [], []
+            for w, wf in zip(pdf["w"], pdf["wf"]):
+                for t in replay_word_indexed(str(w), midx):
+                    w_l.append(w)
+                    wf_l.append(int(wf))
+                    t_l.append(t)
+            yield pd.DataFrame(
+                {
+                    "w": w_l,
+                    "wf": pd.array(wf_l, dtype="int64"),
+                    "token": t_l,
+                }
+            )
+
+    toks = wc.mapInPandas(gen, "w string, wf long, token string")
+    return toks.groupBy("token").agg(
+        F.sum("wf").cast("long").alias("freq"),
+        F.countDistinct("w").cast("long").alias("n_words"),
+    )
+
+
+def vocab_large_sql(
+    wordrows_sql: str,
+    rounds: int = 8,
+    batch: int = 256,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> str:
+    """DuckDB oracle for batched-train → vocab extraction: the
+    derivation chain's FINAL capped word table, exploded and
+    re-aggregated (functions/bpe.vocab_sql's shape on the batched
+    chain)."""
+    ctes = _batched_ctes(wordrows_sql, rounds, batch, max_words, all_words=False)
+    return f"""WITH RECURSIVE
+{ctes},
+toks AS (
+  SELECT w, wf, unnest(list_filter(string_split(seq, '||'), x -> x <> '')) AS token
+  FROM ap{rounds}
+)
+SELECT token, CAST(SUM(wf) AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM toks GROUP BY token"""

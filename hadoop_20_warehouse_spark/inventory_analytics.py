@@ -1348,3 +1348,39 @@ def q_pack_token_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=8,
         tok_len_col="bpe_len",
     )
+
+
+def _bpel_vocab_oracle() -> str:
+    return _bpes_mod().vocab_large_sql(
+        _BPEL_WORDROWS,
+        rounds=_BPEL_ROUNDS,
+        batch=_BPEL_BATCH,
+        max_words=_BPEL_MAX_WORDS,
+    )
+
+
+@register("bpe_vocab_large", oracle=_bpel_vocab_oracle())
+def q_bpe_vocab_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2048-merge tokenizer's SYMBOL INVENTORY (functions/
+    bpe_scale.vocab_after_merges_large): every subword surviving in
+    the capped word table's segmentations under the batched-trained
+    vocabulary, with frequency-weighted counts and distinct-word
+    support — the second half of the artifact a production tokenizer
+    ships (merge table + vocabulary), now at production depth.  The
+    oracle replays the full batched derivation and aggregates its
+    final word table, so the hash pins the post-merge segmentations
+    themselves."""
+    BS = _bpes_mod()
+    docs = _bpe_synth_docs(spark, sf_dir)
+    merges = [
+        tuple(r)
+        for r in sorted(
+            BS.train_merges_batched(
+                docs,
+                rounds=_BPEL_ROUNDS,
+                batch=_BPEL_BATCH,
+                max_words=_BPEL_MAX_WORDS,
+            ).collect()
+        )
+    ]
+    return BS.vocab_after_merges_large(docs, merges, max_words=_BPEL_MAX_WORDS)
