@@ -621,3 +621,40 @@ def test_streaming_classifier_matches_batch(spark, tmp_path):
         for r in q_text_quality_classifier(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_tokenize_matches_batch(spark, tmp_path):
+    """Stream-path tokenization: tokenize_stream over a file-source
+    replay of the documents table must equal the batch BPE apply
+    row-for-row (stateless broadcast-vocabulary projection, one
+    availableNow pass, merge-count-independent)."""
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.functions import bpe as B
+    from hadoop_20_warehouse_spark.streaming.windows import tokenize_stream
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    merges = [
+        tuple(r) for r in sorted(B._train_merges_rounds(docs, n_merges=12).collect())
+    ]
+    src = str(tmp_path / "docs_tok_stream")
+    docs.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        tokenize_stream(stream, merges)
+        .writeStream.format("memory")
+        .queryName("tok_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["bpe_len"], r["tok_digest"])
+        for r in spark.sql("SELECT * FROM tok_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["bpe_len"], r["tok_digest"])
+        for r in B.tokenize_with_merges(docs, merges).collect()
+    }
+    assert got == want and len(got) > 0
