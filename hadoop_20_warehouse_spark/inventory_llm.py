@@ -1026,3 +1026,33 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qv")
     )
     return PQ.pq_adc_topk(codes, cb, query)
+
+
+@register(
+    "knn_ivfpq_trained_rerank",
+    oracle=PQ.ivfpq_trained_rerank_sql("embeddings", iters=2),
+)
+def q_knn_ivfpq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production ANN stack as one hash-checked pipeline
+    (similarity/pq.ivfpq_rerank_topk): IVF probe pruning → residual-
+    TRAINED integer-Lloyd PQ codes → ADC shortlist (100) → exact
+    broadcast-join re-rank (top 20, both distances emitted).  This is
+    how a billion-vector deployment actually serves: the scan touches
+    nprobe/num_centroids of the 8-byte codes, exact math runs on
+    O(shortlist) rows, and the re-rank converts PQ ordering noise into
+    shortlist membership — composing the round's trained-residual lift
+    with the established rerank endgame.  The oracle nests the full
+    trained IVFADC derivation under the shortlist + exact-rerank
+    stages, so the hash pins every stage end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = (
+        emb.select(
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy(F.desc("h"), F.desc("vec_id"))
+        .limit(1)
+        .select("qv")
+    )
+    return PQ.ivfpq_rerank_topk(emb, query, codebook="trained", iters=2)

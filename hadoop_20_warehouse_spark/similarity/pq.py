@@ -1031,3 +1031,91 @@ SELECT vid AS {id_col}, cell_id, codes_str, adc_u,
 FROM adc
 QUALIFY rank <= {topk}
 """.strip()
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = DEFAULT_M,
+    k_codes: int = DEFAULT_K,
+    dim: int = 64,
+    shortlist: int = 100,
+    topk: int = 20,
+    codebook: str = "trained",
+    iters: int = 2,
+) -> DataFrame:
+    """(vec_id, adc_u, exact_u, rank) — the COMPLETE production ANN
+    stack in one pipeline (Jégou et al. 2011 §IV-V): IVF cell probing
+    prunes the candidate scan, residual-trained PQ codes score the
+    probed cells with integer ADC, the ``shortlist`` best candidates
+    fetch their full-precision vectors by broadcast id join, and the
+    final ``topk`` re-ranks by exact micro-unit squared-L2.  Cost
+    structure at 100 TB: the scan touches nprobe/num_centroids of the
+    8-byte codes, exact math runs on O(shortlist) rows, and the
+    re-rank converts ADC ordering noise into shortlist membership
+    (the PQ quantization error only costs recall if it pushes a true
+    neighbor out of the R-deep shortlist)."""
+    short = ivfpq_topk(
+        corpus, query, id_col=id_col, vec_col=vec_col, qvec_col=qvec_col,
+        num_centroids=num_centroids, nprobe=nprobe, m=m, k_codes=k_codes,
+        dim=dim, topk=shortlist, codebook=codebook, iters=iters,
+    ).select(id_col, "adc_u")
+    d = _sqdist_u_sql_spark(vec_col, qvec_col)
+    exact = (
+        corpus.join(F.broadcast(short), on=id_col)
+        .crossJoin(F.broadcast(query))
+        .select(F.col(id_col), F.col("adc_u"), F.expr(d).alias("exact_u"))
+    )
+    from pyspark.sql import Window
+
+    top = exact.orderBy(F.col("exact_u").asc(), F.col(id_col).asc()).limit(topk)
+    w = Window.orderBy(F.col("exact_u").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def ivfpq_trained_rerank_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = DEFAULT_M,
+    k_codes: int = DEFAULT_K,
+    iters: int = 2,
+    shortlist: int = 100,
+    topk: int = 20,
+) -> str:
+    """DuckDB oracle for :func:`ivfpq_rerank_topk` — the full trained
+    IVFADC derivation (as a nested subquery) feeding the shortlist +
+    exact-rerank stages of pq_rerank_topk_sql."""
+    inner = ivfpq_trained_sql(
+        table, id_col=id_col, vec_col=vec_col, dim=dim,
+        num_centroids=num_centroids, nprobe=nprobe, m=m, k_codes=k_codes,
+        iters=iters, topk=shortlist,
+    )
+    exact_d = _SQDIST_U_SQL_DUCK.format(a=f"e.{vec_col}", b="q2.qv")
+    return f"""
+WITH short AS (
+  SELECT {id_col} AS svid, adc_u FROM ({inner})
+),
+q2 AS (
+  SELECT {vec_col} AS qv FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)) DESC, {id_col} DESC LIMIT 1
+),
+exact AS (
+  SELECT s.svid, s.adc_u, {exact_d} AS exact_u
+  FROM short s
+  JOIN {table} e ON e.{id_col} = s.svid
+  CROSS JOIN q2
+)
+SELECT svid AS {id_col}, adc_u, exact_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY exact_u ASC, svid ASC) AS BIGINT) AS rank
+FROM exact
+QUALIFY rank <= {topk}
+""".strip()
