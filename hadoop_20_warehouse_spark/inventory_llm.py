@@ -1040,8 +1040,10 @@ def q_knn_ivfpq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a billion-vector deployment actually serves: the scan touches
     nprobe/num_centroids of the 8-byte codes, exact math runs on
     O(shortlist) rows, and the re-rank converts PQ ordering noise into
-    shortlist membership — composing the round's trained-residual lift
-    with the established rerank endgame.  The oracle nests the full
+    shortlist membership — MEASURED: at nc=40/np=2 the 100-deep rerank
+    recovers recall@10 to exactly the 0.21 cell-recall ceiling with
+    the trained codebook (0.207 sampled; ADC-only was 0.028/0.060 —
+    PLANS.md round 12).  The oracle nests the full
     trained IVFADC derivation under the shortlist + exact-rerank
     stages, so the hash pins every stage end-to-end."""
     emb = load_table(spark, sf_dir, "embeddings")
