@@ -350,7 +350,17 @@ def tokenize_with_merges_large(
         ]
     )
     word_re = _re.compile(r"[a-z0-9]+\Z")
-    ws_re = _re.compile(r"\s+")
+    # ASCII-explicit whitespace class, NOT python \s: the small path
+    # and the trainer's word_counts split with Spark/Java regex \s+,
+    # and Java \s is exactly [ \t\n\x0B\f\r] while python re \s also
+    # matches U+00A0/U+1680/U+2028/... — on text carrying Unicode
+    # whitespace the two sides of the LARGE_MERGE_THRESHOLD dispatch
+    # would tokenize differently (ADVICE r12).  lower() is likewise
+    # python-vs-JVM; the [a-z0-9]+ word filter confines the surviving
+    # vocabulary to ASCII, and the documented contract is ASCII-text
+    # corpora (non-ASCII WORDS are filtered identically on both sides
+    # because neither engine's lower() maps non-ASCII into [a-z0-9]).
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def gen(batches):
         import pandas as pd
@@ -392,6 +402,7 @@ def train_merges_batched(
     rounds: int = 8,
     batch: int = 256,
     max_words: int = DEFAULT_MAX_WORDS,
+    strict: bool = False,
 ) -> DataFrame:
     """Batched top-B BPE: per round, tokenize the capped word table
     under the merges so far (mapInPandas replay — the word table is
@@ -403,9 +414,13 @@ def train_merges_batched(
     this is exactly the sequential trainer.
 
     Stops if a round yields fewer than ``batch`` pairs (vocabulary
-    near exhaustion) — callers should size rounds×batch within the
-    corpus' merge capacity (the registered queries are property-tested
-    for full batches)."""
+    near exhaustion).  The ``batched_train_sql`` oracle derives the
+    FIXED rounds×batch chain (each ap{r} keeps step = lo + batch), so
+    a short final round makes the oracle's final frame silently empty
+    instead of failing loudly — callers that pin a cross-engine oracle
+    MUST pass ``strict=True``, which raises on a short round (the
+    registered queries do; ADVICE r12).  Non-strict callers get a
+    loud warning and the partial table."""
     spark = docs.sparkSession
     wc = (
         word_counts(docs, text_col, max_words)
@@ -457,6 +472,24 @@ def train_merges_batched(
                 (lo + i, row["pa"], row["pb"], row["pa"] + row["pb"], row["cnt"])
             )
         if len(top) < batch:
+            if strict:
+                raise ValueError(
+                    f"train_merges_batched: round {_r + 1} yielded only "
+                    f"{len(top)} pairs (< batch={batch}) — the vocabulary "
+                    f"is near exhaustion and the fixed rounds*batch SQL "
+                    f"oracle (batched_train_sql) would silently diverge. "
+                    f"Reduce rounds*batch below the corpus' merge "
+                    f"capacity, or drop strict if no oracle is pinned."
+                )
+            import warnings
+
+            warnings.warn(
+                f"train_merges_batched: short round {_r + 1} "
+                f"({len(top)} < batch={batch}); returning a partial "
+                f"merge table — do NOT compare against the fixed-chain "
+                f"batched_train_sql oracle",
+                stacklevel=2,
+            )
             break
     return spark.createDataFrame(merges, schema=_MERGE_SCHEMA)
 
@@ -648,7 +681,10 @@ def train_large_invariants_sql(
     capped word table) computed EXACTLY from the corpus, plus literal
     TRUE pins for the integer invariants the Spark side checks over
     the full-depth training run (the repo's invariant-oracle pattern —
-    agg_uniq_approx precedent)."""
+    agg_uniq_approx precedent).  The counts_nonincreasing pin is a
+    property of the REGISTERED corpora, not a BPE theorem (see
+    train_large_invariants) — pinning it TRUE is only valid for
+    corpora where the trainer has been observed monotone."""
     return f"""WITH wr AS ({wordrows_sql}),
 cw AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM wr GROUP BY w
@@ -688,8 +724,15 @@ def train_large_invariants(
       merge table over the original words — the incremental pair-count
       index cross-validated against the apply path's replay kernel,
       token-exact over every word;
-    - counts_nonincreasing: greedy argmax counts can never increase
-      (new pairs created by a merge are bounded by its applied count);
+    - counts_nonincreasing: the selected argmax counts are observed
+      non-increasing over this corpus.  NOT a theorem of BPE (ADVICE
+      r12): a merge can create occurrences of a pair whose token
+      string already exists via a different split (the
+      duplicate-merged-string corner replay_word handles), letting a
+      later argmax exceed the current one.  It IS a property of the
+      registered synthetic corpora (verified by this very check each
+      run — the oracle pins it TRUE for those corpora specifically);
+      on a corpus where it fails, drop the pin, not the trainer;
     - merged_concat_ok / steps_contiguous / vocab_closure_ok:
       structural integrity of the full merge table (merged = pa||pb;
       steps 1..N with no gaps; every pa/pb is a symbol available at

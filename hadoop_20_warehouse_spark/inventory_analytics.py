@@ -1262,6 +1262,7 @@ def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_BPEL_ROUNDS,
         batch=_BPEL_BATCH,
         max_words=_BPEL_MAX_WORDS,
+        strict=True,
     )
 
 
@@ -1298,6 +1299,7 @@ def q_tokenize_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rounds=_BPEL_ROUNDS,
                 batch=_BPEL_BATCH,
                 max_words=_BPEL_MAX_WORDS,
+                strict=True,
             ).collect()
         )
     ]
@@ -1336,6 +1338,7 @@ def q_pack_token_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rounds=_BPEL_ROUNDS,
                 batch=_BPEL_BATCH,
                 max_words=_BPEL_MAX_WORDS,
+                strict=True,
             ).collect()
         )
     ]
@@ -1380,6 +1383,7 @@ def q_bpe_vocab_large(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rounds=_BPEL_ROUNDS,
                 batch=_BPEL_BATCH,
                 max_words=_BPEL_MAX_WORDS,
+                strict=True,
             ).collect()
         )
     ]

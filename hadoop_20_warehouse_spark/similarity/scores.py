@@ -59,6 +59,13 @@ from hadoop_20_warehouse_spark.similarity.assign import (
 # float64 unit roundoff; sign/tie bands scale it by the dot's magnitude
 _EPS = 2.3e-16
 
+# Driver-side collect caps (~0.5 GB of 64-dim float64 vectors each):
+# brute_topk collects the QUERY set, pairs_threshold the FULL corpus
+# (the documented O(n²) yardstick).  Module-level so the enforcement
+# is testable without materializing a million rows.
+MAX_QUERY_ROWS = 1_000_000
+MAX_CORPUS_ROWS = 1_000_000
+
 
 def plane_signs(
     df: DataFrame,
@@ -165,7 +172,7 @@ def brute_topk(
     import numpy as np
 
     spark = corpus.sparkSession
-    max_query_rows = 1_000_000  # ~0.5 GB of 64-dim float64 vectors
+    max_query_rows = MAX_QUERY_ROWS
     qrows = (
         queries.select(F.col(id_col), F.col(vec_col))
         .limit(max_query_rows + 1)
@@ -281,11 +288,33 @@ def pairs_threshold(
     to ``dedup.embedding.brute_force_pairs``: one matmul per corpus
     batch against the broadcast full corpus (test-yardstick scale by
     contract), GEMM values filter candidates, exact rounded sims
-    recomputed for the survivors."""
+    recomputed for the survivors.
+
+    The FULL corpus is COLLECTED TO THE DRIVER (then broadcast) —
+    like ``brute_topk``'s query collect, the bounded contract is
+    enforced, not just documented: above ``max_corpus_rows`` the
+    collect raises instead of silently pressuring driver memory.
+    This is the documented O(n²) yardstick (reachable only via
+    explicit ``method='gemm'``); the scale path for all-pairs
+    similarity is the banded/bucketed family (dedup.semantic,
+    minhash/simhash LSH)."""
     import numpy as np
 
     spark = df.sparkSession
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    max_corpus_rows = MAX_CORPUS_ROWS
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .limit(max_corpus_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_corpus_rows:
+        raise ValueError(
+            f"pairs_threshold: corpus exceeds {max_corpus_rows} rows — "
+            "the all-pairs GEMM yardstick collects and broadcasts the "
+            "full corpus (bounded by contract); use the banded scale "
+            "paths (dedup.semantic semantic_dedup_pairs, minhash/simhash "
+            "LSH) for corpora beyond yardstick scale"
+        )
     all_ids = np.array([r[id_col] for r in rows])
     A = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     an = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])

@@ -201,3 +201,64 @@ def test_replay_indexed_equals_plain():
     tidx = BS.build_merge_index(t3)
     for w in words:
         assert BS.replay_word_indexed(w, tidx) == BS.replay_word(w, t3), w
+
+
+def test_batched_short_round_strict_and_warn(spark):
+    """ADVICE r12: a round yielding fewer than ``batch`` pairs makes
+    the fixed rounds*batch SQL oracle silently diverge — strict=True
+    must raise, and the default must warn loudly while still
+    returning the partial table."""
+    import warnings
+
+    import pytest
+
+    # one word 'ab' -> exactly 2 merges possible; rounds*batch = 40
+    docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="near exhaustion"):
+        BS.train_merges_batched(docs, rounds=4, batch=10, strict=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = BS.train_merges_batched(docs, rounds=4, batch=10)
+    assert any("short round" in str(w.message) for w in caught)
+    assert out.count() == 2  # (a,b)->ab, (ab,</w>)->ab</w>
+    # full batches raise nothing even under strict
+    full = BS.train_merges_batched(docs, rounds=2, batch=1, strict=True)
+    assert full.count() == 2
+
+
+def test_tokenize_large_unicode_whitespace_matches_small(spark):
+    """ADVICE r12 (medium): the large apply path must split on JAVA
+    \\s (ASCII [ \\t\\n\\x0b\\f\\r]) like the Spark-side small path and
+    the trainer's word_counts — python re \\s also matches U+00A0/
+    U+2028 etc., which would tokenize the same (docs, merges) input
+    differently on either side of LARGE_MERGE_THRESHOLD."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "ab ab"),       # NBSP: NOT whitespace in Java \s
+            (2, "ab ab"),       # LINE SEPARATOR: same
+            (3, "ab ab"),       # OGHAM SPACE MARK: same
+            (4, "ab\tab\nab\x0bab\fab\rab ab"),  # all Java \s chars
+            (5, "ab  ab"),      # NBSP adjacent to real space
+        ],
+        schema=schema,
+    )
+    merges = [(1, "a", "b", "ab", 1)]
+    small = {
+        r["doc_id"]: (r["bpe_len"], r["tok_digest"])
+        for r in B.tokenize_with_merges(docs, merges).collect()
+    }
+    large = {
+        r["doc_id"]: (r["bpe_len"], r["tok_digest"])
+        for r in BS.tokenize_with_merges_large(docs, merges).collect()
+    }
+    assert small == large
+    # the NBSP-glued token fails the [a-z0-9]+ filter on BOTH sides ->
+    # empty stream; the Java-\s doc yields 7 'ab' words -> 14 tokens
+    empty_digest = hashlib.md5(b"").hexdigest()
+    assert large[1] == (0, empty_digest)
+    assert large[4][0] == 14
+    # NBSP glues to the first word, second survives the space split
+    assert large[5][0] == 2

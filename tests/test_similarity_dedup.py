@@ -680,3 +680,29 @@ def test_gemm_kernels_degenerate_inputs(spark, emb):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "sim", "rank",
     ]
+
+
+def test_gemm_collect_caps_enforced(spark, emb, monkeypatch):
+    """Both driver-side collects in the GEMM yardsticks are bounded by
+    contract AND enforcement (VERDICT r12 finding 1): above the cap
+    the collect raises with an actionable message instead of silently
+    pressuring driver memory.  Caps are module constants precisely so
+    this is testable without materializing a million rows."""
+    from hadoop_20_warehouse_spark.similarity import scores as SC
+
+    monkeypatch.setattr(SC, "MAX_QUERY_ROWS", 10)
+    monkeypatch.setattr(SC, "MAX_CORPUS_ROWS", 10)
+    big_q = emb.limit(11)
+    with pytest.raises(ValueError, match="query set exceeds 10 rows"):
+        SC.brute_topk(emb, big_q, "vec_id", "embedding", 5)
+    with pytest.raises(ValueError, match="corpus exceeds 10 rows"):
+        SC.pairs_threshold(emb, "vec_id", "embedding", 0.3)
+    # at or below the cap both run normally
+    monkeypatch.setattr(SC, "MAX_QUERY_ROWS", 10_000)
+    monkeypatch.setattr(SC, "MAX_CORPUS_ROWS", 10_000)
+    assert SC.brute_topk(emb, big_q, "vec_id", "embedding", 2).count() > 0
+    assert (
+        SC.pairs_threshold(emb.limit(20), "vec_id", "embedding", 0.99)
+        .count()
+        >= 0
+    )
