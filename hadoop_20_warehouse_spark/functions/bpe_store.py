@@ -26,7 +26,12 @@ Layout (one directory per version, monotonically numbered):
 Writes go to a temporary ``_tmp_v...`` directory first and are
 renamed into place, so a version directory is visible only complete —
 readers never observe a partial artifact (the FileOutputCommitter
-discipline, applied at artifact granularity).  ``read_tokenizer``
+discipline, applied at artifact granularity).  Auto-assigned versions
+(``version=None``) never overwrite: if two writers race to the same
+number, the loser raises ``FileExistsError`` instead of replacing the
+winner's committed directory.  Explicit-version overwrite (a retrain
+of the same tag) swaps via rename-aside — the only non-atomic seam,
+documented as a single-writer maintenance op.  ``read_tokenizer``
 resolves ``version=None`` to the highest committed version, so a
 pipeline can keep training new tokenizers while consumers pin or
 follow latest.
@@ -87,10 +92,21 @@ def write_tokenizer(
     """Persist (merges, vocab, manifest) as artifact ``version`` under
     ``path`` (default: highest existing + 1).  Returns the version
     written.  The artifact appears atomically: parts are written to a
-    ``_tmp`` sibling and renamed into place once complete; an existing
-    version directory is replaced only after the new one is fully
-    staged (overwrite = retrain of the same version tag)."""
-    if version is None:
+    ``_tmp`` sibling and renamed into place once complete.
+
+    Concurrency contract: an auto-assigned version (``version=None``)
+    NEVER replaces a committed directory — if another writer commits
+    the same number between our ``list_versions`` read and the final
+    rename, this call raises ``FileExistsError`` instead of silently
+    clobbering the winner (retry to pick up the next number).  An
+    EXPLICIT ``version`` may overwrite (retrain of the same tag): the
+    old directory is renamed aside first and deleted only after the
+    new one is in place, so the absence window is two atomic renames,
+    not an ``rmtree`` — but a ``version=None`` reader racing an
+    explicit overwrite can still briefly miss that version; explicit
+    overwrite is a single-writer maintenance op by contract."""
+    auto = version is None
+    if auto:
         vs = list_versions(path)
         version = (vs[-1] + 1) if vs else 1
     n_merges = merges_df.count()
@@ -106,9 +122,25 @@ def write_tokenizer(
     merges_df.write.parquet(os.path.join(tmp, "merges"))
     vocab_df.write.parquet(os.path.join(tmp, "vocab"))
     final = _vdir(path, version)
+    aside = None
     if os.path.isdir(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+        if auto:
+            shutil.rmtree(tmp)
+            raise FileExistsError(
+                f"write_tokenizer: auto-assigned version {version} was "
+                f"committed concurrently at {final!r} — retry to pick up "
+                f"the next number (auto versions never overwrite)"
+            )
+        aside = os.path.join(path, f"_old_v{version:05d}_{uuid.uuid4().hex[:8]}")
+        os.rename(final, aside)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if aside is not None:
+            os.rename(aside, final)
+        raise
+    if aside is not None:
+        shutil.rmtree(aside)
     return version
 
 
