@@ -81,7 +81,7 @@ def simhash_sql(table: str, id_col: str, text_col: str, n_bits: int = DEFAULT_BI
 WITH tok AS (
   SELECT {id_col} AS id, {h} AS h
   FROM (
-    SELECT {id_col}, unnest(string_split_regex({text_col}, '\\s+')) AS token
+    SELECT {id_col}, unnest(string_split_regex({text_col}, '[ \\t\\n\\x0b\\f\\r]+')) AS token
     FROM {table}
   ) WHERE token <> ''
 ),

@@ -215,7 +215,7 @@ def _train_ctes_duck(
         f"""w0 AS MATERIALIZED (
   SELECT w, wf, {_seq0_duck("w")} AS seq FROM (
     SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM (
-      SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+      SELECT unnest(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0b\\f\\r]+'),
                     t -> t <> '')) AS w
       FROM {table}
     ) WHERE regexp_matches(w, '{_WORD_RE}')
@@ -362,7 +362,7 @@ def _tokenize_ctes_duck(
         f"""wordrows AS MATERIALIZED (
   SELECT {id_col} AS did, u.i AS widx, ws[u.i] AS w
   FROM (SELECT {id_col},
-               list_filter(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+               list_filter(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0b\\f\\r]+'),
                            t -> t <> ''), t -> regexp_matches(t, '{_WORD_RE}')) AS ws
         FROM {table}),
        UNNEST(generate_series(1, len(ws))) AS u(i)

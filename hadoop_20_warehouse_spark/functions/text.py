@@ -56,7 +56,7 @@ def tokens(text: Column | str) -> Column:
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(string_split_regex({expr}, '\\s+'), t -> t <> '')"
+    return f"list_filter(string_split_regex({expr}, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')"
 
 
 def token_count(text: Column | str) -> Column:

@@ -98,7 +98,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wordcount",
     oracle="""
 SELECT token, COUNT(*) AS token_count
-FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 """,
@@ -137,7 +137,7 @@ def q_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate_report",
     oracle="""
 SELECT 'LongValueSum:' || token AS key, CAST(COUNT(*) AS VARCHAR) AS value
-FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 UNION ALL

@@ -1416,12 +1416,17 @@ _BPEN_ART_VERSION = 1
 
 # DuckDB word-rows (did, j, w) over the REAL corpus: lower/split/
 # filter exactly as word_counts, then sliding glued trigrams in word
-# order.  Must stay in lockstep with _bpe_natural_docs below.
+# order.  Must stay in lockstep with _bpe_natural_docs below.  The
+# split class is EXPLICIT [ \t\n\x0b\f\r] — the Spark side splits with
+# Java \s, which includes vertical tab, while RE2's \s does not
+# (ADVICE r13); docs with <3 words yield no rows here AND no rows on
+# the Spark side (_bpe_natural_docs filters them), keeping the two
+# derivations total-equal on any input.
 _BPEN_WORDROWS = r"""
   SELECT doc_id AS did, j, ws[j] || ws[j+1] || ws[j+2] AS w
   FROM (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'),
+           list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                        t -> t <> '' AND regexp_matches(t, '^[a-z0-9]+$')) AS ws
     FROM documents
   ) s, UNNEST(generate_series(1, len(ws) - 2)) AS g(j)
@@ -1432,24 +1437,31 @@ def _bpe_natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, text): the real documents table re-expressed as glued
     word-trigram streams — lower/\\s+-split/[a-z0-9]+-filter (the
     word_counts normalization), then sliding shingles joined by
-    spaces, in word order.  Pure row-local projection, no shuffle.
-    The CASE guards docs with <3 words: Spark sequence(1, n) with
-    n < 1 counts DOWN (r11 finding) while DuckDB generate_series is
-    empty — every test SF has ≥10 words/doc, but the guard keeps the
-    derivation total."""
+    spaces, in word order.  Pure row-local projection + filter, no
+    shuffle.  Docs with <3 words are FILTERED (they have no trigram
+    stream): the oracle's generate_series likewise yields no rows for
+    them, so both derivations drop the same docs — the previous CASE
+    guard emitted an empty-text Spark row the oracle never produced
+    (ADVICE r13).  The word array is materialized ONCE in a prior
+    projection (the filter/split subexpression was inlined 4x into
+    the transform before — ADVICE r13); whole-stage codegen keeps it
+    a single evaluation per row."""
     docs = load_table(spark, sf_dir, "documents")
     ws = (
         "filter(split(lower(text), '\\\\s+'), "
         "t -> t != '' and t rlike '^[a-z0-9]+$')"
     )
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"array_join(CASE WHEN size({ws}) >= 3 THEN "
-            f"transform(sequence(1, size({ws}) - 2), j -> "
-            f"concat(element_at({ws}, j), element_at({ws}, j + 1), "
-            f"element_at({ws}, j + 2))) ELSE array() END, ' ')"
-        ).alias("text"),
+    return (
+        docs.select("doc_id", F.expr(ws).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(1, size(ws) - 2), j -> "
+                "concat(element_at(ws, j), element_at(ws, j + 1), "
+                "element_at(ws, j + 2))), ' ')"
+            ).alias("text"),
+        )
     )
 
 

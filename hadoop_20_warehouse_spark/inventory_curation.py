@@ -85,7 +85,7 @@ def _bigrams(arr) -> F.Column:
 _REPETITION_SQL = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 b AS (
@@ -163,7 +163,7 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECONTAMINATE_SQL = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 g AS (
@@ -247,7 +247,7 @@ _SCRUB_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORD_PROFILES["en"])
 _SCRUB_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 k AS (
@@ -474,7 +474,7 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RARE_SQL = """
 WITH tok AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')) AS token
   FROM documents
 ),
 vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_corpus FROM tok GROUP BY token),
@@ -816,7 +816,7 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUMMARY_SQL = """
 WITH tc AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n
+         CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')) AS BIGINT) AS n
   FROM documents
 ),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens FROM tc),
@@ -951,7 +951,7 @@ _PARA_W = 4
 _PARA_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS t
   FROM documents
 ),
 chunks AS (
@@ -1016,7 +1016,7 @@ _PACK_SHARDS = 8
 _PACK_SQL = f"""
 WITH d AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS tok_len,
+         CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')) AS BIGINT) AS tok_len,
          CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS BIGINT) AS shard,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
@@ -1252,7 +1252,7 @@ slices AS (
 _PACK_SPLIT_SQL = f"""
 WITH d AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS tok_len,
+         CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')) AS BIGINT) AS tok_len,
          CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS BIGINT) AS shard,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents

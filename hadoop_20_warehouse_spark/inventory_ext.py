@@ -49,7 +49,7 @@ def q_pipe_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_reduce_uniq",
     oracle="""
 SELECT token AS key, COUNT(*) AS cnt
-FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 """,
@@ -75,7 +75,7 @@ def q_pipe_reduce_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_combiner_wordcount",
     oracle="""
 SELECT token AS key, COUNT(*) AS cnt
-FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 """,
@@ -134,7 +134,7 @@ def q_pipe_keyfield_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_stream_job_e2e",
     oracle="""
 SELECT token AS key, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 UNION ALL
@@ -657,7 +657,7 @@ SELECT token AS term,
 FROM (
   SELECT doc_id, token, COUNT(*) AS tf
   FROM (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token
     FROM documents
   ) WHERE token <> ''
   GROUP BY doc_id, token

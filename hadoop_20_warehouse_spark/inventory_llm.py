@@ -65,7 +65,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, source, n_chars,
-         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 grams AS (
@@ -615,7 +615,7 @@ def q_doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tf AS (
   SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
   FROM (
-    SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token
+    SELECT lang, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token
     FROM documents
   ) WHERE token <> ''
   GROUP BY lang, token
