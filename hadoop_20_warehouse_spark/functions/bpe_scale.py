@@ -102,6 +102,24 @@ from hadoop_20_warehouse_spark.functions.bpe import (
 # where the DuckDB oracle unrolls them).
 LARGE_MERGE_THRESHOLD = 64
 
+import re as _re_mod  # noqa: E402
+
+# Worker-side normalization for the mapInPandas apply path.  The
+# whitespace split is an ASCII-explicit class, NOT python \s: the
+# small path and the trainer's word_counts split with Spark/Java
+# regex \s+, and Java \s is exactly [ \t\n\x0B\f\r] while python re
+# \s also matches U+00A0/U+1680/U+2028/... — on text carrying Unicode
+# whitespace the two sides of the LARGE_MERGE_THRESHOLD dispatch
+# would tokenize differently (ADVICE r12).  lower() is likewise
+# python-vs-JVM; the [a-z0-9]+ word filter confines the surviving
+# vocabulary to ASCII, and the documented contract is ASCII-text
+# corpora (non-ASCII WORDS are filtered identically on both sides
+# because neither engine's lower() maps non-ASCII into [a-z0-9]).
+# Module-level so the r13 perf adjudication could A/B the pattern
+# order-controlled (PLANS.md round 14).
+_WORD_APPLY_RE = _re_mod.compile(r"[a-z0-9]+\Z")
+_WS_APPLY_RE = _re_mod.compile(r"[ \t\n\x0b\f\r]+")
+
 _MERGE_SCHEMA = StructType(
     [
         StructField("step", LongType()),
@@ -335,7 +353,6 @@ def tokenize_with_merges_large(
     normalization (lower, \\s+ split, [a-z0-9]+ filter) matches the
     trainer's word-count stage."""
     import hashlib
-    import re as _re
 
     spark = docs.sparkSession
     merges3 = [(m[1], m[2], m[3]) for m in merges]
@@ -349,18 +366,8 @@ def tokenize_with_merges_large(
             StructField("tok_digest", StringType()),
         ]
     )
-    word_re = _re.compile(r"[a-z0-9]+\Z")
-    # ASCII-explicit whitespace class, NOT python \s: the small path
-    # and the trainer's word_counts split with Spark/Java regex \s+,
-    # and Java \s is exactly [ \t\n\x0B\f\r] while python re \s also
-    # matches U+00A0/U+1680/U+2028/... — on text carrying Unicode
-    # whitespace the two sides of the LARGE_MERGE_THRESHOLD dispatch
-    # would tokenize differently (ADVICE r12).  lower() is likewise
-    # python-vs-JVM; the [a-z0-9]+ word filter confines the surviving
-    # vocabulary to ASCII, and the documented contract is ASCII-text
-    # corpora (non-ASCII WORDS are filtered identically on both sides
-    # because neither engine's lower() maps non-ASCII into [a-z0-9]).
-    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
+    word_re = _WORD_APPLY_RE
+    ws_re = _WS_APPLY_RE
 
     def gen(batches):
         import pandas as pd
