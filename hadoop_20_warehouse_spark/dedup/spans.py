@@ -413,6 +413,7 @@ def mixture_sample(
     domain_col: str = "source",
     text_col: str = "text",
     n_shards: int = 8,
+    tok_len_col: str | None = None,
 ) -> DataFrame:
     """Deterministic domain-mixture sampling: greedily fill each
     domain's token budget in a pseudo-random but reproducible order —
@@ -430,6 +431,11 @@ def mixture_sample(
     over-weighted small domains) is a separate stage by design —
     this op never duplicates a doc.
 
+    ``tok_len_col``: name of a precomputed per-doc token-count column
+    to budget by instead of the whitespace count — the same hook
+    :func:`pack_token_budget` has, so mixing can run on REAL tokenizer
+    counts (e.g. BPE subword counts) in a composed pipeline.
+
     Output: (id_col, domain_col, tok_len, start_off) where start_off
     is the domain-wide cumulative token offset — exact integers,
     reproducible cross-engine.
@@ -444,10 +450,15 @@ def mixture_sample(
     literal map — metadata, never a shuffle."""
     from pyspark.sql import Window
 
+    tok_len = (
+        F.col(tok_len_col).cast("long")
+        if tok_len_col
+        else T.token_count(F.col(text_col))
+    )
     base = docs.select(
         id_col,
         domain_col,
-        T.token_count(F.col(text_col)).alias("tok_len"),
+        tok_len.alias("tok_len"),
         md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
         F.md5(F.col(id_col).cast("string")).alias("h"),
     ).filter(F.col(domain_col).isin(*budgets.keys()))

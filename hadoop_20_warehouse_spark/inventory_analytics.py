@@ -1433,8 +1433,8 @@ _BPEN_WORDROWS = r"""
 """
 
 
-def _bpe_natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, text): the real documents table re-expressed as glued
+def trigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): a documents frame re-expressed as glued
     word-trigram streams — lower/\\s+-split/[a-z0-9]+-filter (the
     word_counts normalization), then sliding shingles joined by
     spaces, in word order.  Pure row-local projection + filter, no
@@ -1446,7 +1446,6 @@ def _bpe_natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (the filter/split subexpression was inlined 4x into
     the transform before — ADVICE r13); whole-stage codegen keeps it
     a single evaluation per row."""
-    docs = load_table(spark, sf_dir, "documents")
     ws = (
         "filter(split(lower(text), '\\\\s+'), "
         "t -> t != '' and t rlike '^[a-z0-9]+$')"
@@ -1463,6 +1462,12 @@ def _bpe_natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
+
+
+def _bpe_natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full documents table as trigram streams (see
+    :func:`trigram_stream`) — the natural-BPE family's corpus."""
+    return trigram_stream(load_table(spark, sf_dir, "documents"))
 
 
 def _bpen_train_oracle() -> str:

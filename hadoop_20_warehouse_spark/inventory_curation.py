@@ -1284,6 +1284,41 @@ def _chunk_sliding_oracle() -> str:
     return chunk_sliding_windows_sql("documents")
 
 
+def _classifier_gate(docs: DataFrame, *cols: str) -> DataFrame:
+    """The fastText-shaped quality-classifier gate as a reusable
+    stage: keep docs whose rounded sigmoid score >= 0.5, computed
+    INLINE on the scan (broadcast 1-row weight seed, row-local token
+    hashing — the zero-shuffle inference shape of
+    q_text_quality_classifier).  Returns ``docs`` filtered to keepers,
+    projected to ``cols``.  Shared by the classifier->SemDeDup->chunk
+    pipeline and the release endgame so both compositions pin the
+    SAME gate."""
+    wrow = docs.sparkSession.range(1).select(
+        T.hashed_weight_array().alias("w")
+    )
+    return (
+        docs.crossJoin(F.broadcast(wrow))
+        .withColumn("_toks", T.tokens(F.col("text")))
+        .withColumn("_n", F.size("_toks").cast("long"))
+        .filter(F.col("_n") > 0)
+        .withColumn("_raw", T.hashed_classifier_raw_milli("_toks"))
+        .filter(
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(F.col("_raw").cast("double") / (F.col("_n") * 1000.0))
+                    )
+                ),
+                6,
+            )
+            >= 0.5
+        )
+        .select(*cols)
+    )
+
+
 def _cls_sem_chunk_oracle() -> str:
     from hadoop_20_warehouse_spark.dedup.semantic import (
         semantic_dedup_removed_sql,
@@ -1326,28 +1361,7 @@ def q_pipeline_classifier_semantic_chunk(
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    wrow = spark.range(1).select(T.hashed_weight_array().alias("w"))
-    gated = (
-        docs.crossJoin(F.broadcast(wrow))
-        .withColumn("_toks", T.tokens(F.col("text")))
-        .withColumn("_n", F.size("_toks").cast("long"))
-        .filter(F.col("_n") > 0)
-        .withColumn("_raw", T.hashed_classifier_raw_milli("_toks"))
-        .filter(
-            F.round(
-                F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(
-                        -(F.col("_raw").cast("double") / (F.col("_n") * 1000.0))
-                    )
-                ),
-                6,
-            )
-            >= 0.5
-        )
-        .select("doc_id", "text")
-    )
+    gated = _classifier_gate(docs, "doc_id", "text")
     removed = semantic_dedup_removed(emb).select(
         F.col("vec_id").alias("doc_id")
     )
@@ -2316,5 +2330,292 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum("m").cast("double") / (F.count(F.lit(1)) * 1000.0)
             ).alias("avg_nll"),
+        )
+    )
+
+
+# ===========================================================================
+# Release endgame: the WHOLE LLM-corpus surface composed in one
+# hash-checked pipeline (VERDICT r12 #2 / r13 #1) — classifier gate ->
+# SemDeDup anti-join -> ship-the-tokenizer (train, persist, reload) ->
+# BPE tokenize survivors -> domain mixture on REAL subword counts ->
+# token-budget packing -> global training-order shuffle -> partitioned
+# shard export -> readback audit digest.
+# ===========================================================================
+
+# Per-source BPE-token budgets over the gated survivor corpus, chosen
+# from measured sf0.01 survivor totals (src0 226, src1 643, src5 365,
+# src6 409, src8 553, src9 411, src15 223 bpe tokens) to exercise
+# every fill regime: partial fill (src1/src6/src8), tiny fill (src5),
+# always-overflow (src0/src4), and budgets that overflow at sf0.01 but
+# BIND at sf0.1 (src9/src15 — totals grow ~10x with SF, budgets don't).
+_RE_BUDGETS = {
+    "src0": 1_000_000,
+    "src1": 400,
+    "src4": 1_000_000,
+    "src5": 150,
+    "src6": 250,
+    "src8": 300,
+    "src9": 2000,
+    "src15": 500,
+}
+_RE_PACK_BUDGET = 1024
+_RE_SHARDS = 8
+
+
+def _release_endgame_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.semantic import (
+        semantic_dedup_removed_sql,
+    )
+    from hadoop_20_warehouse_spark.functions.bpe_scale import _batched_ctes
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _BPEN_ART_VERSION,
+        _BPEN_BATCH,
+        _BPEN_MAX_WORDS,
+        _BPEN_ROUNDS,
+        _BPEN_WORDROWS,
+    )
+
+    ctes = _batched_ctes(
+        _BPEN_WORDROWS,
+        _BPEN_ROUNDS,
+        _BPEN_BATCH,
+        _BPEN_MAX_WORDS,
+        all_words=True,
+    )
+    mix_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _RE_BUDGETS.items()
+    )
+    srcs = ", ".join(f"'{k}'" for k in _RE_BUDGETS)
+    row_fp = md5_int64_sql(
+        "concat_ws('|', doc_id, source, tok_len, batch_id, batch_offset, "
+        "global_pos)"
+    )
+    return f"""WITH RECURSIVE
+{ctes},
+wtok AS (
+  SELECT w, in_cap,
+         list_filter(string_split(seq, '||'), z -> z <> '') AS ts
+  FROM ap{_BPEN_ROUNDS}
+),
+nv AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab
+  FROM (SELECT unnest(ts) AS t FROM wtok WHERE in_cap)
+),
+doclen AS (
+  SELECT wr.did AS doc_id, CAST(SUM(len(t.ts)) AS BIGINT) AS bpe_len
+  FROM wr JOIN wtok t ON t.w = wr.w
+  GROUP BY wr.did
+),
+cls AS (
+  SELECT doc_id FROM ( {_CLS_SQL} ) WHERE keep
+),
+rem AS (
+  SELECT vec_id FROM ( {semantic_dedup_removed_sql('embeddings')} )
+),
+surv AS (
+  SELECT d.doc_id, d.source, COALESCE(dl.bpe_len, 0) AS tok_len
+  FROM documents d
+  JOIN cls USING (doc_id)
+  LEFT JOIN rem ON rem.vec_id = d.doc_id
+  LEFT JOIN doclen dl ON dl.doc_id = d.doc_id
+  WHERE rem.vec_id IS NULL
+),
+mixd AS (
+  SELECT doc_id, source, tok_len,
+         CAST({md5_bucket_sql("CAST(doc_id AS VARCHAR)", _RE_SHARDS)} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM surv WHERE source IN ({srcs})
+),
+kept AS (
+  SELECT doc_id, source, tok_len, shard, h FROM (
+    SELECT *, SUM(tok_len) OVER (PARTITION BY source ORDER BY shard, h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - tok_len AS m_off
+    FROM mixd
+  ) WHERE m_off < CASE source {mix_case} END
+),
+placed AS (
+  SELECT doc_id, source, tok_len, shard,
+         CAST((SUM(tok_len) OVER w - tok_len) // {_RE_PACK_BUDGET} AS BIGINT) AS batch_id,
+         CAST((SUM(tok_len) OVER w - tok_len) % {_RE_PACK_BUDGET} AS BIGINT) AS batch_offset,
+         CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) - 1 AS BIGINT) AS global_pos
+  FROM kept
+  WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT shard,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+       CAST(SUM(tok_len) AS BIGINT) AS total_tokens,
+       CAST(MIN(global_pos) AS BIGINT) AS first_pos,
+       CAST(MAX(global_pos) AS BIGINT) AS last_pos,
+       CAST(bit_xor({row_fp}) AS BIGINT) AS digest,
+       CAST({_BPEN_ART_VERSION} AS BIGINT) AS artifact_version,
+       CAST({_BPEN_ROUNDS * _BPEN_BATCH} AS BIGINT) AS artifact_n_merges,
+       (SELECT n_vocab FROM nv) AS artifact_n_vocab
+FROM placed
+GROUP BY shard"""
+
+
+@register("pipeline_release_endgame", oracle=_release_endgame_oracle())
+def q_pipeline_release_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release endgame: every stage of the LLM-corpus surface
+    composed into ONE hash-checked pipeline (VERDICT r12 #2 / r13 #1).
+
+    (1) fastText-shaped classifier gate inline on the document scan
+    (_classifier_gate — zero-shuffle inference); (2) SemDeDup removal
+    anti-joined on doc id (dedup/semantic.py); (3) SHIP THE TOKENIZER:
+    train the 2048-merge natural-text BPE vocabulary on the full
+    trigram-shingled corpus (functions/bpe_scale.train_merges_batched),
+    persist it as a versioned parquet artifact, reload it fresh
+    (functions/bpe_store — the DistributedCache contract), and
+    tokenize the SURVIVORS with the reloaded merges in one Arrow
+    mapInPandas pass; (4) domain-mixture sampling with budgets over
+    REAL subword counts (dedup/spans.mixture_sample tok_len_col hook);
+    (5) token-budget packing on the same counts (pack_token_budget);
+    (6) deterministic global training-order shuffle carried by
+    passthrough — no corpus re-join (global_shuffle_order); (7)
+    PHYSICAL partitioned shard export and a readback audit digest per
+    shard, with the artifact manifest fields pinned into the hashed
+    output.
+
+    The oracle is the stages' SQL composed verbatim (the
+    q_pipeline_classifier_semantic_chunk / corpus_export_roundtrip
+    precedents, plus the batched-BPE recursive chain from
+    bpe_store.artifact_roundtrip_sql), so stage WIRING — gate
+    direction, anti-join side, tokenizing survivors only, mixing then
+    packing then placing the same kept set, exporting what was placed
+    — is hash-checked end-to-end, and a match also proves the store
+    restored the exact trained merge sequence (replay is
+    order-sensitive).
+
+    Scale shape: the only corpus-vs-corpus shuffle the composition
+    adds to its parts is the id-keyed anti-join; the tokenized
+    survivor frame (3 narrow columns) is persisted ONCE as the staging
+    checkpoint every real export job materializes — mixture, packing,
+    and placement are per-md5-shard cumsum windows + O(shards|domains)
+    broadcast offset lifts over that checkpoint, the export is one
+    partitionBy fan-out, and the audit is one keyed agg over the
+    written files.  Docs with <3 words tokenize to 0 subwords via the
+    LEFT JOIN + COALESCE on both sides (ADVICE r13 totality).
+
+    Reference lineage: the chained-jobs-into-materialized-dir shape is
+    examples/Grep.java:48-84's two-job temp-dir handoff at pipeline
+    width; the artifact ship is filecache/DistributedCache.java:45."""
+    from hadoop_20_warehouse_spark.dedup.semantic import semantic_dedup_removed
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        global_shuffle_order,
+        mixture_sample,
+        pack_token_budget,
+    )
+    from hadoop_20_warehouse_spark.functions import bpe_scale as BS
+    from hadoop_20_warehouse_spark.functions import bpe_store as BST
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _BPEN_ART_VERSION,
+        _BPEN_BATCH,
+        _BPEN_MAX_WORDS,
+        _BPEN_ROUNDS,
+        _bpe_natural_docs,
+        trigram_stream,
+    )
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # (1) + (2): gate, then semantic dedup survivors
+    gated = _classifier_gate(docs, "doc_id", "source", "text")
+    removed = semantic_dedup_removed(emb).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    surv = gated.join(removed, on="doc_id", how="left_anti")
+
+    # (3): train on the full natural corpus, persist, reload, apply
+    trig_all = _bpe_natural_docs(spark, sf_dir)
+    merges_df = BS.train_merges_batched(
+        trig_all,
+        rounds=_BPEN_ROUNDS,
+        batch=_BPEN_BATCH,
+        max_words=_BPEN_MAX_WORDS,
+        strict=True,
+    )
+    trained = [tuple(r) for r in sorted(merges_df.collect())]
+    vocab_df = BS.vocab_after_merges_large(
+        trig_all, trained, max_words=_BPEN_MAX_WORDS
+    )
+    store = _fresh_subdir(_scratch_dir("release_endgame"), "store")
+    BST.write_tokenizer(merges_df, vocab_df, store, version=_BPEN_ART_VERSION)
+    art = BST.read_tokenizer(spark, store)
+    reloaded = BST.load_merges(art)
+    n_vocab = art["vocab"].count()
+    tok = BS.tokenize_with_merges_large(trigram_stream(surv), reloaded)
+    survlen = (
+        surv.select("doc_id", "source")
+        .join(tok.select("doc_id", "bpe_len"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("bpe_len"), F.lit(0)).cast("long").alias("bpe_len"),
+        )
+        .persist()  # the staging checkpoint: every stage below re-reads it
+    )
+    try:
+        # (4) mixture, (5) pack, (6) place — all on REAL subword counts
+        kept = mixture_sample(
+            survlen, _RE_BUDGETS, n_shards=_RE_SHARDS, tok_len_col="bpe_len"
+        )
+        packed = pack_token_budget(
+            kept,
+            budget=_RE_PACK_BUDGET,
+            n_shards=_RE_SHARDS,
+            tok_len_col="tok_len",
+            passthrough=("source",),
+        )
+        placed = global_shuffle_order(
+            packed,
+            passthrough=("source", "tok_len", "batch_id", "batch_offset"),
+        )
+        # (7) physical shard export
+        path = _fresh_subdir(_scratch_dir("release_endgame"), "shards")
+        placed.write.partitionBy("shard").parquet(path)
+    finally:
+        survlen.unpersist()
+    back = spark.read.parquet(path)
+    row_fp = md5_int64(
+        F.concat_ws(
+            "|",
+            *[
+                F.col(c).cast("string")
+                for c in (
+                    "doc_id", "source", "tok_len", "batch_id",
+                    "batch_offset", "global_pos",
+                )
+            ],
+        )
+    )
+    return (
+        back.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("batch_id").cast("long").alias("n_batches"),
+            F.sum("tok_len").cast("long").alias("total_tokens"),
+            F.min("global_pos").cast("long").alias("first_pos"),
+            F.max("global_pos").cast("long").alias("last_pos"),
+            F.bit_xor(row_fp).cast("long").alias("digest"),
+        )
+        .select(
+            "*",
+            F.lit(int(art["manifest"]["version"]))
+            .cast("long")
+            .alias("artifact_version"),
+            F.lit(int(art["manifest"]["n_merges"]))
+            .cast("long")
+            .alias("artifact_n_merges"),
+            F.lit(int(n_vocab)).cast("long").alias("artifact_n_vocab"),
         )
     )
