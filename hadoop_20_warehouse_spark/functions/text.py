@@ -29,8 +29,12 @@ STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 # "BPE-ish" pre-tokenizer: word pieces or single non-space punctuation —
-# the usual pre-split a byte-pair encoder runs on.
-BPE_SPLIT_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+# the usual pre-split a byte-pair encoder runs on.  The whitespace
+# exclusion is the EXPLICIT Java-\s class (not \s): this one literal
+# is shared verbatim by the Spark (Java regex) and DuckDB (RE2) sides,
+# and the engines' \s classes differ on \x0B — the explicit class
+# makes them identical on any input (ADVICE r13 class of bug).
+BPE_SPLIT_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]"
 
 # PII patterns → typed placeholders, applied in this order.  Java
 # regex (Spark) and RE2 (DuckDB) agree on these ASCII-only constructs;
@@ -126,8 +130,10 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def punct_ratio_sql(expr: str) -> str:
-    nonspace = f"len(regexp_replace({expr}, '\\s', '', 'g'))"
-    punct = f"len(regexp_replace({expr}, '[A-Za-z0-9\\s]', '', 'g'))"
+    # explicit Java-\s class: RE2's \s lacks \x0B (ADVICE r13 class
+    # of bug) — the Spark twin above strips Java \s
+    nonspace = f"len(regexp_replace({expr}, '[ \\t\\n\\x0b\\f\\r]', '', 'g'))"
+    punct = f"len(regexp_replace({expr}, '[A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'))"
     return f"CASE WHEN {nonspace} > 0 THEN CAST({punct} AS DOUBLE) / {nonspace} ELSE 0.0 END"
 
 

@@ -272,7 +272,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        {T.token_count_sql('text')} AS n_tokens,
        CASE WHEN {T.token_count_sql('text')} > 0
-            THEN CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / {T.token_count_sql('text')}
+            THEN CAST(len(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS DOUBLE) / {T.token_count_sql('text')}
             ELSE 0.0 END AS mean_token_len,
        {T.punct_ratio_sql('text')} AS punct_ratio,
        CASE WHEN {T.token_count_sql('text')} > 0
