@@ -1569,3 +1569,135 @@ def q_tokenizer_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.lit(int(n_vocab)).cast("long").alias("artifact_n_vocab"),
     )
+
+
+# ===========================================================================
+# Tokenizer store version pinning: two artifacts in one store, a
+# pinned consumer and a follow-latest consumer, both hash-checked.
+# ===========================================================================
+
+_BPEN_V1_STEPS = (_BPEN_ROUNDS // 2) * _BPEN_BATCH  # 4 rounds = 1024 merges
+
+
+def _bpen_pinning_oracle() -> str:
+    """Both tokenizations derive from ONE batched CTE chain: the
+    8-round derivation's ap4 state IS the 4-round (1024-merge)
+    training — batched rounds are sequential, so the step<=1024 prefix
+    of the 2048-row table equals the shallower training verbatim."""
+    from hadoop_20_warehouse_spark.functions.bpe_scale import _batched_ctes
+
+    half = _BPEN_ROUNDS // 2
+    ctes = _batched_ctes(
+        _BPEN_WORDROWS,
+        _BPEN_ROUNDS,
+        _BPEN_BATCH,
+        _BPEN_MAX_WORDS,
+        all_words=True,
+    )
+    return f"""WITH RECURSIVE
+{ctes},
+wtok1 AS (
+  SELECT w, list_filter(string_split(seq, '||'), z -> z <> '') AS ts
+  FROM ap{half}
+),
+wtok2 AS (
+  SELECT w, list_filter(string_split(seq, '||'), z -> z <> '') AS ts
+  FROM ap{_BPEN_ROUNDS}
+)
+SELECT wr.did AS doc_id,
+       CAST(SUM(len(t1.ts)) AS BIGINT) AS bpe_len_v1,
+       md5(string_agg(array_to_string(t1.ts, ' '), ' ' ORDER BY wr.j)) AS digest_v1,
+       CAST(SUM(len(t2.ts)) AS BIGINT) AS bpe_len_latest,
+       md5(string_agg(array_to_string(t2.ts, ' '), ' ' ORDER BY wr.j)) AS digest_latest,
+       CAST(1 AS BIGINT) AS pinned_version,
+       CAST(2 AS BIGINT) AS latest_version,
+       CAST({_BPEN_V1_STEPS} AS BIGINT) AS n_merges_v1,
+       CAST({_BPEN_ROUNDS * _BPEN_BATCH} AS BIGINT) AS n_merges_latest
+FROM wr
+JOIN wtok1 t1 ON t1.w = wr.w
+JOIN wtok2 t2 ON t2.w = wr.w
+GROUP BY wr.did"""
+
+
+@register("tokenizer_version_pinning", oracle=_bpen_pinning_oracle())
+def q_tokenizer_version_pinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-store CONSUMER contract, driver-checked: one
+    store holds two tokenizer generations (v1 = the 1024-merge
+    step-prefix — exactly the 4-round training, since batched rounds
+    are sequential; v2 = the full 2048-merge table), both written with
+    AUTO-assigned versions (the round-14 no-overwrite commit path);
+    one consumer PINS version=1, another follows latest, and each
+    tokenizes the corpus with its reloaded merges.  Output: per-doc
+    (bpe_len, digest) under BOTH vocabularies plus the version and
+    manifest fields.
+
+    A hash match proves: auto-versioning numbered the artifacts 1 and
+    2 in write order; the pinned read returned the OLD merge sequence
+    (its tokenization matches the ap4 derivation, which a 2048-merge
+    table CANNOT produce — deeper merges change segmentations), the
+    latest read resolved to v2, and both reloads restored training
+    order.  This is the retrain-in-place story a production store
+    lives by: consumers pin through a retrain, then roll forward
+    (filecache/DistributedCache.java:45's immutable-while-in-use
+    contract, made versioned).
+
+    Scale: two bounded artifacts (capped-vocab metadata), two
+    broadcast-merge Arrow corpus passes — each the tokenize_bpe_large
+    shape; nothing new shuffles."""
+    from hadoop_20_warehouse_spark.functions import bpe_store as BST
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    BS = _bpes_mod()
+    docs = _bpe_natural_docs(spark, sf_dir)
+    merges_df = BS.train_merges_batched(
+        docs,
+        rounds=_BPEN_ROUNDS,
+        batch=_BPEN_BATCH,
+        max_words=_BPEN_MAX_WORDS,
+        strict=True,
+    )
+    v1_df = merges_df.filter(F.col("step") <= _BPEN_V1_STEPS)
+    trained_v1 = [tuple(r) for r in sorted(v1_df.collect())]
+    trained_v2 = [tuple(r) for r in sorted(merges_df.collect())]
+    vocab_v1 = BS.vocab_after_merges_large(
+        docs, trained_v1, max_words=_BPEN_MAX_WORDS
+    )
+    vocab_v2 = BS.vocab_after_merges_large(
+        docs, trained_v2, max_words=_BPEN_MAX_WORDS
+    )
+    store = _fresh_subdir(_scratch_dir("bpe_tokenizer"), "pinned")
+    BST.write_tokenizer(v1_df, vocab_v1, store)        # auto -> 1
+    BST.write_tokenizer(merges_df, vocab_v2, store)    # auto -> 2
+    pinned = BST.read_tokenizer(spark, store, version=1)
+    latest = BST.read_tokenizer(spark, store)
+    tok1 = BS.tokenize_with_merges_large(docs, BST.load_merges(pinned))
+    tok2 = BS.tokenize_with_merges_large(docs, BST.load_merges(latest))
+    return (
+        tok1.select(
+            "doc_id",
+            F.col("bpe_len").alias("bpe_len_v1"),
+            F.col("tok_digest").alias("digest_v1"),
+        )
+        .join(
+            tok2.select(
+                "doc_id",
+                F.col("bpe_len").alias("bpe_len_latest"),
+                F.col("tok_digest").alias("digest_latest"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "*",
+            F.lit(int(pinned["version"])).cast("long").alias("pinned_version"),
+            F.lit(int(latest["version"])).cast("long").alias("latest_version"),
+            F.lit(int(pinned["manifest"]["n_merges"]))
+            .cast("long")
+            .alias("n_merges_v1"),
+            F.lit(int(latest["manifest"]["n_merges"]))
+            .cast("long")
+            .alias("n_merges_latest"),
+        )
+    )
