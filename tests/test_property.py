@@ -629,3 +629,41 @@ def test_fuzzy_edit_chunked_complete_vs_bruteforce(spark, data, n_docs):
             if d <= T:
                 want[(i, j)] = d
     assert got == want
+
+
+def test_mixture_sample_tok_len_col_equals_text_counts(spark):
+    """The tok_len_col hook (round 14, the release endgame's mixing
+    stage): budgeting by a precomputed count column must place exactly
+    like budgeting by the whitespace count when the column holds those
+    counts — and must be the ONLY thing read (no text column needed)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.dedup.spans import mixture_sample
+
+    rng = random.Random(77)
+    rows = [
+        (i, rng.choice(["a", "a", "b"]), " ".join("t" for _ in range(rng.randint(0, 7))))
+        for i in range(80)
+    ]
+    budgets = {"a": 41, "b": 13}
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    via_text = {
+        tuple(r)
+        for r in mixture_sample(df, budgets, n_shards=4).collect()
+    }
+    # precompute the same whitespace counts (empty text -> split yields
+    # [''] with size 1; mirror tokens()' empty-removal exactly)
+    pre = df.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast("long").alias("n"),
+    )
+    via_col = {
+        tuple(r)
+        for r in mixture_sample(
+            pre, budgets, n_shards=4, tok_len_col="n"
+        ).collect()
+    }
+    assert via_col == via_text
