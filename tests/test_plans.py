@@ -472,3 +472,51 @@ def test_named_outputs_sinks_scan_staged_copy(spark, sf_dir, tmp_path):
     schema = read_schema(sink)
     assert "o_orderkey" in schema and "o_totalprice" in schema
     assert "o_comment" not in schema, schema
+
+
+def test_release_endgame_placement_windows_sharded(spark):
+    """The release endgame's placement chain — mixture on a
+    precomputed subword-count column -> token-budget pack -> global
+    shuffle with passthrough — composed exactly as
+    q_pipeline_release_endgame wires it: every corpus-side window
+    (mixture cumsum, pack cumsum, rank) must stay shard-partitioned,
+    offsets must reach the corpus via broadcast, and nothing may drop
+    to Python row evaluation.  (The gate/tokenize stages upstream of
+    the checkpoint are hash-checked by the registered query; this
+    pins the placement composition's 100 TB shape.)"""
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        global_shuffle_order,
+        mixture_sample,
+        pack_token_budget,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        ((F.col("id") % 37) + 1).cast("long").alias("bpe_len"),
+    )
+    kept = mixture_sample(
+        docs,
+        {"src0": 500, "src1": 200, "src2": 100},
+        n_shards=4,
+        tok_len_col="bpe_len",
+    )
+    packed = pack_token_budget(
+        kept, budget=64, n_shards=4, tok_len_col="tok_len", passthrough=("source",)
+    )
+    placed = global_shuffle_order(
+        packed, passthrough=("source", "tok_len", "batch_id", "batch_offset")
+    )
+    plan = physical_plan(placed)
+    assert not uses_python_row_eval(placed)
+    assert uses_broadcast_join(placed), plan
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    corpus_wins = [
+        l for l in win_lines if "sum(tok_len" in l or "row_number" in l
+    ]
+    assert corpus_wins, plan
+    for l in corpus_wins:
+        spec = l.split("windowspecdefinition(", 1)[1]
+        assert "shard" in spec.split("specifiedwindowframe")[0], (
+            f"corpus window must partition by shard:\n{l}\n{plan}"
+        )
