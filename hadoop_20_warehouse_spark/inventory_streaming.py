@@ -221,3 +221,44 @@ def q_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return W.classifier_gate_stream(docs)
+
+
+def _stream_tok_oracle() -> str:
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _bpe_tokenize_oracle,
+    )
+
+    return _bpe_tokenize_oracle()
+
+
+@register("stream_tokenize_bpe", oracle=_stream_tok_oracle())
+def q_stream_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of tokenize_bpe
+    (streaming/windows.tokenize_stream): BPE vocab-apply tokenization
+    as a STATELESS stream projection — broadcast merge table, Arrow
+    mapInPandas replay, no watermark or state store — so ingest-time
+    tokenization (the subword counts that admission/packing decisions
+    consume on the stream path, e.g. budget_admit_stream) costs one
+    map pass at any vocabulary size.  Registered on the batch table
+    via the unified batch/stream API (this module's convention); the
+    real readStream → writeStream replay is pinned stream == batch by
+    tests/test_streaming.test_streaming_tokenize_matches_batch.  Same
+    oracle as the batch tokenize_bpe query — the twin must reproduce
+    the exact per-doc token streams (md5 digests), not just counts."""
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _BPE_MAX_WORDS,
+        _BPE_N_MERGES,
+        _bpe_mod,
+    )
+
+    B = _bpe_mod()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        tuple(r)
+        for r in sorted(
+            B.train_merges(
+                docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+            ).collect()
+        )
+    ]
+    return W.tokenize_stream(docs, merges)
