@@ -138,6 +138,7 @@ def write_tokenizer(
     except OSError:
         if aside is not None:
             os.rename(aside, final)
+        shutil.rmtree(tmp, ignore_errors=True)
         raise
     if aside is not None:
         shutil.rmtree(aside)
