@@ -362,3 +362,47 @@ def test_bpe_early_stop_on_exhausted_vocab(spark):
     assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
     tk = B.tokenize_with_merges(docs, [tuple(r) for r in rows]).collect()
     assert tk[0]["bpe_len"] >= 1
+
+
+def test_trigram_stream_cross_engine_totality(spark):
+    """The natural-BPE word-row derivation must agree between engines
+    on exactly the inputs round 14 hardened: docs with <3 words (both
+    sides drop them — no empty-text phantom row), vertical tab as a
+    word separator (Java \\s includes \\x0B; the oracle's explicit
+    class must too), tabs/newlines, and non-[a-z0-9] tokens filtered
+    after lowering."""
+    import duckdb
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _BPEN_WORDROWS,
+        trigram_stream,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # plain
+        (2, "one two"),                          # <3 words: dropped
+        (3, ""),                                 # empty: dropped
+        (4, "a\x0bb\x0bc\x0bd"),                # \x0B separates words
+        (5, "Mixed CASE tokens here"),           # lowered
+        (6, "x1 y2! z3 w4"),                     # 'y2!' filtered out
+        (7, "t\tu\nv\rw\fx"),                   # every ASCII ws class
+        (8, "solo"),                             # 1 word: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"] for r in trigram_stream(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(did): txt
+        for did, txt in con.sql(
+            f"SELECT did, string_agg(w, ' ' ORDER BY j) FROM ({_BPEN_WORDROWS}) GROUP BY did"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert 2 not in got and 3 not in got and 8 not in got  # dropped on BOTH sides
+    assert got[4] == "abc bcd"  # \x0B split identically
+    assert 6 in got and "y2" not in got[6]
