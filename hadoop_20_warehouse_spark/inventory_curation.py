@@ -1486,7 +1486,11 @@ def q_corpus_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         export.write.partitionBy("shard").parquet(path)
     finally:
         gated.unpersist()
-    back = spark.read.parquet(path)
+    # explicit readback schema: an all-filtered corpus writes ZERO part
+    # files (only _SUCCESS), and schema inference on that dir throws —
+    # with the written schema pinned, an empty export reads back as an
+    # empty frame and the audit agg returns 0 rows (as the oracle does)
+    back = spark.read.schema(export.schema).parquet(path)
     row_fp = md5_int64(
         F.concat_ws(
             "|",
@@ -2585,7 +2589,9 @@ def q_pipeline_release_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
         placed.write.partitionBy("shard").parquet(path)
     finally:
         survlen.unpersist()
-    back = spark.read.parquet(path)
+    # explicit readback schema — see corpus_export_roundtrip: an empty
+    # export must read back as an empty frame, not a schema-infer error
+    back = spark.read.schema(placed.schema).parquet(path)
     row_fp = md5_int64(
         F.concat_ws(
             "|",
