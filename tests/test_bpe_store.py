@@ -79,3 +79,39 @@ def test_explicit_version_overwrite_swaps_cleanly(spark, tmp_path):
     art = BST.read_tokenizer(spark, store, version=7)
     assert BST.load_merges(art) == MERGES_B
     assert [n for n in os.listdir(store) if n.startswith("_old")] == []
+
+
+def test_version_sequences_match_dict_model(spark, tmp_path):
+    """Randomized write sequences (auto + explicit + explicit
+    overwrite) against a dict model: list_versions, latest resolution,
+    and per-version reload must all match the model after every step.
+    Deterministic seed — spinning a Spark write per step is too slow
+    for hypothesis' example budget, so this is a fixed 16-step walk
+    over the same operation space."""
+    import random
+
+    rng = random.Random(20260815)
+    store = str(tmp_path / "walk")
+    model: dict[int, list] = {}
+    tables = {i: [(1, "a", "b", "ab", i)] for i in range(1, 6)}
+    for step in range(16):
+        tbl = rng.choice(list(tables))
+        rows = tables[tbl]
+        if rng.random() < 0.5 or not model:
+            v = BST.write_tokenizer(
+                _merges_df(spark, rows), _vocab_df(spark, VOCAB), store
+            )
+            assert v == (max(model) + 1 if model else 1)  # auto = next
+        else:
+            v = rng.choice([rng.choice(list(model)), max(model) + 2])
+            BST.write_tokenizer(
+                _merges_df(spark, rows), _vocab_df(spark, VOCAB), store,
+                version=v,
+            )
+        model[v] = rows
+        assert BST.list_versions(store) == sorted(model)
+        latest = BST.read_tokenizer(spark, store)
+        assert latest["version"] == max(model)
+        probe = rng.choice(list(model))
+        art = BST.read_tokenizer(spark, store, version=probe)
+        assert BST.load_merges(art) == model[probe]
