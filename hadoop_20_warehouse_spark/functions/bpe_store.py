@@ -118,9 +118,13 @@ def write_tokenizer(
     )
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f"_tmp_v{version:05d}_{uuid.uuid4().hex[:8]}")
-    manifest.write.parquet(os.path.join(tmp, "manifest"))
-    merges_df.write.parquet(os.path.join(tmp, "merges"))
-    vocab_df.write.parquet(os.path.join(tmp, "vocab"))
+    try:
+        manifest.write.parquet(os.path.join(tmp, "manifest"))
+        merges_df.write.parquet(os.path.join(tmp, "merges"))
+        vocab_df.write.parquet(os.path.join(tmp, "vocab"))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     final = _vdir(path, version)
     aside = None
     if os.path.isdir(final):
@@ -135,10 +139,19 @@ def write_tokenizer(
         os.rename(final, aside)
     try:
         os.rename(tmp, final)
-    except OSError:
+    except OSError as exc:
         if aside is not None:
             os.rename(aside, final)
         shutil.rmtree(tmp, ignore_errors=True)
+        if auto and os.path.isdir(final):
+            # A winner committed `final` between the isdir check above and
+            # our rename — same race as the pre-check branch, so surface the
+            # same retryable contract, not a bare ENOTEMPTY.
+            raise FileExistsError(
+                f"write_tokenizer: auto-assigned version {version} was "
+                f"committed concurrently at {final!r} — retry to pick up "
+                f"the next number (auto versions never overwrite)"
+            ) from exc
         raise
     if aside is not None:
         shutil.rmtree(aside)

@@ -115,3 +115,61 @@ def test_version_sequences_match_dict_model(spark, tmp_path):
         probe = rng.choice(list(model))
         art = BST.read_tokenizer(spark, store, version=probe)
         assert BST.load_merges(art) == model[probe]
+
+
+def test_auto_rename_window_race_raises_file_exists(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: a winner committing `final` INSIDE the window
+    between the isdir pre-check and os.rename makes the loser's rename
+    fail with ENOTEMPTY — that outcome must surface as the documented
+    retryable FileExistsError, not a bare OSError."""
+    store = str(tmp_path / "store")
+    BST.write_tokenizer(_merges_df(spark, MERGES_A), _vocab_df(spark, VOCAB), store)
+    # The "winner": v2 committed on disk (non-empty so rename can't
+    # replace it), but invisible to the loser's pre-check.
+    final = os.path.join(store, "v00002")
+    os.makedirs(final)
+    with open(os.path.join(final, "winner"), "w") as fh:
+        fh.write("x")
+    monkeypatch.setattr(BST, "list_versions", lambda p: [1])  # auto -> 2
+    real_isdir = os.path.isdir
+    seen = {"precheck": False}
+
+    def stale_isdir(p):
+        if os.path.abspath(str(p)) == os.path.abspath(final) and not seen["precheck"]:
+            seen["precheck"] = True  # pre-check misses the winner once
+            return False
+        return real_isdir(p)
+
+    monkeypatch.setattr(BST.os.path, "isdir", stale_isdir)
+    with pytest.raises(FileExistsError, match="retry"):
+        BST.write_tokenizer(
+            _merges_df(spark, MERGES_B), _vocab_df(spark, VOCAB), store
+        )
+    monkeypatch.undo()
+    # winner untouched, no staging litter
+    with open(os.path.join(final, "winner")) as fh:
+        assert fh.read() == "x"
+    assert [n for n in os.listdir(store) if n.startswith("_tmp")] == []
+
+
+def test_failed_staging_write_cleans_tmp(spark, tmp_path, monkeypatch):
+    """ADVICE r14: if a staged parquet write throws, the partial
+    `_tmp_v*` directory must be removed before the error propagates."""
+    store = str(tmp_path / "store")
+    merges = _merges_df(spark, MERGES_A)
+    vocab = _vocab_df(spark, VOCAB)
+    orig_parquet = type(vocab.write).parquet
+
+    def boom(self, path, *a, **kw):
+        if path.rstrip("/").endswith("vocab"):
+            raise RuntimeError("staged write failed")
+        return orig_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(type(vocab.write), "parquet", boom)
+    with pytest.raises(RuntimeError, match="staged write failed"):
+        BST.write_tokenizer(merges, vocab, store)
+    monkeypatch.undo()
+    assert [n for n in os.listdir(store) if n.startswith("_tmp")] == []
+    assert BST.list_versions(store) == []

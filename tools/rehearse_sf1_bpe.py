@@ -61,8 +61,6 @@ def main() -> None:
             )
 
         # cap-binding factor: distinct trigram words vs the 1000 cap
-        from hadoop_20_warehouse_spark.functions.bpe import word_counts
-
         nw_small = trig(SF01).selectExpr("explode(split(text, ' ')) w").distinct().count()
         nw_large = trig(sf1).selectExpr("explode(split(text, ' ')) w").distinct().count()
 
