@@ -145,12 +145,28 @@ def plane_signs(
     return sel.mapInPandas(gen, schema=schema)
 
 
+def _chunk_passes(side: DataFrame, id_col: str, cap: int, n_passes: int | None) -> int:
+    """Pass count for a chunked GEMM run: explicit, or derived from
+    one count() of the driver-collected side with 25% headroom under
+    the per-pass cap (md5 bucketing is even only in expectation; the
+    single-pass cap check still hard-guards a skewed bucket)."""
+    if n_passes is not None:
+        if n_passes < 1:
+            raise ValueError(f"n_passes must be >= 1, got {n_passes}")
+        return n_passes
+    total = side.count()
+    per_pass = max(1, (cap * 3) // 4)
+    return max(1, -(-total // per_pass))
+
+
 def brute_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
+    chunked: bool = False,
+    n_passes: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim, rank) — exact cosine top-k,
     bit-identical to ``knn.brute_force_topk``: per corpus batch one
@@ -165,11 +181,42 @@ def brute_topk(
     The query set is COLLECTED TO THE DRIVER (then broadcast) — the
     'bounded per pass' contract is enforced, not just documented:
     above ``max_query_rows`` the collect raises instead of silently
-    pressuring driver memory; callers with larger query sets should
-    chunk the queries into passes (or use knn.brute_force_topk
-    (method='hof'), whose broadcast crossJoin never materializes the
-    query frame on the driver)."""
+    pressuring driver memory; callers with larger query sets pass
+    ``chunked=True`` (or use knn.brute_force_topk(method='hof'),
+    whose broadcast crossJoin never materializes the query frame on
+    the driver).
+
+    ``chunked=True`` is the multi-pass escape hatch (VERDICT r14 #6):
+    the query set is split into ``n_passes`` md5-bucketed slices
+    (derived from one count() when not given), each pass runs the
+    bounded single-pass form on its slice, and the results union —
+    exact, because query slices are disjoint and each query's top-k
+    (including its rank column) depends only on its own slice's rows.
+    Cost is one corpus scan per pass, the honest price of a >cap
+    query set on the GEMM path."""
     import numpy as np
+
+    if chunked:
+        from functools import reduce
+
+        from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+
+        passes = _chunk_passes(queries, id_col, MAX_QUERY_ROWS, n_passes)
+        if passes == 1:
+            return brute_topk(corpus, queries, id_col, vec_col, k)
+        parts = [
+            brute_topk(
+                corpus,
+                queries.filter(
+                    md5_bucket(F.col(id_col).cast("string"), passes) == i
+                ),
+                id_col,
+                vec_col,
+                k,
+            )
+            for i in range(passes)
+        ]
+        return reduce(DataFrame.unionByName, parts)
 
     spark = corpus.sparkSession
     max_query_rows = MAX_QUERY_ROWS
@@ -283,6 +330,8 @@ def pairs_threshold(
     id_col: str,
     vec_col: str,
     threshold: float,
+    chunked: bool = False,
+    n_passes: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, sim) — exact all-pairs ≥ threshold, bit-identical
     to ``dedup.embedding.brute_force_pairs``: one matmul per corpus
@@ -297,13 +346,56 @@ def pairs_threshold(
     This is the documented O(n²) yardstick (reachable only via
     explicit ``method='gemm'``); the scale path for all-pairs
     similarity is the banded/bucketed family (dedup.semantic,
-    minhash/simhash LSH)."""
+    minhash/simhash LSH).
+
+    ``chunked=True`` is the multi-pass escape hatch (VERDICT r14 #6):
+    only the BROADCAST side is sliced into md5 buckets — each pass
+    scans the full frame against one collected slice, so the driver
+    holds ≤ one slice at a time.  The union is exact: the ordered
+    pair (a, b), a < b, is emitted exactly once, by the pass whose
+    slice contains b.  Cost is one full scan per pass — the honest
+    O(n²/passes) pricing of a >cap corpus on the yardstick path."""
+    if chunked:
+        from functools import reduce
+
+        from hadoop_20_warehouse_spark.functions.hashing import md5_bucket
+
+        passes = _chunk_passes(df, id_col, MAX_CORPUS_ROWS, n_passes)
+        if passes == 1:
+            return pairs_threshold(df, id_col, vec_col, threshold)
+        parts = [
+            _pairs_threshold_pass(
+                df,
+                df.filter(
+                    md5_bucket(F.col(id_col).cast("string"), passes) == i
+                ),
+                id_col,
+                vec_col,
+                threshold,
+            )
+            for i in range(passes)
+        ]
+        return reduce(DataFrame.unionByName, parts)
+    return _pairs_threshold_pass(df, df, id_col, vec_col, threshold)
+
+
+def _pairs_threshold_pass(
+    scan: DataFrame,
+    bcast: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """One pass of :func:`pairs_threshold`: collect+broadcast ``bcast``
+    (cap-enforced), scan ``scan``, emit (id_a < id_b, sim) pairs whose
+    RIGHT member is in the broadcast slice."""
     import numpy as np
 
-    spark = df.sparkSession
+    spark = scan.sparkSession
+    df = scan
     max_corpus_rows = MAX_CORPUS_ROWS
     rows = (
-        df.select(F.col(id_col), F.col(vec_col))
+        bcast.select(F.col(id_col), F.col(vec_col))
         .limit(max_corpus_rows + 1)
         .collect()
     )
@@ -313,8 +405,17 @@ def pairs_threshold(
             "the all-pairs GEMM yardstick collects and broadcasts the "
             "full corpus (bounded by contract); use the banded scale "
             "paths (dedup.semantic semantic_dedup_pairs, minhash/simhash "
-            "LSH) for corpora beyond yardstick scale"
+            "LSH) for corpora beyond yardstick scale, or chunked=True "
+            "for the multi-pass escape hatch"
         )
+    if not rows:
+        # empty broadcast slice (possible under chunked md5 bucketing)
+        sel0 = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+        return sel0.filter(F.lit(False))
     all_ids = np.array([r[id_col] for r in rows])
     A = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     an = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])

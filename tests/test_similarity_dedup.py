@@ -706,3 +706,43 @@ def test_gemm_collect_caps_enforced(spark, emb, monkeypatch):
         .count()
         >= 0
     )
+
+
+def test_gemm_chunked_passes_match_single(spark, emb, monkeypatch):
+    """VERDICT r14 #6: the chunked multi-pass escape hatch must equal
+    the single-pass GEMM form exactly — disjoint md5 query slices for
+    brute_topk, broadcast-side corpus slices for pairs_threshold (each
+    unordered pair emitted once, by the slice holding its right
+    member)."""
+    from hadoop_20_warehouse_spark.similarity import scores as SC
+
+    df = emb.limit(120)
+    q = df.filter(F.expr("vec_id % 10 = 0"))
+    single_t = SC.brute_topk(df, q, "vec_id", "embedding", 4)
+    multi_t = SC.brute_topk(
+        df, q, "vec_id", "embedding", 4, chunked=True, n_passes=3
+    )
+    assert sorted(map(tuple, single_t.collect())) == sorted(
+        map(tuple, multi_t.collect())
+    )
+    single_p = SC.pairs_threshold(df, "vec_id", "embedding", 0.3)
+    multi_p = SC.pairs_threshold(
+        df, "vec_id", "embedding", 0.3, chunked=True, n_passes=3
+    )
+    assert sorted(map(tuple, single_p.collect())) == sorted(
+        map(tuple, multi_p.collect())
+    )
+    # derived pass count: a corpus above the (lowered) cap no longer
+    # raises on the chunked path — it splits into enough passes that
+    # each collect stays bounded — and still matches single-pass
+    monkeypatch.setattr(SC, "MAX_CORPUS_ROWS", 25)
+    auto_p = SC.pairs_threshold(
+        df, "vec_id", "embedding", 0.3, chunked=True
+    )
+    assert sorted(map(tuple, single_p.collect())) == sorted(
+        map(tuple, auto_p.collect())
+    )
+    with pytest.raises(ValueError, match="n_passes must be >= 1"):
+        SC.pairs_threshold(
+            df, "vec_id", "embedding", 0.3, chunked=True, n_passes=0
+        )
