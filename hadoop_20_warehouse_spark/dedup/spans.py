@@ -555,6 +555,79 @@ def epoch_expand(
     )
 
 
+def mixture_with_epochs(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    repeats: dict[str, float],
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+    n_shards: int = 8,
+    tok_len_col: str | None = None,
+) -> DataFrame:
+    """Upsampled domain mixing: :func:`epoch_expand` FIRST (fractional
+    per-domain repeat factors), then :func:`mixture_sample`'s greedy
+    budget fill over the EXPANDED copies — so an over-weighted small
+    domain can meet a budget LARGER than its single-copy token mass
+    through repetition (T5's mixing with artificial dataset sizes,
+    Raffel et al. 2020 §3.5.2; the Pile's fractional epoch recipe,
+    Gao et al. 2020 table 1).  The existing ``pipeline_mix_place``
+    composes the stages the other way (budget on single-copy mass,
+    THEN epochs); this is the budget-over-copies ordering a recipe
+    stated as "N tokens of domain D at E epochs" needs.
+
+    The fill key is the composite copy key ``id '#' epoch`` (ids must
+    not contain ``'#'``), so the md5 shard/order spreads a doc's
+    copies independently — copy 0 and copy 1 of the same doc land at
+    unrelated fill positions, not adjacent ones.
+
+    Output: (id_col, epoch, domain_col, tok_len, start_off) — one row
+    per KEPT copy; start_off is the domain-wide cumulative token
+    offset over the expanded stream.
+
+    Scale shape: epoch_expand is a row-local explode (zero shuffles);
+    the fill is mixture_sample's per-(domain, md5-shard) cumsum with
+    the broadcast domains x shards offset lift — the copy multiplier
+    only scales rows, never the window width."""
+    tok_len = (
+        F.col(tok_len_col).cast("long")
+        if tok_len_col
+        else T.token_count(F.col(text_col))
+    )
+    base = docs.select(
+        F.col(id_col), F.col(domain_col), tok_len.alias("tok_len")
+    )
+    copies = epoch_expand(
+        base,
+        repeats,
+        id_col=id_col,
+        domain_col=domain_col,
+        passthrough=("tok_len",),
+    )
+    keyed = copies.withColumn(
+        "copy_key",
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("epoch").cast("string")
+        ),
+    )
+    mixed = mixture_sample(
+        keyed,
+        budgets,
+        id_col="copy_key",
+        domain_col=domain_col,
+        n_shards=n_shards,
+        tok_len_col="tok_len",
+    )
+    id_type = docs.schema[id_col].dataType
+    return mixed.select(
+        F.substring_index("copy_key", "#", 1).cast(id_type).alias(id_col),
+        F.substring_index("copy_key", "#", -1).cast("long").alias("epoch"),
+        F.col(domain_col),
+        F.col("tok_len"),
+        F.col("start_off"),
+    )
+
+
 def boilerplate_scrub(
     docs: DataFrame,
     id_col: str = "doc_id",
