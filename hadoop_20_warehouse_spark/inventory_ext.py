@@ -2097,3 +2097,138 @@ def q_tfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digest"
         ),
     )
+
+
+# ===========================================================================
+# SequenceFile-sourced curation end-to-end (VERDICT r14 stretch #8):
+# the reference's actual production shape — binary SequenceFile in,
+# curated warehouse out — composed with the LLM surface in one
+# hash-checked plan.
+# ===========================================================================
+
+_SEQC_BUDGET = 512
+_SEQC_SHARDS = 8
+
+
+def _seqfile_curate_oracle() -> str:
+    from hadoop_20_warehouse_spark.functions.hashing import (
+        md5_bucket_sql,
+        md5_int64_sql,
+    )
+    from hadoop_20_warehouse_spark.functions.text import token_count_sql
+    from hadoop_20_warehouse_spark.inventory_curation import _CLS_SQL
+
+    row_fp = md5_int64_sql(
+        "concat_ws('|', doc_id, source, tok_len, batch_id, batch_offset)"
+    )
+    return f"""
+WITH cls AS (
+  SELECT doc_id FROM ( {_CLS_SQL} ) WHERE keep
+),
+d AS (
+  SELECT d.doc_id, d.source,
+         {token_count_sql('d.text')} AS tok_len,
+         CAST({md5_bucket_sql("CAST(d.doc_id AS VARCHAR)", _SEQC_SHARDS)} AS BIGINT) AS shard,
+         md5(CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d JOIN cls ON cls.doc_id = d.doc_id
+),
+c AS (
+  SELECT doc_id, source, shard, tok_len,
+         SUM(tok_len) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM d
+),
+placed AS (
+  SELECT doc_id, source, shard, tok_len,
+         CAST(start_off // {_SEQC_BUDGET} AS BIGINT) AS batch_id,
+         CAST(start_off % {_SEQC_BUDGET} AS BIGINT) AS batch_offset
+  FROM c
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+       CAST(SUM(tok_len) AS BIGINT) AS total_tokens,
+       CAST(bit_xor({row_fp}) AS BIGINT) AS digest
+FROM placed
+GROUP BY shard
+"""
+
+
+@register("pipeline_seqfile_curate", oracle=_seqfile_curate_oracle())
+def q_pipeline_seqfile_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile in, warehouse out — the reference's production
+    shape (io/SequenceFile.java:186 is the warehouse interchange
+    format; jobs consumed SequenceFile shards and wrote curated
+    SequenceFile/warehouse output) driven through the LLM surface:
+
+    (1) the documents table is serialized to a real SequenceFile
+    (LongWritable doc_id -> Text "source\\ttext",
+    SequenceFileOutputFormat via the Writable converters); (2) read
+    back (SequenceFileInputFormat) and parsed on the FIRST tab (the
+    KeyValueTextInputFormat separator discipline,
+    KeyValueLineRecordReader.java:45 — text may itself contain tabs);
+    (3) classifier-gated (the fastText-shaped zero-shuffle gate the
+    endgames pin); (4) token-budget packed per md5 shard; (5)
+    physically exported partitionBy(shard) and read back; (6) audited
+    per shard with an order-insensitive row-fingerprint XOR.
+
+    The oracle runs gate+pack+audit on the ORIGINAL parquet table, so
+    a hash match proves the binary round-trip was lossless (key
+    widening, tab framing, Writable conversion) AND the curation
+    wiring is identical on both input paths — the §1 interop seam and
+    the LLM surface compose.
+
+    Scale shape: the SequenceFile leg is the RDD interop path
+    (per-partition readers, no shuffle); gate is row-local broadcast
+    inference; the pack window is per-md5-shard; export is one
+    partitionBy fan-out.  At 100 TB the engine's native format stays
+    parquet — this query exists to exchange corpora with Hadoop
+    deployments without losing the curation contract."""
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.dedup.spans import pack_token_budget
+    from hadoop_20_warehouse_spark.inventory_curation import _classifier_gate
+    from hadoop_20_warehouse_spark.sources.io import (
+        read_sequence,
+        write_sequence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("long").alias("key"),
+        F.concat_ws("\t", F.col("source"), F.col("text")).alias("value"),
+    )
+    seq = _fresh_subdir(_scratch_dir("seq_curate"), "seq")
+    write_sequence(kv, seq)
+    back = read_sequence(spark, seq)
+    tabpos = F.instr(F.col("value"), "\t")
+    parsed = back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.substring_index(F.col("value"), "\t", 1).alias("source"),
+        F.col("value").substr(tabpos + 1, F.length("value")).alias("text"),
+    )
+    gated = _classifier_gate(parsed, "doc_id", "source", "text")
+    packed = pack_token_budget(
+        gated,
+        budget=_SEQC_BUDGET,
+        n_shards=_SEQC_SHARDS,
+        passthrough=("source",),
+    )
+    out = _fresh_subdir(_scratch_dir("seq_curate"), "shards")
+    packed.write.partitionBy("shard").parquet(out)
+    rb = spark.read.schema(packed.schema).parquet(out)
+    row_fp = md5_int64(
+        F.concat_ws(
+            "|",
+            *[
+                F.col(c).cast("string")
+                for c in ("doc_id", "source", "tok_len", "batch_id", "batch_offset")
+            ],
+        )
+    )
+    return rb.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("batch_id").cast("long").alias("n_batches"),
+        F.sum("tok_len").cast("long").alias("total_tokens"),
+        F.bit_xor(row_fp).cast("long").alias("digest"),
+    )
