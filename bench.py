@@ -494,6 +494,18 @@ BENCH_QUERIES: dict[str, object] = {
     # training 4x per round while its data terms are already tracked
     # (classifier gate, semantic cells, tokenize apply, pack, shuffle,
     # export are each timed individually).
+    # round-15: pipeline_release_endgame_full (the dedup family +
+    # decontamination + upsampled epoch mixture folded into the
+    # endgame) got an on-landing five-run anchor in BASELINE.md but is
+    # EXCLUDED for the same reason — it re-trains the 2048-merge
+    # vocabulary inside the query, and its added data terms are
+    # already tracked individually (pii_redact, dedup_minhash_lsh,
+    # dedup_cluster_representative, decontaminate_ngram,
+    # pipeline_mix_place).  corpus_mixture_epochs and
+    # pipeline_seqfile_curate stay untimed like corpus_mixture_sample /
+    # corpus_epoch_expand / sequence_roundtrip: their data terms
+    # (mixture window, explode, gate, pack, export, the RDD
+    # SequenceFile leg) are each timed elsewhere.
 }
 
 
