@@ -370,3 +370,37 @@ def test_lzma_line_framing_matches_line_record_reader(spark, tmp_path):
     (d / "x.xz").write_bytes(_lzma.compress(content.encode("utf-8")))
     got = sorted(r["value"] for r in read_text_lzma(spark, str(d)).collect())
     assert got == sorted(["a\u2028b\vc", "plain", "mac", "style", "last"])
+
+
+def test_seqfile_first_tab_framing_preserves_tabby_text(spark, tmp_path):
+    """pipeline_seqfile_curate's value framing (source '\\t' text, split
+    on the FIRST tab — the KeyValueLineRecordReader discipline) must be
+    lossless even when the TEXT itself contains tabs, leading/trailing
+    whitespace, or is empty."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.sources.io import read_sequence, write_sequence
+
+    rows = [
+        (1, "web", "plain text"),
+        (2, "web", "text\twith\ttabs"),
+        (3, "books", "\tleading tab"),
+        (4, "code", "trailing tab\t"),
+        (5, "wiki", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kv = docs.select(
+        F.col("doc_id").cast("long").alias("key"),
+        F.concat_ws("\t", F.col("source"), F.col("text")).alias("value"),
+    )
+    path = str(tmp_path / "seq")
+    write_sequence(kv, path)
+    back = read_sequence(spark, path)
+    tabpos = F.instr(F.col("value"), "\t")
+    parsed = back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.substring_index(F.col("value"), "\t", 1).alias("source"),
+        F.col("value").substr(tabpos + 1, F.length("value")).alias("text"),
+    )
+    got = sorted(map(tuple, parsed.collect()))
+    assert got == sorted(rows)
