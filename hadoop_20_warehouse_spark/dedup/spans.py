@@ -628,6 +628,79 @@ def mixture_with_epochs(
     )
 
 
+def split_assign(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: every row gains a
+    ``split`` label from its id's md5 per-mille bucket — split
+    boundaries are cumulative ``round(fraction * 1000)`` thresholds in
+    the dict's iteration order.  Fractions must sum to 1 (after
+    per-mille rounding, enforced), so splits are DISJOINT and
+    EXHAUSTIVE by construction.
+
+    Hash-based (not rank-based) on purpose: a document keeps its split
+    when the corpus grows, shrinks, or is re-partitioned — the
+    stability property that prevents eval contamination across corpus
+    versions (a row_number split reassigns everything on every
+    ingest).  Exact per-stratum proportions are the rank-based quota
+    ops' job (sample_per_group); this op trades per-mille-in-
+    expectation proportions for version stability, which is what
+    production train/eval splits need.
+
+    ``salt`` re-rolls the whole assignment (e.g. per experiment) while
+    staying deterministic; it is hashed WITH the id so two salts give
+    independent assignments.
+
+    Scale shape: one row-local md5 projection — zero shuffles, zero
+    joins; composes with any downstream stage as a plain column."""
+    mille = [(name, int(round(f * 1000))) for name, f in fractions.items()]
+    for name, m in mille:
+        if m <= 0:
+            raise ValueError(
+                f"split fraction for {name!r} rounds to {m} per-mille; "
+                "every split needs >= 0.001"
+            )
+    total = sum(m for _n, m in mille)
+    if total != 1000:
+        raise ValueError(
+            f"split fractions must sum to 1.0 (got {total / 1000}); "
+            "splits are disjoint and exhaustive by contract"
+        )
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+
+    u = md5_int64(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ) % 1000
+    expr = None
+    lo = 0
+    for name, m in mille:
+        cond = u < F.lit(lo + m)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += m
+    return docs.withColumn("split", expr)
+
+
+def split_assign_sql(
+    fractions: dict[str, float], id_expr: str, salt: str = ""
+) -> str:
+    """DuckDB twin of :func:`split_assign`'s ``split`` expression (the
+    same per-mille thresholds over the same salted md5 bucket)."""
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64_sql
+
+    salted = f"'{salt}' || CAST({id_expr} AS VARCHAR)"
+    u = f"({md5_int64_sql(salted)} % 1000)"
+    mille = [(name, int(round(f * 1000))) for name, f in fractions.items()]
+    parts = []
+    lo = 0
+    for name, m in mille:
+        parts.append(f"WHEN {u} < {lo + m} THEN '{name}'")
+        lo += m
+    return "CASE " + " ".join(parts) + " END"
+
+
 def boilerplate_scrub(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3282,3 +3282,70 @@ def q_pipeline_release_endgame_full(spark: SparkSession, sf_dir: str) -> DataFra
             F.lit(int(n_vocab)).cast("long").alias("artifact_n_vocab"),
         )
     )
+
+
+# ===========================================================================
+# Deterministic train/val/test split assignment
+# ===========================================================================
+
+# 90/5/5 with a named salt: the standard pretraining split.  Dict
+# order defines the per-mille threshold layout (train: u<900, val:
+# 900<=u<950, test: 950<=u<1000).
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SALT = "r15"
+
+
+def _split_assign_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.spans import split_assign_sql
+
+    expr = split_assign_sql(_SPLIT_FRACTIONS, "doc_id", salt=_SPLIT_SALT)
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, {T.token_count_sql('text')} AS tok_len,
+         {expr} AS split
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_len) AS BIGINT) AS total_tokens,
+       CAST(bit_xor({md5_int64_sql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS member_digest
+FROM s
+GROUP BY source, split
+"""
+
+
+@register("corpus_split_assign", oracle=_split_assign_oracle())
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment — the holdout
+    step every training-data pipeline runs before export: each doc's
+    salted md5 per-mille bucket maps to cumulative fraction
+    thresholds (90/5/5 here), so splits are disjoint, exhaustive, and
+    STABLE UNDER CORPUS GROWTH — a document keeps its split across
+    corpus versions, which is what prevents eval contamination when
+    the corpus is re-ingested (a rank-based split reassigns
+    everything; the reference's analogous fixed-fraction holdout is
+    the MD5 percent filter, SequenceFileInputFilter.java:195, turned
+    from sampling into partitioning).  Library form:
+    dedup/spans.split_assign (+ split_assign_sql twin).
+
+    Output: per (source, split) counts, token mass, and an
+    order-insensitive member-id XOR digest — the digest pins the
+    exact assignment, not just its sizes.  Scale shape: one row-local
+    md5 projection + one keyed agg; zero joins."""
+    from hadoop_20_warehouse_spark.dedup.spans import split_assign
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = split_assign(docs, _SPLIT_FRACTIONS, salt=_SPLIT_SALT).select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).alias("tok_len"),
+        "split",
+    )
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok_len").cast("long").alias("total_tokens"),
+        F.bit_xor(md5_int64(F.col("doc_id").cast("string")))
+        .cast("long")
+        .alias("member_digest"),
+    )

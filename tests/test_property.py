@@ -740,3 +740,43 @@ def test_mixture_with_epochs_matches_python_reference(spark):
     assert wiki_kept >= budgets["wiki"]
     # (and the fill actually excluded something somewhere)
     assert len(got) < len(copies)
+
+
+def test_split_assign_stable_disjoint_exhaustive(spark):
+    """dedup/spans.split_assign: (a) every row gets exactly one split
+    (disjoint + exhaustive by construction); (b) a doc's split is
+    STABLE under corpus growth/shrink (the eval-contamination
+    guarantee: hash-based, not rank-based); (c) matches a Python model
+    of the salted per-mille thresholds; (d) a different salt re-rolls;
+    (e) fractions that don't sum to 1 are rejected."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_spark.dedup.spans import split_assign
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["doc_id"]: r["split"] for r in split_assign(df, fr, salt="s1").collect()}
+    assert len(got) == 300  # exhaustive, one row each
+
+    def model(i, salt):
+        u = int(hashlib.md5((salt + str(i)).encode()).hexdigest()[:15], 16) % 1000
+        return "train" if u < 800 else ("val" if u < 900 else "test")
+
+    assert got == {i: model(i, "s1") for i, _s in rows}
+    # stability: the first 50 docs keep their split in a shrunk corpus
+    small = spark.createDataFrame(rows[:50], "doc_id long, source string")
+    got_small = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(small, fr, salt="s1").collect()
+    }
+    assert got_small == {i: got[i] for i in range(50)}
+    # a different salt re-rolls (some assignment must differ over 300 ids)
+    got2 = {r["doc_id"]: r["split"] for r in split_assign(df, fr, salt="s2").collect()}
+    assert got2 != got
+    with _pytest.raises(ValueError, match="sum to 1.0"):
+        split_assign(df, {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError, match=">= 0.001"):
+        split_assign(df, {"train": 0.9999, "val": 0.0001})
