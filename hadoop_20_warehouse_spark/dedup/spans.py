@@ -218,6 +218,7 @@ def pack_token_budget(
     n_shards: int = 8,
     passthrough: tuple[str, ...] = (),
     tok_len_col: str | None = None,
+    partition_extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic token-budget sequence packing: assign every doc a
     (shard, batch_id, batch_offset) placement such that each batch
@@ -250,7 +251,14 @@ def pack_token_budget(
     ``tok_len_col``: name of a precomputed per-doc token-count column
     to pack by instead of the whitespace count — the hook that lets
     packing run on REAL tokenizer counts (e.g. BPE subword counts from
-    functions/bpe.tokenize_with_merges) rather than word counts."""
+    functions/bpe.tokenize_with_merges) rather than word counts.
+
+    ``partition_extra``: additional window-partition columns AHEAD of
+    the md5 shard — e.g. a train/val/test ``split`` label — so batches
+    never mix values of those columns (a training batch must not
+    straddle the eval boundary).  The columns ride into the output;
+    the shard key stays md5(id), so partition sizes remain
+    |group|/``n_shards``."""
     from pyspark.sql import Window
 
     tok_len = (
@@ -261,12 +269,13 @@ def pack_token_budget(
     base = docs.select(
         id_col,
         *passthrough,
+        *partition_extra,
         tok_len.alias("tok_len"),
         md5_bucket(F.col(id_col), n_shards).cast("long").alias("shard"),
         F.md5(F.col(id_col).cast("string")).alias("h"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*partition_extra, "shard")
         .orderBy("h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -274,6 +283,7 @@ def pack_token_budget(
     return staged.select(
         id_col,
         *passthrough,
+        *partition_extra,
         "shard",
         "tok_len",
         F.expr(f"CAST(start_off DIV {budget} AS BIGINT)").alias("batch_id"),

@@ -3349,3 +3349,98 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("member_digest"),
     )
+
+
+def _split_export_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.spans import split_assign_sql
+
+    sx = split_assign_sql(_SPLIT_FRACTIONS, "doc_id", salt=_SPLIT_SALT)
+    row_fp = md5_int64_sql(
+        "concat_ws('|', doc_id, source, split, tok_len, batch_id, batch_offset)"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, {T.token_count_sql('text')} AS tok_len,
+         {sx} AS split,
+         CAST({md5_bucket_sql("CAST(doc_id AS VARCHAR)", _PACK_SHARDS)} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, split, shard, tok_len,
+         SUM(tok_len) OVER (PARTITION BY split, shard ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_off
+  FROM s
+),
+placed AS (
+  SELECT doc_id, source, split, shard, tok_len,
+         CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS batch_id,
+         CAST(start_off % {_PACK_BUDGET} AS BIGINT) AS batch_offset
+  FROM c
+)
+SELECT split, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+       CAST(SUM(tok_len) AS BIGINT) AS total_tokens,
+       CAST(bit_xor({row_fp}) AS BIGINT) AS digest
+FROM placed
+GROUP BY split, shard
+"""
+
+
+@register("corpus_split_export", oracle=_split_export_oracle())
+def q_corpus_split_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-aware shard export — the artifact layout a training run
+    actually consumes (a train/ val/ test/ shard tree): split_assign's
+    stable holdout labels → SPLIT-PURE token packing (pack_token_budget
+    partition_extra=("split",) — a batch never straddles the eval
+    boundary; the cumsum window is per (split, md5-shard)) → physical
+    two-level partitionBy(split, shard) export → pinned-schema
+    readback → per-(split, shard) audit with batch placement in the
+    row fingerprint.  The oracle replays assignment+packing on the
+    original table, so the hash proves the split column survives the
+    window, the fan-out write, and the directory-encoding round-trip.
+
+    Scale shape: one row-local md5 projection, one per-(split, shard)
+    cumsum (3 splits x n_shards partitions of |corpus|/(3*shards)...
+    |corpus|*0.9/shards rows), one partitionBy fan-out; zero joins."""
+    from hadoop_20_warehouse_spark.dedup.spans import (
+        pack_token_budget,
+        split_assign,
+    )
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = split_assign(docs, _SPLIT_FRACTIONS, salt=_SPLIT_SALT)
+    packed = pack_token_budget(
+        s,
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        passthrough=("source",),
+        partition_extra=("split",),
+    )
+    path = _fresh_subdir(_scratch_dir("split_export"), "shards")
+    packed.write.partitionBy("split", "shard").parquet(path)
+    back = spark.read.schema(packed.schema).parquet(path)
+    row_fp = md5_int64(
+        F.concat_ws(
+            "|",
+            *[
+                F.col(c).cast("string")
+                for c in ("doc_id", "source", "split", "tok_len", "batch_id", "batch_offset")
+            ],
+        )
+    )
+    return back.groupBy(
+        "split", F.col("shard").cast("long").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("batch_id").cast("long").alias("n_batches"),
+        F.sum("tok_len").cast("long").alias("total_tokens"),
+        F.bit_xor(row_fp).cast("long").alias("digest"),
+    )
