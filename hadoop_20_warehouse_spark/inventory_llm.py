@@ -1058,3 +1058,208 @@ def q_knn_ivfpq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qv")
     )
     return PQ.ivfpq_rerank_topk(emb, query, codebook="trained", iters=2)
+
+
+# ===========================================================================
+# Incremental near-dup: dedup a NEW delta batch against a PERSISTED
+# MinHash index of the existing corpus — the index-ship pattern
+# (signatures + band buckets written once at corpus build, every later
+# ingest batch probes them without re-signing the base).
+# ===========================================================================
+
+_IDX_JACCARD_MIN_AGREE = 4  # est_jaccard >= 4/8 — the verify threshold
+
+
+def _minhash_index_delta_oracle() -> str:
+    """Cross-corpus twin of minhash_lsh_pairs_sql: base (doc_id%10!=0)
+    and delta (doc_id%10==0) signatures derived from scratch, banded,
+    bucket-joined ACROSS the corpora, verified on integer signature
+    agreement, best base match elected per delta doc."""
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64_sql
+
+    k = MH.DEFAULT_N_HASHES
+    bands = MH.DEFAULT_BANDS
+    rpb = k // bands
+    w = MH.DEFAULT_SHINGLE
+    p = MH.MERSENNE_P
+    h = f"({md5_int64_sql('shingle')} % {p})"
+    min_cols = ",\n         ".join(
+        f"MIN(({MH.HASH_A[i]} * h + {MH.HASH_B[i]}) % {p}) AS m{i}"
+        for i in range(k)
+    )
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            "  SELECT id, {b} AS band_idx, md5({concat}) AS band_hash FROM {src}".format(
+                b=b,
+                src=src,
+                concat=" || ',' || ".join(
+                    f"CAST(m{i} AS VARCHAR)"
+                    for i in range(b * rpb, (b + 1) * rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN sd.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, (doc_id % 10 = 0) AS is_delta,
+         substring(text, pos, {w}) AS shingle
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(text) - {w - 1}, 1))) AS pos
+    FROM documents
+  )
+),
+hashed AS (SELECT id, is_delta, {h} AS h FROM sh),
+sig AS (
+  SELECT id, BOOL_OR(is_delta) AS is_delta,
+         {min_cols}
+  FROM hashed GROUP BY id
+),
+sig_b AS (SELECT * FROM sig WHERE NOT is_delta),
+sig_d AS (SELECT * FROM sig WHERE is_delta),
+bands_b AS (
+{band_rows('sig_b')}
+),
+bands_d AS (
+{band_rows('sig_d')}
+),
+cand AS (
+  SELECT DISTINCT d.id AS delta_id, b.id AS base_id
+  FROM bands_d d JOIN bands_b b
+    ON d.band_idx = b.band_idx AND d.band_hash = b.band_hash
+),
+verified AS (
+  SELECT c.delta_id, c.base_id, {agree} AS agree
+  FROM cand c
+  JOIN sig_d sd ON sd.id = c.delta_id
+  JOIN sig_b sb ON sb.id = c.base_id
+),
+matched AS (
+  SELECT delta_id, base_id, agree,
+         ROW_NUMBER() OVER (PARTITION BY delta_id
+                            ORDER BY agree DESC, base_id) AS rn
+  FROM verified WHERE agree >= {_IDX_JACCARD_MIN_AGREE}
+),
+summary AS (
+  SELECT delta_id,
+         CAST(COUNT(*) AS BIGINT) AS n_matches,
+         MAX(CASE WHEN rn = 1 THEN base_id END) AS best_match_id,
+         MAX(CASE WHEN rn = 1 THEN agree END) AS best_agree
+  FROM matched GROUP BY delta_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_matches, 0) AS n_matches,
+       s.best_match_id,
+       CAST(s.best_agree AS DOUBLE) / {k} AS best_est,
+       (s.delta_id IS NOT NULL) AS is_dup
+FROM documents d LEFT JOIN summary s ON s.delta_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
+@register("dedup_minhash_index_delta", oracle=_minhash_index_delta_oracle())
+def q_dedup_minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a PERSISTED MinHash index — the
+    ingest-time shape a production corpus actually runs: the existing
+    corpus (doc_id % 10 != 0) is signed ONCE and its signatures + band
+    buckets written as a parquet artifact; a new delta batch
+    (doc_id % 10 == 0) is signed row-locally, banded, bucket-joined
+    against the RELOADED index, verified on integer signature
+    agreement (>= 4 of 8 minhashes — the est_jaccard >= 0.5 step), and
+    each delta doc reports its match count, best base match (max
+    agreement, doc_id tiebreak via the min-struct partial agg — no
+    corpus-sized window), and a dup flag.  The base corpus text is
+    NEVER rescanned on the delta path — only the delta is shingled;
+    the index ship mirrors the tokenizer-store discipline
+    (filecache/DistributedCache.java:45 lineage) with an
+    order-insensitive artifact (signatures are keyed rows, unlike the
+    ORDER-sensitive merge table).
+
+    The oracle derives BOTH corpora's signatures from scratch (the
+    cross-corpus twin of minhash_lsh_pairs_sql), so a hash match
+    proves the persisted index round-tripped losslessly AND the
+    delta-vs-index join equals the from-scratch derivation.
+
+    Scale shape: delta signing is the row-local HOF projection (zero
+    shuffle); the probe is one equi-join on (band_idx, band_hash)
+    against a parquet-backed index (AQE skew-split on hot buckets)
+    plus one signature equi-join for the verify — all costs
+    proportional to the DELTA, which is the point of an index."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    k = MH.DEFAULT_N_HASHES
+
+    # corpus build: sign once, persist signatures + band buckets
+    sig_b = MH.minhash_signature_rowlocal(base, "doc_id", "text")
+    store = _fresh_subdir(_scratch_dir("minhash_index"), "index")
+    sig_b.write.parquet(store + "/signatures")
+    MH.band_signatures(sig_b, "doc_id").write.parquet(store + "/bands")
+
+    # ingest: sign the delta, probe the reloaded index
+    sig_d = MH.minhash_signature_rowlocal(delta, "doc_id", "text")
+    bands_d = MH.band_signatures(sig_d, "doc_id")
+    sigS = spark.read.schema(sig_b.schema).parquet(store + "/signatures")
+    bandsS = spark.read.schema(
+        MH.band_signatures(sig_b, "doc_id").schema
+    ).parquet(store + "/bands")
+    cand = (
+        bands_d.select(
+            F.col("doc_id").alias("delta_id"), "band_idx", "band_hash"
+        )
+        .join(
+            bandsS.select(
+                F.col("doc_id").alias("base_id"), "band_idx", "band_hash"
+            ),
+            on=["band_idx", "band_hash"],
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    sd = sig_d.select(
+        F.col("doc_id").alias("delta_id"),
+        *[F.col(f"m{i}").alias(f"d{i}") for i in range(k)],
+    )
+    sb = sigS.select(
+        F.col("doc_id").alias("base_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)],
+    )
+    agree = sum(
+        F.when(F.col(f"d{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k)
+    ).cast("int")
+    verified = (
+        cand.join(sd, on="delta_id")
+        .join(sb, on="base_id")
+        .select("delta_id", "base_id", agree.alias("agree"))
+        .filter(F.col("agree") >= _IDX_JACCARD_MIN_AGREE)
+    )
+    summary = verified.groupBy("delta_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max(
+            F.struct(
+                F.col("agree").alias("a"), (-F.col("base_id")).alias("nb")
+            )
+        ).alias("_best"),
+    )
+    return (
+        delta.select("doc_id")
+        .join(summary.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            (-F.col("_best.nb")).cast("long").alias("best_match_id"),
+            (F.col("_best.a").cast("double") / k).alias("best_est"),
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+    )
