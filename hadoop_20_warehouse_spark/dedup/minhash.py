@@ -97,16 +97,23 @@ def minhash_signature_rowlocal(
     text_col: str,
     n_hashes: int = DEFAULT_N_HASHES,
     width: int = DEFAULT_SHINGLE,
+    scatter_input: bool = True,
 ) -> DataFrame:
     """(id, m0..m{k-1}) computed entirely row-local — no explode, no
     shuffle: shingle positions, md5 hashes, and all k minima are
     higher-order-function expressions inside one whole-stage-codegen
     projection. At 100 TB this removes the aggregation exchange the
     explode+groupBy form needs; signatures flow straight into banding
-    partition-local. Identical output to ``minhash_signature_cols``."""
-    from hadoop_20_warehouse_spark.session import scatter
+    partition-local. Identical output to ``minhash_signature_cols``.
 
-    df = scatter(df)
+    ``scatter_input=False`` skips the CPU-spread repartition — for
+    STREAMING inputs (a pure projection composes with readStream;
+    the batch-only scatter does not) and for callers that already
+    control partitioning."""
+    if scatter_input:
+        from hadoop_20_warehouse_spark.session import scatter
+
+        df = scatter(df)
     p = MERSENNE_P
     hs = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)), "

@@ -262,3 +262,121 @@ def q_stream_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return W.tokenize_stream(docs, merges)
+
+
+def _stream_neardup_oracle() -> str:
+    """Verified delta-vs-index pairs — the pair-level prefix of
+    inventory_llm's _minhash_index_delta_oracle (same corpus split,
+    same signature/band derivation, same >= 4/8 verify), emitted as
+    (doc_id, base_id, est_jaccard) alerts."""
+    from hadoop_20_warehouse_spark.dedup import minhash as MH
+    from hadoop_20_warehouse_spark.functions.hashing import md5_int64_sql
+
+    k = MH.DEFAULT_N_HASHES
+    bands = MH.DEFAULT_BANDS
+    rpb = k // bands
+    w = MH.DEFAULT_SHINGLE
+    p = MH.MERSENNE_P
+    h = f"({md5_int64_sql('shingle')} % {p})"
+    min_cols = ",\n         ".join(
+        f"MIN(({MH.HASH_A[i]} * h + {MH.HASH_B[i]}) % {p}) AS m{i}"
+        for i in range(k)
+    )
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            "  SELECT id, {b} AS band_idx, md5({concat}) AS band_hash FROM {src}".format(
+                b=b,
+                src=src,
+                concat=" || ',' || ".join(
+                    f"CAST(m{i} AS VARCHAR)"
+                    for i in range(b * rpb, (b + 1) * rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN sd.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, (doc_id % 10 = 0) AS is_delta,
+         substring(text, pos, {w}) AS shingle
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(text) - {w - 1}, 1))) AS pos
+    FROM documents
+  )
+),
+hashed AS (SELECT id, is_delta, {h} AS h FROM sh),
+sig AS (
+  SELECT id, BOOL_OR(is_delta) AS is_delta,
+         {min_cols}
+  FROM hashed GROUP BY id
+),
+sig_b AS (SELECT * FROM sig WHERE NOT is_delta),
+sig_d AS (SELECT * FROM sig WHERE is_delta),
+bands_b AS (
+{band_rows('sig_b')}
+),
+bands_d AS (
+{band_rows('sig_d')}
+),
+cand AS (
+  SELECT DISTINCT d.id AS doc_id, b.id AS base_id
+  FROM bands_d d JOIN bands_b b
+    ON d.band_idx = b.band_idx AND d.band_hash = b.band_hash
+)
+SELECT c.doc_id, c.base_id,
+       CAST({agree} AS DOUBLE) / {k} AS est_jaccard
+FROM cand c
+JOIN sig_d sd ON sd.id = c.doc_id
+JOIN sig_b sb ON sb.id = c.base_id
+WHERE {agree} >= {MH.DEFAULT_N_HASHES // 2}
+"""
+
+
+@register("stream_neardup_alerts", oracle=_stream_neardup_oracle())
+def q_stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup alerting against the persisted MinHash
+    index (streaming/windows.neardup_alert_stream — the streaming twin
+    of dedup_minhash_index_delta's probe): the existing corpus
+    (doc_id % 10 != 0) is signed once and shipped as a parquet
+    signatures+bands artifact; arriving docs (doc_id % 10 == 0) are
+    signed row-locally, band-exploded WITH their signature carried on
+    each band row (no stream self-join), probed through ONE
+    stream-static equi-join against the denormalized index, verified
+    on integer agreement (>= 4 of 8), and emitted as (doc_id, base_id,
+    est_jaccard) alerts — dropDuplicates removes band multiplicity,
+    the one stateful op.  Registered on the batch table via the
+    unified batch/stream API (this module's convention); the real
+    readStream → writeStream replay is pinned stream == batch by
+    tests/test_streaming.test_streaming_neardup_matches_batch.  The
+    oracle derives both corpora's signatures from scratch, so the
+    hash also re-proves the artifact round-trip on this path."""
+    from hadoop_20_warehouse_spark.dedup import minhash as MH
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    k = MH.DEFAULT_N_HASHES
+
+    sig_b = MH.minhash_signature_rowlocal(base, "doc_id", "text")
+    store = _fresh_subdir(_scratch_dir("minhash_stream_index"), "index")
+    sig_b.write.parquet(store + "/signatures")
+    bands_b = MH.band_signatures(sig_b, "doc_id")
+    bands_b.write.parquet(store + "/bands")
+    sigS = spark.read.schema(sig_b.schema).parquet(store + "/signatures")
+    bandsS = spark.read.schema(bands_b.schema).parquet(store + "/bands")
+    index = bandsS.join(sigS, on="doc_id").select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("base_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)],
+    )
+    return W.neardup_alert_stream(delta, index)

@@ -736,3 +736,86 @@ def heavy_hitters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def neardup_alert_stream(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_agree: int = 4,
+) -> DataFrame:
+    """Ingest-time near-dup alerts against a PERSISTED MinHash index —
+    the streaming twin of dedup_minhash_index_delta's probe: each
+    arriving doc is signed ROW-LOCALLY (minhash_signature_rowlocal,
+    scatter_input=False — a pure projection, streaming-legal), its
+    band digests exploded WITH the signature carried on every band row
+    (so verification needs no re-join against the stream side — a
+    stream self-join would be a stream-stream join), then ONE
+    stream-static equi-join on (band_idx, band_hash) against the
+    DENORMALIZED index (base_id, band digests, base signature), the
+    integer agreement computed inline, and verified hits emitted as
+    (id, base_id, est_jaccard) alerts.  ``dropDuplicates`` removes the
+    band multiplicity (a pair found by two bands alerts once) — the
+    one stateful op, same contract as dedup_events.
+
+    ``index``: the denormalized static frame — join the artifact's
+    bands and signatures tables on the base id at load (batch-side,
+    O(index)).  Columns: band_idx, band_hash, base_id, b0..b{k-1}.
+
+    Scale shape: signing is zero-shuffle; the probe cost is
+    proportional to the ARRIVING batch (4 band rows/doc) against a
+    parquet-backed static side; state is the emitted-alert dedup
+    keys only."""
+    from hadoop_20_warehouse_spark.dedup import minhash as MH
+
+    k = MH.DEFAULT_N_HASHES
+    bands = MH.DEFAULT_BANDS
+    rpb = k // bands
+    sig = MH.minhash_signature_rowlocal(
+        df, id_col, text_col, scatter_input=False
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(b * rpb, (b + 1) * rpb)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        *[F.col(f"m{i}") for i in range(k)],
+        F.explode(F.array(*band_structs)).alias("blk"),
+    ).select(
+        F.col(id_col),
+        F.col("blk.band_idx").alias("band_idx"),
+        F.col("blk.band_hash").alias("band_hash"),
+        *[F.col(f"m{i}") for i in range(k)],
+    )
+    agree = sum(
+        F.when(F.col(f"m{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k)
+    ).cast("int")
+    return (
+        banded.join(index, on=["band_idx", "band_hash"])
+        .select(
+            F.col(id_col),
+            F.col("base_id"),
+            agree.alias("agree"),
+        )
+        .filter(F.col("agree") >= min_agree)
+        .select(
+            id_col,
+            "base_id",
+            (F.col("agree").cast("double") / k).alias("est_jaccard"),
+        )
+        .dropDuplicates([id_col, "base_id"])
+    )

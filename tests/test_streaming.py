@@ -658,3 +658,54 @@ def test_streaming_tokenize_matches_batch(spark, tmp_path):
         for r in B.tokenize_with_merges(docs, merges).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_neardup_matches_batch(spark, tmp_path):
+    """Stream-path near-dup alerting: neardup_alert_stream over a
+    file-source replay of the delta slice, probing the SAME persisted
+    index the batch query builds, must equal the batch
+    stream_neardup_alerts result as a set of (doc_id, base_id, est)
+    alerts — one stream-static join; dropDuplicates is the only
+    stateful op (availableNow finishes in one pass)."""
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.dedup import minhash as MH
+    from hadoop_20_warehouse_spark.inventory_streaming import (
+        q_stream_neardup_alerts,
+    )
+    from hadoop_20_warehouse_spark.streaming.windows import (
+        neardup_alert_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    want = {
+        (r["doc_id"], r["base_id"], r["est_jaccard"])
+        for r in q_stream_neardup_alerts(spark, SF_DIR).collect()
+    }
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    k = MH.DEFAULT_N_HASHES
+    sig_b = MH.minhash_signature_rowlocal(base, "doc_id", "text")
+    index = MH.band_signatures(sig_b, "doc_id").join(sig_b, on="doc_id").select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("base_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)],
+    )
+    src = str(tmp_path / "delta_stream")
+    delta.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    q = (
+        neardup_alert_stream(stream, index)
+        .writeStream.format("memory")
+        .queryName("neardup_alerts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["base_id"], r["est_jaccard"])
+        for r in spark.sql("SELECT * FROM neardup_alerts").collect()
+    }
+    assert got == want and len(got) > 0
