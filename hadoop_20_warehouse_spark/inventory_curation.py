@@ -2770,29 +2770,158 @@ _REF_BUDGETS = {
 }
 
 
-def _release_endgame_full_oracle() -> str:
+def _hygiene_chain(spark: SparkSession, sf_dir: str, tag: str) -> dict:
+    """The Spark-side dedup-family + hygiene chain shared by the full
+    endgame and the funnel report (the exact stage construction the
+    _hygiene_sql() oracle prefix replays): PII augment+redact ->
+    exact dedup on the leading-span key (STAGED to parquet under
+    ``tag`` so the redaction regexes and the key agg run one pass) ->
+    verified LSH pairs -> iterative components -> representative
+    election -> gram decontamination -> classifier keep-set ->
+    SemDeDup removal set.  Returns the stage frames:
+    {docs, emb, exs, nds, dec, gated_ids, removed, surv} where surv
+    carries (doc_id, source, text, n_pii)."""
+    from hadoop_20_warehouse_spark.dedup import minhash as MH
+    from hadoop_20_warehouse_spark.dedup.components import (
+        dedup_groups_from_pairs,
+    )
+    from hadoop_20_warehouse_spark.dedup.semantic import semantic_dedup_removed
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.session import hint_broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    aug = docs.select(
+        "doc_id", "source", "text", _pii_augment().alias("t")
+    )
+    clean = aug.select(
+        "doc_id",
+        "source",
+        "text",
+        T.redact_pii("t").alias("ctext"),
+        sum(
+            [F.regexp_count(F.col("t"), F.lit(p)).cast("long")
+             for _n, p, _ph in T.PII_PATTERNS],
+            F.lit(0).cast("long"),
+        ).alias("n_pii"),
+    )
+    key = F.md5(
+        F.array_join(
+            F.slice(T.tokens(F.lower(F.col("ctext"))), 1, _REF_PREFIX_W), " "
+        )
+    )
+    exg = (
+        clean.select(key.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    exs_lazy = clean.join(exg.select("doc_id"), on="doc_id", how="left_semi")
+    staged = _fresh_subdir(_scratch_dir(tag), "exs")
+    exs_lazy.write.parquet(staged)
+    exs = spark.read.schema(exs_lazy.schema).parquet(staged)
+
+    pairs = (
+        MH.minhash_lsh_pairs(exs, "doc_id", "ctext")
+        .filter(F.col("est_jaccard") >= _REF_JACCARD_MIN)
+        .select("id_a", "id_b")
+    )
+    comp = dedup_groups_from_pairs(exs, pairs, "doc_id")
+    toks = exs.select("doc_id", T.token_count(F.col("ctext")).alias("tok"))
+    reps = (
+        comp.join(toks, on="doc_id")
+        .groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("tok")).alias("nt"),
+                    F.col("doc_id").alias("rid"),
+                )
+            ).alias("_r")
+        )
+        .select(F.col("_r.rid").alias("doc_id"))
+    )
+    nds = exs.join(reps, on="doc_id", how="left_semi")
+
+    grams = (
+        nds.select("doc_id", T.tokens(F.col("ctext")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    evg = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    tg = grams.filter(F.col("doc_id") % 20 != 0)
+    gsz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ghit = (
+        tg.join(hint_broadcast_if_small(evg), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    dec = (
+        nds.filter(F.col("doc_id") % 20 != 0)
+        .join(gsz, on="doc_id", how="left")
+        .join(ghit, on="doc_id", how="left")
+        .filter(
+            (F.coalesce(F.col("n_grams"), F.lit(0)) == 0)
+            | (
+                F.coalesce(F.col("n_overlap"), F.lit(0)) * _REF_TAU_DEN
+                < F.col("n_grams")
+            )
+        )
+        .select("doc_id", "source", "text", "n_pii")
+    )
+
+    gated_ids = _classifier_gate(docs, "doc_id")
+    removed = semantic_dedup_removed(emb).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    surv = dec.join(gated_ids, on="doc_id").join(
+        removed, on="doc_id", how="left_anti"
+    )
+    return {
+        "docs": docs,
+        "emb": emb,
+        "exs": exs,
+        "nds": nds,
+        "dec": dec,
+        "gated_ids": gated_ids,
+        "removed": removed,
+        "surv": surv,
+    }
+
+
+def _hygiene_sql() -> str:
+    """The dedup-family + hygiene CTE chain shared by the full-endgame
+    and funnel oracles: aug (PII fixture) -> clean (redacted) -> exg/
+    exs (leading-span exact dedup) -> the minhash signature chain ->
+    verified edges -> recursive components walk -> representative
+    election (nds) -> gram decontamination (dec) -> classifier keep
+    set (cls) -> SemDeDup removal set (rem).  Callers embed it in a
+    WITH RECURSIVE list (walk is recursive) and chain their own
+    final stages from dec/cls/rem."""
     from hadoop_20_warehouse_spark.dedup.minhash import (
         minhash_lsh_pairs_sql_parts,
     )
     from hadoop_20_warehouse_spark.dedup.semantic import (
         semantic_dedup_removed_sql,
     )
-    from hadoop_20_warehouse_spark.functions.bpe_scale import _batched_ctes
-    from hadoop_20_warehouse_spark.inventory_analytics import (
-        _BPEN_ART_VERSION,
-        _BPEN_BATCH,
-        _BPEN_MAX_WORDS,
-        _BPEN_ROUNDS,
-        _BPEN_WORDROWS,
-    )
 
-    bpe = _batched_ctes(
-        _BPEN_WORDROWS,
-        _BPEN_ROUNDS,
-        _BPEN_BATCH,
-        _BPEN_MAX_WORDS,
-        all_words=True,
-    )
     mh_ctes, mh_final = minhash_lsh_pairs_sql_parts("exs", "doc_id", "ctext")
     red = T.redact_pii_sql("t")
     npii = " + ".join(
@@ -2803,38 +2932,7 @@ def _release_endgame_full_oracle() -> str:
         f"md5(array_to_string(({T.tokens_sql('lower(ctext)')})"
         f"[1:{_REF_PREFIX_W}], ' '))"
     )
-    whole = " ".join(
-        f"WHEN '{k}' THEN {int(v)}" for k, v in _REF_REPEATS.items()
-    )
-    mille = " ".join(
-        f"WHEN '{k}' THEN {int(round((v - int(v)) * 1000))}"
-        for k, v in _REF_REPEATS.items()
-    )
-    budget_case = " ".join(
-        f"WHEN '{k}' THEN {v}" for k, v in _REF_BUDGETS.items()
-    )
-    srcs = ", ".join(f"'{k}'" for k in _REF_BUDGETS)
-    row_fp = md5_int64_sql(
-        "concat_ws('|', doc_id, epoch, source, tok_len, batch_id, "
-        "batch_offset, global_pos)"
-    )
-    return f"""WITH RECURSIVE
-{bpe},
-wtok AS (
-  SELECT w, in_cap,
-         list_filter(string_split(seq, '||'), z -> z <> '') AS ts
-  FROM ap{_BPEN_ROUNDS}
-),
-nv AS (
-  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab
-  FROM (SELECT unnest(ts) AS t FROM wtok WHERE in_cap)
-),
-doclen AS (
-  SELECT wr.did AS doc_id, CAST(SUM(len(t.ts)) AS BIGINT) AS bpe_len
-  FROM wr JOIN wtok t ON t.w = wr.w
-  GROUP BY wr.did
-),
-aug AS (SELECT doc_id, source, {_PII_AUG_SQL} AS t FROM documents),
+    return f"""aug AS (SELECT doc_id, source, {_PII_AUG_SQL} AS t FROM documents),
 clean AS (
   SELECT doc_id, source, {red} AS ctext, {npii} AS n_pii FROM aug
 ),
@@ -2903,7 +3001,58 @@ cls AS (
 ),
 rem AS (
   SELECT vec_id FROM ( {semantic_dedup_removed_sql('embeddings')} )
+)"""
+
+
+def _release_endgame_full_oracle() -> str:
+    from hadoop_20_warehouse_spark.functions.bpe_scale import _batched_ctes
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _BPEN_ART_VERSION,
+        _BPEN_BATCH,
+        _BPEN_MAX_WORDS,
+        _BPEN_ROUNDS,
+        _BPEN_WORDROWS,
+    )
+
+    bpe = _batched_ctes(
+        _BPEN_WORDROWS,
+        _BPEN_ROUNDS,
+        _BPEN_BATCH,
+        _BPEN_MAX_WORDS,
+        all_words=True,
+    )
+    whole = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in _REF_REPEATS.items()
+    )
+    mille = " ".join(
+        f"WHEN '{k}' THEN {int(round((v - int(v)) * 1000))}"
+        for k, v in _REF_REPEATS.items()
+    )
+    budget_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _REF_BUDGETS.items()
+    )
+    srcs = ", ".join(f"'{k}'" for k in _REF_BUDGETS)
+    row_fp = md5_int64_sql(
+        "concat_ws('|', doc_id, epoch, source, tok_len, batch_id, "
+        "batch_offset, global_pos)"
+    )
+    return f"""WITH RECURSIVE
+{bpe},
+wtok AS (
+  SELECT w, in_cap,
+         list_filter(string_split(seq, '||'), z -> z <> '') AS ts
+  FROM ap{_BPEN_ROUNDS}
 ),
+nv AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab
+  FROM (SELECT unnest(ts) AS t FROM wtok WHERE in_cap)
+),
+doclen AS (
+  SELECT wr.did AS doc_id, CAST(SUM(len(t.ts)) AS BIGINT) AS bpe_len
+  FROM wr JOIN wtok t ON t.w = wr.w
+  GROUP BY wr.did
+),
+{_hygiene_sql()},
 surv AS (
   SELECT d.doc_id, d.source, d.n_pii, COALESCE(dl.bpe_len, 0) AS tok_len
   FROM dec d
@@ -3033,11 +3182,6 @@ def q_pipeline_release_endgame_full(spark: SparkSession, sf_dir: str) -> DataFra
     width (GridMixRunner.java:230); the two-job temp-dir handoff is
     examples/Grep.java:48-84; the artifact ship is
     filecache/DistributedCache.java:45."""
-    from hadoop_20_warehouse_spark.dedup import minhash as MH
-    from hadoop_20_warehouse_spark.dedup.components import (
-        dedup_groups_from_pairs,
-    )
-    from hadoop_20_warehouse_spark.dedup.semantic import semantic_dedup_removed
     from hadoop_20_warehouse_spark.dedup.spans import (
         global_shuffle_order,
         mixture_with_epochs,
@@ -3058,116 +3202,12 @@ def q_pipeline_release_endgame_full(spark: SparkSession, sf_dir: str) -> DataFra
         _fresh_subdir,
         _scratch_dir,
     )
-    from hadoop_20_warehouse_spark.session import hint_broadcast_if_small
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    # (1) augment + redact; (2) exact dedup on the leading-span key.
-    # Staged to parquet so the redaction chain and the key agg run one
-    # pass and every downstream consumer re-reads the staged file.
-    aug = docs.select(
-        "doc_id", "source", "text", _pii_augment().alias("t")
-    )
-    clean = aug.select(
-        "doc_id",
-        "source",
-        "text",
-        T.redact_pii("t").alias("ctext"),
-        sum(
-            [F.regexp_count(F.col("t"), F.lit(p)).cast("long")
-             for _n, p, _ph in T.PII_PATTERNS],
-            F.lit(0).cast("long"),
-        ).alias("n_pii"),
-    )
-    key = F.md5(
-        F.array_join(
-            F.slice(T.tokens(F.lower(F.col("ctext"))), 1, _REF_PREFIX_W), " "
-        )
-    )
-    exg = (
-        clean.select(key.alias("k"), "doc_id")
-        .groupBy("k")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    exs_lazy = clean.join(exg.select("doc_id"), on="doc_id", how="left_semi")
-    staged = _fresh_subdir(_scratch_dir("release_endgame_full"), "exs")
-    exs_lazy.write.parquet(staged)
-    exs = spark.read.schema(exs_lazy.schema).parquet(staged)
-
-    # (3) verified LSH pairs -> iterative components -> rep election
-    pairs = (
-        MH.minhash_lsh_pairs(exs, "doc_id", "ctext")
-        .filter(F.col("est_jaccard") >= _REF_JACCARD_MIN)
-        .select("id_a", "id_b")
-    )
-    comp = dedup_groups_from_pairs(exs, pairs, "doc_id")
-    toks = exs.select("doc_id", T.token_count(F.col("ctext")).alias("tok"))
-    reps = (
-        comp.join(toks, on="doc_id")
-        .groupBy("component")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("tok")).alias("nt"),
-                    F.col("doc_id").alias("rid"),
-                )
-            ).alias("_r")
-        )
-        .select(F.col("_r.rid").alias("doc_id"))
-    )
-    nds = exs.join(reps, on="doc_id", how="left_semi")
-
-    # (4) decontamination over the redacted survivor text
-    grams = (
-        nds.select("doc_id", T.tokens(F.col("ctext")).alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i),
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                    ),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
-    evg = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
-    tg = grams.filter(F.col("doc_id") % 20 != 0)
-    gsz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    ghit = (
-        tg.join(hint_broadcast_if_small(evg), on="gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    dec = (
-        nds.filter(F.col("doc_id") % 20 != 0)
-        .join(gsz, on="doc_id", how="left")
-        .join(ghit, on="doc_id", how="left")
-        .filter(
-            (F.coalesce(F.col("n_grams"), F.lit(0)) == 0)
-            | (
-                F.coalesce(F.col("n_overlap"), F.lit(0)) * _REF_TAU_DEN
-                < F.col("n_grams")
-            )
-        )
-        .select("doc_id", "source", "text", "n_pii")
-    )
-
-    # (5) gate on the ORIGINAL text; (6) SemDeDup anti-join
-    gated_ids = _classifier_gate(docs, "doc_id")
-    removed = semantic_dedup_removed(emb).select(
-        F.col("vec_id").alias("doc_id")
-    )
-    surv = dec.join(gated_ids, on="doc_id").join(
-        removed, on="doc_id", how="left_anti"
-    )
+    # (1)-(6): the shared hygiene chain (see _hygiene_chain — staged
+    # exact-survivor parquet, verified LSH + components + rep
+    # election, decontamination, gate, SemDeDup)
+    chain = _hygiene_chain(spark, sf_dir, "release_endgame_full")
+    surv = chain["surv"]
 
     # (7) ship the tokenizer (train on the full natural corpus,
     # persist, reload, apply to the survivors' ORIGINAL text — the
@@ -3443,4 +3483,78 @@ def q_corpus_split_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("batch_id").cast("long").alias("n_batches"),
         F.sum("tok_len").cast("long").alias("total_tokens"),
         F.bit_xor(row_fp).cast("long").alias("digest"),
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    return f"""WITH RECURSIVE
+{_hygiene_sql()},
+surv AS (
+  SELECT d.doc_id, d.source, d.n_pii
+  FROM dec d
+  JOIN cls USING (doc_id)
+  LEFT JOIN rem ON rem.vec_id = d.doc_id
+  WHERE rem.vec_id IS NULL
+),
+survtok AS (
+  SELECT s.doc_id, s.n_pii, {T.token_count_sql('d.text')} AS tok_len
+  FROM surv s JOIN documents d USING (doc_id)
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+       CAST((SELECT COUNT(*) FROM exs) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM nds) AS BIGINT) AS n_neardup,
+       CAST((SELECT COUNT(*) FROM dec) AS BIGINT) AS n_decontaminated,
+       CAST((SELECT COUNT(*) FROM dec JOIN cls USING (doc_id)) AS BIGINT) AS n_gated,
+       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_final,
+       CAST((SELECT COALESCE(SUM(tok_len), 0) FROM survtok) AS BIGINT) AS final_tokens,
+       CAST((SELECT COALESCE(SUM(n_pii), 0) FROM survtok) AS BIGINT) AS final_pii_redacted
+"""
+
+
+@register("pipeline_curation_funnel", oracle=_curation_funnel_oracle())
+def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report — the per-stage attrition summary a
+    production corpus team reads after every ingest (how many docs the
+    exact pass removed, how many the near-dup components collapsed,
+    how many decontamination and the gate dropped, what survived):
+    ONE row of exact stage counts over the SAME hygiene chain the
+    full release endgame runs (_hygiene_chain — same staged
+    exact-survivor parquet, same verified LSH + components +
+    representative election, same gram decontamination, gate, and
+    SemDeDup), plus the final corpus' whitespace-token mass and
+    PII-hit total.  The oracle replays the chain from scratch
+    (_hygiene_sql — including the recursive components walk), so the
+    funnel numbers are hash-checked, not merely logged.
+
+    Scale shape: identical to the chain's (each count is a partial
+    agg over a stage frame; no stage is recomputed more than the
+    endgame itself recomputes it — the staged parquet feeds all
+    counts).  Reference analog: the per-job Counters every MapReduce
+    pipeline printed between stages (mapred/Counters.java:61), turned
+    into one auditable frame."""
+    chain = _hygiene_chain(spark, sf_dir, "curation_funnel")
+    docs = chain["docs"]
+    survtok = chain["surv"].select(
+        "doc_id",
+        "n_pii",
+        T.token_count(F.col("text")).alias("tok_len"),
+    )
+    gated = chain["dec"].join(chain["gated_ids"], on="doc_id")
+
+    def cnt(df: DataFrame) -> F.Column:
+        return F.lit(df.count()).cast("long")
+
+    return spark.range(1).select(
+        cnt(docs).alias("n_raw"),
+        cnt(chain["exs"]).alias("n_exact"),
+        cnt(chain["nds"]).alias("n_neardup"),
+        cnt(chain["dec"]).alias("n_decontaminated"),
+        cnt(gated).alias("n_gated"),
+        cnt(survtok).alias("n_final"),
+        F.lit(
+            survtok.agg(F.coalesce(F.sum("tok_len"), F.lit(0))).collect()[0][0]
+        ).cast("long").alias("final_tokens"),
+        F.lit(
+            survtok.agg(F.coalesce(F.sum("n_pii"), F.lit(0))).collect()[0][0]
+        ).cast("long").alias("final_pii_redacted"),
     )
