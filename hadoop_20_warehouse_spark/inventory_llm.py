@@ -1263,3 +1263,189 @@ def q_dedup_minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matches").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ===========================================================================
+# ANN index ship: persist the IVF index (quantizer + inverted lists
+# WITH vectors) as a parquet artifact; a later query batch searches
+# the RELOADED index without touching the base corpus.
+# ===========================================================================
+
+_SHIP_NC = 16   # quantizer size for the base slice (450 vecs at sf0.01)
+_SHIP_NPROBE = 2
+_SHIP_K = 5
+
+
+def _ivf_index_ship_oracle() -> str:
+    from hadoop_20_warehouse_spark.similarity.knn import cosine_sql
+
+    ccos = cosine_sql("d.qv", "c.cv")
+    cos = cosine_sql("q.qv", "n.nv")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+),
+delta AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM base
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SHIP_NC}
+),
+assign AS (
+  SELECT id AS neighbor_id, centroid_id FROM (
+    SELECT b.vec_id AS id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round({cosine_sql('b.embedding', 'c.cv')}, 6) DESC,
+                      c.centroid_id ASC
+           ) AS crank
+    FROM base b CROSS JOIN cents c
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT d.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY round({ccos}, 6) DESC, c.centroid_id ASC
+           ) AS crank
+    FROM (SELECT vec_id, embedding AS qv FROM delta) d CROSS JOIN cents c
+  ) WHERE crank <= {_SHIP_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM delta),
+n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM base),
+sims AS (
+  SELECT c.query_id, c.neighbor_id, round({cos}, 6) AS sim
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN n ON n.neighbor_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {_SHIP_K}
+"""
+
+
+@register("knn_ivf_index_ship", oracle=_ivf_index_ship_oracle())
+def q_knn_ivf_index_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index ship — the serving shape every vector store runs: the
+    base corpus (vec_id % 10 != 0) is indexed ONCE — md5-sampled
+    quantizer (the ivf_topk quantizer; training is knn_ivf_trained's
+    job, the SHIP mechanics are under test here) + inverted lists
+    carrying the member VECTORS and norms (what an IVF index
+    physically holds) — and written as a parquet artifact; a later
+    query batch (vec_id % 10 == 0) searches the RELOADED index: each
+    query ranks the broadcast quantizer row-locally, probes its
+    nprobe cells' posting lists through ONE equi-join, scores exact
+    rounded cosine, and windows top-k.  The base corpus table is
+    NEVER rescanned on the query path — only the artifact is read
+    (the minhash-index-ship discipline applied to ANN;
+    DistributedCache lineage, filecache/DistributedCache.java:45).
+
+    Scale shape: the quantizer is ``num_centroids`` rows (broadcast);
+    posting lists are corpus-sized but keyed by centroid_id (the
+    probe join touches only nprobe cells per query, AQE splits hot
+    cells); the per-query candidate set is O(corpus·nprobe/nc).  At
+    100 TB the artifact IS the serving index — queries cost
+    O(|batch| · cells-probed), independent of corpus scan."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, _safe_div
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+
+    # ---- index build (once) ----
+    cents = (
+        base.select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), "centroid_id")
+        .limit(_SHIP_NC)
+    )
+    ccos = F.round(
+        _safe_div(
+            _dot(F.col("embedding"), F.col("cv")),
+            _norm(F.col("embedding")) * _norm(F.col("cv")),
+        ),
+        6,
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    postings = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "centroid_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wassign))
+        .filter(F.col("crank") == 1)
+        .select(
+            F.col("centroid_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            _norm(F.col("embedding")).alias("nn"),
+        )
+    )
+    store = _fresh_subdir(_scratch_dir("ivf_index_ship"), "index")
+    cents.write.parquet(store + "/quantizer")
+    postings.write.parquet(store + "/postings")
+
+    # ---- serving path: only the artifact is read ----
+    centsS = spark.read.schema(cents.schema).parquet(store + "/quantizer")
+    postS = spark.read.schema(postings.schema).parquet(store + "/postings")
+    qprobe = (
+        delta.crossJoin(F.broadcast(centsS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "centroid_id",
+            F.round(
+                _safe_div(
+                    _dot(F.col("embedding"), F.col("cv")),
+                    _norm(F.col("embedding")) * _norm(F.col("cv")),
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ccos"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("crank") <= _SHIP_NPROBE)
+        .select("query_id", "qv", "centroid_id")
+    )
+    sims = (
+        qprobe.join(postS, on="centroid_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _safe_div(
+                    _dot(F.col("qv"), F.col("nv")),
+                    _norm(F.col("qv")) * F.col("nn"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+        # no distinct: a neighbor has exactly ONE rank-1 posting cell
+        # and a query's probe cells are distinct, so (query, neighbor)
+        # pairs are already unique (the ivf_topk reasoning) — skipping
+        # it saves a full shuffle
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= _SHIP_K
+    )
