@@ -1449,3 +1449,191 @@ def q_knn_ivf_index_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= _SHIP_K
     )
+
+
+def _ivf_index_merge_oracle() -> str:
+    """From-scratch twin of the merged index search: quantizer sampled
+    from the BASE slice only (the fixed-quantizer insert constraint),
+    postings over the FULL corpus, query slice vec_id % 25 == 0
+    searching everything but itself."""
+    from hadoop_20_warehouse_spark.similarity.knn import cosine_sql
+
+    cos = cosine_sql("q.qv", "n.nv")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % 10 <> 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SHIP_NC}
+),
+assign AS (
+  SELECT id AS neighbor_id, centroid_id FROM (
+    SELECT e.vec_id AS id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cosine_sql('e.embedding', 'c.cv')}, 6) DESC,
+                      c.centroid_id ASC
+           ) AS crank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT d.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY round({cosine_sql('d.embedding', 'c.cv')}, 6) DESC,
+                      c.centroid_id ASC
+           ) AS crank
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0) d
+    CROSS JOIN cents c
+  ) WHERE crank <= {_SHIP_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0),
+n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+sims AS (
+  SELECT c.query_id, c.neighbor_id, round({cos}, 6) AS sim
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN n ON n.neighbor_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {_SHIP_K}
+"""
+
+
+@register("knn_ivf_index_merge", oracle=_ivf_index_merge_oracle())
+def q_knn_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE — the nightly-ingest loop every serving
+    index runs: the base slice (vec_id % 10 != 0) is indexed once
+    (knn_ivf_index_ship's artifact: quantizer + vector-carrying
+    posting lists); a delta batch (vec_id % 10 == 0) is then INSERTED
+    under the FIXED quantizer — assign each delta vector to its rank-1
+    cell against the RELOADED broadcast quantizer (you do not retrain
+    the quantizer per ingest; that is the rebuild path), append the
+    new posting rows, and commit the union as version 2 next to
+    version 1 (the tokenizer-store immutable-version discipline —
+    readers of v1 are never disturbed).  A query batch
+    (vec_id % 25 == 0) then searches the MERGED v2 artifact and must
+    equal the from-scratch derivation over the full corpus with the
+    base-sampled quantizer — which is exactly what the oracle
+    computes, so the hash proves the insert path (fixed quantizer,
+    appended postings, version commit) loses nothing vs a rebuild.
+
+    Scale shape: the insert costs O(|delta| · nc) row-local scoring +
+    one append write — never a base rescan; the version-2 commit is a
+    metadata rename; search is the ship query's plan against v2.  At
+    100 TB this is the difference between a nightly merge measured in
+    delta size and a nightly rebuild measured in corpus size (the
+    documented trade: cells drift from the data distribution until a
+    scheduled retrain — knn_ivf_trained — rebalances them)."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.similarity.knn import _dot, _norm, _safe_div
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+
+    def rank1_postings(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        ccos = F.round(
+            _safe_div(
+                _dot(F.col("embedding"), F.col("cv")),
+                _norm(F.col("embedding")) * _norm(F.col("cv")),
+            ),
+            6,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("ccos"), F.asc("centroid_id")
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "centroid_id", ccos.alias("ccos"))
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select(
+                F.col("centroid_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("nv"),
+                _norm(F.col("embedding")).alias("nn"),
+            )
+        )
+
+    # v1: index the base
+    cents = (
+        base.select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), "centroid_id")
+        .limit(_SHIP_NC)
+    )
+    store = _fresh_subdir(_scratch_dir("ivf_index_merge"), "index")
+    cents.write.parquet(store + "/v1/quantizer")
+    rank1_postings(base, cents).write.parquet(store + "/v1/postings")
+
+    # insert: delta assigned against the RELOADED fixed quantizer;
+    # v2 = v1 postings ∪ delta postings, quantizer carried forward
+    post_schema = rank1_postings(base, cents).schema
+    centsV1 = spark.read.schema(cents.schema).parquet(store + "/v1/quantizer")
+    postV1 = spark.read.schema(post_schema).parquet(store + "/v1/postings")
+    delta_post = rank1_postings(delta, centsV1)
+    centsV1.write.parquet(store + "/v2/quantizer")
+    postV1.unionByName(delta_post).write.parquet(store + "/v2/postings")
+
+    # serve from v2
+    centsS = spark.read.schema(cents.schema).parquet(store + "/v2/quantizer")
+    postS = spark.read.schema(post_schema).parquet(store + "/v2/postings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    qprobe = (
+        queries.crossJoin(F.broadcast(centsS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "centroid_id",
+            F.round(
+                _safe_div(
+                    _dot(F.col("embedding"), F.col("cv")),
+                    _norm(F.col("embedding")) * _norm(F.col("cv")),
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ccos"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("crank") <= _SHIP_NPROBE)
+        .select("query_id", "qv", "centroid_id")
+    )
+    sims = (
+        qprobe.join(postS, on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _safe_div(
+                    _dot(F.col("qv"), F.col("nv")),
+                    _norm(F.col("qv")) * F.col("nn"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= _SHIP_K
+    )
