@@ -1166,6 +1166,32 @@ def main() -> None:
         probe_large["knn_ivfpq_trained"] = lambda: steady_time(
             _ivfpq_trained, SF_DIR
         )
+        # r15 additions — the index-ship pair.  dedup_minhash_index_delta:
+        # build (base signing + artifact write) AND probe (delta signing
+        # + band join + verify) both scale with their own slice, so the
+        # end-to-end curve should track the 10x document growth
+        # ~linearly; a super-linear flag here means the band buckets
+        # degenerated (boilerplate collisions).  knn_ivf_index_merge:
+        # build + fixed-quantizer delta insert + merged-artifact search;
+        # embeddings grow 4x between SF dirs, hence the explicit ratio.
+        _mh_delta = QUERIES["dedup_minhash_index_delta"]
+        scaling["dedup_minhash_index_delta"] = {
+            "small_s": round(steady_time(_mh_delta, small_dir), 3),
+            "large_s": round(steady_time(_mh_delta, SF_DIR), 3),
+            "data_ratio": round(sf / small_sf, 3),
+        }
+        probe_large["dedup_minhash_index_delta"] = lambda: steady_time(
+            _mh_delta, SF_DIR
+        )
+        _ivf_merge = QUERIES["knn_ivf_index_merge"]
+        scaling["knn_ivf_index_merge"] = {
+            "small_s": round(steady_time(_ivf_merge, small_dir), 3),
+            "large_s": round(steady_time(_ivf_merge, SF_DIR), 3),
+            "data_ratio": 4.0,
+        }
+        probe_large["knn_ivf_index_merge"] = lambda: steady_time(
+            _ivf_merge, SF_DIR
+        )
     for s in scaling.values():
         # epsilon floor: a sub-10ms small point would make the ratio noise
         s["time_ratio"] = round(s["large_s"] / max(s["small_s"], 0.01), 3)
