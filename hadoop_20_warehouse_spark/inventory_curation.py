@@ -3526,35 +3526,71 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_hygiene_sql — including the recursive components walk), so the
     funnel numbers are hash-checked, not merely logged.
 
-    Scale shape: identical to the chain's (each count is a partial
-    agg over a stage frame; no stage is recomputed more than the
-    endgame itself recomputes it — the staged parquet feeds all
-    counts).  Reference analog: the per-job Counters every MapReduce
-    pipeline printed between stages (mapred/Counters.java:61), turned
-    into one auditable frame."""
+    Scale shape: ONE aggregation job over a labeled union of the
+    stage frames — each stage subtree evaluates exactly once per
+    funnel run (not once per counter: the naive one-count()-per-stage
+    form re-ran the gram join ~4x).  The decontaminated frame is
+    staged to parquet (with its token counts precomputed) so the
+    three branches downstream of it read the staging file; the
+    exact-survivor frame is the chain's own staged parquet.
+    Reference analog: the per-job Counters every MapReduce pipeline
+    printed between stages (mapred/Counters.java:61), turned into one
+    auditable frame."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
     chain = _hygiene_chain(spark, sf_dir, "curation_funnel")
-    docs = chain["docs"]
-    survtok = chain["surv"].select(
+    # stage dec once (narrow, with the final-stage token counts
+    # precomputed) — the decon/gated/final branches all read it
+    dec_lazy = chain["dec"].select(
         "doc_id",
         "n_pii",
         T.token_count(F.col("text")).alias("tok_len"),
     )
-    gated = chain["dec"].join(chain["gated_ids"], on="doc_id")
+    staged = _fresh_subdir(_scratch_dir("curation_funnel"), "dec")
+    dec_lazy.write.parquet(staged)
+    dec = spark.read.schema(dec_lazy.schema).parquet(staged)
+    gated = dec.join(chain["gated_ids"], on="doc_id")
+    final = gated.join(chain["removed"], on="doc_id", how="left_anti")
 
-    def cnt(df: DataFrame) -> F.Column:
-        return F.lit(df.count()).cast("long")
+    zero = F.lit(0).cast("long")
 
-    return spark.range(1).select(
-        cnt(docs).alias("n_raw"),
-        cnt(chain["exs"]).alias("n_exact"),
-        cnt(chain["nds"]).alias("n_neardup"),
-        cnt(chain["dec"]).alias("n_decontaminated"),
-        cnt(gated).alias("n_gated"),
-        cnt(survtok).alias("n_final"),
-        F.lit(
-            survtok.agg(F.coalesce(F.sum("tok_len"), F.lit(0))).collect()[0][0]
-        ).cast("long").alias("final_tokens"),
-        F.lit(
-            survtok.agg(F.coalesce(F.sum("n_pii"), F.lit(0))).collect()[0][0]
-        ).cast("long").alias("final_pii_redacted"),
+    def lab(df: DataFrame, name: str, tok=None, pii=None) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("stage"),
+            (tok if tok is not None else zero).cast("long").alias("tok"),
+            (pii if pii is not None else zero).cast("long").alias("pii"),
+        )
+
+    u = (
+        lab(chain["docs"], "raw")
+        .unionByName(lab(chain["exs"], "exact"))
+        .unionByName(lab(chain["nds"], "neardup"))
+        .unionByName(lab(dec, "decon"))
+        .unionByName(lab(gated, "gated"))
+        .unionByName(
+            lab(final, "final", tok=F.col("tok_len"), pii=F.col("n_pii"))
+        )
+    )
+
+    def n(stage: str) -> F.Column:
+        return F.sum(F.when(F.col("stage") == stage, 1).otherwise(0)).cast(
+            "long"
+        )
+
+    return u.agg(
+        n("raw").alias("n_raw"),
+        n("exact").alias("n_exact"),
+        n("neardup").alias("n_neardup"),
+        n("decon").alias("n_decontaminated"),
+        n("gated").alias("n_gated"),
+        n("final").alias("n_final"),
+        F.sum(F.when(F.col("stage") == "final", F.col("tok")).otherwise(0))
+        .cast("long")
+        .alias("final_tokens"),
+        F.sum(F.when(F.col("stage") == "final", F.col("pii")).otherwise(0))
+        .cast("long")
+        .alias("final_pii_redacted"),
     )
