@@ -1637,3 +1637,46 @@ def q_knn_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= _SHIP_K
     )
+
+
+@register("knn_pq_index_ship", oracle=PQ.pq_adc_topk_sql("embeddings"))
+def q_knn_pq_index_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-COMPRESSED index ship — the artifact a 100 TB ANN deployment
+    actually serves from: the one-row codebook and the 8-bytes-per-
+    vector code table (32x compression over raw vectors — at 100 TB of
+    embeddings the codes are ~3 TB, the difference between a
+    memory-resident scan and a disk-bound one) are built once, written
+    as a parquet artifact, and the ADC query path reads ONLY the
+    reloaded artifact: lookup-table build from the reloaded codebook,
+    integer ADC sums over the reloaded codes, TakeOrdered top-k.  Same
+    oracle as knn_pq_adc — a hash match (including codes_str, i.e.
+    every stored code byte) proves the compressed artifact
+    round-tripped losslessly and the served ranking equals the
+    build-time derivation.  Completes the index-ship family:
+    full-vector IVF (knn_ivf_index_ship), merged IVF
+    (knn_ivf_index_merge), MinHash bands (dedup_minhash_index_delta),
+    and now the compressed-codes layout."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_codebook(emb)
+    codes = PQ.pq_encode(emb, cb)
+    store = _fresh_subdir(_scratch_dir("pq_index_ship"), "index")
+    cb.write.parquet(store + "/codebook")
+    codes.write.parquet(store + "/codes")
+    cbS = spark.read.schema(cb.schema).parquet(store + "/codebook")
+    codesS = spark.read.schema(codes.schema).parquet(store + "/codes")
+    query = (
+        emb.select(
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy(F.desc("h"), F.desc("vec_id"))
+        .limit(1)
+        .select("qv")
+    )
+    return PQ.pq_adc_topk(codesS, cbS, query)
