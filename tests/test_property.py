@@ -780,3 +780,44 @@ def test_split_assign_stable_disjoint_exhaustive(spark):
         split_assign(df, {"train": 0.5, "val": 0.1})
     with _pytest.raises(ValueError, match=">= 0.001"):
         split_assign(df, {"train": 0.9999, "val": 0.0001})
+
+
+def test_triangle_counts_matches_naive_reference(spark):
+    """graph.triangle_counts (degree-oriented wedge counting) vs a
+    pure-Python naive enumeration on random graphs including a hub
+    (the skew case the orientation exists for) and a triangle-free
+    star."""
+    from itertools import combinations
+
+    from hadoop_20_warehouse_spark.graph import triangle_counts
+
+    rng = random.Random(1519)
+    cases = []
+    # random G(n, p)
+    n = 40
+    cases.append(
+        [(a, b) for a, b in combinations(range(n), 2) if rng.random() < 0.15]
+    )
+    # hub: node 0 connected to everyone, plus a sparse rest
+    cases.append(
+        [(0, i) for i in range(1, 30)]
+        + [(a, b) for a, b in combinations(range(1, 30), 2) if rng.random() < 0.1]
+    )
+    # star only — zero triangles
+    cases.append([(0, i) for i in range(1, 12)])
+    for edges in cases:
+        eset = set(edges)
+        want: dict[int, int] = {}
+        nodes = {x for e in edges for x in e}
+        for a, b, c in combinations(sorted(nodes), 3):
+            if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+                for x in (a, b, c):
+                    want[x] = want.get(x, 0) + 1
+        df = spark.createDataFrame(edges or [(0, 1)], "a long, b long")
+        if not edges:
+            df = df.filter("a < 0")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+        assert got == want
