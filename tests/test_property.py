@@ -821,3 +821,86 @@ def test_triangle_counts_matches_naive_reference(spark):
             for r in triangle_counts(df).collect()
         }
         assert got == want
+
+
+def test_kcore_members_matches_naive_peel(spark):
+    """graph.kcore_members (observe()-converged iterative peel) vs a
+    pure-Python peel-to-fixpoint on random graphs, a hub-plus-fringe
+    graph (fringe peels in waves — multi-round convergence), a clique
+    (zero peel rounds beyond the confirm), and a tree (empty 2-core);
+    also pins the engine's SQL twin (graph.kcore_sql) on the same
+    graphs via DuckDB, and the rounds stat."""
+    from itertools import combinations
+
+    import duckdb
+
+    from hadoop_20_warehouse_spark.graph import kcore_members, kcore_sql
+
+    def naive_kcore(edges, k):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        while True:
+            drop = [n for n, nb in adj.items() if len(nb) < k]
+            if not drop:
+                return {n: len(nb) for n, nb in adj.items()}
+            for n in drop:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+
+    rng = random.Random(1523)
+    cases = []
+    n = 40
+    cases.append(
+        [(a, b) for a, b in combinations(range(n), 2) if rng.random() < 0.12]
+    )
+    # hub 0 + chain fringe: chain nodes peel one wave per round
+    cases.append(
+        [(0, i) for i in range(1, 10)]
+        + [(i, i + 1) for i in range(10, 20)]
+        + [(0, 10)]
+    )
+    # clique: nothing peels at k=3
+    cases.append(list(combinations(range(6), 2)))
+    # tree: 2-core is empty
+    cases.append([(i, 2 * i + 1) for i in range(8)] + [(i, 2 * i + 2) for i in range(8)])
+    for k in (2, 3):
+        for edges in cases:
+            want = naive_kcore(edges, k)
+            df = spark.createDataFrame(edges, "a long, b long")
+            stats: dict = {}
+            got = {
+                r["node"]: r["core_deg"]
+                for r in kcore_members(df, k=k, stats=stats).collect()
+            }
+            assert got == want
+            assert stats["rounds"] >= 1
+            vals = ", ".join(f"({a}, {b})" for a, b in edges)
+            sql = kcore_sql(
+                f"edges AS (SELECT * FROM (VALUES {vals}) t(a, b))",
+                k=k,
+                rounds=25,
+            )
+            oracle = {
+                n: d for n, d in duckdb.connect().execute(sql).fetchall()
+            }
+            assert oracle == want
+
+
+def test_kcore_multiround_convergence_and_empty(spark):
+    """A long path peels from both ends one wave per round — rounds
+    must exceed 2 and the 2-core must be empty; an empty edge frame
+    converges in one confirm round."""
+    from hadoop_20_warehouse_spark.graph import kcore_members
+
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, "a long, b long")
+    stats: dict = {}
+    assert kcore_members(df, k=2, stats=stats).count() == 0
+    assert stats["rounds"] > 2
+    empty = df.filter("a < 0")
+    stats2: dict = {}
+    assert kcore_members(empty, k=2, stats=stats2).count() == 0
+    assert stats2["rounds"] == 1
