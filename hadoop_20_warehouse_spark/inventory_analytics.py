@@ -1829,3 +1829,52 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
     mc=_KCORE_MIN_CO, k=_KCORE_K, r=_KCORE_ORACLE_ROUNDS
 )
+
+
+def _scd2_oracle() -> str:
+    from hadoop_20_warehouse_spark.operators.scd import scd2_sql
+
+    return scd2_sql(
+        "changes AS (SELECT user_id, event_type, ts, event_id FROM events)",
+        key="user_id",
+        attrs=("event_type",),
+        ts="ts",
+        tiebreak=("event_id",),
+    )
+
+
+@register("scd2_dimension_build", oracle=_scd2_oracle())
+def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event stream
+    (Kimball SCD2): each user's event_type is treated as their current
+    STATE; consecutive confirmations collapse, every state CHANGE
+    opens a validity interval ``[valid_from, valid_to)``, the previous
+    interval closes at the change instant, the open interval is marked
+    ``is_current``, and ``version`` numbers a user's states in time
+    order.  The dimension table join_asof_attribution/join_band_events
+    would consume — here built as a first-class registered operator
+    (operators/scd.scd2_build) instead of assumed.
+
+    The reference loads dimensions by full rewrite (DBOutputFormat's
+    replace-table shape, examples/DBCountPageView.java:87); SCD2 is
+    the warehouse-native versioned alternative.
+
+    Cross-engine determinism: change detection is null-safe struct
+    inequality (Spark ``<=>`` / ANSI ``IS DISTINCT FROM``), ordering
+    within a user is (ts, event_id) — the unique event id breaks
+    same-instant ties identically on both engines.
+
+    Scale: all three windows (change lag, interval lead, version
+    row_number) partition by user_id and share one sort order, so the
+    build is ONE key exchange + one sort reused across the windows —
+    never a corpus-global window; user cardinality grows with the
+    data, so partitions stay bounded."""
+    from hadoop_20_warehouse_spark.operators.scd import scd2_build
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_build(
+        ev, key="user_id", attrs=("event_type",), ts="ts",
+        tiebreak=("event_id",),
+    )

@@ -1,0 +1,114 @@
+"""Slowly-changing-dimension (Type 2) build: change log → validity
+intervals.
+
+The reference's warehouse loads dimensions by full rewrite
+(DBOutputFormat round-trips, examples/DBCountPageView.java's
+replace-table shape); a production warehouse instead versions each
+dimension row so facts can join AS OF their own timestamp.  That is
+Kimball's SCD Type 2: every attribute change opens a new interval
+``[valid_from, valid_to)`` and closes the previous one; the current
+row has ``valid_to IS NULL``.  The interval table then serves either
+a band join (operators/join.py:join_band) or the union+window as-of
+join (join_asof) — this module builds the table those joins consume.
+
+Scale: one window per step, all partitioned by the dimension KEY —
+high-cardinality, never corpus-global; change collapse, interval
+close, and version numbering ride the SAME key-partitioned sort, so
+the whole build is ONE exchange on the key (Catalyst reuses the
+partitioning across the three windows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    ts: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """(key, *attrs, valid_from, valid_to, is_current, version) — the
+    Type-2 dimension table from a change log.
+
+    ``changes``: one row per observed state (key, attrs..., ts).
+    Consecutive observations with UNCHANGED attributes are collapsed
+    (they confirm, not change, the state — re-emitting them would
+    fragment intervals); a change row opens an interval at its ``ts``
+    which the key's next change closes.  ``version`` numbers a key's
+    intervals from 1 in time order; ``is_current`` marks the open one.
+
+    Attribute comparison is null-safe (``<=>``): a NULL attribute is a
+    real state, and NULL→value / value→NULL transitions are changes.
+
+    ``tiebreak``: extra ordering columns after ``ts`` (e.g. an event
+    id) — REQUIRED for determinism whenever one key can log two rows
+    at the same timestamp; the last row in (ts, *tiebreak) order wins
+    the state at that instant, mirroring log replay order.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in tiebreak]
+    w_seq = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    # change detection: null-safe struct inequality vs the previous row
+    marked = changes.withColumn("_prev", F.lag(state).over(w_seq)).withColumn(
+        "_is_change",
+        F.col("_prev").isNull() | ~state.eqNullSafe(F.col("_prev")),
+    )
+    chg = marked.filter(F.col("_is_change")).select(
+        key, *attrs, F.col(ts).alias("valid_from"), *tiebreak
+    )
+    w_iv = Window.partitionBy(key).orderBy(
+        "valid_from", *[F.col(c) for c in tiebreak]
+    )
+    return chg.select(
+        key,
+        *attrs,
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
+        F.row_number().over(w_iv).cast("long").alias("version"),
+    )
+
+
+def scd2_sql(
+    changes_cte: str,
+    key: str,
+    attrs: Sequence[str],
+    ts: str,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB oracle for :func:`scd2_build` — the same three windows
+    in ANSI SQL.  ``changes_cte`` must define ``changes`` with the
+    key/attr/ts/tiebreak columns.  Null-safe comparison is spelled
+    ``IS DISTINCT FROM`` (the ANSI twin of Spark's ``<=>``)."""
+    alist = ", ".join(attrs)
+    order = ", ".join([ts, *tiebreak])
+    iv_order = ", ".join(["valid_from", *tiebreak])
+    prev = ", ".join(
+        f"LAG({a}) OVER (PARTITION BY {key} ORDER BY {order}) AS _p_{a}"
+        for a in attrs
+    )
+    changed = " OR ".join(f"{a} IS DISTINCT FROM _p_{a}" for a in attrs)
+    tb = ("".join(", " + c for c in tiebreak))
+    return f"""
+WITH {changes_cte},
+marked AS (
+  SELECT {key}, {alist}, {ts}{tb}, {prev},
+         CAST(ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {order}) AS BIGINT) AS _rn
+  FROM changes
+),
+chg AS (
+  SELECT {key}, {alist}, {ts} AS valid_from{tb}
+  FROM marked WHERE _rn = 1 OR {changed}
+)
+SELECT {key}, {alist}, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY {key} ORDER BY {iv_order}) AS valid_to,
+       (LEAD(valid_from) OVER (PARTITION BY {key} ORDER BY {iv_order}) IS NULL) AS is_current,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {iv_order}) AS BIGINT) AS version
+FROM chg
+""".strip()

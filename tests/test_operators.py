@@ -293,3 +293,47 @@ def test_band_join_matches_theta(spark):
         if lrow.k == rrow.k and abs((lrow.ts - rrow.ts).total_seconds()) <= 10
     )
     assert got == naive and len(got) > 0
+
+
+def test_scd2_build_hand_computed_and_one_exchange(spark):
+    """operators/scd.scd2_build: consecutive confirmations collapse,
+    NULL is a real state (null-safe change detection both into and out
+    of NULL), intervals chain per key, the open interval is current,
+    and the whole build runs on ONE key exchange (all three windows
+    share the user partitioning + sort)."""
+    import datetime as dt
+    import re
+
+    from hadoop_20_warehouse_spark.operators.scd import scd2_build
+
+    d = lambda day: dt.datetime(2020, 1, day)  # noqa: E731
+    rows = [
+        (1, "a", d(1), 1),
+        (1, "a", d(2), 2),   # confirm -> collapsed
+        (1, "b", d(3), 3),   # change
+        (1, None, d(4), 4),  # change to NULL state
+        (1, None, d(5), 5),  # confirm NULL -> collapsed
+        (1, "a", d(6), 6),   # change back
+        (2, "x", d(1), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = scd2_build(
+        df, key="user_id", attrs=("event_type",), ts="ts",
+        tiebreak=("event_id",),
+    )
+    got = [
+        (r.user_id, r.event_type, r.valid_from.day,
+         r.valid_to.day if r.valid_to else None, r.is_current, r.version)
+        for r in out.orderBy("user_id", "version").collect()
+    ]
+    assert got == [
+        (1, "a", 1, 3, False, 1),
+        (1, "b", 3, 4, False, 2),
+        (1, None, 4, 6, False, 3),
+        (1, "a", 6, None, True, 4),
+        (2, "x", 1, None, True, 1),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
