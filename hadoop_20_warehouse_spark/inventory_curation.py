@@ -3594,3 +3594,125 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("final_pii_redacted"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 200
+# ONE ln over a ratio assembled in a FIXED ieee-double op order, then
+# milli-nat integer rounding (the text_*_nll discipline): identical
+# text on both engines, so * and / are correctly-rounded IEEE steps
+# and only ln crosses libm — rounded to 1e-3 it has been hash-stable
+# across every NLL round.
+_PMI_EXPR = (
+    "CAST(round(ln(((CAST(c_ab AS DOUBLE) * n_uni) / c_a)"
+    " * (CAST(n_uni AS DOUBLE) / c_b) / n_big) * 1000, 0) AS BIGINT)"
+)
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+),
+uni AS (
+  SELECT t[i] AS w, CAST(COUNT(*) AS BIGINT) AS c_uni
+  FROM toks, UNNEST(generate_series(1, len(t))) u(i)
+  GROUP BY 1
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM big GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM big) AS BIGINT) AS n_big,
+         CAST((SELECT CAST(SUM(c_uni) AS BIGINT) FROM uni) AS BIGINT) AS n_uni
+),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.c_ab, {_PMI_EXPR} AS pmi_milli
+  FROM bc
+  JOIN (SELECT w, c_uni AS c_a FROM uni) a ON a.w = bc.w1
+  JOIN (SELECT w, c_uni AS c_b FROM uni) b ON b.w = bc.w2
+  CROSS JOIN tot
+)
+SELECT w1, w2, c_ab, pmi_milli,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi_milli DESC, w1, w2) AS BIGINT) AS rk
+FROM scored
+ORDER BY pmi_milli DESC, w1, w2
+LIMIT {_PMI_TOP_K}
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_SQL)
+def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations by pointwise mutual information —
+    PMI(a,b) = ln(p(a,b) / (p(a)p(b))) over adjacent-token bigrams,
+    support-filtered at c_ab >= {mc} (unfiltered PMI is maximized by
+    hapax pairs; the support floor is the standard Church & Hanks 1990
+    fix).  The collocation list is the phrase-mining primitive of the
+    text-analysis family (multi-word expressions for tokenizer vocab
+    seeding, boilerplate phrase discovery) — NLL scores documents,
+    PMI scores the PAIRS themselves.
+
+    Bigram extraction is ROW-LOCAL (token-array transform, no corpus
+    window — the text_bigram_nll shape); unigram/bigram counts are
+    wordcount partial aggs; scoring is two vocab-keyed joins (the
+    support filter shrinks the left side FIRST) + one broadcast
+    scalar pair; the final top-k is orderBy+limit = TakeOrdered (a
+    k-row driver result, never a corpus sort), with rank assigned
+    AFTER the limit over the k survivors.
+
+    Cross-engine exactness: integer counts; ONE ln over a ratio
+    assembled in a fixed IEEE op order, milli-nat rounded (the NLL
+    discipline); rank ties broken by the pair itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens(F.col("text")).alias("t"))
+    big = toks.filter(F.size("t") > 1).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> struct("
+                "element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_uni"))
+    )
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    tot = big.agg(
+        F.count(F.lit(1)).cast("long").alias("n_big")
+    ).crossJoin(
+        uni.agg(F.sum("c_uni").cast("long").alias("n_uni"))
+    )
+    scored = (
+        bc.join(uni.select(F.col("w").alias("w1"),
+                           F.col("c_uni").alias("c_a")), on="w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c_uni").alias("c_b")), on="w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", F.expr(_PMI_EXPR).alias("pmi_milli"))
+    )
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(
+        F.desc("pmi_milli"), "w1", "w2"
+    ).limit(_PMI_TOP_K)
+    return topk.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("pmi_milli"), "w1", "w2"))
+        .cast("long"),
+    )
+
+
+q_text_collocations_pmi.__doc__ = q_text_collocations_pmi.__doc__.format(
+    k=_PMI_TOP_K, mc=_PMI_MIN_COUNT
+)

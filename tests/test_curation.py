@@ -445,3 +445,63 @@ def test_chunk_sliding_windows_python_model(spark):
         if mine:
             last = max(mine, key=lambda g: g[1])
             assert last[2] + last[3] - 1 == len(toks)
+
+
+def test_collocations_pmi_matches_python_reference(spark, tmp_path):
+    """text_collocations_pmi vs a pure-Python PMI over a corpus built
+    so several pairs clear the support floor: counts, milli-nat PMI
+    values, and the deterministic (pmi desc, pair) ranking must all
+    match exactly."""
+    import math
+
+    from hadoop_20_warehouse_spark.inventory_curation import (
+        _PMI_MIN_COUNT,
+        q_text_collocations_pmi,
+    )
+
+    phrases = (
+        ["new york"] * 9
+        + ["hot dog"] * 7
+        + ["new dog"] * 5
+        + ["the the"] * 6
+        + ["lone pair"] * 4          # below the floor of 5
+        + ["the cat sat on the mat"] * 3
+    )
+    docs = [(i, p, "en", "s", len(p)) for i, p in enumerate(phrases)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # python reference
+    uni: dict[str, int] = {}
+    bc: dict[tuple, int] = {}
+    n_uni = n_big = 0
+    for _i, p, *_ in docs:
+        t = p.split()
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            n_uni += 1
+        for a, b in zip(t, t[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+            n_big += 1
+    want = []
+    for (a, b), c in bc.items():
+        if c < _PMI_MIN_COUNT:
+            continue
+        pmi = round(
+            math.log(((float(c) * n_uni) / uni[a]) * (float(n_uni) / uni[b]) / n_big)
+            * 1000
+        )
+        want.append((a, b, c, pmi))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = [(a, b, c, p, i + 1) for i, (a, b, c, p) in enumerate(want)]
+
+    got = [
+        (r.w1, r.w2, r.c_ab, r.pmi_milli, r.rk)
+        for r in q_text_collocations_pmi(spark, str(tmp_path))
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) >= 4
+    assert ("lone", "pair") not in {(a, b) for a, b, *_ in got}
