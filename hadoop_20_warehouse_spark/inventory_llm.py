@@ -1680,3 +1680,133 @@ def q_knn_pq_index_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qv")
     )
     return PQ.pq_adc_topk(codesS, cbS, query)
+
+
+_OUTLIER_PCT = 1  # flag the worst 1% per label (ceil), by centroid L1
+
+_OUTLIER_SQL = """
+WITH subs AS (SELECT unnest(generate_series(0, 63)) AS pos),
+u AS (
+  SELECT e.label, e.vec_id, s.pos,
+         CAST(round(CAST(e.embedding[s.pos + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xu
+  FROM embeddings e CROSS JOIN subs s
+),
+dims AS (
+  SELECT label, pos, CAST(SUM(xu) AS BIGINT) AS sxu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY label, pos
+),
+dev AS (
+  SELECT u.label, u.vec_id,
+         CAST(SUM(abs(d.n * u.xu - d.sxu)) AS BIGINT) AS dev_v,
+         MIN(d.n) AS n_vecs
+  FROM u JOIN dims d ON d.label = u.label AND d.pos = u.pos
+  GROUP BY u.label, u.vec_id
+),
+tot AS (
+  SELECT label, CAST(SUM(dev_v) AS BIGINT) AS mad_total FROM dev GROUP BY label
+),
+ranked AS (
+  SELECT v.vec_id, v.label, v.dev_v,
+         CAST((1000 * v.dev_v * v.n_vecs) // t.mad_total AS BIGINT) AS ratio_milli,
+         CAST(ROW_NUMBER() OVER (PARTITION BY v.label
+              ORDER BY v.dev_v DESC, v.vec_id) AS BIGINT) AS rk,
+         (v.n_vecs + 99) // 100 AS k_label
+  FROM dev v JOIN tot t ON t.label = v.label
+)
+SELECT vec_id, label, dev_v, ratio_milli, rk
+FROM ranked WHERE rk <= k_label
+""".strip()
+
+
+@register("embedding_outlier_filter", oracle=_OUTLIER_SQL)
+def q_embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding outliers — each label\'s worst {pct}%
+    (ceil) of vectors by L1 distance to the label centroid, with the
+    distance, its per-mille ratio to the label\'s mean deviation, and
+    the within-label rank.  The drop list an embedding-quality gate
+    feeds on (mislabeled / corrupted / off-topic vectors sit far from
+    their cluster\'s mass — the centroid-distance filter of
+    LAION-style curation, as SemDeDup is the too-CLOSE filter;
+    embedding_group_centroid reports cluster dispersion, this NAMES
+    the vectors).  Rank-based, not threshold-based, on purpose: a
+    fixed multiple-of-mean cut flags nothing on homogeneous
+    collections and floods on contaminated ones — "drop the worst X%"
+    is the budgeted policy curation teams actually run.
+
+    Exact-integer discipline (the centroid query\'s ×1e6 micro-unit
+    quantization): deviations are Σ|n·xu − sxu| (L1 scaled by n to
+    avoid the fractional centroid), the reported ratio is
+    integer-floored per-mille, ranks tie-break on vec_id — no float
+    crosses the hash.
+
+    Scale: the per-label top-K rides the TWO-PHASE salted window
+    (sample_weighted_per_group\'s shape — labels are low-cardinality,
+    so a single per-label window would sort whole clusters in one
+    task at 100 TB): phase 1 ranks within (label, md5-salt) — every
+    true top-K row ranks ≤ K in its own salt group — phase 2 re-ranks
+    the ≤ 16·K survivors.  Everything else is keyed partial aggs +
+    broadcast joins of label-sized frames."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "vec_id",
+        "pos",
+        F.expr("cast(round(cast(x as double) * 1000000) as bigint)").alias(
+            "xu"
+        ),
+    )
+    dims = u.groupBy("label", "pos").agg(
+        F.sum("xu").cast("long").alias("sxu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = (
+        u.join(F.broadcast(dims), on=["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.abs(F.col("n") * F.col("xu") - F.col("sxu")))
+            .cast("long")
+            .alias("dev_v"),
+            F.min("n").alias("n_vecs"),
+        )
+    )
+    tot = dev.groupBy("label").agg(
+        F.sum("dev_v").cast("long").alias("mad_total")
+    )
+    scored = dev.join(F.broadcast(tot), on="label").select(
+        "vec_id",
+        "label",
+        "dev_v",
+        F.expr("cast((1000 * dev_v * n_vecs) div mad_total as bigint)").alias(
+            "ratio_milli"
+        ),
+        F.expr("(n_vecs + 99) div 100").alias("k_label"),
+    )
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"),
+        F.lit(16),
+    )
+    w1 = Window.partitionBy("label", "_salt").orderBy(
+        F.desc("dev_v"), "vec_id"
+    )
+    cand = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= F.col("k_label"))
+    )
+    w2 = Window.partitionBy("label").orderBy(F.desc("dev_v"), "vec_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= F.col("k_label"))
+        .select("vec_id", "label", "dev_v", "ratio_milli", "rk")
+    )
+
+
+q_embedding_outlier_filter.__doc__ = q_embedding_outlier_filter.__doc__.format(
+    pct=_OUTLIER_PCT
+)

@@ -746,3 +746,67 @@ def test_gemm_chunked_passes_match_single(spark, emb, monkeypatch):
         SC.pairs_threshold(
             df, "vec_id", "embedding", 0.3, chunked=True, n_passes=0
         )
+
+
+def test_embedding_outlier_filter_flags_planted_and_keeps_quota(spark, tmp_path):
+    """embedding_outlier_filter: a planted far-from-centroid vector
+    ranks first in its label; per-label output size is exactly
+    ceil(n/100); the salted two-phase top-K equals a naive Python
+    rank over exact integer deviations."""
+    import random as _r
+
+    from hadoop_20_warehouse_spark.inventory_llm import (
+        q_embedding_outlier_filter,
+    )
+
+    rng = _r.Random(7)
+    rows = []
+    # label 0: 150 tight vectors near e1, one planted outlier at -e1
+    for i in range(150):
+        v = [0.0] * 64
+        v[0] = 1.0
+        v[1] = rng.uniform(-0.01, 0.01)
+        rows.append((i, v, 0))
+    planted = [0.0] * 64
+    planted[0] = -1.0
+    rows.append((999, planted, 0))
+    # label 1: 30 vectors near e2
+    for i in range(200, 230):
+        v = [0.0] * 64
+        v[2] = 1.0
+        v[3] = rng.uniform(-0.01, 0.01)
+        rows.append((i, v, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = q_embedding_outlier_filter(spark, str(tmp_path)).collect()
+    by_label: dict[int, list] = {}
+    for r in got:
+        by_label.setdefault(r.label, []).append(r)
+    # ceil(151/100)=2 for label 0, ceil(30/100)=1 for label 1
+    assert len(by_label[0]) == 2 and len(by_label[1]) == 1
+    top0 = min(by_label[0], key=lambda r: r.rk)
+    assert top0.vec_id == 999 and top0.rk == 1
+    assert top0.ratio_milli > 1000  # far above the label mean
+
+    # python reference over exact integer deviations
+    import collections
+
+    def quant(x):
+        return int(round(float(x) * 1000000))
+
+    per = collections.defaultdict(list)
+    for vid, v, lab in rows:
+        per[lab].append((vid, [quant(x) for x in v]))
+    want = set()
+    for lab, vs in per.items():
+        n = len(vs)
+        sx = [sum(v[p] for _, v in vs) for p in range(64)]
+        devs = sorted(
+            (-sum(abs(n * v[p] - sx[p]) for p in range(64)), vid)
+            for vid, v in vs
+        )
+        k = (n + 99) // 100
+        want |= {(lab, vid) for _, vid in devs[:k]}
+    assert {(r.label, r.vec_id) for r in got} == want
