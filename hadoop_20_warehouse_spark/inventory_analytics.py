@@ -1878,3 +1878,145 @@ def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", attrs=("event_type",), ts="ts",
         tiebreak=("event_id",),
     )
+
+
+def _fertility_oracle() -> str:
+    from hadoop_20_warehouse_spark.functions.bpe import _tokenize_ctes_duck
+
+    ctes = _tokenize_ctes_duck(
+        "documents", "doc_id", "text", _BPE_N_MERGES, _BPE_MAX_WORDS
+    )
+    langs = sorted(T.STOPWORD_PROFILES)
+    per_lang = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS cand_lang, "
+        f"{T.stopword_hits_sql('text', lang)} AS hits FROM documents"
+        for lang in langs
+    )
+    return f"""
+WITH {ctes},
+scores AS ({per_lang}),
+langid AS (
+  SELECT doc_id, cand_lang AS lang FROM (
+    SELECT doc_id, cand_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, cand_lang ASC) AS rn
+    FROM scores) WHERE rn = 1
+),
+wstats AS (
+  SELECT did, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(w)) AS BIGINT) AS n_chars
+  FROM wordrows GROUP BY did
+),
+perdoc AS (
+  SELECT l.lang,
+         COALESCE(w.n_words, 0) AS n_words,
+         COALESCE(w.n_chars, 0) AS n_chars,
+         COALESCE(a.bpe_len, 0) AS bpe_len
+  FROM documents d
+  JOIN langid l ON l.doc_id = d.doc_id
+  LEFT JOIN wstats w ON w.did = d.doc_id
+  LEFT JOIN docagg a ON a.did = d.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(bpe_len) AS BIGINT) AS total_subwords,
+       CASE WHEN SUM(n_words) = 0 THEN NULL
+            ELSE CAST((1000 * SUM(bpe_len)) // SUM(n_words) AS BIGINT) END
+         AS fertility_milli,
+       CASE WHEN SUM(bpe_len) = 0 THEN NULL
+            ELSE CAST((1000 * SUM(n_chars)) // SUM(bpe_len) AS BIGINT) END
+         AS chars_per_subword_milli
+FROM perdoc GROUP BY lang
+""".strip()
+
+
+@register("tokenizer_fertility_by_lang", oracle=_fertility_oracle())
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit by detected language: per predicted
+    language, the trained BPE's subwords-per-word and chars-per-subword
+    (integer per-mille).  Fertility is the standard tokenizer-bias
+    metric (Rust et al. 2021, "How Good is Your Tokenizer?"): a vocab
+    trained on skewed language mix over-segments the minority
+    languages, inflating their effective sequence length and training
+    cost — this report is how a corpus team SEES that skew before
+    committing a tokenizer.  Composes three registered surfaces in one
+    hash-checked plan: stopword-profile lang-id (row-local argmax),
+    BPE train+apply (bounded train job + one row-local corpus pass),
+    and the trainer's own word normalization (fertility must count the
+    words the tokenizer actually SAW — [a-z0-9]+ after lowering — or
+    the ratio mixes normalizations).
+
+    Cross-engine exactness: integer counts and floored per-mille
+    ratios; NULL (not a crash, not 0) where a language bucket has no
+    words — both engines spell it as the same guarded CASE.
+
+    Scale: lang-id and word stats ride the SAME row-local projection
+    pass; tokenization adds the one bounded-vocab corpus pass
+    (tokenize_bpe's shape); the report agg is one lang-keyed partial
+    agg over per-doc rows — three joins on doc_id, all
+    high-cardinality keyed, no window."""
+    B = _bpe_mod()
+    docs = load_table(spark, sf_dir, "documents")
+    langs = sorted(T.STOPWORD_PROFILES)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-T.stopword_hits(F.col("text"), lang)).alias("neg"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in langs
+            ]
+        )
+    )
+    words = F.filter(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[ \\t\\n\\x0b\\f\\r]+"),
+            lambda t: t != "",
+        ),
+        lambda t: t.rlike("^[a-z0-9]+$"),
+    )
+    perdoc = docs.select(
+        "doc_id",
+        best["lang"].alias("lang"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+    )
+    merges = [
+        tuple(r)
+        for r in sorted(
+            B.train_merges(
+                docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+            ).collect()
+        )
+    ]
+    lens = B.tokenize_with_merges(docs, merges).select("doc_id", "bpe_len")
+    return (
+        perdoc.join(lens, on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("bpe_len").cast("long").alias("total_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_subwords",
+            F.expr(
+                "case when total_words = 0 then null else "
+                "cast((1000 * total_subwords) div total_words as bigint) end"
+            ).alias("fertility_milli"),
+            F.expr(
+                "case when total_subwords = 0 then null else "
+                "cast((1000 * total_chars) div total_subwords as bigint) end"
+            ).alias("chars_per_subword_milli"),
+        )
+    )

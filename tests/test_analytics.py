@@ -406,3 +406,25 @@ def test_trigram_stream_cross_engine_totality(spark):
     assert 2 not in got and 3 not in got and 8 not in got  # dropped on BOTH sides
     assert got[4] == "abc bcd"  # \x0B split identically
     assert 6 in got and "y2" not in got[6]
+
+
+def test_fertility_invariants(spark, sf_dir):
+    """tokenizer_fertility_by_lang: every word is >= 1 subword so
+    fertility_milli >= 1000; subword streams never contain more chars
+    than their words so chars_per_subword_milli <= 1000 * max word
+    len; doc counts sum to the corpus size."""
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_tokenizer_fertility_by_lang,
+    )
+
+    rows = q_tokenizer_fertility_by_lang(spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        if r.total_words:
+            assert r.fertility_milli >= 1000
+            assert r.total_subwords >= r.total_words
+        if r.total_subwords:
+            assert r.chars_per_subword_milli >= 1000  # a subword is >= 1 char
