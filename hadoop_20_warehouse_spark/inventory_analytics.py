@@ -2020,3 +2020,106 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("chars_per_subword_milli"),
         )
     )
+
+
+def _scd2_pit_oracle() -> str:
+    from hadoop_20_warehouse_spark.operators.scd import scd2_sql
+
+    scd = scd2_sql(
+        "changes AS (SELECT user_id, event_type, ts, event_id FROM events"
+        " WHERE event_type <> 'purchase')",
+        key="user_id",
+        attrs=("event_type",),
+        ts="ts",
+        tiebreak=("event_id",),
+    )
+    return f"""
+WITH scd AS (
+{scd}
+),
+facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, s.event_type AS state, s.version
+FROM facts f LEFT JOIN scd s
+  ON s.user_id = f.user_id AND s.valid_from <= f.ts
+ AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+""".strip()
+
+
+@register("scd2_point_in_time_join", oracle=_scd2_pit_oracle())
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment against the SCD2 dimension: every
+    purchase event annotated with the user's state (their last
+    non-purchase event type) and dimension version AS OF the purchase
+    instant — the lookup a versioned dimension exists to serve.
+    Purchases before a user's first state observation keep NULL state
+    (left semantics; fabricating a state would be wrong).
+
+    The engine runs the JOIN-FREE as-of construction
+    (join_asof_attribution's union+window shape): dimension interval
+    opens and facts union into ONE user-keyed frame, one exchange, one
+    sort, and each fact takes the last dimension struct at or before
+    its timestamp (dim rows sort BEFORE facts at equal ts — the
+    [valid_from, valid_to) convention; same-instant dimension
+    versions resolve to the highest version, matching the zero-length
+    interval that a same-instant retract leaves behind).  The ORACLE
+    instead runs the textbook INTERVAL join (valid_from <= ts < valid
+    _to) against the scd2_sql table — so the hash match PROVES the
+    as-of window construction and interval-join semantics are the
+    same function, which is exactly the claim that lets the 100 TB
+    plan drop the interval join (per-user interval fan-out) for the
+    single-exchange window.
+
+    Scale: exactly TWO user-keyed exchanges — scd2_build's window,
+    then the union+lookup window (the facts' only shuffle; the union
+    resets the dim side's partitioning guarantee, so Spark re-keys
+    the merged frame once) — and no join operator in the plan at all
+    (asserted by the pit plan test), no interval cross-product; dense
+    dimension histories cost their row count, never their square."""
+    from pyspark.sql import Window
+
+    from hadoop_20_warehouse_spark.operators.scd import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        key="user_id",
+        attrs=("event_type",),
+        ts="ts",
+        tiebreak=("event_id",),
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.struct(
+            F.col("event_type").alias("state"), F.col("version")
+        ).alias("_dim"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("_is_dim"),
+        F.col("version").alias("_ord"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<state:string,version:bigint>")
+        .alias("_dim"),
+        "event_id",
+        F.lit(0).alias("_is_dim"),
+        F.lit(None).cast("long").alias("_ord"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.desc("_is_dim"), "_ord"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    annotated = dim.unionByName(facts).withColumn(
+        "_last", F.last("_dim", ignorenulls=True).over(w)
+    )
+    return annotated.filter(F.col("_is_dim") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("_last.state").alias("state"),
+        F.col("_last.version").alias("version"),
+    )

@@ -520,3 +520,15 @@ def test_release_endgame_placement_windows_sharded(spark):
         assert "shard" in spec.split("specifiedwindowframe")[0], (
             f"corpus window must partition by shard:\n{l}\n{plan}"
         )
+
+
+def test_scd2_point_in_time_is_join_free_single_exchange(spark, sf_dir):
+    """The SCD2 point-in-time lookup must run the as-of union+window
+    construction: TWO user-key exchanges (dimension-build window +
+    the union lookup window — the facts' only shuffle) and no
+    physical join anywhere (the interval join lives only in the
+    oracle)."""
+    df = QUERIES["scd2_point_in_time_join"](spark, sf_dir)
+    assert count_exchanges(df) == 2
+    plan = physical_plan(df)
+    assert "Join" not in plan, f"pit lookup should be join-free, got:\n{plan}"
