@@ -2123,3 +2123,119 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last.state").alias("state"),
         F.col("_last.version").alias("version"),
     )
+
+
+_ASSOC_MINSUP = 3
+
+_ASSOC_SQL = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+),
+nb AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_baskets FROM basket),
+ic AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS c_item FROM basket GROUP BY item
+),
+pairs AS (
+  SELECT x.item AS a, y.item AS b, CAST(COUNT(*) AS BIGINT) AS c_pair
+  FROM basket x JOIN basket y ON x.oid = y.oid AND x.item < y.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_ASSOC_MINSUP}
+),
+rules AS (
+  SELECT a AS ante, b AS cons, c_pair FROM pairs
+  UNION ALL
+  SELECT b, a, c_pair FROM pairs
+)
+SELECT r.ante, r.cons, r.c_pair,
+       ca.c_item AS c_ante,
+       CAST((1000 * r.c_pair) // nb.n_baskets AS BIGINT) AS support_milli,
+       CAST((1000 * r.c_pair) // ca.c_item AS BIGINT) AS conf_milli,
+       CAST((1000 * nb.n_baskets * r.c_pair) // (ca.c_item * cc.c_item) AS BIGINT)
+         AS lift_milli
+FROM rules r
+JOIN (SELECT item, c_item FROM ic) ca ON ca.item = r.ante
+JOIN (SELECT item, c_item FROM ic) cc ON cc.item = r.cons
+CROSS JOIN nb
+""".strip()
+
+
+@register("basket_association_rules", oracle=_ASSOC_SQL)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994, the
+    pairwise tier): for every repeat-co-purchased part pair with
+    support >= {ms} baskets, both directed rules ante→cons with
+    integer per-mille support (pair baskets / all baskets), confidence
+    (pair baskets / antecedent baskets), and lift (observed over
+    independence) — the recommender / shelf-planning primitive of the
+    retail-analytics family, and the BASKET twin of the text family's
+    PMI collocations (sets, not sequences; conditional strength, not
+    log-ratio).
+
+    Scale: the pair enumeration self-joins baskets on the ORDER key,
+    so fan-out is per-basket |items|² — TPC-H orders hold <= 7 lines,
+    and real baskets are similarly bounded, so the explode is linear
+    in orders with a constant factor, never corpus-quadratic (a hub
+    ITEM costs nothing here; contrast the triangle oracle's item-item
+    join the engine's wedge orientation exists to avoid).  The
+    support floor prunes BEFORE the stats joins; counts are partial
+    aggs; item counts join back keyed; the one scalar (n_baskets)
+    broadcasts.  All-integer floored per-milles cross the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = basket.agg(
+        F.countDistinct("oid").cast("long").alias("n_baskets")
+    )
+    ic = basket.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("c_item")
+    )
+    y = basket.select("oid", F.col("item").alias("item_b"))
+    pairs = (
+        basket.join(y, on="oid")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("a"), F.col("item_b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= _ASSOC_MINSUP)
+    )
+    rules = pairs.select(
+        F.col("a").alias("ante"), F.col("b").alias("cons"), "c_pair"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("ante"), F.col("a").alias("cons"), "c_pair"
+        )
+    )
+    return (
+        rules.join(
+            ic.select(F.col("item").alias("ante"),
+                      F.col("c_item").alias("c_ante")),
+            on="ante",
+        )
+        .join(
+            ic.select(F.col("item").alias("cons"),
+                      F.col("c_item").alias("c_cons")),
+            on="cons",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "c_pair",
+            "c_ante",
+            F.expr("cast((1000 * c_pair) div n_baskets as bigint)").alias(
+                "support_milli"
+            ),
+            F.expr("cast((1000 * c_pair) div c_ante as bigint)").alias(
+                "conf_milli"
+            ),
+            F.expr(
+                "cast((1000 * n_baskets * c_pair) div (c_ante * c_cons)"
+                " as bigint)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
+q_basket_association_rules.__doc__ = q_basket_association_rules.__doc__.format(
+    ms=_ASSOC_MINSUP
+)

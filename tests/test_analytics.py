@@ -428,3 +428,30 @@ def test_fertility_invariants(spark, sf_dir):
             assert r.total_subwords >= r.total_words
         if r.total_subwords:
             assert r.chars_per_subword_milli >= 1000  # a subword is >= 1 char
+
+
+def test_association_rules_hand_computed(spark, tmp_path):
+    """basket_association_rules vs hand math on four fixed baskets:
+    {1,2,3} {1,2} {1,2} {3,4} with minsup 3 → only the 1→2 / 2→1
+    rules survive; support 750‰ (3/4), confidence 1000‰ (3/3),
+    lift 1333‰ (4·3 // 3·3)."""
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_basket_association_rules,
+    )
+
+    rows = []
+    for oid, items in enumerate([(1, 2, 3), (1, 2), (1, 2), (3, 4)]):
+        for it in items:
+            rows.append((oid, it))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r.ante, r.cons): (r.c_pair, r.c_ante, r.support_milli,
+                           r.conf_milli, r.lift_milli)
+        for r in q_basket_association_rules(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 2): (3, 3, 750, 1000, 1333),
+        (2, 1): (3, 3, 750, 1000, 1333),
+    }
