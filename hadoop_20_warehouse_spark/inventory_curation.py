@@ -3716,3 +3716,104 @@ def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_collocations_pmi.__doc__ = q_text_collocations_pmi.__doc__.format(
     k=_PMI_TOP_K, mc=_PMI_MIN_COUNT
 )
+
+
+# per-token KL term, fixed IEEE op order, milli-nat rounded (the NLL
+# discipline): token in source s, word w contributes
+# ln(p_s(w)/p(w)) = ln((c_sw * n_tot) / (c_w * n_src)); summed over
+# occurrences that is c_sw * term.
+_KL_TERM = (
+    "CAST(round(ln((CAST(c_sw AS DOUBLE) * n_tot) / "
+    "(CAST(c_w AS DOUBLE) * n_src)) * 1000, 0) AS BIGINT)"
+)
+
+_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, {T.tokens_sql('text')} AS t FROM documents
+),
+occ AS (
+  SELECT source, t[i] AS w
+  FROM toks, UNNEST(generate_series(1, len(t))) u(i)
+),
+sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+  FROM occ GROUP BY source, w
+),
+cw AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM occ GROUP BY w
+),
+ns AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM occ GROUP BY source
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM occ)
+SELECT s.source,
+       MIN(n.n_src) AS n_tokens,
+       CAST(SUM(s.c_sw * {_KL_TERM}) AS BIGINT) AS kl_sum_milli,
+       CAST((1000 * SUM(s.c_sw * {_KL_TERM})) // MIN(n.n_src) AS BIGINT)
+         AS kl_per_token_micro
+FROM sw s
+JOIN cw ON cw.w = s.w
+JOIN ns n ON n.source = s.source
+CROSS JOIN nt
+GROUP BY s.source
+""".strip()
+
+
+@register("corpus_divergence_by_source", oracle=_KL_SQL)
+def q_corpus_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram distribution ‖
+    corpus unigram distribution), in occurrence-summed milli-nats plus
+    a per-token micro-nat rate.  THE domain-shift monitor of a corpus
+    mixture: a source whose language drifts from the blend (template
+    spam flooding in, a crawler trapped in one site section, a
+    language flip) spikes here before any single-document quality
+    score moves — document scores catch bad DOCUMENTS, divergence
+    catches bad SOURCES.  KL is computed exactly (no smoothing
+    needed: every source word IS a corpus word, so p(w) > 0 wherever
+    p_s(w) > 0).
+
+    Cross-engine exactness: each distinct (source, word)'s log-ratio
+    is ONE ln over a ratio assembled in fixed IEEE order, milli-nat
+    rounded, multiplied by the integer occurrence count, then
+    order-independently summed (the NLL discipline lifted from
+    per-document to per-source); the rate divides integers floored.
+
+    Scale: tokenization is row-local; all four count frames are
+    wordcount-shape partial aggs; the scoring join is keyed by word
+    (vocab-sized) and the per-source totals broadcast; the final agg
+    is keyed by source.  No window, no driver data; the whole plan is
+    the wordcount family run four ways and joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    sw = occ.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    )
+    cw = occ.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_w")
+    )
+    ns = occ.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    nt = occ.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    term = F.expr(_KL_TERM.replace("//", "div"))
+    return (
+        sw.join(cw, on="w")
+        .join(F.broadcast(ns), on="source")
+        .crossJoin(F.broadcast(nt))
+        .select("source", "n_src", (F.col("c_sw") * term).alias("k"))
+        .groupBy("source")
+        .agg(
+            F.min("n_src").alias("n_tokens"),
+            F.sum("k").cast("long").alias("kl_sum_milli"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "kl_sum_milli",
+            F.expr("cast((1000 * kl_sum_milli) div n_tokens as bigint)").alias(
+                "kl_per_token_micro"
+            ),
+        )
+    )

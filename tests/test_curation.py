@@ -505,3 +505,55 @@ def test_collocations_pmi_matches_python_reference(spark, tmp_path):
     assert got == want
     assert len(got) >= 4
     assert ("lone", "pair") not in {(a, b) for a, b, *_ in got}
+
+
+def test_corpus_divergence_drifted_source_spikes(spark, tmp_path):
+    """corpus_divergence_by_source: a source drawn from the shared
+    vocabulary scores near zero KL; a drifted source speaking its own
+    vocabulary scores far higher; Gibbs' inequality holds (total KL
+    >= 0) and values match a pure-Python computation."""
+    import math
+
+    from hadoop_20_warehouse_spark.inventory_curation import (
+        q_corpus_divergence_by_source,
+    )
+
+    shared = "the cat sat on the mat and the dog ran"
+    drift = "zorp blix quux zorp narf blix zorp"
+    docs = (
+        [(i, shared, "en", "clean_a", 1) for i in range(10)]
+        + [(100 + i, shared, "en", "clean_b", 1) for i in range(10)]
+        + [(200 + i, drift, "xx", "drifted", 1) for i in range(10)]
+    )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.source: (r.n_tokens, r.kl_sum_milli, r.kl_per_token_micro)
+        for r in q_corpus_divergence_by_source(spark, str(tmp_path)).collect()
+    }
+
+    # python reference
+    from collections import Counter
+
+    occ = []
+    for _i, text, _l, src, _n in docs:
+        occ += [(src, w) for w in text.split()]
+    sw = Counter(occ)
+    cw = Counter(w for _s, w in occ)
+    ns = Counter(s for s, _w in occ)
+    n_tot = len(occ)
+    want = {}
+    for s in ns:
+        kl = sum(
+            c * round(math.log((float(c) * n_tot) / (float(cw[w]) * ns[s])) * 1000)
+            for (s2, w), c in sw.items()
+            if s2 == s
+        )
+        want[s] = (ns[s], kl, (1000 * kl) // ns[s])
+    assert got == want
+    # clean sources carry some KL too (the drifted mass shifts the
+    # corpus blend away from them); the drifted one still stands out
+    assert got["drifted"][2] > 3 * max(got["clean_a"][2], 1)
+    assert got["clean_a"] == got["clean_b"]
