@@ -506,6 +506,20 @@ BENCH_QUERIES: dict[str, object] = {
     # corpus_epoch_expand / sequence_roundtrip: their data terms
     # (mixture window, explode, gate, pack, export, the RDD
     # SequenceFile leg) are each timed elsewhere.
+    # round-15 session-2 additions all stay UNTIMED for the same
+    # data-terms-already-tracked reason: graph_kcore's peel is
+    # pagerank's keyed join+agg loop over the triangle query's edge
+    # derivation (and its round count is data-dependent — 8 at sf0.01
+    # vs 2 at sf0.1 — so a two-point time ratio would compare
+    # different round counts, not scaling); scd2_dimension_build /
+    # scd2_point_in_time_join are user-keyed windows (secondary_sort /
+    # stream_sessions shapes); text_collocations_pmi and
+    # corpus_divergence_by_source are the text_bigram_nll join shape
+    # over wordcount partial aggs; embedding_outlier_filter is
+    # embedding posexplode + label-keyed aggs (knn family);
+    # basket_association_rules is join_inner + wordcount shapes;
+    # tokenizer_fertility_by_lang re-trains the BPE vocabulary inside
+    # the query (the pipeline_release_endgame exclusion precedent).
 }
 
 
