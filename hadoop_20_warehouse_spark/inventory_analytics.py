@@ -2239,3 +2239,90 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_basket_association_rules.__doc__ = q_basket_association_rules.__doc__.format(
     ms=_ASSOC_MINSUP
 )
+
+
+# exact integer least-squares pieces: num = n*Sxy - Sx*Sy,
+# den = n*Sxx - Sx*Sx; slope reported as sign-split floored milli
+# (trunc == floor on the positive magnitudes, so Spark's
+# toward-zero `div` and DuckDB's flooring `//` agree — dividing the
+# SIGNED integers would not: the two engines round negative quotients
+# in opposite directions).
+_TREND_NUM = "(n * sxy - sx * sy)"
+_TREND_DEN = "(n * sxx - sx * sx)"
+
+_TREND_SQL = f"""
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+  FROM orders
+),
+s AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY o_custkey
+)
+SELECT o_custkey, n,
+       CAST({_TREND_NUM} AS BIGINT) AS num,
+       CAST({_TREND_DEN} AS BIGINT) AS den,
+       CASE WHEN {_TREND_DEN} = 0 THEN NULL
+            ELSE CAST(CASE WHEN {_TREND_NUM} >= 0 THEN 1 ELSE -1 END
+                 * ((1000 * abs({_TREND_NUM})) // {_TREND_DEN}) AS BIGINT) END
+         AS slope_milli_cents_per_day
+FROM s
+""".strip()
+
+
+@register("customer_spend_trend", oracle=_TREND_SQL)
+def q_customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend TREND: the exact least-squares slope of
+    order value (integer cents) over order date (epoch days), one row
+    per customer — the grow/shrink signal behind churn scoring and
+    account tiering.  The point of the implementation: grouped linear
+    regression needs NO solver and NO iteration — the closed form
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is five partial-aggregable
+    integer sums, so a 100 TB regression-per-group is ONE wordcount-
+    shaped keyed agg (the same collapse the reference's combiner
+    performs for counts, applied to second-order moments).
+
+    Cross-engine exactness: cents and epoch days are integers (the
+    ×100 rounding runs on the same IEEE double in both engines);
+    numerator/denominator are emitted as exact integers; the reported
+    milli-slope divides SIGN-SPLIT magnitudes because Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors — equal only
+    on non-negative operands (single-day customers report NULL, not a
+    division error).  Bounds: orders-per-customer is O(10) regardless
+    of corpus size, so the moment terms stay ~1e15 and the ×1000
+    scaling ~1e18 < BIGINT max at ANY scale factor — the docstring
+    bound a 100 TB run checks, not hopes."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast(
+            "long"
+        ).alias("x"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("y"),
+    )
+    s = pts.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "o_custkey",
+        "n",
+        F.expr(f"cast({_TREND_NUM} as bigint)").alias("num"),
+        F.expr(f"cast({_TREND_DEN} as bigint)").alias("den"),
+        F.expr(
+            f"case when {_TREND_DEN} = 0 then null else "
+            f"cast((case when {_TREND_NUM} >= 0 then 1 else -1 end)"
+            f" * ((1000 * abs({_TREND_NUM})) div {_TREND_DEN})"
+            " as bigint) end"
+        ).alias("slope_milli_cents_per_day"),
+    )

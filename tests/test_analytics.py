@@ -455,3 +455,36 @@ def test_association_rules_hand_computed(spark, tmp_path):
         (1, 2): (3, 3, 750, 1000, 1333),
         (2, 1): (3, 3, 750, 1000, 1333),
     }
+
+
+def test_spend_trend_hand_computed(spark, tmp_path):
+    """customer_spend_trend: known up/down/flat/degenerate cases —
+    +100 cents/day, -100 cents/day (negative quotient must truncate
+    toward zero identically on both engines), zero slope, and the
+    single-order NULL guard."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_customer_spend_trend,
+    )
+
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    for i in range(3):  # cust 1: +1.00/day, cust 2: -1.00/day
+        rows.append((1, 10.0 + i, base + dt.timedelta(days=i)))
+        rows.append((2, 10.0 - i, base + dt.timedelta(days=i)))
+        rows.append((3, 5.0, base + dt.timedelta(days=i)))  # flat
+    rows.append((4, 7.0, base))  # single order -> den 0 -> NULL
+    spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_custkey: (r.n, r.slope_milli_cents_per_day)
+        for r in q_customer_spend_trend(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, 100000),   # +100 cents/day in milli
+        2: (3, -100000),
+        3: (3, 0),
+        4: (1, None),
+    }
