@@ -2326,3 +2326,160 @@ def q_customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint) end"
         ).alias("slope_milli_cents_per_day"),
     )
+
+
+_DQ_SQL = """
+WITH checks AS (
+  SELECT 'lineitem_orphan_orderkey' AS check_name,
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           AS n_violations,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'orders_orderkey_duplicates',
+         CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+               (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+               WHERE cnt > 1) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'orders_nonpositive_totalprice',
+         CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_quantity_out_of_range',
+         CAST((SELECT COUNT(*) FROM lineitem
+               WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'documents_null_or_empty_text',
+         CAST((SELECT COUNT(*) FROM documents
+               WHERE text IS NULL OR text = '') AS BIGINT),
+         CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+  UNION ALL
+  SELECT 'documents_doc_id_duplicates',
+         CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+               (SELECT COUNT(*) AS cnt FROM documents GROUP BY doc_id)
+               WHERE cnt > 1) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+)
+SELECT check_name, n_violations, n_checked FROM checks
+""".strip()
+
+
+@register("dq_integrity_report", oracle=_DQ_SQL)
+def q_dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality assertion report (the dbt-test / Great
+    Expectations tier): referential orphans (lineitem→orders,
+    orders→customer), primary-key duplicate counts, domain-range
+    violations, and empty-document checks — one row per check with
+    violation and population counts.  A warehouse that cannot ASSERT
+    its invariants ships silent corruption downstream; the reference
+    gets this for free from rigid Writable schemas, a lakehouse has
+    to check.
+
+    Engine shapes: orphan checks are LEFT ANTI joins (never EXISTS
+    subqueries per row — the anti join is one keyed shuffle);
+    duplicate checks are keyed partial-agg counts (Σ(cnt−1) so the
+    number reported is exactly how many rows dedup would drop); range
+    checks are scan-local filter counts that ride predicate pushdown.
+    Each check collapses to a 1-row frame before the union, so the
+    report is a union of scalars, not a union of corpora."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def one(name: str, viol, total) -> DataFrame:
+        return viol.crossJoin(total).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations"),
+            F.col("n_checked"),
+        )
+
+    def cnt(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    def dup_excess(df, key):
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            )
+        )
+
+    reports = [
+        one(
+            "lineitem_orphan_orderkey",
+            cnt(
+                li.join(
+                    o.select("o_orderkey"),
+                    on=li["l_orderkey"] == o["o_orderkey"],
+                    how="left_anti",
+                ),
+                "n_violations",
+            ),
+            cnt(li, "n_checked"),
+        ),
+        one(
+            "orders_orphan_custkey",
+            cnt(
+                o.join(
+                    c.select("c_custkey"),
+                    on=o["o_custkey"] == c["c_custkey"],
+                    how="left_anti",
+                ),
+                "n_violations",
+            ),
+            cnt(o, "n_checked"),
+        ),
+        one(
+            "orders_orderkey_duplicates",
+            dup_excess(o, "o_orderkey"),
+            cnt(o, "n_checked"),
+        ),
+        one(
+            "orders_nonpositive_totalprice",
+            cnt(o.filter(F.col("o_totalprice") <= 0), "n_violations"),
+            cnt(o, "n_checked"),
+        ),
+        one(
+            "lineitem_quantity_out_of_range",
+            cnt(
+                li.filter(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+                ),
+                "n_violations",
+            ),
+            cnt(li, "n_checked"),
+        ),
+        one(
+            "documents_null_or_empty_text",
+            cnt(
+                docs.filter(
+                    F.col("text").isNull() | (F.col("text") == "")
+                ),
+                "n_violations",
+            ),
+            cnt(docs, "n_checked"),
+        ),
+        one(
+            "documents_doc_id_duplicates",
+            dup_excess(docs, "doc_id"),
+            cnt(docs, "n_checked"),
+        ),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

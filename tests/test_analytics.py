@@ -488,3 +488,52 @@ def test_spend_trend_hand_computed(spark, tmp_path):
         3: (3, 0),
         4: (1, None),
     }
+
+
+def test_dq_report_catches_planted_violations(spark, tmp_path):
+    """dq_integrity_report on a corpus with PLANTED violations: an
+    orphan lineitem, a duplicated order key, a negative price, an
+    out-of-range quantity, an empty document — each check must count
+    exactly its plant (clean fixtures only prove the checks return 0;
+    this proves they FIRE)."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_dq_integrity_report,
+    )
+
+    t = dt.datetime(2020, 1, 1)
+    spark.createDataFrame(
+        [(1, "a", 1, 10.0, "m"), (2, "b", 1, 10.0, "m")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [
+            (10, 1, "O", 5.0, t, "1-URGENT"),
+            (10, 1, "O", 5.0, t, "1-URGENT"),   # dup key (2 rows -> 1 excess)
+            (11, 99, "O", -3.0, t, "1-URGENT"),  # orphan cust + negative price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 100, 5.0), (999, 100, 200.0)],  # orphan order + bad qty
+        "l_orderkey long, l_partkey long, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "hello", "en", "s", 5), (2, "", "en", "s", 0), (1, "dup", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.check_name: (r.n_violations, r.n_checked)
+        for r in q_dq_integrity_report(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "lineitem_orphan_orderkey": (1, 2),
+        "orders_orphan_custkey": (1, 3),
+        "orders_orderkey_duplicates": (1, 3),
+        "orders_nonpositive_totalprice": (1, 3),
+        "lineitem_quantity_out_of_range": (1, 2),
+        "documents_null_or_empty_text": (1, 3),
+        "documents_doc_id_duplicates": (1, 3),
+    }
