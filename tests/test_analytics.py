@@ -537,3 +537,44 @@ def test_dq_report_catches_planted_violations(spark, tmp_path):
         "documents_null_or_empty_text": (1, 3),
         "documents_doc_id_duplicates": (1, 3),
     }
+
+
+def test_profile_column_stats_single_scan_and_values(spark, tmp_path):
+    """profile_column_stats: values hand-checked on a tiny orders
+    table with NULLs (null count, distinct excludes nulls, numeric
+    min/max ranked before rendering — '9' vs '10' must rank
+    numerically), and the plan reads the parquet exactly once."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_profile_column_stats,
+    )
+
+    t = lambda d: dt.datetime(2020, 1, d)  # noqa: E731
+    spark.createDataFrame(
+        [
+            (9, 1, "O", 1.25, t(1), "1-URGENT"),
+            (10, None, "F", 2.50, t(2), "5-LOW"),
+            (11, 1, None, None, None, "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    df = q_profile_column_stats(spark, str(tmp_path))
+    got = {
+        r.column_name: (r.n_rows, r.n_nulls, r.n_distinct, r.min_repr, r.max_repr)
+        for r in df.collect()
+    }
+    assert got["o_orderkey"] == (3, 0, 3, "9", "11")  # numeric rank
+    assert got["o_custkey"] == (3, 1, 1, "1", "1")
+    assert got["o_orderstatus"] == (3, 1, 2, "F", "O")
+    assert got["o_totalprice"] == (3, 1, 2, "125", "250")
+    assert got["o_orderdate"] == (3, 1, 2, "18262", "18263")
+    assert got["o_orderpriority"] == (3, 0, 2, "1-URGENT", "5-LOW")
+    # one scan: the single-agg + stack plan reads the file once (AQE's
+    # toString echoes the initial plan below the final one — count
+    # only the final section) and pivots via Expand, never a re-scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Expand" in final
