@@ -2581,3 +2581,60 @@ def q_profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"
         )
     )
+
+
+_SCD2_SPLIT_TS = "2024-01-21 00:00:00"
+
+
+def _scd2_delta_oracle() -> str:
+    from hadoop_20_warehouse_spark.operators.scd import scd2_sql
+
+    # the FULL-log rebuild: incremental apply must equal it exactly
+    return scd2_sql(
+        "changes AS (SELECT user_id, event_type, ts, event_id FROM events"
+        " WHERE event_type <> 'purchase')",
+        key="user_id",
+        attrs=("event_type",),
+        ts="ts",
+        tiebreak=("event_id",),
+    )
+
+
+@register("scd2_apply_delta", oracle=_scd2_delta_oracle())
+def q_scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dimension maintenance, hash-proven lossless: build
+    the SCD2 table from the log's first 20 days, then MERGE the
+    remaining days as an append-only delta (operators/scd.
+    scd2_apply_delta — untouched keys pass through via one anti join,
+    affected keys replay their collapsed rows plus the delta through
+    the same build).  The ORACLE rebuilds from the FULL log, so the
+    hash match proves apply(build(prefix), delta) == build(full): the
+    interval closes, version renumbering, boundary collapse (a delta
+    row confirming the key's open state must vanish, not fragment the
+    interval), and byte-stable pass-through all at once — the
+    pipeline_incremental_curate economics applied to dimensions
+    (delta-proportional cost, no base rescan).
+
+    Scale: the delta key set is one broadcastable distinct; the
+    anti/semi joins are key-keyed; the replay windows run over ONLY
+    affected keys' rows.  A daily dimension load at 100 TB touches
+    the day's actives, never the full history."""
+    from hadoop_20_warehouse_spark.operators.scd import (
+        scd2_apply_delta,
+        scd2_build,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "purchase"
+    ).select("user_id", "event_type", "ts", "event_id")
+    cut = F.lit(_SCD2_SPLIT_TS).cast("timestamp")
+    base = ev.filter(F.col("ts") < cut)
+    delta = ev.filter(F.col("ts") >= cut)
+    dim = scd2_build(
+        base, key="user_id", attrs=("event_type",), ts="ts",
+        tiebreak=("event_id",), keep_tiebreak=True,
+    )
+    return scd2_apply_delta(
+        dim, delta, key="user_id", attrs=("event_type",), ts="ts",
+        tiebreak=("event_id",),
+    ).drop("event_id")

@@ -32,9 +32,14 @@ def scd2_build(
     attrs: Sequence[str],
     ts: str,
     tiebreak: Sequence[str] = (),
+    keep_tiebreak: bool = False,
 ) -> DataFrame:
     """(key, *attrs, valid_from, valid_to, is_current, version) — the
-    Type-2 dimension table from a change log.
+    Type-2 dimension table from a change log.  ``keep_tiebreak=True``
+    appends the opening change's tiebreak columns to each interval
+    row — required when the table will later feed
+    :func:`scd2_apply_delta`, whose replay must re-order same-instant
+    changes exactly as the original build did.
 
     ``changes``: one row per observed state (key, attrs..., ts).
     Consecutive observations with UNCHANGED attributes are collapsed
@@ -72,6 +77,7 @@ def scd2_build(
         F.lead("valid_from").over(w_iv).alias("valid_to"),
         F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
         F.row_number().over(w_iv).cast("long").alias("version"),
+        *(tiebreak if keep_tiebreak else ()),
     )
 
 
@@ -112,3 +118,74 @@ SELECT {key}, {alist}, valid_from,
        CAST(ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {iv_order}) AS BIGINT) AS version
 FROM chg
 """.strip()
+
+
+def scd2_apply_delta(
+    dim: DataFrame,
+    delta: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    ts: str,
+    tiebreak: Sequence[str] = (),
+    strict: bool = False,
+) -> DataFrame:
+    """Dimension MAINTENANCE: merge a new change batch into an
+    existing Type-2 table without rebuilding untouched keys — close
+    the affected keys' open intervals, append their new ones, renumber
+    their versions; every other key's rows pass through byte-for-byte.
+    Cost is proportional to the DELTA's key set, not the dimension
+    (the incremental-curation economics, applied to dimensions).
+
+    ``dim`` must carry the ``tiebreak`` columns (build it with
+    ``scd2_build(..., keep_tiebreak=True)``): replay needs them to
+    re-order same-instant changes exactly as the original build did.
+
+    Correctness contract — APPEND-ONLY deltas: every delta row for a
+    key must be at-or-after that key's last recorded change.  An
+    out-of-order (backfill) delta row can un-collapse a confirmation
+    the original build dropped, which no incremental scheme can
+    recover from the collapsed table; backfills must rebuild their
+    keys from the raw log.  ``strict=True`` verifies the contract
+    with one bounded aggregate (count of violating keys) and raises
+    ValueError — the check costs one extra pass over dim+delta, so
+    it is opt-in for pipelines whose upstream does not already
+    guarantee ordering.
+
+    Replaying a key's COLLAPSED rows plus an append-only delta equals
+    rebuilding from its full raw log: collapse is idempotent on
+    already-collapsed prefixes, and the only new adjacency is at the
+    boundary (last state vs first delta row), which the replay's own
+    collapse resolves.  The registered query's DuckDB oracle runs the
+    FULL-log rebuild, so that equality is hash-checked, not argued.
+
+    Shapes: one distinct on the delta keys (broadcast-joinable), one
+    anti join to split untouched rows, one scd2_build over ONLY the
+    affected keys' rows, one union."""
+    affected = delta.select(key).distinct()
+    if strict:
+        last_seen = dim.groupBy(key).agg(F.max("valid_from").alias("_last"))
+        first_new = delta.groupBy(key).agg(F.min(ts).alias("_first"))
+        bad = (
+            first_new.join(last_seen, on=key)
+            .filter(F.col("_first") < F.col("_last"))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"scd2_apply_delta: {bad} key(s) have delta rows older "
+                "than their last recorded change — backfills must "
+                "rebuild those keys from the raw log"
+            )
+    out_cols = [key, *attrs, "valid_from", "valid_to", "is_current",
+                "version", *tiebreak]
+    untouched = dim.join(affected, on=key, how="left_anti").select(*out_cols)
+    replayed = (
+        dim.join(affected, on=key, how="left_semi")
+        .select(key, *attrs, F.col("valid_from").alias(ts), *tiebreak)
+        .unionByName(delta.select(key, *attrs, ts, *tiebreak))
+    )
+    rebuilt = scd2_build(
+        replayed, key=key, attrs=attrs, ts=ts, tiebreak=tiebreak,
+        keep_tiebreak=True,
+    ).select(*out_cols)
+    return untouched.unionByName(rebuilt)

@@ -337,3 +337,67 @@ def test_scd2_build_hand_computed_and_one_exchange(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_scd2_apply_delta_equals_full_build_and_strict_guard(spark):
+    """scd2_apply_delta == scd2_build(full log) across random
+    append-only splits (including a delta that OPENS with a
+    confirmation of the key's current state — must collapse, not
+    fragment), and the strict guard raises on an out-of-order
+    backfill delta."""
+    import datetime as dt
+    import random as _r
+
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_spark.operators.scd import (
+        scd2_apply_delta,
+        scd2_build,
+    )
+
+    rng = _r.Random(31)
+    base_t = dt.datetime(2020, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = base_t
+        for _ in range(rng.randint(3, 12)):
+            t += dt.timedelta(hours=rng.randint(1, 30))
+            rows.append((user, rng.choice("abc"), t, eid))
+            eid += 1
+    schema = "user_id long, state string, ts timestamp, event_id long"
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        tuple(r)
+        for r in scd2_build(
+            full, "user_id", ("state",), "ts", ("event_id",)
+        ).collect()
+    )
+    for cut_days in (2, 7, 12):
+        cut = base_t + dt.timedelta(days=cut_days)
+        base = full.filter(F.col("ts") < F.lit(cut))
+        delta = full.filter(F.col("ts") >= F.lit(cut))
+        dim = scd2_build(
+            base, "user_id", ("state",), "ts", ("event_id",),
+            keep_tiebreak=True,
+        )
+        got = sorted(
+            tuple(r)
+            for r in scd2_apply_delta(
+                dim, delta, "user_id", ("state",), "ts", ("event_id",),
+                strict=True,
+            ).drop("event_id").collect()
+        )
+        assert got == want, f"cut at day {cut_days}"
+    # strict guard: a backfill row older than the key's last change
+    dim_full = scd2_build(
+        full, "user_id", ("state",), "ts", ("event_id",), keep_tiebreak=True
+    )
+    backfill = spark.createDataFrame(
+        [(0, "z", base_t + dt.timedelta(hours=1), 9999)], schema
+    )
+    with _pytest.raises(ValueError, match="older than"):
+        scd2_apply_delta(
+            dim_full, backfill, "user_id", ("state",), "ts", ("event_id",),
+            strict=True,
+        ).collect()
