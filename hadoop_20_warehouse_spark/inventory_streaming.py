@@ -380,3 +380,33 @@ def q_stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)],
     )
     return W.neardup_alert_stream(delta, index)
+
+
+@register(
+    "stream_scd2_changes",
+    oracle="""
+SELECT user_id, state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       event_id
+FROM (
+  SELECT user_id, event_type AS state, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS _prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS _rn
+  FROM events
+) WHERE _rn = 1 OR state IS DISTINCT FROM _prev
+""",
+)
+def q_stream_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change detection — the streaming front end of the SCD2
+    family (streaming/windows.change_detect_stream): emit only the
+    rows that CHANGE a user's state, i.e. exactly the change log
+    scd2_build collapses to, so ingest-time detection feeding
+    scd2_apply_delta closes the streaming dimension-maintenance loop.
+    Batch form here is the oracle-checkable lag filter; the real
+    readStream replay (per-key last-state in applyInPandasWithState,
+    O(keys) state) is pinned stream == batch in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.change_detect_stream(ev)

@@ -819,3 +819,103 @@ def neardup_alert_stream(
         )
         .dropDuplicates([id_col, "base_id"])
     )
+
+
+def change_detect_stream(
+    df,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    watermark: str = "2 hours",
+):
+    """CDC change detection: emit only the rows that CHANGE a key's
+    state — the streaming front end of the SCD2 family (operators/
+    scd.py): what this emits is exactly the change log scd2_build
+    collapses to, so ingest-time detection + scd2_apply_delta is a
+    complete streaming dimension-maintenance loop.
+
+    Batch fallback (unified API, oracle-checkable): the same lag
+    filter scd2_build runs — keep a row iff its state differs
+    null-safely from the key's previous row in (ts, tiebreak) order.
+
+    Stream path: applyInPandasWithState keyed on ``key_col``, state =
+    the key's last seen (state, ts) — O(1) per key, bounded by key
+    cardinality (the stored last_ts is the hook for EventTimeTimeout
+    eviction in a long-lived deployment; like the module's other
+    stateful ops this uses NoTimeout, keeping replay determinism).
+    Rows are sorted by (ts, tiebreak) INSIDE each micro-batch;
+    ACROSS batches the operator assumes per-key event-time order
+    (the Kafka-partition / CDC-log delivery contract).  A row that
+    confirms the current state updates the stored ts (so staleness
+    eviction works) but emits nothing.
+
+    The user function is self-contained (local imports only) so it
+    ships by value to Python workers."""
+    out_schema = (
+        f"{key_col} long, state string, ts string, {tiebreak_col} long"
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+        prev = F.lag(F.col(state_col)).over(w)
+        prev_n = F.lag(F.lit(1)).over(w)  # null only on the first row
+        return (
+            df.withColumn("_prev", prev)
+            .withColumn("_first", prev_n.isNull())
+            .filter(
+                F.col("_first")
+                | ~F.col(state_col).eqNullSafe(F.col("_prev"))
+            )
+            .select(
+                key_col,
+                F.col(state_col).alias("state"),
+                F.date_format(ts_col, TS_FMT).alias("ts"),
+                tiebreak_col,
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    kc, sc, tc, bc = key_col, state_col, ts_col, tiebreak_col
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        if state.exists:
+            have, last_state, last_ts = state.get
+        else:
+            have, last_state, last_ts = False, None, None
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tc, bc])
+            for _, row in pdf.iterrows():
+                cur = row[sc]
+                cur = None if _pd.isna(cur) else cur
+                if (not have) or (cur != last_state):
+                    out_rows.append(
+                        (
+                            key[0],
+                            cur,
+                            _pd.Timestamp(row[tc]).strftime(
+                                "%Y-%m-%d %H:%M:%S.%f"
+                            ),
+                            int(row[bc]),
+                        )
+                    )
+                have, last_state = True, cur
+                last_ts = row[tc]
+        state.update((have, last_state, last_ts))
+        yield _pd.DataFrame(
+            out_rows, columns=[kc, "state", "ts", bc]
+        )
+
+    df = _maybe_watermark(df, ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="have boolean, last_state string, last_ts timestamp",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -709,3 +709,55 @@ def test_streaming_neardup_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM neardup_alerts").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_change_detect_matches_batch(spark, tmp_path):
+    """CDC change detection: change_detect_stream over a file-source
+    replay of the events table must equal the batch lag filter
+    row-for-row — per-key last-state in applyInPandasWithState, rows
+    sorted by event time inside each batch.  The replay partitions
+    rows by TIME SLICE (per-key order preserved across batches — the
+    CDC-log delivery contract the operator documents)."""
+    from hadoop_20_warehouse_spark.catalog import load_table
+    from hadoop_20_warehouse_spark.streaming.windows import (
+        change_detect_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    src = str(tmp_path / "events_cdc_stream")
+    # time-sliced files, ONE file per slice: cross-batch arrival stays
+    # per-key ordered (the CDC-log delivery contract)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 3
+    for i in range(3):
+        a = lo + i * step
+        b = hi if i == 2 else lo + (i + 1) * step
+        sl = ev.filter(
+            (F.col("ts") >= F.lit(a))
+            & (F.col("ts") <= F.lit(b) if i == 2 else F.col("ts") < F.lit(b))
+        )
+        sl.coalesce(1).write.parquet(src + f"/slice{i}")
+
+    stream = spark.readStream.schema(
+        ev.schema
+    ).option("maxFilesPerTrigger", "1").parquet(src + "/slice*")
+    q = (
+        change_detect_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_changes")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_id"]): (r["state"], r["ts"])
+        for r in spark.sql("SELECT * FROM cdc_changes").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): (r["state"], r["ts"])
+        for r in change_detect_stream(ev).collect()
+    }
+    assert got == want and len(got) > 0
