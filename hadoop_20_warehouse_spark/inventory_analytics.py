@@ -2638,3 +2638,114 @@ def q_scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, delta, key="user_id", attrs=("event_type",), ts="ts",
         tiebreak=("event_id",),
     ).drop("event_id")
+
+
+def _dim_serving_oracle() -> str:
+    from hadoop_20_warehouse_spark.operators.scd import scd2_sql
+
+    scd = scd2_sql(
+        "changes AS (SELECT user_id, event_type, ts, event_id FROM events"
+        " WHERE event_type <> 'purchase')",
+        key="user_id",
+        attrs=("event_type",),
+        ts="ts",
+        tiebreak=("event_id",),
+    )
+    return f"""
+WITH scd AS (
+{scd}
+),
+facts AS (
+  SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+annotated AS (
+  SELECT f.user_id, f.cents, s.event_type AS state
+  FROM facts f LEFT JOIN scd s
+    ON s.user_id = f.user_id AND s.valid_from <= f.ts
+   AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+)
+SELECT state,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM annotated GROUP BY state
+""".strip()
+
+
+@register("pipeline_dimension_serving", oracle=_dim_serving_oracle())
+def q_pipeline_dimension_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension family composed END-TO-END in one registered
+    plan — the release-endgame discipline applied to warehouse
+    serving: (1) the change log splits at day 20 and the dimension is
+    built INCREMENTALLY (scd2_build on the prefix + scd2_apply_delta
+    for the rest — a daily-load simulation, not a convenience
+    rebuild); (2) purchases are enriched point-in-time against that
+    incrementally-built dimension via the JOIN-FREE as-of
+    union+window; (3) one partial agg reports revenue / purchase /
+    distinct-user counts per dimension state.  The ORACLE rebuilds
+    the dimension from the FULL log and serves it through the
+    textbook INTERVAL join — so one hash covers incremental==full,
+    as-of==interval, and the report arithmetic simultaneously; a
+    drift in ANY stage (a boundary collapse bug, an interval
+    off-by-one at valid_from, a cents rounding seam) breaks it.
+
+    Scale: the dimension legs are key-keyed windows over
+    delta-proportional row sets; the serve leg is the two-exchange
+    as-of shape (scd2_point_in_time_join's plan); the report is one
+    state-keyed partial agg with an exact distinct (Expand-planned).
+    Nothing in the plan is corpus-global."""
+    from pyspark.sql import Window
+
+    from hadoop_20_warehouse_spark.operators.scd import (
+        scd2_apply_delta,
+        scd2_build,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    chg = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = F.lit(_SCD2_SPLIT_TS).cast("timestamp")
+    dim = scd2_apply_delta(
+        scd2_build(
+            chg.filter(F.col("ts") < cut),
+            key="user_id", attrs=("event_type",), ts="ts",
+            tiebreak=("event_id",), keep_tiebreak=True,
+        ),
+        chg.filter(F.col("ts") >= cut),
+        key="user_id", attrs=("event_type",), ts="ts",
+        tiebreak=("event_id",),
+    )
+    dim_rows = dim.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.struct(F.col("event_type").alias("state")).alias("_dim"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(1).alias("_is_dim"),
+        F.col("version").alias("_ord"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("struct<state:string>").alias("_dim"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("cents"),
+        F.lit(0).alias("_is_dim"),
+        F.lit(None).cast("long").alias("_ord"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.desc("_is_dim"), "_ord"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    annotated = (
+        dim_rows.unionByName(facts)
+        .withColumn("_last", F.last("_dim", ignorenulls=True).over(w))
+        .filter(F.col("_is_dim") == 0)
+        .select(
+            "user_id", "cents", F.col("_last.state").alias("state")
+        )
+    )
+    return annotated.groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
