@@ -3817,3 +3817,91 @@ def q_corpus_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+_ALLOC_BUDGET = 1000  # total sample quota apportioned across sources
+
+
+_ALLOC_SQL = f"""
+WITH mass AS (
+  SELECT source, CAST(SUM({token_count_sql('text')}) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM mass),
+base AS (
+  SELECT m.source, m.tokens,
+         ({_ALLOC_BUDGET} * m.tokens) // tot.t AS floor_q,
+         ({_ALLOC_BUDGET} * m.tokens) % tot.t AS rem
+  FROM mass m CROSS JOIN tot
+),
+leftover AS (
+  SELECT CAST({_ALLOC_BUDGET} - SUM(floor_q) AS BIGINT) AS k FROM base
+),
+ranked AS (
+  SELECT source, tokens, floor_q,
+         CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr
+  FROM base
+)
+SELECT r.source, r.tokens,
+       CAST(r.floor_q + CASE WHEN r.rr <= l.k THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked r CROSS JOIN leftover l
+""".strip()
+
+
+@register("corpus_sample_allocation", oracle=_ALLOC_SQL)
+def q_corpus_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional BUDGET apportionment across sources —
+    largest-remainder (Hamilton) allocation of a fixed {k}-sample
+    quota by token mass: floor quotas from integer division, the
+    undistributed remainder going to the largest fractional
+    remainders (source-name tiebreak).  The allocator a fixed
+    eval-set or annotation budget actually needs: quotas are
+    integers, sum EXACTLY to the budget (floor-and-round-per-group
+    does not), and never drift with float rounding — then
+    sample_per_group executes the per-source draws.
+
+    Exactness: pure integer div/mod on token masses (Spark ``div``/
+    ``%`` vs DuckDB ``//``/``%`` agree on the non-negative operands
+    here); the remainder ranking is a window over the SOURCE-count
+    frame (O(sources) rows, post-agg — the rank-of-k-after-agg shape,
+    never a corpus window).
+
+    Scale: one wordcount-shaped partial agg to token masses, one
+    broadcast scalar, one O(sources) window.  The corpus contributes
+    exactly one scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("tokens")
+    )
+    tot = mass.agg(F.sum("tokens").cast("long").alias("t"))
+    base = mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"({_ALLOC_BUDGET} * tokens) div t").alias("floor_q"),
+        F.expr(f"({_ALLOC_BUDGET} * tokens) % t").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("floor_q")).cast("long").alias("k")
+    )
+    ranked = base.withColumn(
+        "rr",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "source"))
+        .cast("long"),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "tokens",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
+
+
+q_corpus_sample_allocation.__doc__ = q_corpus_sample_allocation.__doc__.format(
+    k=_ALLOC_BUDGET
+)

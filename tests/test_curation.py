@@ -557,3 +557,30 @@ def test_corpus_divergence_drifted_source_spikes(spark, tmp_path):
     # corpus blend away from them); the drifted one still stands out
     assert got["drifted"][2] > 3 * max(got["clean_a"][2], 1)
     assert got["clean_a"] == got["clean_b"]
+
+
+def test_sample_allocation_sums_exactly_and_bounds_error(spark, tmp_path):
+    """corpus_sample_allocation: quotas are integers summing EXACTLY
+    to the budget on a skewed corpus, each within 1 of its exact
+    proportional share (the Hamilton-method guarantee), and a
+    zero-token source gets quota 0."""
+    from hadoop_20_warehouse_spark.inventory_curation import (
+        _ALLOC_BUDGET,
+        q_corpus_sample_allocation,
+    )
+
+    docs = (
+        [(i, "w " * (i + 1), "en", f"s{i % 7}", 1) for i in range(50)]
+        + [(99, "", "en", "empty", 0)]
+    )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = q_corpus_sample_allocation(spark, str(tmp_path)).collect()
+    total_tokens = sum(r.tokens for r in rows)
+    assert sum(r.quota for r in rows) == _ALLOC_BUDGET
+    for r in rows:
+        exact = _ALLOC_BUDGET * r.tokens / total_tokens
+        assert abs(r.quota - exact) < 1.0
+        if r.source == "empty":
+            assert r.quota == 0
