@@ -2232,3 +2232,87 @@ def q_pipeline_seqfile_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok_len").cast("long").alias("total_tokens"),
         F.bit_xor(row_fp).cast("long").alias("digest"),
     )
+
+
+# declared type by doc_id % 4; payloads get a REAL magic prefix for
+# ids % 4 in {0,1,2} and a corrupted (magic-less) body for % 4 == 3 —
+# the planted mismatch the validator must catch
+_MAGIC_SQL = """
+WITH payloads AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+           WHEN 2 THEN 'audio/wav' ELSE 'image/ppm' END AS declared_mime,
+         CASE doc_id % 4
+           WHEN 0 THEN 'P6' || chr(10) || text
+           WHEN 1 THEN 'BM' || text
+           WHEN 2 THEN 'RIFF' || text
+           ELSE text END AS payload
+  FROM documents
+),
+sniffed AS (
+  SELECT doc_id, declared_mime,
+         CASE WHEN payload LIKE 'P6' || chr(10) || '%' THEN 'image/ppm'
+              WHEN payload LIKE 'BM%' THEN 'image/bmp'
+              WHEN payload LIKE 'RIFF%' THEN 'audio/wav'
+              ELSE 'unknown' END AS detected_mime
+  FROM payloads
+)
+SELECT declared_mime, detected_mime,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM sniffed GROUP BY declared_mime, detected_mime
+""".strip()
+
+
+@register("multimodal_validate_magic", oracle=_MAGIC_SQL)
+def q_multimodal_validate_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload validation by MAGIC BYTES: sniff each blob's
+    container signature (PPM 'P6\\n', BMP 'BM', RIFF/WAV — the three
+    containers multimodal/codecs.py really decodes) and cross-tab
+    declared vs detected mime with an example doc id per cell — the
+    first gate of a multimodal ingest (a corrupted or mislabeled blob
+    fails HERE, one row-local prefix check, before any decoder ever
+    runs; decoders crash, sniffers count).  A quarter of the payloads
+    are deliberately built WITHOUT their declared magic, so the
+    (declared=ppm, detected=unknown) cell is the planted mismatch the
+    hash pins.
+
+    Payload construction (text bytes prefixed with real magics) is
+    identical string arithmetic on both engines, so the oracle covers
+    sniff logic byte-for-byte; detection order is fixed and the cells
+    carry MIN(doc_id) so the mapping, not just the counts, is hashed.
+
+    Scale: one row-local projection (prefix LIKE on the binary's head
+    — never reads the blob body) + one small keyed agg; at 100 TB
+    this is the cheapest full-corpus pass the pipeline owns, which is
+    the point of running it FIRST."""
+    docs = load_table(spark, sf_dir, "documents")
+    declared = F.expr(
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image/ppm' "
+        "WHEN 1 THEN 'image/bmp' WHEN 2 THEN 'audio/wav' "
+        "ELSE 'image/ppm' END"
+    )
+    payload = F.expr(
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'P6' || chr(10) || text "
+        "WHEN 1 THEN 'BM' || text WHEN 2 THEN 'RIFF' || text "
+        "ELSE text END"
+    )
+    sniffed = docs.select(
+        "doc_id",
+        declared.alias("declared_mime"),
+        payload.alias("_pl"),
+    ).select(
+        "doc_id",
+        "declared_mime",
+        F.expr(
+            "CASE WHEN _pl LIKE CONCAT('P6', chr(10), '%') THEN 'image/ppm' "
+            "WHEN _pl LIKE 'BM%' THEN 'image/bmp' "
+            "WHEN _pl LIKE 'RIFF%' THEN 'audio/wav' "
+            "ELSE 'unknown' END"
+        ).alias("detected_mime"),
+    )
+    return sniffed.groupBy("declared_mime", "detected_mime").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        F.min("doc_id").cast("long").alias("example_doc_id"),
+    )
