@@ -2749,3 +2749,71 @@ def q_pipeline_dimension_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("value_cents"),
     )
+
+
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+  FROM part
+),
+best AS (
+  SELECT p_size, MIN(price_cents) AS best_cents FROM pts GROUP BY p_size
+),
+front AS (
+  SELECT p_size, best_cents,
+         MIN(best_cents) OVER (ORDER BY p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run_min
+  FROM best
+),
+sky AS (
+  SELECT p_size, best_cents FROM front WHERE best_cents = run_min
+)
+SELECT t.p_partkey, t.p_size, t.price_cents
+FROM pts t JOIN sky s
+  ON s.p_size = t.p_size AND s.best_cents = t.price_cents
+""".strip()
+
+
+@register("part_price_skyline", oracle=_SKYLINE_SQL)
+def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto SKYLINE over parts — every part not dominated on
+    (maximize size, minimize price): the multi-criteria shortlist
+    query (Börzsönyi et al. 2001) behind "show me the candidates
+    where nothing else is both bigger and cheaper".
+
+    The scalable 2-D construction: ONE keyed partial agg collapses
+    the corpus to its per-size minimum price (|distinct sizes| rows —
+    bounded domain, 50 here), the running-min domination sweep runs
+    as a window over THAT post-agg frame (the rank-after-agg shape —
+    never a corpus-wide sort; a naive NOT EXISTS self-join is
+    corpus-quadratic), and one (size, price) equi-join pulls back
+    every part ON the front, ties included.  Integer cents end to
+    end; both engines run the same sweep, so the hash pins the
+    domination semantics including equal-price ties."""
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("cast(round(p_retailprice * 100, 0) as bigint)").alias(
+            "price_cents"
+        ),
+    )
+    best = pts.groupBy("p_size").agg(
+        F.min("price_cents").alias("best_cents")
+    )
+    from pyspark.sql import Window
+
+    run_min = F.min("best_cents").over(
+        Window.orderBy(F.desc("p_size")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    sky = (
+        best.withColumn("run_min", run_min)
+        .filter(F.col("best_cents") == F.col("run_min"))
+        .select("p_size", F.col("best_cents").alias("price_cents"))
+    )
+    return pts.join(
+        F.broadcast(sky), on=["p_size", "price_cents"]
+    ).select("p_partkey", "p_size", "price_cents")

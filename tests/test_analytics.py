@@ -578,3 +578,39 @@ def test_profile_column_stats_single_scan_and_values(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "Expand" in final
+
+
+def test_skyline_matches_naive_domination(spark, tmp_path):
+    """part_price_skyline vs the O(n²) domination definition on a
+    random part table with planted ties: a part is on the front iff
+    NO other part has (size >=, price <=) with at least one strict —
+    including keeping BOTH parts of an equal-(size, price) tie."""
+    import random as _r
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_part_price_skyline,
+    )
+
+    rng = _r.Random(41)
+    rows = [
+        (i, f"p{i}", "b", "t", rng.randint(1, 12), rng.randint(100, 999) / 10.0)
+        for i in range(80)
+    ]
+    rows.append((900, "tie1", "b", "t", rows[0][4], rows[0][5]))  # tie plant
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    pts = [(k, s, round(p * 100)) for k, _n, _b, _t, s, p in rows]
+    want = {
+        k
+        for k, s, c in pts
+        if not any(
+            (s2 >= s and c2 <= c and (s2 > s or c2 < c))
+            for _k2, s2, c2 in pts
+        )
+    }
+    got = {r.p_partkey for r in q_part_price_skyline(spark, str(tmp_path)).collect()}
+    assert got == want and len(got) >= 2
