@@ -154,7 +154,7 @@ def kcore_sql(edges_cte: str, k: int, rounds: int) -> str:
     rounds are generated as sequential CTEs).  Post-fixpoint rounds
     are no-ops, so the unrolled form equals the true k-core whenever
     ``rounds`` >= the data's fixpoint depth — callers pick a bound
-    with margin (the registered query unrolls 16 over a measured
+    with margin (the registered query unrolls 24 over a measured
     8-round fixpoint).  ``edges_cte`` must define ``edges(a, b)``.
 
     Every round CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs,
