@@ -3749,7 +3749,8 @@ nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM occ)
 SELECT s.source,
        MIN(n.n_src) AS n_tokens,
        CAST(SUM(s.c_sw * {_KL_TERM}) AS BIGINT) AS kl_sum_milli,
-       CAST((1000 * SUM(s.c_sw * {_KL_TERM})) // MIN(n.n_src) AS BIGINT)
+       CAST(CASE WHEN SUM(s.c_sw * {_KL_TERM}) >= 0 THEN 1 ELSE -1 END
+            * ((1000 * abs(SUM(s.c_sw * {_KL_TERM}))) // MIN(n.n_src)) AS BIGINT)
          AS kl_per_token_micro
 FROM sw s
 JOIN cw ON cw.w = s.w
@@ -3812,9 +3813,14 @@ def q_corpus_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             "source",
             "n_tokens",
             "kl_sum_milli",
-            F.expr("cast((1000 * kl_sum_milli) div n_tokens as bigint)").alias(
-                "kl_per_token_micro"
-            ),
+            # sign-split floored division: Gibbs makes the true KL >= 0,
+            # but per-term milli rounding could push a near-zero source
+            # negative, where Spark's div (trunc) and DuckDB's //
+            # (floor) disagree — the spend_trend seam, pre-empted
+            F.expr(
+                "cast((case when kl_sum_milli >= 0 then 1 else -1 end)"
+                " * ((1000 * abs(kl_sum_milli)) div n_tokens) as bigint)"
+            ).alias("kl_per_token_micro"),
         )
     )
 

@@ -551,7 +551,8 @@ def test_corpus_divergence_drifted_source_spikes(spark, tmp_path):
             for (s2, w), c in sw.items()
             if s2 == s
         )
-        want[s] = (ns[s], kl, (1000 * kl) // ns[s])
+        sgn = 1 if kl >= 0 else -1
+        want[s] = (ns[s], kl, sgn * ((1000 * abs(kl)) // ns[s]))
     assert got == want
     # clean sources carry some KL too (the drifted mass shifts the
     # corpus blend away from them); the drifted one still stands out
