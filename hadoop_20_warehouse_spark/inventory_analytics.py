@@ -1838,13 +1838,26 @@ q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
 def _scd2_oracle() -> str:
     from hadoop_20_warehouse_spark.operators.scd import scd2_sql
 
-    return scd2_sql(
+    inner = scd2_sql(
         "changes AS (SELECT user_id, event_type, ts, event_id FROM events)",
         key="user_id",
         attrs=("event_type",),
         ts="ts",
         tiebreak=("event_id",),
     )
+    # interval bounds cross the compare as µs STRINGS (the repo's
+    # timestamp convention: Spark toPandas yields datetime64[ns],
+    # DuckDB datetime64[us] — same values, different dtypes)
+    return f"""
+WITH scd AS (
+{inner}
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       is_current, version
+FROM scd
+""".strip()
 
 
 @register("scd2_dimension_build", oracle=_scd2_oracle())
@@ -1878,9 +1891,19 @@ def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    return scd2_build(
+    from hadoop_20_warehouse_spark.streaming.windows import TS_FMT
+
+    dim = scd2_build(
         ev, key="user_id", attrs=("event_type",), ts="ts",
         tiebreak=("event_id",),
+    )
+    return dim.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT).alias("valid_to"),
+        "is_current",
+        "version",
     )
 
 
@@ -2044,7 +2067,9 @@ WITH scd AS (
 facts AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 )
-SELECT f.event_id, f.user_id, f.ts, s.event_type AS state, s.version
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       s.event_type AS state, s.version
 FROM facts f LEFT JOIN scd s
   ON s.user_id = f.user_id AND s.valid_from <= f.ts
  AND (s.valid_to IS NULL OR f.ts < s.valid_to)
@@ -2120,10 +2145,12 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotated = dim.unionByName(facts).withColumn(
         "_last", F.last("_dim", ignorenulls=True).over(w)
     )
+    from hadoop_20_warehouse_spark.streaming.windows import TS_FMT
+
     return annotated.filter(F.col("_is_dim") == 0).select(
         "event_id",
         "user_id",
-        "ts",
+        F.date_format("ts", TS_FMT).alias("ts"),
         F.col("_last.state").alias("state"),
         F.col("_last.version").alias("version"),
     )
@@ -2594,7 +2621,7 @@ def _scd2_delta_oracle() -> str:
     from hadoop_20_warehouse_spark.operators.scd import scd2_sql
 
     # the FULL-log rebuild: incremental apply must equal it exactly
-    return scd2_sql(
+    inner = scd2_sql(
         "changes AS (SELECT user_id, event_type, ts, event_id FROM events"
         " WHERE event_type <> 'purchase')",
         key="user_id",
@@ -2602,6 +2629,16 @@ def _scd2_delta_oracle() -> str:
         ts="ts",
         tiebreak=("event_id",),
     )
+    return f"""
+WITH scd AS (
+{inner}
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       is_current, version
+FROM scd
+""".strip()
 
 
 @register("scd2_apply_delta", oracle=_scd2_delta_oracle())
@@ -2638,10 +2675,20 @@ def q_scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, key="user_id", attrs=("event_type",), ts="ts",
         tiebreak=("event_id",), keep_tiebreak=True,
     )
-    return scd2_apply_delta(
+    from hadoop_20_warehouse_spark.streaming.windows import TS_FMT
+
+    merged = scd2_apply_delta(
         dim, delta, key="user_id", attrs=("event_type",), ts="ts",
         tiebreak=("event_id",),
-    ).drop("event_id")
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT).alias("valid_to"),
+        "is_current",
+        "version",
+    )
 
 
 def _dim_serving_oracle() -> str:
