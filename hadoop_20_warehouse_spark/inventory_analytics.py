@@ -2868,3 +2868,66 @@ def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(
         F.broadcast(sky), on=["p_size", "price_cents"]
     ).select("p_partkey", "p_size", "price_cents")
+
+
+_OOO_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prior_max IS NOT NULL AND ts < prior_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+       CAST(COALESCE(MAX(CASE WHEN prior_max IS NOT NULL AND ts < prior_max
+                THEN epoch_us(prior_max) - epoch_us(ts) END), 0) AS BIGINT)
+         AS max_lateness_us
+FROM seq GROUP BY user_id
+""".strip()
+
+
+@register("events_out_of_order_report", oracle=_OOO_SQL)
+def q_events_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-health audit: per user, how many events arrived LATE —
+    event time behind the user's running maximum when replayed in
+    arrival (event_id) order — and the worst lateness in µs.  THE
+    number that sizes a streaming watermark: pick a delay covering
+    the observed lateness tail and the windowed aggregations
+    (stream_tumbling_hourly et al.) stop dropping data; guessing it
+    is how late data silently vanishes.  Also the precondition check
+    for scd2_apply_delta's append-only contract and
+    change_detect_stream's in-order assumption — this report is how
+    a pipeline VERIFIES those instead of assuming them.
+
+    Arrival order is the monotone event_id (the ingest log position);
+    lateness compares each event's time against the running max over
+    strictly-prior arrivals.  The window partitions by user — high
+    cardinality, never corpus-global — and both engines run the same
+    running-max frame; µs epochs are exact integers."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("prior_max"),
+    )
+    late = F.col("prior_max").isNotNull() & (
+        F.col("ts") < F.col("prior_max")
+    )
+    lateness_us = F.unix_micros("prior_max") - F.unix_micros("ts")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias(
+            "n_inversions"
+        ),
+        F.coalesce(
+            F.max(F.when(late, lateness_us)), F.lit(0)
+        ).cast("long").alias("max_lateness_us"),
+    )

@@ -614,3 +614,40 @@ def test_skyline_matches_naive_domination(spark, tmp_path):
     }
     got = {r.p_partkey for r in q_part_price_skyline(spark, str(tmp_path)).collect()}
     assert got == want and len(got) >= 2
+
+
+def test_out_of_order_report_catches_planted_lateness(spark, tmp_path):
+    """events_out_of_order_report on a log with PLANTED inversions:
+    user 1 has two late arrivals (worst 90 minutes), user 2 is clean
+    — the driver fixture is fully ordered, so this test is where the
+    detector proves it FIRES."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_events_out_of_order_report,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # (event_id = arrival order, user, event time)
+        (1, 1, t0 + 10 * m),
+        (2, 1, t0 + 20 * m),
+        (3, 1, t0 + 5 * m),    # 15 min late
+        (4, 1, t0 + 30 * m),
+        (5, 1, t0 - 60 * m),   # 90 min late (worst)
+        (6, 2, t0 + 1 * m),
+        (7, 2, t0 + 2 * m),
+    ]
+    spark.createDataFrame(
+        [(e, t, u, "click", 0.0, "") for e, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: (r.n_events, r.n_inversions, r.max_lateness_us)
+        for r in q_events_out_of_order_report(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (5, 2, 90 * 60 * 1_000_000),
+        2: (2, 0, 0),
+    }
