@@ -2931,3 +2931,78 @@ def q_events_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(late, lateness_us)), F.lit(0)
         ).cast("long").alias("max_lateness_us"),
     )
+
+
+_SKEW_SQL = """
+WITH stats AS (
+  SELECT 'l_orderkey' AS join_key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT join_key,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key
+  FROM stats GROUP BY join_key
+),
+hot AS (
+  SELECT s.join_key, CAST(COUNT(*) AS BIGINT) AS n_hot_keys
+  FROM stats s JOIN tot t ON t.join_key = s.join_key
+  WHERE s.cnt * t.n_keys > 10 * t.n_rows
+  GROUP BY s.join_key
+)
+SELECT t.join_key, t.n_keys, t.n_rows, t.max_rows_per_key,
+       CAST((1000000 * t.max_rows_per_key) // t.n_rows AS BIGINT)
+         AS top_share_micro,
+       CAST(COALESCE(h.n_hot_keys, 0) AS BIGINT) AS n_hot_keys
+FROM tot t LEFT JOIN hot h ON h.join_key = t.join_key
+""".strip()
+
+
+@register("skew_profile_report", oracle=_SKEW_SQL)
+def q_skew_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW profile — per candidate shuffle key: key count,
+    row count, the hottest key's row count and its parts-per-million
+    share, and how many keys run hotter than 10x the mean.  THE
+    diagnostic behind every salting/AQE-skew-join decision in this
+    repo (agg_salted_skew, the AQE notes in PLANS.md): at 100 TB a
+    skewed shuffle key collapses one reducer — the reference's
+    "curse of the last reducer" — and this report is how you SEE it
+    before the join, not in a straggling task afterwards.
+
+    Shapes: one wordcount partial agg per key column; the roll-up and
+    the hot-key census are aggs over the O(|keys|) count frame with a
+    broadcast of the 1-row totals; the hot test cross-multiplies
+    (cnt · n_keys > 10 · Σcnt) so no division crosses the hash; the
+    per-million share floors non-negative integers (identical in
+    Spark ``div`` and DuckDB ``//``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        counts = li.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        tot = counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_rows_per_key"),
+        )
+        hot = (
+            counts.crossJoin(F.broadcast(tot))
+            .filter(F.col("cnt") * F.col("n_keys") > 10 * F.col("n_rows"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hot_keys"))
+        )
+        return tot.crossJoin(F.broadcast(hot)).select(
+            F.lit(col).alias("join_key"),
+            "n_keys",
+            "n_rows",
+            "max_rows_per_key",
+            F.expr("cast((1000000 * max_rows_per_key) div n_rows as bigint)")
+            .alias("top_share_micro"),
+            "n_hot_keys",
+        )
+
+    return profile("l_orderkey").unionByName(profile("l_partkey"))

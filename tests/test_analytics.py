@@ -651,3 +651,29 @@ def test_out_of_order_report_catches_planted_lateness(spark, tmp_path):
         1: (5, 2, 90 * 60 * 1_000_000),
         2: (2, 0, 0),
     }
+
+
+def test_skew_profile_flags_planted_hot_key(spark, tmp_path):
+    """skew_profile_report on a table with one planted hot order key
+    (600 of 1000 rows) over an otherwise uniform key space: the hot
+    key must dominate top_share and be the only >10x-mean key on the
+    order side; the part side stays uniform with zero hot keys."""
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_skew_profile_report,
+    )
+
+    rows = [(999, i % 50) for i in range(600)]  # hot orderkey 999
+    rows += [(i % 400, i % 50) for i in range(400)]  # uniform rest
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.join_key: (r.n_keys, r.n_rows, r.max_rows_per_key,
+                     r.top_share_micro, r.n_hot_keys)
+        for r in q_skew_profile_report(spark, str(tmp_path)).collect()
+    }
+    assert got["l_orderkey"][1] == 1000
+    assert got["l_orderkey"][2] == 600
+    assert got["l_orderkey"][3] == 600000  # 60% in ppm
+    assert got["l_orderkey"][4] == 1       # exactly the planted key
+    assert got["l_partkey"][0] == 50 and got["l_partkey"][4] == 0
