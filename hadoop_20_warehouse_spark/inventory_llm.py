@@ -1810,3 +1810,114 @@ def q_embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_embedding_outlier_filter.__doc__ = q_embedding_outlier_filter.__doc__.format(
     pct=_OUTLIER_PCT
 )
+
+
+_EVAL_SAMPLE_K = 100
+
+
+def _eval_sample_oracle() -> str:
+    from hadoop_20_warehouse_spark.dedup.minhash import (
+        minhash_lsh_pairs_sql_parts,
+    )
+
+    ctes, final = minhash_lsh_pairs_sql_parts("documents", "doc_id", "text")
+    return f"""
+WITH RECURSIVE
+{ctes},
+edges AS ({final}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+walk(node, component) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.u, walk.component
+  FROM und JOIN walk ON walk.node = und.v
+  WHERE walk.component < und.u
+),
+best AS (SELECT node, MIN(component) AS component FROM walk GROUP BY node),
+comp AS (
+  SELECT d.doc_id, COALESCE(b.component, d.doc_id) AS component,
+         {T.token_count_sql('d.text')} AS tok
+  FROM documents d LEFT JOIN best b ON b.node = d.doc_id
+),
+ranked AS (
+  SELECT component, doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY tok DESC, doc_id) AS rn
+  FROM comp
+),
+reps AS (
+  SELECT component,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         MAX(CASE WHEN rn = 1 THEN doc_id END) AS doc_id
+  FROM ranked GROUP BY component
+)
+SELECT doc_id, component, n_members,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS rk
+FROM reps
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {_EVAL_SAMPLE_K}
+""".strip()
+
+
+@register("eval_sample_dedup_aware", oracle=_eval_sample_oracle())
+def q_eval_sample_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware EVAL sampling — {k} documents drawn such that no
+    two are near-duplicates of each other: MinHash-LSH pairs →
+    connected components → per-cluster best-member election (max
+    token count — the dedup_cluster_representative contract) → a
+    deterministic md5-ordered fixed-k draw over the REPRESENTATIVES.
+    The eval-set construction rule every benchmark post-mortem wishes
+    it had followed: sampling raw docs overweights big dup clusters
+    (a 50-copy boilerplate is 50 lottery tickets) and seeds
+    train/eval leakage through surviving near-dups; sampling
+    representatives gives every distinct DOCUMENT one ticket.
+
+    Composes three audited surfaces in one hash-checked plan and
+    carries (component, n_members) per pick so the de-weighting is
+    itself verifiable.  Scale: everything upstream is the banded LSH
+    + checkpointed propagation + partial-agg election already
+    audited; the draw is a TakeOrdered top-k on md5(rep id) — k
+    driver rows, never a corpus sort — with rank assigned after the
+    limit."""
+    from pyspark.sql import Window
+
+    from hadoop_20_warehouse_spark.dedup.components import (
+        dedup_groups_from_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = MH.minhash_lsh_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b"
+    )
+    groups = dedup_groups_from_pairs(docs, pairs, "doc_id")
+    toks = docs.select("doc_id", T.token_count(F.col("text")).alias("tok"))
+    reps = (
+        groups.join(toks, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(
+                F.struct((-F.col("tok")).alias("nt"), F.col("doc_id"))
+            )["doc_id"].alias("doc_id"),
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    topk = (
+        reps.select("doc_id", "component", "n_members", h.alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(_EVAL_SAMPLE_K)
+    )
+    return topk.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("_h", "doc_id")).cast("long"),
+    ).select("doc_id", "component", "n_members", "rk")
+
+
+q_eval_sample_dedup_aware.__doc__ = q_eval_sample_dedup_aware.__doc__.format(
+    k=_EVAL_SAMPLE_K
+)

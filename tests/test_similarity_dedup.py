@@ -810,3 +810,54 @@ def test_embedding_outlier_filter_flags_planted_and_keeps_quota(spark, tmp_path)
         k = (n + 99) // 100
         want |= {(lab, vid) for _, vid in devs[:k]}
     assert {(r.label, r.vec_id) for r in got} == want
+
+
+def test_eval_sample_never_picks_two_near_dups(spark, tmp_path):
+    """eval_sample_dedup_aware on a corpus with planted dup clusters:
+    the draw must contain at most ONE doc per near-dup cluster, pick
+    each cluster's most complete member, and give singletons one
+    ticket each."""
+    from hadoop_20_warehouse_spark.dedup.minhash import minhash_lsh_pairs
+    from hadoop_20_warehouse_spark.inventory_llm import (
+        q_eval_sample_dedup_aware,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some food for winter"
+    )
+    docs = []
+    # cluster A: 6 near-identical copies, one extended (most complete)
+    for i in range(5):
+        docs.append((i, base + f" copy{i}", "en", "s", 1))
+    docs.append((5, base + " copy5 with extra trailing words here", "en", "s", 1))
+    # singletons: clearly distinct texts
+    for j in range(40):
+        docs.append(
+            (100 + j,
+             f"document number {j} speaks about topic {j * 7} with words "
+             f"alpha{j} beta{j} gamma{j} delta{j} epsilon{j} zeta{j} "
+             f"eta{j} theta{j} iota{j} kappa{j}",
+             "en", "s", 1)
+        )
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # the planted cluster must actually band together
+    pairs = minhash_lsh_pairs(df, "doc_id", "text")
+    clustered = {r.id_a for r in pairs.collect()} | {
+        r.id_b for r in pairs.collect()
+    }
+    assert {0, 1, 2, 3, 4, 5} <= clustered
+
+    got = q_eval_sample_dedup_aware(spark, str(tmp_path)).collect()
+    picked = [r.doc_id for r in got]
+    from_cluster = [d for d in picked if d <= 5]
+    assert len(from_cluster) <= 1
+    if from_cluster:
+        assert from_cluster == [5]  # the most complete copy
+        row = next(r for r in got if r.doc_id == 5)
+        assert row.n_members == 6
+    # every pick is unique and ranks are dense from 1
+    assert sorted(r.rk for r in got) == list(range(1, len(got) + 1))
