@@ -3911,3 +3911,70 @@ def q_corpus_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_sample_allocation.__doc__ = q_corpus_sample_allocation.__doc__.format(
     k=_ALLOC_BUDGET
 )
+
+
+_VOCAB_SQL = f"""
+WITH occ AS (
+  SELECT source, t[i] AS w
+  FROM (SELECT source, {T.tokens_sql('text')} AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) u(i)
+),
+wc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ GROUP BY source, w
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((1000 * COUNT(*)) // SUM(c) AS BIGINT) AS type_token_milli,
+       CAST((1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS hapax_share_milli
+FROM wc GROUP BY source
+""".strip()
+
+
+@register("corpus_vocab_stats", oracle=_VOCAB_SQL)
+def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source VOCABULARY health: token count, type (distinct
+    word) count, hapax legomena count, and the floored per-mille
+    type-token and hapax ratios — the corpus-linguistics dashboard
+    row that separates template spam (tiny type-token ratio: the
+    same words over and over) from OCR noise / mojibake (hapax share
+    near 1000: almost every "word" occurs once) from healthy prose
+    in between.  Complements corpus_divergence_by_source: KL needs a
+    reference blend, these are absolute per-source signals.
+
+    Shapes: wordcount partial agg to (source, word) counts, one
+    source-keyed roll-up — two keyed shuffles total, no window, no
+    join; the corpus contributes one scan.  Integer counts and
+    non-negative floored ratios (`div` == `//` here) cross the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("cast((1000 * n_types) div n_tokens as bigint)").alias(
+                "type_token_milli"
+            ),
+            F.expr("cast((1000 * n_hapax) div n_types as bigint)").alias(
+                "hapax_share_milli"
+            ),
+        )
+    )

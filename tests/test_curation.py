@@ -585,3 +585,28 @@ def test_sample_allocation_sums_exactly_and_bounds_error(spark, tmp_path):
         assert abs(r.quota - exact) < 1.0
         if r.source == "empty":
             assert r.quota == 0
+
+
+def test_vocab_stats_separates_spam_from_noise(spark, tmp_path):
+    """corpus_vocab_stats: a template-spam source (same words
+    repeated) shows a tiny type-token ratio; a noise source (all
+    unique "words") shows hapax share 1000; values hand-checked."""
+    from hadoop_20_warehouse_spark.inventory_curation import (
+        q_corpus_vocab_stats,
+    )
+
+    docs = (
+        [(i, "buy now " * 10, "en", "spam", 1) for i in range(5)]
+        + [(50 + i, " ".join(f"tok{i}_{j}" for j in range(10)), "xx", "noise", 1)
+           for i in range(5)]
+    )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.n_hapax,
+                   r.type_token_milli, r.hapax_share_milli)
+        for r in q_corpus_vocab_stats(spark, str(tmp_path)).collect()
+    }
+    assert got["spam"] == (100, 2, 0, 20, 0)
+    assert got["noise"] == (50, 50, 50, 1000, 1000)
