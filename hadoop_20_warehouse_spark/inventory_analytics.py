@@ -3006,3 +3006,91 @@ def q_skew_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("l_orderkey").unionByName(profile("l_partkey"))
+
+
+_COVERAGE_WINDOW_MIN = 5
+
+_COVERAGE_SQL = f"""
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + INTERVAL {_COVERAGE_WINDOW_MIN} MINUTE AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s <= MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_grp
+  FROM iv
+),
+grp AS (
+  SELECT user_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+  FROM marked
+),
+merged AS (
+  SELECT user_id, g, MIN(s) AS m_start, MAX(e) AS m_end
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(epoch_us(m_end) - epoch_us(m_start)) AS BIGINT)
+         AS covered_us
+FROM merged GROUP BY user_id
+""".strip()
+
+
+@register("user_activity_coverage", oracle=_COVERAGE_SQL)
+def q_user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval COALESCING — per user, merge the overlapping
+    {w}-minute activity windows every event opens and report the
+    merged interval count and total covered µs: the
+    "how much wall-clock was this user actually active" metric
+    (billing meters, engagement, SLA uptime all reduce to it), and
+    the textbook gaps-and-islands construction — an interval s
+    starts a new island iff it begins after the running MAX of all
+    prior interval ends (max, not lag: an engulfed interval must not
+    reopen the island), islands numbered by a running sum of the
+    start flags, then min/max per island.
+
+    Both engines run the same two-window construction; epochs are
+    integer µs.  Scale: both windows partition by user_id (high
+    cardinality) and share one sort order — ONE key exchange for the
+    whole construction, then a keyed agg; no corpus-global op."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_COVERAGE_WINDOW_MIN} MINUTE"))
+        .alias("e"),
+    )
+    w_prior = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = iv.withColumn(
+        "new_grp",
+        F.when(
+            F.col("s") <= F.max("e").over(w_prior), 0
+        ).otherwise(1),
+    ).withColumn("g", F.sum("new_grp").over(w_run))
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(
+            F.unix_micros("m_end") - F.unix_micros("m_start")
+        ).cast("long").alias("covered_us"),
+    )
+
+
+q_user_activity_coverage.__doc__ = q_user_activity_coverage.__doc__.format(
+    w=_COVERAGE_WINDOW_MIN
+)

@@ -677,3 +677,40 @@ def test_skew_profile_flags_planted_hot_key(spark, tmp_path):
     assert got["l_orderkey"][3] == 600000  # 60% in ppm
     assert got["l_orderkey"][4] == 1       # exactly the planted key
     assert got["l_partkey"][0] == 50 and got["l_partkey"][4] == 0
+
+
+def test_activity_coverage_hand_computed_with_engulfed_interval(spark, tmp_path):
+    """user_activity_coverage on hand-built intervals including an
+    ENGULFED one (starts and ends inside a prior interval — the case
+    where lag(e) instead of max(e) would wrongly reopen the island):
+    user 1 has events at 0, 2, 20 minutes (5-min windows → islands
+    [0,7] and [20,25] = 2 intervals, 12 min covered); user 2's three
+    bursts merge into one island."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_user_activity_coverage,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + 2 * m),
+        (3, 1, t0 + 20 * m),
+        (4, 2, t0),
+        (5, 2, t0 + 4 * m),
+        (6, 2, t0 + 8 * m),
+    ]
+    spark.createDataFrame(
+        [(e, t, u, "click", 0.0, "") for e, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: (r.n_intervals, r.covered_us)
+        for r in q_user_activity_coverage(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 12 * 60 * 1_000_000),
+        2: (1, 13 * 60 * 1_000_000),
+    }
