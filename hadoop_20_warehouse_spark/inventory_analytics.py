@@ -3094,3 +3094,64 @@ def q_user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_user_activity_coverage.__doc__ = q_user_activity_coverage.__doc__.format(
     w=_COVERAGE_WINDOW_MIN
 )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+row_tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST((1000 * t.n) // r.tot AS BIGINT) AS p_milli
+FROM trans t JOIN row_tot r ON r.prev_type = t.prev_type
+""".strip()
+
+
+@register("events_transition_matrix", oracle=_TRANSITION_SQL)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral TRANSITION matrix — for consecutive
+    events within a user's timeline, the count and floored per-mille
+    probability of each (prev → next) event-type pair: the Markov-
+    chain view of user behavior that funnels only sample one path of
+    (journey mining, "what do users do right after an error?",
+    anomalous-sequence detection all read this table).  The
+    behavioral twin of the text family's bigram model — same
+    adjacency statistics, over ACTIONS ordered by (ts, event_id)
+    instead of tokens ordered by position.
+
+    Scale: one user-keyed window (high cardinality) for the lag, one
+    (prev, next)-keyed partial agg to the |types|² matrix, one
+    row-total join over that bounded frame.  Integer counts; the
+    per-mille floors non-negative integers (Spark ``div`` == DuckDB
+    ``//`` there)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row_tot = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    return trans.join(F.broadcast(row_tot), on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("cast((1000 * n) div tot as bigint)").alias("p_milli"),
+    )

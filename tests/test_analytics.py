@@ -714,3 +714,38 @@ def test_activity_coverage_hand_computed_with_engulfed_interval(spark, tmp_path)
         1: (2, 12 * 60 * 1_000_000),
         2: (1, 13 * 60 * 1_000_000),
     }
+
+
+def test_transition_matrix_hand_computed(spark, tmp_path):
+    """events_transition_matrix on a fixed two-user journey: counts
+    and per-milles hand-checked; cross-user adjacency must NOT count
+    (the lag partitions by user)."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        q_events_transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    journeys = {1: ["view", "click", "view", "click", "buy"],
+                2: ["view", "buy"]}
+    rows, eid = [], 0
+    for u, steps in journeys.items():
+        for i, s in enumerate(steps):
+            rows.append((eid, t0 + i * m, u, s, 0.0, ""))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p_milli)
+        for r in q_events_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 666),   # 2 of view's 3 exits
+        ("view", "buy"): (1, 333),
+        ("click", "view"): (1, 500),
+        ("click", "buy"): (1, 500),
+    }
