@@ -33,6 +33,7 @@ def scd2_build(
     ts: str,
     tiebreak: Sequence[str] = (),
     keep_tiebreak: bool = False,
+    keep_last_observed: bool = False,
 ) -> DataFrame:
     """(key, *attrs, valid_from, valid_to, is_current, version) — the
     Type-2 dimension table from a change log.  ``keep_tiebreak=True``
@@ -40,6 +41,15 @@ def scd2_build(
     row — required when the table will later feed
     :func:`scd2_apply_delta`, whose replay must re-order same-instant
     changes exactly as the original build did.
+    ``keep_last_observed=True`` appends a ``last_observed`` column:
+    the key's max raw ``ts`` across ALL its input rows, including
+    consecutive confirmations the collapse drops.  It is what
+    :func:`scd2_apply_delta`'s ``strict`` guard must compare deltas
+    against — a delta between the last recorded CHANGE and a
+    collapsed confirmation would silently lose the re-open the full
+    log implies, and only the last OBSERVED ts can detect that.  The
+    max rides the same key partitioning as the sequence windows (no
+    extra exchange).
 
     ``changes``: one row per observed state (key, attrs..., ts).
     Consecutive observations with UNCHANGED attributes are collapsed
@@ -64,8 +74,15 @@ def scd2_build(
         "_is_change",
         F.col("_prev").isNull() | ~state.eqNullSafe(F.col("_prev")),
     )
+    if keep_last_observed:
+        # whole-partition max over the PRE-collapse rows: same key
+        # partitioning as w_seq, so Catalyst reuses the exchange
+        marked = marked.withColumn(
+            "last_observed", F.max(ts).over(Window.partitionBy(key))
+        )
+    last = ("last_observed",) if keep_last_observed else ()
     chg = marked.filter(F.col("_is_change")).select(
-        key, *attrs, F.col(ts).alias("valid_from"), *tiebreak
+        key, *attrs, F.col(ts).alias("valid_from"), *tiebreak, *last
     )
     w_iv = Window.partitionBy(key).orderBy(
         "valid_from", *[F.col(c) for c in tiebreak]
@@ -78,6 +95,7 @@ def scd2_build(
         F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
         F.row_number().over(w_iv).cast("long").alias("version"),
         *(tiebreak if keep_tiebreak else ()),
+        *last,
     )
 
 
@@ -141,15 +159,21 @@ def scd2_apply_delta(
     re-order same-instant changes exactly as the original build did.
 
     Correctness contract — APPEND-ONLY deltas: every delta row for a
-    key must be at-or-after that key's last recorded change.  An
-    out-of-order (backfill) delta row can un-collapse a confirmation
-    the original build dropped, which no incremental scheme can
-    recover from the collapsed table; backfills must rebuild their
-    keys from the raw log.  ``strict=True`` verifies the contract
-    with one bounded aggregate (count of violating keys) and raises
-    ValueError — the check costs one extra pass over dim+delta, so
-    it is opt-in for pipelines whose upstream does not already
-    guarantee ordering.
+    key must be at-or-after that key's last OBSERVED raw row (not
+    merely its last recorded change: a delta landing between the last
+    change and a collapsed later confirmation would silently lose the
+    re-open the full log implies).  An out-of-order (backfill) delta
+    row can un-collapse a confirmation the original build dropped,
+    which no incremental scheme can recover from the collapsed table;
+    backfills must rebuild their keys from the raw log.
+    ``strict=True`` verifies the contract with one bounded aggregate
+    (count of violating keys) and raises ValueError.  It REQUIRES the
+    dim to carry ``last_observed`` (build with
+    ``scd2_build(..., keep_last_observed=True)``): comparing against
+    ``max(valid_from)`` alone cannot see collapsed confirmations, so
+    a weaker check would pass deltas that yield silently wrong
+    output.  The check costs one extra pass over dim+delta, so it is
+    opt-in for pipelines whose upstream already guarantees ordering.
 
     Replaying a key's COLLAPSED rows plus an append-only delta equals
     rebuilding from its full raw log: collapse is idempotent on
@@ -161,9 +185,20 @@ def scd2_apply_delta(
     Shapes: one distinct on the delta keys (broadcast-joinable), one
     anti join to split untouched rows, one scd2_build over ONLY the
     affected keys' rows, one union."""
+    has_observed = "last_observed" in dim.columns
     affected = delta.select(key).distinct()
     if strict:
-        last_seen = dim.groupBy(key).agg(F.max("valid_from").alias("_last"))
+        if not has_observed:
+            raise ValueError(
+                "scd2_apply_delta: strict=True requires the dim to "
+                "carry last_observed (build with scd2_build(..., "
+                "keep_last_observed=True)) — max(valid_from) cannot "
+                "see collapsed confirmations, so checking against it "
+                "would pass deltas that yield silently wrong output"
+            )
+        last_seen = dim.groupBy(key).agg(
+            F.max("last_observed").alias("_last")
+        )
         first_new = delta.groupBy(key).agg(F.min(ts).alias("_first"))
         bad = (
             first_new.join(last_seen, on=key)
@@ -173,19 +208,26 @@ def scd2_apply_delta(
         if bad:
             raise ValueError(
                 f"scd2_apply_delta: {bad} key(s) have delta rows older "
-                "than their last recorded change — backfills must "
+                "than their last observed row — backfills must "
                 "rebuild those keys from the raw log"
             )
     out_cols = [key, *attrs, "valid_from", "valid_to", "is_current",
                 "version", *tiebreak]
+    if has_observed:
+        out_cols.append("last_observed")
     untouched = dim.join(affected, on=key, how="left_anti").select(*out_cols)
     replayed = (
         dim.join(affected, on=key, how="left_semi")
         .select(key, *attrs, F.col("valid_from").alias(ts), *tiebreak)
         .unionByName(delta.select(key, *attrs, ts, *tiebreak))
     )
+    # When the dim carries last_observed, the rebuilt rows recompute
+    # it over the replay (collapsed valid_froms ∪ delta ts).  Under
+    # the append-only contract each affected key has a delta row at
+    # or after its old last_observed, so max(replay ts) ≥ old
+    # last_observed and the recomputed value is exact.
     rebuilt = scd2_build(
         replayed, key=key, attrs=attrs, ts=ts, tiebreak=tiebreak,
-        keep_tiebreak=True,
+        keep_tiebreak=True, keep_last_observed=has_observed,
     ).select(*out_cols)
     return untouched.unionByName(rebuilt)

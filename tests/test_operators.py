@@ -379,19 +379,37 @@ def test_scd2_apply_delta_equals_full_build_and_strict_guard(spark):
         delta = full.filter(F.col("ts") >= F.lit(cut))
         dim = scd2_build(
             base, "user_id", ("state",), "ts", ("event_id",),
-            keep_tiebreak=True,
+            keep_tiebreak=True, keep_last_observed=True,
+        )
+        merged = scd2_apply_delta(
+            dim, delta, "user_id", ("state",), "ts", ("event_id",),
+            strict=True,
         )
         got = sorted(
             tuple(r)
-            for r in scd2_apply_delta(
-                dim, delta, "user_id", ("state",), "ts", ("event_id",),
-                strict=True,
-            ).drop("event_id").collect()
+            for r in merged.drop("event_id", "last_observed").collect()
         )
         assert got == want, f"cut at day {cut_days}"
+        # last_observed stays exact through the merge: per key it must
+        # equal the FULL log's max raw ts (collapsed confirmations
+        # included), so a second apply_delta's strict guard sees truth
+        want_last = {
+            r["user_id"]: r["mx"]
+            for r in full.groupBy("user_id").agg(
+                F.max("ts").alias("mx")
+            ).collect()
+        }
+        got_last = {
+            r["user_id"]: r["mx"]
+            for r in merged.groupBy("user_id").agg(
+                F.max("last_observed").alias("mx")
+            ).collect()
+        }
+        assert got_last == want_last, f"last_observed drift at {cut_days}"
     # strict guard: a backfill row older than the key's last change
     dim_full = scd2_build(
-        full, "user_id", ("state",), "ts", ("event_id",), keep_tiebreak=True
+        full, "user_id", ("state",), "ts", ("event_id",),
+        keep_tiebreak=True, keep_last_observed=True,
     )
     backfill = spark.createDataFrame(
         [(0, "z", base_t + dt.timedelta(hours=1), 9999)], schema
@@ -400,4 +418,36 @@ def test_scd2_apply_delta_equals_full_build_and_strict_guard(spark):
         scd2_apply_delta(
             dim_full, backfill, "user_id", ("state",), "ts", ("event_id",),
             strict=True,
+        ).collect()
+    # strict without last_observed is a contract error, not a weaker
+    # check — max(valid_from) cannot see collapsed confirmations
+    dim_bare = scd2_build(
+        full, "user_id", ("state",), "ts", ("event_id",), keep_tiebreak=True
+    )
+    with _pytest.raises(ValueError, match="keep_last_observed"):
+        scd2_apply_delta(
+            dim_bare, backfill, "user_id", ("state",), "ts", ("event_id",),
+            strict=True,
+        )
+    # the r15-advice scenario: raw A@1h, A@10h collapse to one interval
+    # opened at 1h; a delta at 7h sits between the last CHANGE (1h) and
+    # the collapsed confirmation (10h).  The old max(valid_from) guard
+    # passed it and the merge silently lost the 10h re-open the full
+    # log implies; the last_observed guard must REJECT it.
+    tricky = spark.createDataFrame(
+        [(99, "a", base_t + dt.timedelta(hours=1), 1),
+         (99, "a", base_t + dt.timedelta(hours=10), 2)],
+        schema,
+    )
+    dim_tricky = scd2_build(
+        tricky, "user_id", ("state",), "ts", ("event_id",),
+        keep_tiebreak=True, keep_last_observed=True,
+    )
+    between = spark.createDataFrame(
+        [(99, "b", base_t + dt.timedelta(hours=7), 3)], schema
+    )
+    with _pytest.raises(ValueError, match="older than"):
+        scd2_apply_delta(
+            dim_tricky, between, "user_id", ("state",), "ts",
+            ("event_id",), strict=True,
         ).collect()
