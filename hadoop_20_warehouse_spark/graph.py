@@ -108,7 +108,14 @@ def kcore_members(
     ``checkpoint_dir``: as in connected_components — reliable
     checkpoints for cluster runs; default localCheckpoint for one box.
     ``stats``: filled with ``rounds`` (peel rounds executed, counting
-    the final no-change confirm round)."""
+    the final no-change confirm round) and ``converged``.
+
+    Raises RuntimeError if ``max_iterations`` is exhausted with the
+    last round still removing edges — the survivor set is then a
+    SUPERGRAPH of the k-core (a long-path-like graph can need >
+    ``max_iterations`` peel waves), and returning it silently would
+    be a wrong answer only an oracle could catch.  Callers that want
+    the partial result can catch and inspect ``stats``."""
     from pyspark.sql import Observation
 
     def _materialize(df: DataFrame) -> DataFrame:
@@ -125,6 +132,7 @@ def kcore_members(
     )
     n_edges = und.count()
     rounds = 0
+    converged = False
     for _i in range(max_iterations):
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         alive = deg.filter(F.col("d") >= k).select("u")
@@ -139,10 +147,18 @@ def kcore_members(
         rounds += 1
         cnt = obs.get["edges"] or 0
         if cnt == n_edges:
+            converged = True
             break
         n_edges = cnt
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"kcore_members: not converged after {max_iterations} "
+            "rounds (last round still removed edges) — the survivor "
+            "set is a supergraph of the k-core; raise max_iterations"
+        )
     return und.groupBy("u").agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     ).select(F.col("u").alias("node"), "core_deg")

@@ -1827,7 +1827,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= _KCORE_MIN_CO)
         .select("a", "b")
     )
-    return kcore_members(edges, k=_KCORE_K)
+    # engine cap == oracle unroll bound: if the peel ever needs more
+    # rounds than the oracle unrolls, the engine RAISES rather than
+    # silently returning a supergraph the oracle would flag
+    return kcore_members(edges, k=_KCORE_K,
+                         max_iterations=_KCORE_ORACLE_ROUNDS)
 
 
 q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(

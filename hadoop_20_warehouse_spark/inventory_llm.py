@@ -1708,7 +1708,7 @@ tot AS (
 ),
 ranked AS (
   SELECT v.vec_id, v.label, v.dev_v,
-         CAST((1000 * v.dev_v * v.n_vecs) // t.mad_total AS BIGINT) AS ratio_milli,
+         CAST((CAST(1000 AS HUGEINT) * v.dev_v * v.n_vecs) // t.mad_total AS BIGINT) AS ratio_milli,
          CAST(ROW_NUMBER() OVER (PARTITION BY v.label
               ORDER BY v.dev_v DESC, v.vec_id) AS BIGINT) AS rk,
          (v.n_vecs + 99) // 100 AS k_label
@@ -1781,9 +1781,17 @@ def q_embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "dev_v",
-        F.expr("cast((1000 * dev_v * n_vecs) div mad_total as bigint)").alias(
-            "ratio_milli"
-        ),
+        # 128-bit product: dev_v already scales with n_vecs (≈64 dims
+        # · 2e6 micro-units · n), so 1000·dev_v·n_vecs grows as n² and
+        # wraps BIGINT once a label holds ≳8.5k vectors — Spark
+        # (non-ANSI) wraps silently while DuckDB errors.  decimal(38,0)
+        # here and HUGEINT in the oracle keep the identical exact value
+        # to ~1e13 vectors per label; the quotient ≤ 1000·n_vecs fits
+        # BIGINT trivially.
+        F.expr(
+            "cast((cast(dev_v as decimal(38,0)) * n_vecs * 1000)"
+            " div mad_total as bigint)"
+        ).alias("ratio_milli"),
         F.expr("(n_vecs + 99) div 100").alias("k_label"),
     )
     salt = F.pmod(

@@ -904,3 +904,13 @@ def test_kcore_multiround_convergence_and_empty(spark):
     stats2: dict = {}
     assert kcore_members(empty, k=2, stats=stats2).count() == 0
     assert stats2["rounds"] == 1
+    # exhausting max_iterations mid-peel must RAISE, not silently
+    # return the (supergraph) survivor set — the r15-advice gap: a
+    # path needs one wave per end-pair, so a 3-round cap on the
+    # 12-edge path exits with edges still being removed
+    import pytest as _pytest
+
+    stats3: dict = {}
+    with _pytest.raises(RuntimeError, match="not converged"):
+        kcore_members(df, k=2, max_iterations=3, stats=stats3)
+    assert stats3["converged"] is False and stats3["rounds"] == 3
