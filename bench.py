@@ -520,6 +520,10 @@ BENCH_QUERIES: dict[str, object] = {
     # basket_association_rules is join_inner + wordcount shapes;
     # tokenizer_fertility_by_lang re-trains the BPE vocabulary inside
     # the query (the pipeline_release_endgame exclusion precedent).
+    # round-16: multimodal_png_decode stays untimed like
+    # multimodal_image_decode — the Arrow mapInPandas data term is
+    # tracked by multimodal_frame_sample, and the codec CPU is
+    # fixture-synthesis-bound here, not a corpus term.
 }
 
 

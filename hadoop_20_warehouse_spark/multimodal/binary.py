@@ -6,16 +6,18 @@ lives in a ``binary`` column (or object-store pointers), metadata in
 typed columns, and decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-Decode reality, by format (round 10): PPM / BMP / WAV decode is REAL
-— stdlib + numpy parse the actual containers (multimodal/codecs.py;
-see decode_image_meta / audio_features / resize_image_real below).
-JPEG / PNG / MP4 decoders are NOT in this container (PIL/cv2/ffmpeg —
-re-checked every round), so for those ``decode_meta`` extracts real
-byte-level metadata (length, digest, magic sniff) and the ``*_stub``
-paths derive deterministic fake dimensions from the digest — clearly
-marked; swap ``_fake_dims`` for a PIL/ffmpeg call in production. The
-Spark-side plumbing (schema, Arrow batching, partition-parallel UDF)
-is identical in both regimes and oracle-tested.
+Decode reality, by format (rounds 10+16): PPM / BMP / WAV / PNG
+decode is REAL — stdlib + numpy parse the actual containers
+(multimodal/codecs.py; PNG is zlib inflate + the five scanline
+filters in numpy; see decode_image_meta / audio_features /
+resize_image_real below).  JPEG / MP4 decoders are NOT in this
+container (PIL/cv2/ffmpeg — re-checked every round), so for those
+``decode_meta`` extracts real byte-level metadata (length, digest,
+magic sniff) and the ``*_stub`` paths derive deterministic fake
+dimensions from the digest — clearly marked; swap ``_fake_dims`` for
+a PIL/ffmpeg call in production. The Spark-side plumbing (schema,
+Arrow batching, partition-parallel UDF) is identical in both regimes
+and oracle-tested.
 
 Scale notes: mapInPandas streams Arrow record batches; with binary
 payloads set ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a
@@ -54,22 +56,22 @@ def _fake_dims(digest_hex: str) -> tuple[int, int]:
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decode for the formats the container can parse (PPM/BMP —
-    multimodal/codecs.py); jpeg/png still require PIL/opencv, not
-    installed here — those fall back to this gate."""
+    """Real decode for the formats the container can parse
+    (PPM/BMP/PNG — multimodal/codecs.py); jpeg still requires
+    PIL/opencv, not installed here — those fall back to this gate."""
     from hadoop_20_warehouse_spark.multimodal.codecs import (
         decode_image,
         sniff_format,
     )
 
     fmt = sniff_format(payload)
-    if fmt in ("ppm", "bmp"):
+    if fmt in ("ppm", "bmp", "png"):
         _, img = decode_image(payload)
         return img.shape[1], img.shape[0]
     raise NotImplementedError(
         f"decoding '{fmt}' requires PIL/opencv, not installed here; "
-        "decode_meta uses _fake_dims instead (ppm/bmp/wav decode IS real "
-        "— see decode_image_meta/audio_features)"
+        "decode_meta uses _fake_dims instead (ppm/bmp/png/wav decode IS "
+        "real — see decode_image_meta/audio_features)"
     )
 
 
@@ -289,10 +291,11 @@ IMAGE_META_SCHEMA = (
 
 def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """REAL image decode over Arrow batches: sniff the container magic,
-    parse PPM/BMP pixels with numpy, and emit true dimensions and
-    per-channel means (rounded to 6 decimals, the transcendental
-    discipline).  Unsupported formats (jpeg/png/...) raise — the honest
-    gate moved from 'all decode' down to 'codecs this container lacks'."""
+    parse PPM/BMP/PNG pixels with numpy (PNG: zlib inflate + scanline
+    unfiltering), and emit true dimensions and per-channel means
+    (rounded to 6 decimals, the transcendental discipline).
+    Unsupported formats (jpeg/...) raise — the honest gate moved from
+    'all decode' down to 'codecs this container lacks'."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd

@@ -2,16 +2,19 @@
 
 The multimodal plumbing (multimodal/binary.py) has carried a gated
 stub for image/audio decode since round 1 because PIL/cv2/ffmpeg are
-not installed.  That gate is honest but narrower than necessary: three
+not installed.  That gate is honest but narrower than necessary: four
 production formats are decodable with what IS here —
 
 - **PPM (P6)**: pure header parse + raw RGB24 — numpy reshape.
 - **BMP** (uncompressed 24/32-bit): fixed little-endian header + row-
   padded pixels — struct + numpy.
 - **WAV** (PCM): Python stdlib ``wave`` + numpy for sample features.
+- **PNG** (round 16): stdlib ``zlib`` inflate + the five scanline
+  filters in numpy — all five color types, bit depths 1/2/4/8/16,
+  non-interlaced (Adam7 raises; see decode_png).
 
 So decode is REAL for these (bytes → true dimensions, true pixels,
-true sample statistics, true nearest-neighbor resample); JPEG/PNG/MP4
+true sample statistics, true nearest-neighbor resample); JPEG/MP4
 remain gated behind the PIL/ffmpeg import-try in binary.py.
 
 Everything here is per-payload pure functions — the Spark side stays
@@ -29,6 +32,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -187,6 +191,249 @@ def decode_wav_features(payload: bytes) -> dict:
     }
 
 
+# --- PNG (stdlib zlib + numpy — round 16) ------------------------------------
+# The only remaining image-format family tractable without PIL/cv2:
+# PNG's pixel pipeline is zlib (stdlib) + five scanline filters
+# (spec: https://www.w3.org/TR/png-3/, RFC 2083).  JPEG stays gated —
+# a baseline-DCT decoder is ~600 LoC of Huffman+IDCT and out of scope.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by color type: 0 gray, 2 RGB, 3 palette index,
+# 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length + type + data + CRC32(type||data)."""
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (png-3 §9.4): nearest of left/up/up-left to
+    the linear gradient a+b-c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters → (h, stride) uint8.
+
+    ``stride`` is filtered bytes per scanline (excluding the leading
+    filter-type byte); ``bpp`` the filter unit in BYTES (ceil of
+    bits-per-pixel / 8, min 1 — sub-byte depths filter whole bytes).
+
+    None and Up are whole-row numpy ops; Sub is a per-``bpp``-lane
+    cumulative sum (uint8 cumsum IS mod-256, exactly the spec's
+    arithmetic); Average and Paeth depend on the just-decoded left
+    neighbor so they scan the row serially — fine for Arrow-batched
+    thumbnails/fixtures; a 100 TB image pipeline would push these two
+    hot loops through numba/Cython with the same semantics."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += stride + 1
+        if ft == 0:  # None
+            cur = line.copy()
+        elif ft == 1:  # Sub: per-lane mod-256 cumsum
+            cur = line.copy()
+            for lane in range(bpp):
+                np.cumsum(cur[lane::bpp], dtype=np.uint8,
+                          out=cur[lane::bpp])
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraps = mod 256
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+def _expand_bits(rows: np.ndarray, w: int, depth: int,
+                 channels: int) -> np.ndarray:
+    """(h, stride) packed scanline bytes → (h, w·channels) samples at
+    native depth (sub-byte depths unpack MSB-first per png-3 §7.2)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels]
+    if depth == 16:
+        # big-endian pairs → most-significant byte (the standard 8-bit
+        # reduction; exact for the 0x0101-multiple values encoders emit)
+        return rows.reshape(h, -1)[:, 0 : 2 * w * channels : 2]
+    bits = np.unpackbits(rows, axis=1)
+    samples = np.empty((h, w * channels), dtype=np.uint8)
+    for j in range(w * channels):
+        acc = np.zeros(h, dtype=np.uint8)
+        for b in range(depth):
+            acc = (acc << 1) | bits[:, j * depth + b]
+        samples[:, j] = acc
+    return samples
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array (height, width, 3) RGB, via stdlib zlib +
+    numpy only (no PIL).  Supports all five color types (grayscale,
+    RGB, palette, gray+alpha, RGBA), bit depths 1/2/4/8 (+16, reduced
+    to 8 by taking the high byte), multiple IDAT chunks, and all five
+    scanline filters.  Alpha is DROPPED (the decode contract is RGB
+    pixels — compositing policy belongs to the caller); grayscale is
+    replicated across channels after scaling to the 0–255 range
+    (factor 255/(2^depth−1), exact in integers).  Adam7 interlacing
+    raises — honest gate, the streams this warehouse ingests are
+    written non-interlaced."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    n = len(payload)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if ctype_n not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype_n}")
+    if depth not in (1, 2, 4, 8, 16) or (
+        ctype_n != 0 and ctype_n != 3 and depth < 8
+    ) or (ctype_n == 3 and depth == 16):
+        raise ValueError(f"bad PNG bit depth {depth} for type {ctype_n}")
+    channels = _PNG_CHANNELS[ctype_n]
+    bits_pp = depth * channels
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    raw = zlib.decompress(b"".join(idat))
+    rows = _unfilter(raw, h, stride, bpp)
+    samples = _expand_bits(rows, w, depth, channels)
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[samples.reshape(h, w)]
+    pix = samples.reshape(h, w, channels)
+    if ctype_n == 0 or ctype_n == 4:
+        gray = pix[:, :, 0]
+        if depth < 8:  # scale to full range: 255/(2^d-1) is integral
+            gray = (gray.astype(np.uint16) * (255 // ((1 << depth) - 1))
+                    ).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    return pix[:, :, :3]  # RGB / RGBA minus alpha
+
+
+def encode_png(
+    img: np.ndarray,
+    filters: str | list[int] = "cycle",
+    level: int = 6,
+) -> bytes:
+    """A real PNG from a uint8 array — (h, w) gray → color type 0,
+    (h, w, 3) → RGB (type 2).  ``filters``: per-row filter types, or
+    ``"cycle"`` to rotate through all five (y mod 5) so round-trip
+    tests exercise every unfilter path, or ``"none"`` for filter 0.
+    Encoding filters forward with whole-row numpy (mod-256 uint8
+    subtraction; Average/Paeth predictors vectorized over the row —
+    the ENCODER has no serial dependency, it only reads original
+    neighbors)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png wants uint8 pixels")
+    if img.ndim == 2:
+        ctype_n, channels = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ctype_n, channels = 2, 3
+        flat = img
+    else:
+        raise ValueError("encode_png wants (h,w) gray or (h,w,3) RGB")
+    h, w = img.shape[:2]
+    bpp = channels
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+    if filters == "cycle":
+        ftypes = [y % 5 for y in range(h)]
+    elif filters == "none":
+        ftypes = [0] * h
+    else:
+        ftypes = list(filters)
+    lines = []
+    prev = np.zeros((w, channels), dtype=np.uint8)
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[1:] = cur[:-1]
+        up_left = np.zeros_like(cur)
+        up_left[1:] = prev[:-1]
+        ft = ftypes[y]
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            avg = ((left.astype(np.uint16) + prev.astype(np.uint16)) >> 1
+                   ).astype(np.uint8)
+            out = cur - avg
+        elif ft == 4:
+            a = left.astype(np.int16)
+            b = prev.astype(np.int16)
+            c = up_left.astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            ).astype(np.uint8)
+            out = cur - pred
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        lines.append(bytes([ft]) + out.tobytes())
+        prev = cur
+    body = zlib.compress(b"".join(lines), level)
+    return (
+        _PNG_SIG
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", body)
+        + png_chunk(b"IEND", b"")
+    )
+
+
 # --- resampling ---------------------------------------------------------------
 
 
@@ -210,11 +457,13 @@ def fit_box(w: int, h: int, box_w: int, box_h: int) -> tuple[int, int]:
 
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
-    """Dispatch: real decode for ppm/bmp; gated error for formats
+    """Dispatch: real decode for ppm/bmp/png; gated error for formats
     needing PIL/ffmpeg (kept honest — see multimodal/binary.py)."""
     fmt = sniff_format(payload)
     if fmt == "ppm":
         return fmt, decode_ppm(payload)
     if fmt == "bmp":
         return fmt, decode_bmp(payload)
+    if fmt == "png":
+        return fmt, decode_png(payload)
     raise ValueError(f"no container-native decoder for format '{fmt}'")

@@ -7,14 +7,18 @@ import numpy as np
 import pytest
 
 from hadoop_20_warehouse_spark.multimodal.codecs import (
+    _PNG_SIG,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_ppm,
     decode_wav_features,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav_square,
     fit_box,
+    png_chunk,
     resize_nearest,
     sniff_format,
 )
@@ -82,7 +86,8 @@ def test_sniff_and_dispatch_gate():
     assert sniff_format(encode_wav_square(8000, 4, 1)) == "wav"
     assert sniff_format(b"\xff\xd8\xff\xe0junk") == "jpeg"
     assert sniff_format(b"\x89PNGjunk") == "png"
-    # jpeg/png stay gated (no PIL in the container)
+    # jpeg stays gated (no PIL in the container); png decodes for real
+    # as of round 16 (stdlib zlib + numpy — see test_png_* below)
     with pytest.raises(ValueError, match="no container-native decoder"):
         decode_image(b"\xff\xd8\xff\xe0junk")
     from hadoop_20_warehouse_spark.multimodal.binary import decode_image_real
@@ -90,7 +95,9 @@ def test_sniff_and_dispatch_gate():
     w, h = decode_image_real(encode_ppm(9, 6, (1, 2, 3)))
     assert (w, h) == (9, 6)
     with pytest.raises(NotImplementedError, match="requires PIL"):
-        decode_image_real(b"\x89PNGjunk")
+        decode_image_real(b"\xff\xd8\xff\xe0junk")
+    rgb = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+    assert decode_image_real(encode_png(rgb)) == (4, 5)
 
 
 def test_spark_real_decode_paths(spark):
@@ -124,3 +131,167 @@ def test_spark_real_decode_paths(spark):
     )
     feat = audio_features(wavs, "id", "payload").collect()[0]
     assert feat["rms"] == 500.0 and feat["n_samples"] == 64
+
+
+# --- PNG (round 16: stdlib zlib + numpy) -------------------------------------
+
+
+def test_png_rgb_roundtrip_every_filter():
+    """Every scanline filter type reverses exactly: per-filter
+    constant rows AND the all-five cycle over random pixels."""
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 3), (18, 32), (13, 7)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for filt in ["cycle", "none", [1] * h, [2] * h, [3] * h, [4] * h]:
+            back = decode_png(encode_png(img, filters=filt))
+            assert np.array_equal(back, img), (h, w, filt)
+
+
+def test_png_grayscale_and_subbyte_depths():
+    """Color type 0 replicates to 3 channels; 1-bit packs MSB-first
+    and scales by 255 (the exact 255/(2^d−1) factor)."""
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(g)), np.repeat(g[:, :, None], 3, axis=2)
+    )
+    import struct
+    import zlib
+
+    w, h = 10, 4
+    bw = rng.integers(0, 2, (h, w), dtype=np.uint8)
+    rows = b"".join(
+        b"\x00" + np.packbits(bw[y]).tobytes() for y in range(h)
+    )
+    payload = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0))
+        + png_chunk(b"IDAT", zlib.compress(rows))
+        + png_chunk(b"IEND", b"")
+    )
+    want = np.repeat((bw * 255)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(payload), want)
+
+
+def test_png_palette_rgba_16bit_and_multi_idat():
+    """The hand-built containers no encoder here emits: 4-bit palette
+    lookup, RGBA alpha drop, 16-bit high-byte reduction, and an IDAT
+    stream split across chunks (spec allows any split)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(9)
+    # 4-bit palette
+    pal = bytes(rng.integers(0, 256, 48, dtype=np.uint8))
+    w, h, d = 5, 3, 4
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    rows = b""
+    for y in range(h):
+        bits = np.unpackbits(idx[y][:, None], axis=1)[:, -d:].flatten()
+        rows += b"\x00" + np.packbits(bits).tobytes()
+    payload = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, d, 3, 0, 0, 0))
+        + png_chunk(b"PLTE", pal)
+        + png_chunk(b"IDAT", zlib.compress(rows))
+        + png_chunk(b"IEND", b"")
+    )
+    want = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(decode_png(payload), want)
+    # RGBA: alpha dropped
+    w, h = 6, 2
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    rows = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    payload = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + png_chunk(b"IDAT", zlib.compress(rows))
+        + png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), rgba[:, :, :3])
+    # 16-bit RGB with v*257 samples → high byte == v exactly
+    w, h = 4, 3
+    v = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rows = b"".join(
+        b"\x00" + (v[y].astype(np.uint16) * 257).astype(">u2").tobytes()
+        for y in range(h)
+    )
+    payload = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + png_chunk(b"IDAT", zlib.compress(rows))
+        + png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), v)
+    # multi-IDAT: split the compressed stream mid-byte-run
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    enc = encode_png(img, filters="none")
+    pos, chunks = 8, {}
+    while pos < len(enc):
+        (ln,) = struct.unpack_from(">I", enc, pos)
+        chunks[enc[pos + 4 : pos + 8]] = enc[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    rebuilt = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", chunks[b"IHDR"])
+        + png_chunk(b"IDAT", chunks[b"IDAT"][:5])
+        + png_chunk(b"IDAT", chunks[b"IDAT"][5:])
+        + png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(rebuilt), img)
+
+
+def test_png_error_gates():
+    """Honest failures: Adam7, bad signature, truncated pixel data,
+    palette without PLTE."""
+    import struct
+    import zlib
+
+    ihdr_i1 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    bad = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", ihdr_i1)
+        + png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(bad)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNGjunk")
+    short = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(short)
+    no_plte = (
+        _PNG_SIG
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x00"))
+        + png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+
+
+def test_png_spark_decode_path(spark):
+    """decode_image_meta over real PNG payloads: the mapInPandas leg
+    the registered multimodal_png_decode query runs, at unit scale."""
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.multimodal.binary import decode_image_meta
+
+    grad = (np.arange(4)[:, None] + np.arange(6)[None, :]).astype(np.uint8)
+    rgb = np.stack([10 + grad, 20 + grad, 30 + grad], axis=2).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(encode_png(rgb))),
+            Row(id=2, payload=bytearray(encode_png((50 + grad).astype(np.uint8)))),
+        ]
+    )
+    meta = {r["id"]: r for r in decode_image_meta(imgs, "id", "payload").collect()}
+    assert meta[1]["fmt"] == "png" and meta[1]["width"] == 6
+    # gradient mean: c0 + (w-1)/2 + (h-1)/2 = c0 + 2.5 + 1.5
+    assert meta[1]["mean_r"] == 14.0 and meta[1]["mean_b"] == 34.0
+    assert meta[2]["mean_g"] == 54.0  # gray replicated across channels
