@@ -524,6 +524,15 @@ BENCH_QUERIES: dict[str, object] = {
     # multimodal_image_decode — the Arrow mapInPandas data term is
     # tracked by multimodal_frame_sample, and the codec CPU is
     # fixture-synthesis-bound here, not a corpus term.
+    # round-16 (r15 VERDICT #3): the two novel-SHAPE r15 queries join
+    # the timed set — graph_triangle_count's wedge-explode term is a
+    # shape no other timed query prices (explode over adjacency lists
+    # + edge-set semi join; the skew-fragile 3-join alternative is the
+    # foil), and scd2_dimension_build's triple-window one-exchange
+    # build is the dimension-maintenance hot path.  Anchored on
+    # landing per the BASELINE.md five-run protocol.
+    "graph_triangle_count": QUERIES["graph_triangle_count"],
+    "scd2_dimension_build": QUERIES["scd2_dimension_build"],
 }
 
 
@@ -1144,6 +1153,14 @@ def main() -> None:
             # (broadcast fell back to shuffle, or key skew collapsed a
             # partition), which no single-point timing can see.
             "join_inner",
+            # r16 additions (r15 VERDICT #3): triangle counting's
+            # wedge explode is quadratic in per-node degree — this
+            # probe is the alarm if the co-purchase graph densifies
+            # super-linearly with corpus growth; the SCD2 build
+            # should track its change-log row count ~linearly (all
+            # three windows ride one user-keyed exchange).
+            "graph_triangle_count",
+            "scd2_dimension_build",
         ):
             scaling[name] = {
                 "small_s": round(steady_time(BENCH_QUERIES[name], small_dir), 3),

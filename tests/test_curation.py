@@ -610,3 +610,79 @@ def test_vocab_stats_separates_spam_from_noise(spark, tmp_path):
     }
     assert got["spam"] == (100, 2, 0, 20, 0)
     assert got["noise"] == (50, 50, 50, 1000, 1000)
+
+
+def test_curation_funnel_planted_pathologies_move_every_counter(
+    spark, tmp_path
+):
+    """pipeline_curation_funnel against a corpus with PLANTED
+    pathologies (r15 VERDICT #6): the driver fixture is benign, so its
+    attrition numbers are near-trivial — this fixture makes every
+    stage's delta load-bearing.  Plants: a mass-duplicate family
+    (ids 1/2/3 identical), a near-dup pair differing only in the
+    leading token (4/5 — survives the leading-span exact key, collapses
+    in LSH), a contaminated training doc carrying a 17-token run of the
+    eval doc's text (21 vs eval 20 — ≥25% trigram overlap, the decon
+    drop bar, while its ~0.15 true Jaccard stays under the 0.5 LSH
+    pair bar), a gate-failing junk doc (6 — seed picked against the
+    deterministic hashed classifier), an embedding-duplicate pair
+    (7/8 share a vector → SemDeDup removes the larger id), and a
+    high-PII doc (9 — seven planted emails on top of the fixture
+    augmentation).  Every expected counter is hand-derived below."""
+    import os
+    import random
+    import string
+
+    from hadoop_20_warehouse_spark.inventory_curation import (
+        q_pipeline_curation_funnel,
+    )
+
+    def words(n, seed):
+        r = random.Random(seed)
+        return " ".join(
+            "".join(r.choice(string.ascii_lowercase)
+                    for _ in range(r.randint(3, 8)))
+            for _ in range(n)
+        )
+
+    # seeds 13/14/19/21/22 pass the deterministic classifier gate for
+    # 60-word texts, seed 40 passes WITH the mails appended, seed 100
+    # (40 words) fails — found by probing _classifier_gate directly
+    a = words(60, 13)
+    b = words(60, 14)
+    b_near = "zq " + b
+    ev = words(60, 19)
+    contaminated = words(43, 20) + " " + " ".join(ev.split()[30:47])
+    junk = words(40, 100)
+    n7, n8 = words(60, 21), words(60, 22)
+    mails = " ".join(
+        f"{u}@corp.example"
+        for u in ("alice", "bob", "carol", "dave", "erin", "frank", "grace")
+    )
+    n9 = words(60, 40) + " " + mails
+    texts = {1: a, 2: a, 3: a, 4: b, 5: b_near, 6: junk,
+             7: n7, 8: n8, 9: n9, 20: ev, 21: contaminated}
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    vec = [0.5] * 8
+    spark.createDataFrame(
+        [(7, vec, 0), (8, vec, 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    row = q_pipeline_curation_funnel(spark, d).collect()[0]
+    assert row.n_raw == 11
+    assert row.n_exact == 9       # mass-duplicate family: -2
+    assert row.n_neardup == 8     # LSH collapses 4/5 to the longer rep (5)
+    assert row.n_decontaminated == 6  # -1 eval carve (20), -1 contaminated (21)
+    assert row.n_gated == 5       # junk doc 6 fails the classifier
+    assert row.n_final == 4       # SemDeDup drops 8 (same cell as 7, larger id)
+    # survivors {1, 5, 7, 9}: augmentation plants email+ip+phone per doc
+    # (+1 email at id%3==0, +1 phone at id%5==0) = 3+4+3+4, plus the
+    # seven planted addresses on doc 9
+    assert row.final_pii_redacted == 14 + 7
+    # token mass: 60 (a) + 61 (zq+b) + 60 (n7) + 67 (n9 incl mails)
+    assert row.final_tokens == 248

@@ -532,3 +532,49 @@ def test_scd2_point_in_time_is_join_free_single_exchange(spark, sf_dir):
     assert count_exchanges(df) == 2
     plan = physical_plan(df)
     assert "Join" not in plan, f"pit lookup should be join-free, got:\n{plan}"
+
+
+def test_jdbc_partitioned_read_splits_and_pushdown(spark, tmp_path):
+    """DBInputFormat's per-split contract (r15 VERDICT #7), plan-
+    asserted against an embedded Derby database: the reference built
+    one ``LIMIT len OFFSET start`` query per split
+    (mapred/lib/db/DBInputFormat.java:87-115); the Spark analog is a
+    partitionColumn range read — the scan must plan numPartitions
+    JDBC partitions (one bounded WHERE per task, the same
+    parallel-read contract), and a filter must reach the database as
+    a pushed predicate, not a post-scan Spark filter.  The registered
+    db_count_pageview query runs the count core over parquet; THIS
+    pins the JDBC endpoints themselves on a multi-partition
+    fixture."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.sources.io import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+    )
+    write_jdbc(df, url, "pageviews", mode="overwrite", driver=drv)
+    back = read_jdbc(
+        spark, url, "pageviews",
+        partition_column="id", lower_bound=0, upper_bound=1000,
+        num_partitions=4, driver=drv,
+    )
+    # the parallel-read contract: 4 range splits, all rows exactly once
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 1000
+    assert [r.n for r in back.groupBy().agg(
+        F.countDistinct("id").alias("n")).collect()] == [1000]
+    plan = physical_plan(back.filter(F.col("grp") == 3).select("id"))
+    assert "JDBCRelation(pageviews) [numPartitions=4]" in plan
+    # predicate pushed to the database (DBInputFormat's WHERE clause)
+    assert "EqualTo(grp,3)" in plan
+    # round-trip values survive both JDBC legs
+    got = sorted(
+        (r.id, r.grp, r.name)
+        for r in back.filter(F.col("id") < 3).collect()
+    )
+    assert got == [(0, 0, "u0"), (1, 1, "u1"), (2, 2, "u2")]

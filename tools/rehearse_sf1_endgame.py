@@ -96,6 +96,17 @@ def main() -> None:
                 "embeddings_scaled": True,
             }
             print(json.dumps({name: out[name]}), flush=True)
+        # per-stage attrition at both points (r15 VERDICT #5): the
+        # funnel query runs the SAME hygiene chain the full endgame
+        # front-loads, so its counters ARE the endgame's stage-by-stage
+        # survivor counts — raw -> exact -> neardup -> decontaminated
+        # -> gated -> final, plus surviving token/PII mass.
+        fun = QUERIES["pipeline_curation_funnel"]
+        for tag, d in (("sf0.1", SF01), ("sf1", sf1)):
+            row = fun(spark, d).collect()[0]
+            out[f"funnel_{tag}"] = {k: int(v) for k, v in row.asDict().items()}
+            print(json.dumps({f"funnel_{tag}": out[f"funnel_{tag}"]}),
+                  flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print("RESULT " + json.dumps(out, sort_keys=True))
