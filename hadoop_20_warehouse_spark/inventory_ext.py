@@ -2020,6 +2020,73 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(imgs, "id", "payload")
 
 
+# even-gray JPEG exactness: a uniform block's only nonzero DCT
+# coefficient is DC = 8·(v−128); at quality 50 the Annex-K DC quant
+# step is 16, so even v quantizes with zero remainder and
+# decode(encode(v)) == v bit-exactly — a LOSSY codec with a
+# closed-form oracle on this fixture family.
+_JPEG_DECODE_SQL = """
+SELECT o_orderkey AS id,
+       'jpeg' AS fmt,
+       CAST(o_orderkey % 31 + 2 AS BIGINT) AS width,
+       CAST(o_orderkey % 17 + 2 AS BIGINT) AS height,
+       CAST((o_custkey % 127) * 2 AS DOUBLE) AS mean_r,
+       CAST((o_custkey % 127) * 2 AS DOUBLE) AS mean_g,
+       CAST((o_custkey % 127) * 2 AS DOUBLE) AS mean_b
+FROM orders
+"""
+
+
+@register("multimodal_jpeg_decode", oracle=_JPEG_DECODE_SQL)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, zero image libraries (round 16 —
+    the codec gate now holds only video): per-order JPEG container
+    bytes are synthesized from order columns (uniform grayscale at
+    the EVEN value 2·(o_custkey % 127); odd keys additionally carry a
+    DRI/RSTn restart structure, which must decode identically) and
+    decoded by the pure numpy T.81 pipeline (multimodal/jpeg.py —
+    marker walk, Huffman, dequant, IDCT, clamp).  Lossy codecs
+    normally defeat hash oracles; the even-gray contract (module
+    docstring: DC = 8·(v−128) divisible by the quality-50 quant step)
+    makes this fixture family decode BIT-EXACTLY, so the oracle
+    predicts dims and channel means in closed form — any drift in the
+    Huffman tables, dequant, IDCT scaling, or restart resync shifts a
+    mean.  Gradients/color/4:2:0 are covered by round-trip-tolerance
+    pytest (test_codecs).  Reference analog: binary payload rows in
+    SequenceFiles (io/BytesWritable.java); both stages Arrow-batched
+    mapInPandas, zero shuffle."""
+    from hadoop_20_warehouse_spark.multimodal.binary import decode_image_meta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 31 + 2).cast("int").alias("w"),
+        (F.col("o_orderkey") % 17 + 2).cast("int").alias("h"),
+        ((F.col("o_custkey") % 127) * 2).cast("int").alias("v"),
+        (F.col("o_orderkey") % 2).cast("int").alias("use_rst"),
+    )
+
+    def enc(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    _np.full((h, w), v, _np.uint8),
+                    restart_interval=2 if rst else 0,
+                )
+                for w, h, v, rst in zip(
+                    pdf["w"], pdf["h"], pdf["v"], pdf["use_rst"]
+                )
+            ]
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    return decode_image_meta(imgs, "id", "payload")
+
+
 _AUDIO_SQL = """
 SELECT c_custkey AS id,
        CAST(8000 + (c_custkey % 3) * 4000 AS BIGINT) AS sample_rate,

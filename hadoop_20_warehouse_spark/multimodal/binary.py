@@ -6,16 +6,17 @@ lives in a ``binary`` column (or object-store pointers), metadata in
 typed columns, and decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-Decode reality, by format (rounds 10+16): PPM / BMP / WAV / PNG
-decode is REAL — stdlib + numpy parse the actual containers
+Decode reality, by format (rounds 10+16): PPM / BMP / WAV / PNG /
+JPEG decode is REAL — stdlib + numpy parse the actual containers
 (multimodal/codecs.py; PNG is zlib inflate + the five scanline
-filters in numpy; see decode_image_meta / audio_features /
-resize_image_real below).  JPEG / MP4 decoders are NOT in this
-container (PIL/cv2/ffmpeg — re-checked every round), so for those
+filters in numpy; JPEG is a baseline-T.81 Huffman+IDCT decoder in
+multimodal/jpeg.py; see decode_image_meta / audio_features /
+resize_image_real below).  Video (MP4) decode is NOT in this
+container (ffmpeg — re-checked every round), so for it
 ``decode_meta`` extracts real byte-level metadata (length, digest,
 magic sniff) and the ``*_stub`` paths derive deterministic fake
 dimensions from the digest — clearly marked; swap ``_fake_dims`` for
-a PIL/ffmpeg call in production. The Spark-side plumbing (schema,
+an ffmpeg call in production. The Spark-side plumbing (schema,
 Arrow batching, partition-parallel UDF) is identical in both regimes
 and oracle-tested.
 
@@ -57,21 +58,21 @@ def _fake_dims(digest_hex: str) -> tuple[int, int]:
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
     """Real decode for the formats the container can parse
-    (PPM/BMP/PNG — multimodal/codecs.py); jpeg still requires
-    PIL/opencv, not installed here — those fall back to this gate."""
+    (PPM/BMP/PNG/baseline JPEG — multimodal/codecs.py, jpeg.py);
+    anything else (video, progressive JPEG) falls back to this gate."""
     from hadoop_20_warehouse_spark.multimodal.codecs import (
         decode_image,
         sniff_format,
     )
 
     fmt = sniff_format(payload)
-    if fmt in ("ppm", "bmp", "png"):
+    if fmt in ("ppm", "bmp", "png", "jpeg"):
         _, img = decode_image(payload)
         return img.shape[1], img.shape[0]
     raise NotImplementedError(
-        f"decoding '{fmt}' requires PIL/opencv, not installed here; "
-        "decode_meta uses _fake_dims instead (ppm/bmp/png/wav decode IS "
-        "real — see decode_image_meta/audio_features)"
+        f"decoding '{fmt}' requires ffmpeg/PIL, not installed here; "
+        "decode_meta uses _fake_dims instead (ppm/bmp/png/jpeg/wav "
+        "decode IS real — see decode_image_meta/audio_features)"
     )
 
 
@@ -291,11 +292,12 @@ IMAGE_META_SCHEMA = (
 
 def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """REAL image decode over Arrow batches: sniff the container magic,
-    parse PPM/BMP/PNG pixels with numpy (PNG: zlib inflate + scanline
-    unfiltering), and emit true dimensions and per-channel means
-    (rounded to 6 decimals, the transcendental discipline).
-    Unsupported formats (jpeg/...) raise — the honest gate moved from
-    'all decode' down to 'codecs this container lacks'."""
+    parse PPM/BMP/PNG/JPEG pixels with numpy (PNG: zlib inflate +
+    scanline unfiltering; JPEG: baseline Huffman + IDCT), and emit
+    true dimensions and per-channel means (rounded to 6 decimals, the
+    transcendental discipline).  Unsupported formats (video/...)
+    raise — the honest gate moved from 'all decode' down to 'codecs
+    this container lacks'."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd

@@ -12,10 +12,13 @@ production formats are decodable with what IS here —
 - **PNG** (round 16): stdlib ``zlib`` inflate + the five scanline
   filters in numpy — all five color types, bit depths 1/2/4/8/16,
   non-interlaced (Adam7 raises; see decode_png).
+- **JPEG** (round 16): baseline sequential T.81 in multimodal/jpeg.py
+  — marker parse, Huffman, dequant, numpy IDCT, 4:2:0 upsampling,
+  restart intervals (progressive raises; see decode_jpeg).
 
 So decode is REAL for these (bytes → true dimensions, true pixels,
-true sample statistics, true nearest-neighbor resample); JPEG/MP4
-remain gated behind the PIL/ffmpeg import-try in binary.py.
+true sample statistics, true nearest-neighbor resample); only video
+(MP4/ffmpeg) remains gated behind the import-try in binary.py.
 
 Everything here is per-payload pure functions — the Spark side stays
 in multimodal/binary.py as Arrow-batched ``mapInPandas``; these run
@@ -457,8 +460,8 @@ def fit_box(w: int, h: int, box_w: int, box_h: int) -> tuple[int, int]:
 
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
-    """Dispatch: real decode for ppm/bmp/png; gated error for formats
-    needing PIL/ffmpeg (kept honest — see multimodal/binary.py)."""
+    """Dispatch: real decode for ppm/bmp/png/jpeg; gated error for
+    formats needing ffmpeg (kept honest — see multimodal/binary.py)."""
     fmt = sniff_format(payload)
     if fmt == "ppm":
         return fmt, decode_ppm(payload)
@@ -466,4 +469,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_bmp(payload)
     if fmt == "png":
         return fmt, decode_png(payload)
+    if fmt == "jpeg":
+        from hadoop_20_warehouse_spark.multimodal.jpeg import decode_jpeg
+
+        return fmt, decode_jpeg(payload)
     raise ValueError(f"no container-native decoder for format '{fmt}'")

@@ -86,16 +86,16 @@ def test_sniff_and_dispatch_gate():
     assert sniff_format(encode_wav_square(8000, 4, 1)) == "wav"
     assert sniff_format(b"\xff\xd8\xff\xe0junk") == "jpeg"
     assert sniff_format(b"\x89PNGjunk") == "png"
-    # jpeg stays gated (no PIL in the container); png decodes for real
-    # as of round 16 (stdlib zlib + numpy — see test_png_* below)
+    # png AND baseline jpeg decode for real as of round 16; only
+    # formats with no codec at all (gif, video) stay gated
     with pytest.raises(ValueError, match="no container-native decoder"):
-        decode_image(b"\xff\xd8\xff\xe0junk")
+        decode_image(b"GIF89ajunk")
     from hadoop_20_warehouse_spark.multimodal.binary import decode_image_real
 
     w, h = decode_image_real(encode_ppm(9, 6, (1, 2, 3)))
     assert (w, h) == (9, 6)
-    with pytest.raises(NotImplementedError, match="requires PIL"):
-        decode_image_real(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(NotImplementedError, match="requires ffmpeg"):
+        decode_image_real(b"GIF89ajunk")
     rgb = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
     assert decode_image_real(encode_png(rgb)) == (4, 5)
 
@@ -295,3 +295,110 @@ def test_png_spark_decode_path(spark):
     # gradient mean: c0 + (w-1)/2 + (h-1)/2 = c0 + 2.5 + 1.5
     assert meta[1]["mean_r"] == 14.0 and meta[1]["mean_b"] == 34.0
     assert meta[2]["mean_g"] == 54.0  # gray replicated across channels
+
+
+# --- JPEG (round 16: baseline T.81, stdlib + numpy) --------------------------
+
+
+def test_jpeg_even_gray_exact_contract():
+    """The registered query's oracle lean: uniform grayscale at an
+    EVEN value survives encode->decode bit-exactly at quality 50
+    (DC = 8·(v−128) divisible by the Annex-K DC quant step 16),
+    including edge-padded partial blocks and restart intervals."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in (0, 2, 64, 128, 200, 254):
+        for shape in [(16, 24), (9, 13), (2, 33)]:
+            img = np.full(shape, v, np.uint8)
+            back = decode_jpeg(encode_jpeg(img))
+            assert back.shape == (*shape, 3)
+            assert (back == v).all(), (v, shape)
+    img = np.full((32, 48), 200, np.uint8)
+    with_rst = decode_jpeg(encode_jpeg(img, restart_interval=2))
+    assert (with_rst == 200).all()
+
+
+def test_jpeg_roundtrip_tolerance_gray_color_420_restart():
+    """Lossy round-trips stay within JPEG-typical error bounds on
+    smooth content, and restart-marker scans decode identically to
+    their unrestarted twins (resync + DC-predictor reset)."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    g = (np.arange(48)[None, :] * 3 + np.arange(32)[:, None] * 2 + 20
+         ).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(g))
+    assert np.abs(back[:, :, 0].astype(int) - g.astype(int)).max() <= 15
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, restart_interval=3)),
+        decode_jpeg(encode_jpeg(g)),
+    )
+    x = np.linspace(0, 1, 40)
+    y = np.linspace(0, 1, 24)
+    img = np.stack(
+        [80 + 100 * np.outer(y, x), 60 + 80 * np.outer(1 - y, x),
+         np.full((24, 40), 120.0)],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        back = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert back.shape == img.shape
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 12, sub
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=90, subsampling="420",
+                                restart_interval=2)),
+        decode_jpeg(encode_jpeg(img, quality=90, subsampling="420")),
+    )
+
+
+def test_jpeg_error_gates_and_dispatch():
+    """Honest failures: progressive (SOF2) raises, garbage raises;
+    the sniff dispatch routes jpeg bytes to the real decoder."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    g = np.full((8, 8), 100, np.uint8)
+    enc = bytearray(encode_jpeg(g))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x00junk")
+    fmt, arr = decode_image(encode_jpeg(g))
+    assert fmt == "jpeg" and (arr == 100).all()
+    from hadoop_20_warehouse_spark.multimodal.binary import decode_image_real
+
+    assert decode_image_real(encode_jpeg(np.full((4, 6), 50, np.uint8))) \
+        == (6, 4)
+
+
+def test_jpeg_spark_decode_path(spark):
+    """decode_image_meta over real JPEG payloads — the mapInPandas leg
+    the registered multimodal_jpeg_decode query runs, at unit scale."""
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.multimodal.binary import decode_image_meta
+    from hadoop_20_warehouse_spark.multimodal.jpeg import encode_jpeg
+
+    imgs = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(
+                encode_jpeg(np.full((4, 6), 88, np.uint8)))),
+            Row(id=2, payload=bytearray(
+                encode_jpeg(np.full((5, 3), 200, np.uint8),
+                            restart_interval=1))),
+        ]
+    )
+    meta = {r["id"]: r
+            for r in decode_image_meta(imgs, "id", "payload").collect()}
+    assert meta[1]["fmt"] == "jpeg" and meta[1]["width"] == 6
+    assert meta[1]["mean_r"] == 88.0 and meta[1]["mean_b"] == 88.0
+    assert meta[2]["height"] == 5 and meta[2]["mean_g"] == 200.0
