@@ -2087,6 +2087,76 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(imgs, "id", "payload")
 
 
+_MP4_META_SQL = """
+SELECT o_orderkey AS id,
+       'isom' AS brand,
+       CAST(o_orderkey % 3600 * 1000 + 500 AS BIGINT) AS duration_ms,
+       CAST((o_orderkey % 3) + CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_tracks,
+       CAST(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_video,
+       CAST(o_orderkey % 3 AS BIGINT) AS n_audio,
+       CAST(CASE WHEN o_custkey % 2 = 0 THEN 320 + (o_orderkey % 4) * 320 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN o_custkey % 2 = 0 THEN 180 + (o_orderkey % 4) * 180 ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN o_custkey % 2 = 0 THEN o_orderkey % 24 ELSE 0 END AS BIGINT) AS n_samples
+FROM orders
+"""
+
+
+@register("multimodal_mp4_meta", oracle=_MP4_META_SQL)
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) container metadata, zero codecs (round 16
+    — the honest middle of the video gate): per-order MP4 files are
+    synthesized from order columns (ftyp + moov with mvhd duration,
+    an optional vide trak carrying 16.16 fixed-point tkhd dims and an
+    stsz sample table, 0-2 soun traks) by multimodal/mp4.build_mp4,
+    then walked back by parse_mp4_meta — box framing, 64-bit-size and
+    version-aware full-box parsing, fixed-point width/height, handler
+    classification.  The oracle recomputes every field from the SAME
+    generating columns, so the hash pins the byte-level box layout
+    AND the parse.  Frame DECODE stays honestly gated behind ffmpeg
+    (frame_sample_stub); a 100 TB video ingest runs THIS stage —
+    catalog, validate, route by resolution/duration — before any
+    codec, and it needs only these bytes.  Reference analog:
+    BytesWritable payload rows (io/BytesWritable.java).  Both stages
+    Arrow-batched mapInPandas, zero shuffle."""
+    from hadoop_20_warehouse_spark.multimodal.binary import (
+        video_container_meta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 3600 * 1000 + 500).cast("long").alias("dur"),
+        (F.col("o_custkey") % 2 == 0).alias("has_video"),
+        (F.col("o_orderkey") % 3).cast("int").alias("n_audio"),
+        (320 + (F.col("o_orderkey") % 4) * 320).cast("int").alias("w"),
+        (180 + (F.col("o_orderkey") % 4) * 180).cast("int").alias("h"),
+        (F.col("o_orderkey") % 24).cast("int").alias("ns"),
+    )
+
+    def enc(batches):
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.mp4 import build_mp4
+
+        for pdf in batches:
+            payloads = [
+                build_mp4(
+                    int(dur),
+                    width=int(w) if hv else 0,
+                    height=int(h) if hv else 0,
+                    n_audio=int(na),
+                    n_samples=int(ns) if hv else 0,
+                )
+                for dur, hv, na, w, h, ns in zip(
+                    pdf["dur"], pdf["has_video"], pdf["n_audio"],
+                    pdf["w"], pdf["h"], pdf["ns"],
+                )
+            ]
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    vids = orders.mapInPandas(enc, "id long, payload binary")
+    return video_container_meta(vids, "id", "payload")
+
+
 _AUDIO_SQL = """
 SELECT c_custkey AS id,
        CAST(8000 + (c_custkey % 3) * 4000 AS BIGINT) AS sample_rate,

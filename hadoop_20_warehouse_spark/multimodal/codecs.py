@@ -57,6 +57,8 @@ def sniff_format(payload: bytes) -> str:
             if name == "wav" and payload[8:12] != b"WAVE":
                 return "riff"
             return name
+    if payload[4:8] == b"ftyp":  # ISO-BMFF: the magic sits at offset 4
+        return "mp4"
     return "unknown"
 
 

@@ -402,3 +402,58 @@ def test_jpeg_spark_decode_path(spark):
     assert meta[1]["fmt"] == "jpeg" and meta[1]["width"] == 6
     assert meta[1]["mean_r"] == 88.0 and meta[1]["mean_b"] == 88.0
     assert meta[2]["height"] == 5 and meta[2]["mean_g"] == 200.0
+
+
+# --- MP4 / ISO-BMFF container metadata (round 16) ----------------------------
+
+
+def test_mp4_container_meta_roundtrip_and_gates():
+    """build_mp4 -> parse_mp4_meta round-trips every field (box
+    framing, version-aware full boxes, 16.16 tkhd dims, stsz counts);
+    non-BMFF bytes and oversize boxes raise."""
+    from hadoop_20_warehouse_spark.multimodal.mp4 import (
+        build_mp4,
+        parse_mp4_meta,
+    )
+
+    m = parse_mp4_meta(
+        build_mp4(125000, width=1920, height=1080, n_audio=2, n_samples=7)
+    )
+    assert m == {
+        "brand": "isom", "duration_ms": 125000, "n_tracks": 3,
+        "n_video": 1, "n_audio": 2, "width": 1920, "height": 1080,
+        "n_samples": 7,
+    }
+    audio_only = parse_mp4_meta(build_mp4(500, n_audio=1))
+    assert audio_only["n_tracks"] == 1 and audio_only["width"] == 0
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(b"\x00\x00\x00\x08free")
+    bad = bytearray(build_mp4(1000, width=10, height=10))
+    bad[0:4] = (2 ** 31).to_bytes(4, "big")  # box overruns the file
+    with pytest.raises(ValueError, match="framing"):
+        parse_mp4_meta(bytes(bad))
+    assert sniff_format(build_mp4(1)) == "mp4"
+
+
+def test_mp4_spark_meta_path(spark):
+    """video_container_meta over real ISO-BMFF payloads — the
+    mapInPandas leg of the registered multimodal_mp4_meta query."""
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.multimodal.binary import (
+        video_container_meta,
+    )
+    from hadoop_20_warehouse_spark.multimodal.mp4 import build_mp4
+
+    vids = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(
+                build_mp4(60000, width=640, height=360, n_samples=5))),
+            Row(id=2, payload=bytearray(build_mp4(1000, n_audio=2))),
+        ]
+    )
+    meta = {r["id"]: r
+            for r in video_container_meta(vids, "id", "payload").collect()}
+    assert meta[1]["width"] == 640 and meta[1]["duration_ms"] == 60000
+    assert meta[1]["n_samples"] == 5
+    assert meta[2]["n_audio"] == 2 and meta[2]["n_video"] == 0
