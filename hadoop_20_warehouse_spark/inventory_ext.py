@@ -2087,6 +2087,74 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(imgs, "id", "payload")
 
 
+# two-color vertical stripes with EVEN width: each row holds exactly
+# w/2 pixels of each color, so the channel mean is (a+b)/2 — exact in
+# binary doubles, no rounding seam
+_GIF_DECODE_SQL = """
+SELECT o_orderkey AS id,
+       'gif' AS fmt,
+       CAST((o_orderkey % 15) * 2 + 2 AS BIGINT) AS width,
+       CAST(o_orderkey % 17 + 2 AS BIGINT) AS height,
+       (o_custkey % 256 + (o_orderkey * 7) % 256) / 2.0 AS mean_r,
+       ((o_custkey * 3) % 256 + (o_orderkey * 11) % 256) / 2.0 AS mean_g,
+       ((o_custkey * 5) % 256 + (o_orderkey * 13) % 256) / 2.0 AS mean_b
+FROM orders
+"""
+
+
+@register("multimodal_gif_decode", oracle=_GIF_DECODE_SQL)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, pure-Python LZW (round 16 — with PNG and
+    baseline JPEG this completes every sniffable image format):
+    per-order GIF89a containers are synthesized from order columns —
+    two-color vertical stripes (palette build + LZW compress inside
+    encode_gif; EVEN width so each color covers exactly half the
+    pixels), odd keys written INTERLACED so the 4-pass de-interlace
+    is load-bearing — then decoded by the pure LZW + palette-lookup
+    pipeline (multimodal/codecs.decode_gif).  GIF is lossless, so the
+    oracle predicts the exact (a+b)/2 channel means from the SAME
+    generating columns; any drift in the LZW table growth, the
+    variable code widths, or the interlace row order scrambles a
+    stripe and shifts a mean.  Reference analog: BytesWritable
+    payload rows (io/BytesWritable.java).  Both stages Arrow-batched
+    mapInPandas, zero shuffle."""
+    from hadoop_20_warehouse_spark.multimodal.binary import decode_image_meta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 15) * 2 + 2).cast("int").alias("w"),
+        (F.col("o_orderkey") % 17 + 2).cast("int").alias("h"),
+        (F.col("o_custkey") % 256).cast("int").alias("ar"),
+        ((F.col("o_custkey") * 3) % 256).cast("int").alias("ag"),
+        ((F.col("o_custkey") * 5) % 256).cast("int").alias("ab"),
+        ((F.col("o_orderkey") * 7) % 256).cast("int").alias("br"),
+        ((F.col("o_orderkey") * 11) % 256).cast("int").alias("bg"),
+        ((F.col("o_orderkey") * 13) % 256).cast("int").alias("bb"),
+        (F.col("o_orderkey") % 2 == 1).alias("il"),
+    )
+
+    def enc(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.codecs import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for w, h, ar, ag, ab, br, bg, bb, il in zip(
+                pdf["w"], pdf["h"], pdf["ar"], pdf["ag"], pdf["ab"],
+                pdf["br"], pdf["bg"], pdf["bb"], pdf["il"],
+            ):
+                img = _np.empty((h, w, 3), _np.uint8)
+                img[:, 0::2] = (ar, ag, ab)
+                img[:, 1::2] = (br, bg, bb)
+                payloads.append(encode_gif(img, interlace=bool(il)))
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    return decode_image_meta(imgs, "id", "payload")
+
+
 _MP4_META_SQL = """
 SELECT o_orderkey AS id,
        'isom' AS brand,

@@ -66,7 +66,7 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
     )
 
     fmt = sniff_format(payload)
-    if fmt in ("ppm", "bmp", "png", "jpeg"):
+    if fmt in ("ppm", "bmp", "png", "jpeg", "gif"):
         _, img = decode_image(payload)
         return img.shape[1], img.shape[0]
     raise NotImplementedError(

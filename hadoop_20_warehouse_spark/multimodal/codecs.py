@@ -439,6 +439,217 @@ def encode_png(
     )
 
 
+# --- GIF (LZW in pure Python — round 16) -------------------------------------
+# GIF87a/89a: the last sniffable image format without a decoder here.
+# The pixel pipeline is palette lookup + LZW (GIF's variable-width,
+# LSB-first variant) + the optional 4-pass interlace — no compression
+# library needed at all.
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW: variable code width from mcs+1 bits, LSB-first
+    packing, CLEAR=2^mcs resets the table, END terminates."""
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    # bit reader state over the concatenated sub-block data
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
+    """GIF-variant LZW encoder (matching :func:`_gif_lzw_decode`)."""
+    clear = 1 << mcs
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for b in indices:
+        nxt = run + bytes([b])
+        if nxt in table:
+            run = nxt
+            continue
+        emit(table[run])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → uint8 (height, width, 3) RGB:
+    header + logical-screen parse, global/local color tables, the
+    4-pass interlace, pure-Python LZW.  Extensions (graphic control,
+    comments, application) are skipped; animation frames beyond the
+    first and transparency are ignored — the decode contract is RGB
+    pixels of the primary image (the PNG/JPEG alpha convention)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, 3 * n, pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(mcs, bytes(data), w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            rows = np.frombuffer(
+                bytes(idx[: w * h]), np.uint8
+            ).reshape(h, w)
+            if ipacked & 0x40:  # 4-pass interlace
+                ordered = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        ordered[y] = rows[src]
+                        src += 1
+                rows = ordered
+            return pal[rows]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """A real GIF89a from a uint8 (h, w, 3) RGB array with ≤256
+    distinct colors (the format's hard limit — raises above it):
+    palette built from the image, GIF-LZW-compressed indices,
+    optional 4-pass interlace so round-trip tests exercise the
+    de-interlacer."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_gif wants uint8 (h,w,3) RGB")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("GIF supports at most 256 distinct colors")
+    size_exp = max(1, int(len(pal) - 1).bit_length())
+    n = 1 << size_exp
+    table = np.zeros((n, 3), np.uint8)
+    table[: len(pal)] = pal
+    rows = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        seq = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            for y in range(start, h, step):
+                seq.append(rows[y])
+        rows = np.stack(seq) if seq else rows
+    mcs = max(2, size_exp)
+    comp = _gif_lzw_encode(mcs, rows.tobytes())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((size_exp - 1) & 7), 0, 0)
+    out += table.tobytes()
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(mcs)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # --- resampling ---------------------------------------------------------------
 
 
@@ -462,8 +673,9 @@ def fit_box(w: int, h: int, box_w: int, box_h: int) -> tuple[int, int]:
 
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
-    """Dispatch: real decode for ppm/bmp/png/jpeg; gated error for
-    formats needing ffmpeg (kept honest — see multimodal/binary.py)."""
+    """Dispatch: real decode for ppm/bmp/png/jpeg/gif; gated error
+    for video (needs ffmpeg — see multimodal/binary.py; MP4 container
+    METADATA is real via multimodal/mp4.py)."""
     fmt = sniff_format(payload)
     if fmt == "ppm":
         return fmt, decode_ppm(payload)
@@ -475,4 +687,6 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         from hadoop_20_warehouse_spark.multimodal.jpeg import decode_jpeg
 
         return fmt, decode_jpeg(payload)
+    if fmt == "gif":
+        return fmt, decode_gif(payload)
     raise ValueError(f"no container-native decoder for format '{fmt}'")

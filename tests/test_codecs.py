@@ -86,16 +86,16 @@ def test_sniff_and_dispatch_gate():
     assert sniff_format(encode_wav_square(8000, 4, 1)) == "wav"
     assert sniff_format(b"\xff\xd8\xff\xe0junk") == "jpeg"
     assert sniff_format(b"\x89PNGjunk") == "png"
-    # png AND baseline jpeg decode for real as of round 16; only
-    # formats with no codec at all (gif, video) stay gated
+    # png, baseline jpeg AND gif decode for real as of round 16; only
+    # video frames stay gated (RIFF-non-WAVE models an AVI here)
     with pytest.raises(ValueError, match="no container-native decoder"):
-        decode_image(b"GIF89ajunk")
+        decode_image(b"RIFF\x00\x00\x00\x00AVI junk")
     from hadoop_20_warehouse_spark.multimodal.binary import decode_image_real
 
     w, h = decode_image_real(encode_ppm(9, 6, (1, 2, 3)))
     assert (w, h) == (9, 6)
     with pytest.raises(NotImplementedError, match="requires ffmpeg"):
-        decode_image_real(b"GIF89ajunk")
+        decode_image_real(b"RIFF\x00\x00\x00\x00AVI junk")
     rgb = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
     assert decode_image_real(encode_png(rgb)) == (4, 5)
 
@@ -457,3 +457,37 @@ def test_mp4_spark_meta_path(spark):
     assert meta[1]["width"] == 640 and meta[1]["duration_ms"] == 60000
     assert meta[1]["n_samples"] == 5
     assert meta[2]["n_audio"] == 2 and meta[2]["n_video"] == 0
+
+
+# --- GIF (round 16: pure-Python LZW) -----------------------------------------
+
+
+def test_gif_roundtrip_interlace_and_dict_reset():
+    """Palette build + GIF-LZW + optional 4-pass interlace round-trip
+    exactly (GIF is lossless); a 300-row stripe image exercises the
+    4096-entry dictionary reset; >256 colors and junk bytes raise."""
+    from hadoop_20_warehouse_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, ncol in [(1, 1, 1), (7, 5, 4), (18, 32, 256), (13, 9, 17)]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        for il in (False, True):
+            assert np.array_equal(
+                decode_gif(encode_gif(img, interlace=il)), img
+            ), (h, w, ncol, il)
+    stripes = np.zeros((300, 300, 3), np.uint8)
+    stripes[::2] = [255, 0, 0]
+    assert np.array_equal(decode_gif(encode_gif(stripes)), stripes)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF")
+    from hadoop_20_warehouse_spark.multimodal.codecs import decode_image
+
+    img = np.zeros((3, 4, 3), np.uint8)
+    fmt, arr = decode_image(encode_gif(img))
+    assert fmt == "gif" and np.array_equal(arr, img)
