@@ -2,7 +2,7 @@
 
 The multimodal plumbing (multimodal/binary.py) has carried a gated
 stub for image/audio decode since round 1 because PIL/cv2/ffmpeg are
-not installed.  That gate is honest but narrower than necessary: four
+not installed.  That gate is honest but narrower than necessary: six
 production formats are decodable with what IS here —
 
 - **PPM (P6)**: pure header parse + raw RGB24 — numpy reshape.
@@ -11,10 +11,13 @@ production formats are decodable with what IS here —
 - **WAV** (PCM): Python stdlib ``wave`` + numpy for sample features.
 - **PNG** (round 16): stdlib ``zlib`` inflate + the five scanline
   filters in numpy — all five color types, bit depths 1/2/4/8/16,
-  non-interlaced (Adam7 raises; see decode_png).
+  with Adam7 interlace (see decode_png).
 - **JPEG** (round 16): baseline sequential T.81 in multimodal/jpeg.py
   — marker parse, Huffman, dequant, numpy IDCT, 4:2:0 upsampling,
   restart intervals (progressive raises; see decode_jpeg).
+- **GIF** (round 16): pure-Python GIF-variant LZW + palette lookup +
+  the 4-pass interlace (see decode_gif); MP4 container METADATA
+  parses via multimodal/mp4.py.
 
 So decode is REAL for these (bytes → true dimensions, true pixels,
 true sample statistics, true nearest-neighbor resample); only video
@@ -206,6 +209,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per pixel by color type: 0 gray, 2 RGB, 3 palette index,
 # 4 gray+alpha, 6 RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass origins/steps (x0, y0, dx, dy), png-3 §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -308,9 +316,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     scanline filters.  Alpha is DROPPED (the decode contract is RGB
     pixels — compositing policy belongs to the caller); grayscale is
     replicated across channels after scaling to the 0–255 range
-    (factor 255/(2^depth−1), exact in integers).  Adam7 interlacing
-    raises — honest gate, the streams this warehouse ingests are
-    written non-interlaced."""
+    (factor 255/(2^depth−1), exact in integers).  Adam7 interlacing is
+    supported: the seven passes unfilter independently and interleave
+    back per png-3 §8.2."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -336,8 +344,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype_n not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {ctype_n}")
     if depth not in (1, 2, 4, 8, 16) or (
@@ -346,59 +354,54 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG bit depth {depth} for type {ctype_n}")
     channels = _PNG_CHANNELS[ctype_n]
     bits_pp = depth * channels
-    stride = (w * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(b"".join(idat))
-    rows = _unfilter(raw, h, stride, bpp)
-    samples = _expand_bits(rows, w, depth, channels)
+    if interlace == 0:
+        stride = (w * bits_pp + 7) // 8
+        rows = _unfilter(raw, h, stride, bpp)
+        grid = _expand_bits(rows, w, depth, channels).reshape(h, w, channels)
+    else:  # Adam7: seven sub-images, each filtered independently
+        grid = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride_p = (wp * bits_pp + 7) // 8
+            rows = _unfilter(raw[off:], hp, stride_p, bpp)
+            off += hp * (stride_p + 1)
+            grid[y0::dy, x0::dx] = _expand_bits(
+                rows, wp, depth, channels
+            ).reshape(hp, wp, channels)
     if ctype_n == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        return plte[samples.reshape(h, w)]
-    pix = samples.reshape(h, w, channels)
+        return plte[grid[:, :, 0]]
     if ctype_n == 0 or ctype_n == 4:
-        gray = pix[:, :, 0]
+        gray = grid[:, :, 0]
         if depth < 8:  # scale to full range: 255/(2^d-1) is integral
             gray = (gray.astype(np.uint16) * (255 // ((1 << depth) - 1))
                     ).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
-    return pix[:, :, :3]  # RGB / RGBA minus alpha
+    return grid[:, :, :3]  # RGB / RGBA minus alpha
 
 
-def encode_png(
-    img: np.ndarray,
-    filters: str | list[int] = "cycle",
-    level: int = 6,
-) -> bytes:
-    """A real PNG from a uint8 array — (h, w) gray → color type 0,
-    (h, w, 3) → RGB (type 2).  ``filters``: per-row filter types, or
-    ``"cycle"`` to rotate through all five (y mod 5) so round-trip
-    tests exercise every unfilter path, or ``"none"`` for filter 0.
-    Encoding filters forward with whole-row numpy (mod-256 uint8
-    subtraction; Average/Paeth predictors vectorized over the row —
-    the ENCODER has no serial dependency, it only reads original
-    neighbors)."""
-    if img.dtype != np.uint8:
-        raise ValueError("encode_png wants uint8 pixels")
-    if img.ndim == 2:
-        ctype_n, channels = 0, 1
-        flat = img[:, :, None]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ctype_n, channels = 2, 3
-        flat = img
-    else:
-        raise ValueError("encode_png wants (h,w) gray or (h,w,3) RGB")
-    h, w = img.shape[:2]
-    bpp = channels
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+def _filter_pass(flat: np.ndarray, filters) -> bytes:
+    """Forward-filter one (sub-)image (h, w, channels) → the filtered
+    scanline bytes (filter-type byte + row, per row).  Whole-row numpy
+    — the ENCODER has no serial dependency, it only reads original
+    neighbors."""
+    h = flat.shape[0]
     if filters == "cycle":
         ftypes = [y % 5 for y in range(h)]
     elif filters == "none":
         ftypes = [0] * h
     else:
-        ftypes = list(filters)
+        ftypes = list(filters)[:h]
+        ftypes += [0] * (h - len(ftypes))
     lines = []
-    prev = np.zeros((w, channels), dtype=np.uint8)
+    prev = np.zeros_like(flat[0]) if h else None
     for y in range(h):
         cur = flat[y]
         left = np.zeros_like(cur)
@@ -430,7 +433,44 @@ def encode_png(
             raise ValueError(f"bad filter type {ft}")
         lines.append(bytes([ft]) + out.tobytes())
         prev = cur
-    body = zlib.compress(b"".join(lines), level)
+    return b"".join(lines)
+
+
+def encode_png(
+    img: np.ndarray,
+    filters: str | list[int] = "cycle",
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """A real PNG from a uint8 array — (h, w) gray → color type 0,
+    (h, w, 3) → RGB (type 2).  ``filters``: per-row filter types, or
+    ``"cycle"`` to rotate through all five (y mod 5) so round-trip
+    tests exercise every unfilter path, or ``"none"`` for filter 0.
+    ``interlace=True`` writes Adam7 (each of the seven passes filtered
+    independently, per png-3 §8.2) so round-trips exercise the
+    decoder's de-interleave."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png wants uint8 pixels")
+    if img.ndim == 2:
+        ctype_n = 0
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ctype_n = 2
+        flat = img
+    else:
+        raise ValueError("encode_png wants (h,w) gray or (h,w,3) RGB")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_pass(sub, filters))
+        body = zlib.compress(b"".join(parts), level)
+    else:
+        body = zlib.compress(_filter_pass(flat, filters), level)
     return (
         _PNG_SIG
         + png_chunk(b"IHDR", ihdr)

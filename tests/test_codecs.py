@@ -241,19 +241,35 @@ def test_png_palette_rgba_16bit_and_multi_idat():
     assert np.array_equal(decode_png(rebuilt), img)
 
 
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: the seven passes unfilter independently and interleave
+    back exactly — every size class that exercises empty and partial
+    passes (1x1 hits pass 1 only; 3x20/20x3 skip whole passes)."""
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 1), (7, 5), (8, 8), (18, 32), (13, 9), (3, 20),
+                 (20, 3)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for f in ("cycle", "none"):
+            back = decode_png(encode_png(img, filters=f, interlace=True))
+            assert np.array_equal(back, img), (h, w, f)
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        back = decode_png(encode_png(g, interlace=True))
+        assert np.array_equal(back, np.repeat(g[:, :, None], 3, axis=2))
+
+
 def test_png_error_gates():
-    """Honest failures: Adam7, bad signature, truncated pixel data,
-    palette without PLTE."""
+    """Honest failures: unknown interlace method, bad signature,
+    truncated pixel data, palette without PLTE."""
     import struct
     import zlib
 
-    ihdr_i1 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    ihdr_i2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
     bad = (
         _PNG_SIG
-        + png_chunk(b"IHDR", ihdr_i1)
+        + png_chunk(b"IHDR", ihdr_i2)
         + png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
     )
-    with pytest.raises(ValueError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(bad)
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNGjunk")
