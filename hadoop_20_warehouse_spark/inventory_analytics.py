@@ -2645,6 +2645,86 @@ FROM scd
 """.strip()
 
 
+def _cdc_merge_oracle() -> str:
+    from hadoop_20_warehouse_spark.operators.cdc import merge_sql
+
+    snap = (
+        "snapshot AS (SELECT c_custkey AS cust_id, c_name AS name, "
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents "
+        "FROM customer)"
+    )
+    chg = (
+        "changes AS (SELECT "
+        "CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000 "
+        "ELSE o_custkey END AS cust_id, "
+        "CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op, "
+        "o_orderdate AS ts, o_orderkey AS seq, "
+        "'upsert#' || CAST(o_orderkey AS VARCHAR) AS name, "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS bal_cents "
+        "FROM orders)"
+    )
+    return merge_sql(
+        snap, chg, key="cust_id", cols=("name", "bal_cents"),
+        ts="ts", tiebreak=("seq",),
+    )
+
+
+@register("cdc_merge_current", oracle=_cdc_merge_oracle())
+def q_cdc_merge_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE INTO — apply a change log to a current-state table
+    with latest-wins semantics (operators/cdc.merge_apply_changes):
+    the customer snapshot absorbs an orders-derived log where every
+    order upserts its customer's profile row (full-row replace),
+    every 11th order key is a DELETE, and every 13th order targets a
+    BRAND-NEW key (the insert path) — so one query exercises update,
+    delete, insert, delete-then-reinsert (keys hit by both within the
+    log resolve by (ts, seq) order), and byte-stable pass-through of
+    untouched customers.  The ORACLE replays the merge as a
+    ROW_NUMBER-DESC window over the same log, so the hash pins the
+    winner election (struct-max field order!), the op filter, and the
+    anti-join split simultaneously.
+
+    Scale: the winner election is ONE partial-aggregable groupBy on
+    the delta (a hot key's million changes combine map-side — no
+    last-reducer straggler, unlike the oracle's sort-based window);
+    the changed-key set is a broadcastable distinct; untouched rows
+    move through one anti join.  A daily MERGE at 100 TB touches the
+    day's delta plus one snapshot scan, never a rebuild —
+    scd2_apply_delta's economics for current-state tables.
+    Reference analog: DBOutputFormat's replace-table round-trip
+    (examples/DBCountPageView.java:79-80), upgraded to keyed
+    maintenance."""
+    from hadoop_20_warehouse_spark.operators.cdc import merge_apply_changes
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.expr("cast(round(c_acctbal * 100, 0) as bigint)").alias(
+            "bal_cents"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_custkey") + 1000000
+        ).otherwise(F.col("o_custkey")).alias("cust_id"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.concat(F.lit("upsert#"), F.col("o_orderkey").cast("string")).alias(
+            "name"
+        ),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
+            "bal_cents"
+        ),
+    )
+    return merge_apply_changes(
+        cust, changes, key="cust_id", cols=("name", "bal_cents"),
+        ts="ts", tiebreak=("seq",),
+    )
+
+
 @register("scd2_apply_delta", oracle=_scd2_delta_oracle())
 def q_scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dimension maintenance, hash-proven lossless: build

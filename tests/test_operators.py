@@ -451,3 +451,52 @@ def test_scd2_apply_delta_equals_full_build_and_strict_guard(spark):
             dim_tricky, between, "user_id", ("state",), "ts",
             ("event_id",), strict=True,
         ).collect()
+
+
+def test_cdc_merge_semantics_hand_computed(spark):
+    """operators/cdc.merge_apply_changes: update replaces the full
+    row, delete removes (even for never-seen keys), insert lands,
+    latest (ts, tiebreak) wins within a batch, delete-then-reinsert
+    resolves in log order, untouched rows pass through."""
+    import datetime as dt
+
+    from hadoop_20_warehouse_spark.operators.cdc import merge_apply_changes
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    snap = spark.createDataFrame(
+        [(1, "ann", 100), (2, "bob", 200), (3, "cat", 300)],
+        "k long, name string, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: two updates, later ts wins
+            (1, "U", t(5), 1, "ann2", 110),
+            (1, "U", t(9), 2, "ann3", 120),
+            # k=2: delete
+            (2, "D", t(4), 3, None, None),
+            # k=4: insert
+            (4, "U", t(2), 4, "dan", 400),
+            # k=5: delete of a key not in the snapshot -> no row
+            (5, "D", t(1), 5, None, None),
+            # k=6: delete then reinsert (same ts, tiebreak orders them)
+            (6, "D", t(7), 6, None, None),
+            (6, "U", t(7), 7, "eve", 600),
+            # k=7: insert then delete -> gone
+            (7, "U", t(3), 8, "fox", 700),
+            (7, "D", t(8), 9, None, None),
+        ],
+        "k long, op string, ts timestamp, seq long, name string, v long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in merge_apply_changes(
+            snap, changes, key="k", cols=("name", "v"),
+            ts="ts", tiebreak=("seq",),
+        ).collect()
+    )
+    assert got == [
+        (1, "ann3", 120),   # latest update won
+        (3, "cat", 300),    # untouched pass-through
+        (4, "dan", 400),    # insert
+        (6, "eve", 600),    # delete-then-reinsert survives
+    ]
