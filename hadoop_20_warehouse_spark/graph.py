@@ -266,3 +266,89 @@ def triangle_counts(
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(node, label) after ``rounds`` SYNCHRONOUS label-propagation
+    rounds over an undirected simple graph given as distinct
+    (src < dst) edge rows — the community-detection primitive
+    (Raghavan et al. 2007) completing the graph family (pagerank:
+    influence, components: connectivity, k-core: cohesion, triangles:
+    closure; LPA: community).
+
+    Determinism contract (what makes the round count an ORACLE knob
+    rather than a convergence gamble): labels initialize to the node
+    id; each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors' previous-round labels, ties broken by
+    the SMALLEST label.  Synchronous update + total tiebreak ⇒ the
+    state after k rounds is a pure function of the edge set, so a SQL
+    twin unrolled to the same k must agree bit-for-bit (the kcore_sql
+    discipline; asynchronous/randomized LPA variants trade that
+    replayability for faster convergence).
+
+    Scale shape, per round: one neighbor-keyed join of the label
+    frame against the bidirected edge list + one (node, label)
+    partial-aggregable count + one struct-min election — all keyed
+    shuffles, no window, no driver data.  ``checkpoint_every``
+    truncates lineage as in pagerank_integer."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node").cast("long")
+    )
+    for i in range(rounds):
+        counted = (
+            und.join(labels.withColumnRenamed("node", "v"), on="v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = counted.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"),
+                         F.col("label").alias("lb"))
+            ).alias("_w")
+        ).select("node", F.col("_w.lb").cast("long").alias("label"))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, rounds: int) -> str:
+    """DuckDB oracle for :func:`label_propagation` — the same
+    synchronous rounds unrolled as sequential MATERIALIZED CTEs (the
+    kcore_sql pattern: each round references its predecessor twice,
+    so inlining would double the tree per round).  ``edges_cte`` must
+    define ``edges(a, b)``."""
+    parts = [
+        edges_cte,
+        "und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges "
+        "UNION ALL SELECT b, a FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, "
+        "CAST(u AS BIGINT) AS label FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED ("
+            f"SELECT e.u AS node, l.label, COUNT(*) AS cnt "
+            f"FROM und e JOIN l{i - 1} l ON l.node = e.v "
+            f"GROUP BY e.u, l.label)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED ("
+            f"SELECT node, CAST(label AS BIGINT) AS label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{rounds}"
+    )

@@ -2645,6 +2645,56 @@ FROM scd
 """.strip()
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    from hadoop_20_warehouse_spark.graph import label_propagation_sql
+
+    return label_propagation_sql(_KCORE_EDGES_CTE, rounds=_LPA_ROUNDS)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the repeat-co-purchase graph
+    (the k-core query's sparsified edge set — the raw co-purchase
+    graph is near-complete, so communities only exist above the
+    repeat threshold): every node's label after {r} SYNCHRONOUS
+    rounds (graph.label_propagation — labels start as node ids, each
+    round adopts the most frequent neighbor label, smallest label on
+    ties).  The determinism contract makes the round count an oracle
+    knob: the DuckDB twin unrolls the SAME {r} rounds as materialized
+    CTEs, so the hash pins the neighbor count, the (count, label)
+    election, and the synchronous-update semantics — an async or
+    randomized variant would diverge immediately.
+
+    Scale: per round one neighbor-keyed join + one (node, label)
+    partial agg + one struct-min election — all keyed shuffles; at
+    100 TB the per-round cost is O(E) with map-side combine on the
+    label counts, and checkpoint_every bounds lineage for deep
+    runs."""
+    from hadoop_20_warehouse_spark.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    l2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(l2, on="l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _KCORE_MIN_CO)
+        .select("a", "b")
+    )
+    return label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
+q_graph_label_propagation.__doc__ = q_graph_label_propagation.__doc__.format(
+    r=_LPA_ROUNDS
+)
+
+
 def _cdc_merge_oracle() -> str:
     from hadoop_20_warehouse_spark.operators.cdc import merge_sql
 

@@ -914,3 +914,54 @@ def test_kcore_multiround_convergence_and_empty(spark):
     with _pytest.raises(RuntimeError, match="not converged"):
         kcore_members(df, k=2, max_iterations=3, stats=stats3)
     assert stats3["converged"] is False and stats3["rounds"] == 3
+
+
+def test_label_propagation_matches_python_model(spark):
+    """graph.label_propagation vs an exact Python replay of the
+    synchronous most-frequent-neighbor/min-tiebreak rounds, over
+    random sparse graphs (+ the SQL twin on the same edges)."""
+    import random as _r
+
+    import duckdb as _duck
+
+    from hadoop_20_warehouse_spark.graph import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    rng = _r.Random(17)
+    for trial in range(3):
+        n = rng.randint(6, 14)
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(rng.randint(n, 3 * n))
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        rounds = rng.randint(1, 4)
+        nbrs: dict[int, list[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        labels = {u: u for u in nbrs}
+        for _ in range(rounds):
+            nxt = {}
+            for u in nbrs:
+                cnt: dict[int, int] = {}
+                for v in nbrs[u]:
+                    cnt[labels[v]] = cnt.get(labels[v], 0) + 1
+                nxt[u] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+            labels = nxt
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.node: r.label for r in label_propagation(df, rounds).collect()}
+        assert got == labels, (trial, edges, rounds)
+        cte = "edges AS (SELECT * FROM (VALUES " + ",".join(
+            f"({a},{b})" for a, b in edges
+        ) + ") t(a,b))"
+        sql_out = dict(
+            _duck.connect().execute(
+                label_propagation_sql(cte, rounds)
+            ).fetchall()
+        )
+        assert sql_out == labels, (trial, "sql twin")
