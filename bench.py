@@ -520,10 +520,16 @@ BENCH_QUERIES: dict[str, object] = {
     # basket_association_rules is join_inner + wordcount shapes;
     # tokenizer_fertility_by_lang re-trains the BPE vocabulary inside
     # the query (the pipeline_release_endgame exclusion precedent).
-    # round-16: multimodal_png_decode stays untimed like
+    # round-16: multimodal_png_decode / multimodal_jpeg_decode /
+    # multimodal_gif_decode / multimodal_mp4_meta stay untimed like
     # multimodal_image_decode — the Arrow mapInPandas data term is
     # tracked by multimodal_frame_sample, and the codec CPU is
     # fixture-synthesis-bound here, not a corpus term.
+    # cdc_merge_current is a partial-agg groupBy + anti join + union
+    # over orders/customer (aggregate_report + join shapes, both
+    # timed); graph_label_propagation is pagerank's per-round
+    # join+partial-agg loop over the k-core query's 3.6k-edge
+    # sparsified graph — data terms already tracked.
     # round-16 (r15 VERDICT #3): the two novel-SHAPE r15 queries join
     # the timed set — graph_triangle_count's wedge-explode term is a
     # shape no other timed query prices (explode over adjacency lists
