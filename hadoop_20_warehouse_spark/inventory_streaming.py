@@ -410,3 +410,75 @@ def q_stream_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return W.change_detect_stream(ev)
+
+
+_CDC_LOOP_CUT = "2024-01-21 00:00:00"
+
+
+@register(
+    "stream_cdc_merge_loop",
+    oracle=f"""
+SELECT user_id, state FROM (
+  SELECT user_id, event_type AS state,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND state <> 'error'
+""",
+)
+def q_stream_cdc_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dimension-maintenance loop CLOSED end-to-end and
+    hash-pinned by one identity: a current-state user table built at
+    a day-20 cut is maintained by (1) CDC change DETECTION over the
+    post-cut stream (streaming/windows.change_detect_stream — the
+    applyInPandasWithState front end, batch form here; the stream ==
+    batch pin lives in tests/test_streaming.py) feeding (2) the
+    latest-wins CDC MERGE (operators/cdc.merge_apply_changes), with a
+    terminal 'error' state mapped to DELETE (account-teardown
+    semantics).  The ORACLE computes the latest non-error state per
+    user over the FULL log, so the hash proves
+    merge(latest(prefix), detect(suffix)) == latest(full) — including
+    the boundary case where a suffix's first row merely CONFIRMS the
+    pre-cut state (detect emits it as a change; the merge replaces
+    the row with identical values, a no-op the hash would catch if it
+    weren't).
+
+    Scale: detection is the keyed-state stream op (O(keys) state);
+    the merge is one partial-aggregable election + anti join on the
+    day's delta — the full composed daily load never rescans
+    history."""
+    from hadoop_20_warehouse_spark.operators.cdc import merge_apply_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CDC_LOOP_CUT).cast("timestamp")
+    # snapshot at the cut: latest-wins current state with the same
+    # delete rule (an account whose last pre-cut state is 'error' is
+    # absent) — one partial-aggregable election, no window
+    pre = ev.filter(F.col("ts") < cut)
+    snap = (
+        pre.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("event_type").alias("st"),
+                )
+            ).alias("_w")
+        )
+        .select("user_id", F.col("_w.st").alias("state"))
+        .filter(F.col("state") != "error")
+    )
+    detected = W.change_detect_stream(ev.filter(F.col("ts") >= cut))
+    changes = detected.select(
+        "user_id",
+        F.when(F.col("state") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "ts",
+        "event_id",
+        "state",
+    )
+    return merge_apply_changes(
+        snap, changes, key="user_id", cols=("state",),
+        ts="ts", tiebreak=("event_id",),
+    )
