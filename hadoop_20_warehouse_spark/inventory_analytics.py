@@ -2408,6 +2408,102 @@ SELECT check_name, n_violations, n_checked FROM checks
 """.strip()
 
 
+_KANON_K = 5
+_KANON_BAL_BUCKET = 1000
+
+_KANON_SQL = f"""
+WITH qi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {_KANON_BAL_BUCKET}) AS BIGINT) AS bal_bucket
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(c_custkey) AS BIGINT) AS example_key
+  FROM qi GROUP BY 1, 2, 3
+),
+ldiv AS (
+  SELECT q.c_nationkey, q.c_mktsegment, q.bal_bucket,
+         CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_div
+  FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT c.c_nationkey AS nationkey, c.c_mktsegment AS mktsegment,
+       c.bal_bucket, c.n_members, c.example_key,
+       COALESCE(l.l_div, 0) AS l_div,
+       (c.n_members < {_KANON_K}) AS k_violation,
+       (COALESCE(l.l_div, 0) = 1) AS l_violation
+FROM classes c LEFT JOIN ldiv l
+  ON l.c_nationkey = c.c_nationkey
+ AND l.c_mktsegment = c.c_mktsegment
+ AND l.bal_bucket = c.bal_bucket
+WHERE c.n_members < {_KANON_K} OR COALESCE(l.l_div, 0) = 1
+""".strip()
+
+
+@register("privacy_k_anonymity", oracle=_KANON_SQL)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-risk audit — the release gate pii_redact does NOT
+    cover: redaction strips direct identifiers, but a row remains
+    re-identifiable when its QUASI-identifier combination (nation x
+    market segment x account-balance bucket here) is rare.  Reports
+    every equivalence class violating k-anonymity (fewer than {k}
+    members — Sweeney 2002) or l-diversity (all of the class's orders
+    share ONE priority value — Machanavajjhala 2007; a linker who
+    finds the class learns the sensitive attribute exactly), with
+    member counts, the distinct-sensitive-value count, and an example
+    key per class.  The suppress/generalize decision consumes THIS
+    table (drop the flagged classes, or widen bal_bucket until they
+    clear).
+
+    Scale: one keyed partial agg over the QI projection + one
+    join-keyed exact-distinct agg on the fact side + one broadcastable
+    class-keyed join — the QI class space is tiny by construction
+    (generalization exists to make it so), so at 100 TB this is two
+    scans and no corpus-sized shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            f"cast(floor(c_acctbal / {_KANON_BAL_BUCKET}) as bigint)"
+        ).alias("bal_bucket"),
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("c_custkey").cast("long").alias("example_key"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    ldiv = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("l_div")
+        )
+    )
+    out = classes.join(
+        ldiv, on=["c_nationkey", "c_mktsegment", "bal_bucket"], how="left"
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "bal_bucket",
+        "n_members",
+        "example_key",
+        F.coalesce(F.col("l_div"), F.lit(0)).cast("long").alias("l_div"),
+        (F.col("n_members") < _KANON_K).alias("k_violation"),
+        (F.coalesce(F.col("l_div"), F.lit(0)) == 1).alias("l_violation"),
+    )
+    return out.filter(F.col("k_violation") | F.col("l_violation"))
+
+
+q_privacy_k_anonymity.__doc__ = q_privacy_k_anonymity.__doc__.format(
+    k=_KANON_K
+)
+
+
 @register("dq_integrity_report", oracle=_DQ_SQL)
 def q_dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse data-quality assertion report (the dbt-test / Great

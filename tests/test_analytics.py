@@ -749,3 +749,54 @@ def test_transition_matrix_hand_computed(spark, tmp_path):
         ("click", "view"): (1, 500),
         ("click", "buy"): (1, 500),
     }
+
+
+def test_k_anonymity_flags_planted_rare_and_homogeneous(spark, tmp_path):
+    """privacy_k_anonymity: a planted 2-member QI class trips the
+    k-violation, a planted class whose orders all share one priority
+    trips the l-violation, and a large diverse class is absent."""
+    import os
+
+    from hadoop_20_warehouse_spark.inventory_analytics import (
+        _KANON_K,
+        q_privacy_k_anonymity,
+    )
+
+    cust_rows = []
+    # class A (nation 1, AUTOMOBILE, bucket 0): k members, diverse -> clean
+    for i in range(_KANON_K):
+        cust_rows.append((100 + i, 1, "AUTOMOBILE", 500.0))
+    # class B (nation 2, MACHINERY, bucket 0): TWO members -> k-violation
+    cust_rows += [(200, 2, "MACHINERY", 10.0), (201, 2, "MACHINERY", 20.0)]
+    # class C (nation 3, FURNITURE, bucket 1): k members but every
+    # order shares one priority -> l-violation
+    for i in range(_KANON_K):
+        cust_rows.append((300 + i, 3, "FURNITURE", 1500.0))
+    spark.createDataFrame(
+        [(k, n, m, b) for k, n, m, b in cust_rows],
+        "c_custkey long, c_nationkey long, c_mktsegment string, "
+        "c_acctbal double",
+    ).write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    orders = []
+    oid = 1
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    for i in range(_KANON_K):  # diverse priorities for class A
+        orders.append((oid, 100 + i, pri[i % len(pri)]))
+        oid += 1
+    orders.append((oid, 200, pri[0])); oid += 1
+    orders.append((oid, 201, pri[1])); oid += 1
+    for i in range(_KANON_K):  # homogeneous priority for class C
+        orders.append((oid, 300 + i, "5-LOW"))
+        oid += 1
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.parquet(os.path.join(str(tmp_path), "orders.parquet"))
+
+    got = {
+        (r.nationkey, r.mktsegment): (r.n_members, r.l_div,
+                                      r.k_violation, r.l_violation)
+        for r in q_privacy_k_anonymity(spark, str(tmp_path)).collect()
+    }
+    assert (1, "AUTOMOBILE") not in got          # clean class absent
+    assert got[(2, "MACHINERY")] == (2, 2, True, False)
+    assert got[(3, "FURNITURE")] == (_KANON_K, 1, False, True)
