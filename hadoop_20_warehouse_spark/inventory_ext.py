@@ -1350,6 +1350,58 @@ def q_bad_files_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_roundtrip",
+    oracle="""
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderstatus END AS status,
+         o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+GROUP BY status
+""",
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File round-trip — the Hadoop ecosystem's
+    canonical exchange format, spoken WITHOUT spark-avro or any avro
+    library (sources/avro.py: zigzag varints, length-prefixed
+    strings, ['null', T] unions, raw-DEFLATE blocks, sync markers —
+    stdlib + the repo's recordio discipline).  Orders project to
+    (key, nullable status, cents); every 97th key's status is NULLED
+    so the union null-branch is load-bearing; the frame writes one
+    deflate-codec OCF per partition, reads back one task per file,
+    and aggregates.  The oracle aggregates the ORIGINAL table, so the
+    hash proves the zigzag/union/deflate/sync wire format round-trips
+    losslessly — including the null branch and multi-block framing.
+
+    Interop boundary, not a hot path (the recordio_binary_roundtrip
+    posture): per-record Python codec cost is the price of the exact
+    byte format; parallelism is per-file both ways."""
+    from hadoop_20_warehouse_spark.sources.avro import read_avro, write_avro
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
+            "cents"
+        ),
+    )
+    path = _fresh_subdir(_scratch_dir("avrort"), "orders")
+    write_avro(orders, path, codec="deflate")
+    back = read_avro(spark, path)
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
+
+
+@register(
     "recordio_binary_roundtrip",
     oracle="""
 SELECT c_custkey AS custkey, c_name AS name,

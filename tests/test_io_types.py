@@ -404,3 +404,102 @@ def test_seqfile_first_tab_framing_preserves_tabby_text(spark, tmp_path):
     )
     got = sorted(map(tuple, parsed.collect()))
     assert got == sorted(rows)
+
+
+def test_avro_golden_bytes_and_roundtrip():
+    """sources/avro: the wire format pinned by a hand-assembled golden
+    container (magic, sorted metadata map, zigzag varints, sync
+    discipline, one-record null-codec block) plus round-trips across
+    codecs, null unions, and multi-block framing."""
+    import hashlib
+    import json
+
+    from pyspark.sql import types as T
+
+    from hadoop_20_warehouse_spark.sources.avro import (
+        decode_avro_file,
+        encode_avro_file,
+        schema_to_avro_json,
+    )
+
+    sj = json.dumps(
+        {"type": "record", "name": "Record",
+         "fields": [{"name": "id", "type": "long"}]}
+    )
+    got = encode_avro_file(iter([(1,)]), sj, codec="null", sync_seed=b"g")
+    sync = hashlib.md5(b"g" + sj.encode()).digest()
+    want = bytearray(b"Obj\x01")
+    want += b"\x04"                      # map count 2 (zigzag)
+    want += b"\x14avro.codec\x08null"    # len 10, value len 4
+    want += bytes([len("avro.schema") * 2]) + b"avro.schema"
+    want += bytes([len(sj) * 2]) if len(sj) < 64 else b""
+    if len(sj) >= 64:                    # zigzag varint for the length
+        u = len(sj) << 1
+        while u:
+            b = u & 0x7F
+            u >>= 7
+            want += bytes([b | 0x80] if u else [b])
+    want += sj.encode()
+    want += b"\x00" + sync               # map end + sync
+    want += b"\x02\x02\x02" + sync       # count 1, size 1, zigzag(1)
+    assert bytes(got) == bytes(want)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    sj2 = schema_to_avro_json(schema)
+    rows = [
+        (1, "ann", 1.5, True, b"\x00\xff"),
+        (-42, None, None, False, None),
+        (2 ** 40, "b" * 300, -0.25, True, b""),
+    ]
+    for codec in ("null", "deflate"):
+        assert decode_avro_file(
+            encode_avro_file(iter(rows), sj2, codec=codec)
+        )[1] == rows
+    big = [(i, f"n{i}", i / 8, i % 2 == 0, None) for i in range(5000)]
+    blob = encode_avro_file(iter(big), sj2, codec="deflate",
+                            block_records=700)
+    assert decode_avro_file(blob)[1] == big
+    import pytest as _pytest
+
+    torn = bytearray(blob)
+    torn[-1] ^= 0xFF
+    with _pytest.raises(ValueError, match="sync"):
+        decode_avro_file(bytes(torn))
+    with _pytest.raises(ValueError, match="not an Avro"):
+        decode_avro_file(b"Obj\x02junk")
+
+
+def test_avro_spark_write_read(spark, tmp_path):
+    """write_avro/read_avro: per-partition OCFs, schema from embedded
+    metadata, nullable union survives, file count = parallelism."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.sources.avro import read_avro, write_avro
+
+    df = spark.range(0, 500, 1, 4).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("name"),
+        (F.col("id") * 3).cast("long").alias("v"),
+    )
+    path = str(tmp_path / "avro")
+    n = write_avro(df, path)
+    assert n == 500
+    parts = [p for p in os.listdir(path) if p.endswith(".avro")]
+    assert len(parts) == 4
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
