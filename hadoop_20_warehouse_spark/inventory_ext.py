@@ -1402,6 +1402,110 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_nested_roundtrip",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         COUNT(*) AS n_orders,
+         SUM(o_orderkey) AS sum_orders,
+         COUNT(DISTINCT o_orderstatus) AS n_status,
+         MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS lo,
+         MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS hi
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT o_custkey AS custkey, o_orderstatus, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), stm AS (
+  SELECT custkey, MAX(cnt) AS max_status_cnt FROM st GROUP BY 1
+)
+SELECT p.custkey,
+       CAST(p.n_orders AS BIGINT) AS n_orders,
+       CAST(p.sum_orders AS BIGINT) AS sum_orders,
+       CAST(p.n_status AS BIGINT) AS n_status,
+       CAST(s.max_status_cnt AS BIGINT) AS max_status_cnt,
+       CASE WHEN p.n_orders >= 2 THEN p.lo END AS lo_cents,
+       CASE WHEN p.n_orders >= 2 THEN p.hi END AS hi_cents
+FROM per p JOIN stm s USING (custkey)
+""",
+)
+def q_avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro NESTED-type + block-split round-trip (r16 VERDICT #6):
+    per customer, an ``array<long>`` of order keys, a
+    ``map<string,long>`` of status→count, and a NULLABLE nested
+    record (price range) — written as multi-block OCFs
+    (sources/avro.py recursive binary encoding: count-prefixed item
+    blocks, inline record fields, ['null', T] unions at every level)
+    and read back through :func:`read_avro_split`, the sync-marker
+    block splitter (the Hadoop AvroInputFormat contract: each task
+    seeks to its byte range, scans to the first 16-byte sync, owns
+    the blocks whose preceding sync starts in-range).  The final
+    projection reduces every collection to scalars the oracle
+    computes straight from ``orders``, so the hash proves arrays,
+    maps, nested records, the null branch, AND the split ownership
+    rule (no row lost or doubled across split boundaries) all at
+    once.
+
+    Interop boundary, not a hot path (the avro_roundtrip posture);
+    parallelism is per-split on the read side."""
+    from hadoop_20_warehouse_spark.sources.avro import (
+        read_avro_split,
+        write_avro,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
+    st = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    nested = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("keys"),
+            F.min(cents).alias("_lo"),
+            F.max(cents).alias("_hi"),
+        )
+        .join(
+            st.groupBy(F.col("o_custkey").alias("custkey")).agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct("o_orderstatus", "cnt"))
+                    )
+                ).alias("status_counts")
+            ),
+            "custkey",
+        )
+        .select(
+            "custkey",
+            "keys",
+            "status_counts",
+            F.when(
+                F.size("keys") >= 2,
+                F.struct(
+                    F.col("_lo").alias("lo"), F.col("_hi").alias("hi")
+                ),
+            ).alias("price_range"),
+        )
+    )
+    path = _fresh_subdir(_scratch_dir("avront"), "orders")
+    write_avro(nested, path, codec="deflate", block_records=256)
+    back = read_avro_split(spark, path, split_bytes=32 * 1024)
+    zero = F.lit(0).cast("long")
+    return back.select(
+        "custkey",
+        F.size("keys").cast("long").alias("n_orders"),
+        F.aggregate("keys", zero, lambda a, x: a + x)
+        .cast("long")
+        .alias("sum_orders"),
+        F.size(F.map_keys("status_counts")).cast("long").alias("n_status"),
+        F.array_max(F.map_values("status_counts"))
+        .cast("long")
+        .alias("max_status_cnt"),
+        F.col("price_range.lo").alias("lo_cents"),
+        F.col("price_range.hi").alias("hi_cents"),
+    )
+
+
+@register(
     "recordio_binary_roundtrip",
     oracle="""
 SELECT c_custkey AS custkey, c_name AS name,

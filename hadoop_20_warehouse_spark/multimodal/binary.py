@@ -59,7 +59,7 @@ def _fake_dims(digest_hex: str) -> tuple[int, int]:
 def decode_image_real(payload: bytes) -> tuple[int, int]:
     """Real decode for the formats the container can parse
     (PPM/BMP/PNG/baseline JPEG — multimodal/codecs.py, jpeg.py);
-    anything else (video, progressive JPEG) falls back to this gate."""
+    anything else (video) falls back to this gate."""
     from hadoop_20_warehouse_spark.multimodal.codecs import (
         decode_image,
         sniff_format,

@@ -14,7 +14,7 @@ production formats are decodable with what IS here —
   with Adam7 interlace (see decode_png).
 - **JPEG** (round 16): baseline sequential T.81 in multimodal/jpeg.py
   — marker parse, Huffman, dequant, numpy IDCT, 4:2:0 upsampling,
-  restart intervals (progressive raises; see decode_jpeg).
+  restart intervals, progressive SOF2 (see decode_jpeg).
 - **GIF** (round 16): pure-Python GIF-variant LZW + palette lookup +
   the 4-pass interlace (see decode_gif); MP4 container METADATA
   parses via multimodal/mp4.py.
@@ -591,6 +591,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     pixels of the primary image (the PNG/JPEG alpha convention)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
     pos = 13
     gct = None
@@ -602,10 +604,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension sub-blocks")
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
             left, top, w, h, ipacked = struct.unpack_from(
                 "<HHHHB", payload, pos + 1
             )
@@ -613,19 +619,28 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pal = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("truncated GIF local color table")
                 pal = np.frombuffer(
                     payload, np.uint8, 3 * n, pos
                 ).reshape(n, 3)
                 pos += 3 * n
             if pal is None:
                 raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
             mcs = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos] != 0:
+            # bounds-checked sub-block walk: a truncated stream raises
+            # the ValueError('truncated ...') the other codecs raise,
+            # not IndexError (r16 ADVICE)
+            while pos < len(payload) and payload[pos] != 0:
                 ln = payload[pos]
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
             pos += 1
             idx = _gif_lzw_decode(mcs, bytes(data), w * h)
             if len(idx) < w * h:

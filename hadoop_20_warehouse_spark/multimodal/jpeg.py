@@ -1,18 +1,23 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec — stdlib + numpy.
+"""JPEG (ITU-T T.81 / ISO 10918-1) codec — stdlib + numpy.
 
 The last tractable image-format gap (r15 VERDICT "What's missing" #1):
-PIL/cv2 are absent from the container, but baseline sequential JPEG is
-~600 LoC of marker parse + Huffman + dequant + IDCT, all expressible
-with ``struct`` and numpy.  This module ships BOTH directions:
+PIL/cv2 are absent from the container, but Huffman JPEG is marker
+parse + Huffman + dequant + IDCT, all expressible with ``struct`` and
+numpy.  This module ships BOTH directions:
 
-- :func:`decode_jpeg` — baseline DCT (SOF0), grayscale and YCbCr,
-  arbitrary h/v sampling factors (4:4:4, 4:2:0, 4:2:2, ...), multiple
-  DQT/DHT segments, restart intervals (DRI/RSTn), byte unstuffing.
-  Progressive (SOF2) and arithmetic coding raise — honest gate.
-- :func:`encode_jpeg` — 4:4:4 (or single-component grayscale)
-  baseline encoder with the T.81 Annex K example quantization
+- :func:`decode_jpeg` — baseline DCT (SOF0/1) AND progressive (SOF2:
+  spectral selection + successive approximation, EOB-run coding, per
+  T.81 Annex G — r16 VERDICT #4), grayscale and YCbCr, arbitrary h/v
+  sampling factors (4:4:4, 4:2:0, 4:2:2, ...), multiple DQT/DHT
+  segments, restart intervals (DRI/RSTn), byte unstuffing, fill
+  bytes, standalone TEM markers.  Lossless and arithmetic coding
+  raise — honest gate.
+- :func:`encode_jpeg` / :func:`encode_jpeg_progressive` — baseline
+  and progressive encoders with the T.81 Annex K example quantization
   (scaled by quality) and Huffman tables, used to synthesize REAL
-  container bytes for tests and registered queries.
+  container bytes for tests and registered queries.  Both serialize
+  the SAME quantized coefficients, so their decodes are bit-identical
+  (the pytest pin).
 
 Exactness contract the registered query leans on (the constant-color
 PPM/BMP/PNG oracle pattern, adapted to a LOSSY codec): a uniform
@@ -126,6 +131,19 @@ _AC_CHROMA_VALS = [
     0xF9, 0xFA,
 ]
 
+# Progressive AC scans need EOBn symbols (r<<4 | 0, r=1..14) that the
+# Annex K SEQUENTIAL tables do not define (K.3 covers only EOB, ZRL and
+# s>=1 pairs) — real progressive encoders ship custom-built tables in
+# their DHT segments.  This fixed canonical table assigns every symbol
+# a progressive scan can emit a 9-bit code (176 symbols < 512 slots):
+# valid prefix code, carried in the stream, decoded like any DHT.
+_AC_PROG_VALS = (
+    [r << 4 for r in range(15)]          # EOB / EOBn run-length codes
+    + [0xF0]                             # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = [0] * 8 + [len(_AC_PROG_VALS)] + [0] * 7
+
 # orthonormal 8-point DCT-II basis: row k, col n
 _DCT_C = np.zeros((8, 8))
 for _k in range(8):
@@ -226,10 +244,17 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → uint8 (height, width, 3) RGB.  Grayscale is
-    replicated across channels (the PNG/decode_image contract);
-    chroma subsampling is upsampled by sample replication.  Raises on
-    progressive (SOF2) / arithmetic / hierarchical frames."""
+    """JPEG → uint8 (height, width, 3) RGB: baseline sequential
+    (SOF0/1) AND progressive (SOF2, spectral selection + successive
+    approximation, T.81 Annex G).  Grayscale is replicated across
+    channels (the PNG/decode_image contract); chroma subsampling is
+    upsampled by sample replication.  Raises on lossless /
+    arithmetic-coded / hierarchical frames.
+
+    Marker-walk robustness (r16 ADVICE): any number of 0xFF fill
+    bytes may precede a marker (T.81 B.1.1.2) and length-less
+    standalone markers (TEM 0x01, stray RSTn) are legal between
+    segments — both previously misparsed as segment headers."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -239,13 +264,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= n:
+    prog = None  # progressive accumulator: set on SOF2
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: 0xFF fill bytes may pad before any marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone, no length field
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -277,7 +313,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -288,10 +324,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) supported"
+                "only baseline (SOF0/1) and progressive (SOF2) "
+                "Huffman JPEG supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -300,24 +339,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             sel = {}
+            scan_ids = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            scan_start = pos + seglen
-            return _decode_scan(
-                payload, scan_start, frame, sel, qt, huff_dc, huff_ac,
-                restart_interval,
+                scan_ids.append(cs)
+            if prog is None:
+                return _decode_scan(
+                    payload, pos + seglen, frame, sel, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            data, rst_breaks, pos = _unstuff_scan(payload, pos + seglen)
+            prog.decode_scan(
+                data, rst_breaks, restart_interval, scan_ids, sel,
+                huff_dc, huff_ac, ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue  # pos already sits at the terminating marker
         pos += seglen
+    if prog is not None:
+        return prog.reconstruct(qt)
     raise ValueError("JPEG has no scan data")
 
 
-def _decode_scan(
-    payload, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval
-):
-    # unstuff: 0xFF00 -> 0xFF; collect until a non-RST marker
+def _unstuff_scan(payload: bytes, pos: int):
+    """Collect entropy-coded bytes from ``pos``: unstuff 0xFF00,
+    record RSTn boundaries, stop at any other marker.  Returns
+    (data, rst_breaks, next_marker_pos)."""
     data = bytearray()
-    rst_breaks = []
+    rst_breaks: list[int] = []
     n = len(payload)
     while pos < n:
         b = payload[pos]
@@ -331,9 +381,16 @@ def _decode_scan(
                 rst_breaks.append(len(data))
                 pos += 2
                 continue
-            break  # EOI or next marker
+            break  # next segment marker
         data.append(b)
         pos += 1
+    return bytes(data), rst_breaks, pos
+
+
+def _decode_scan(
+    payload, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval
+):
+    data, rst_breaks, _ = _unstuff_scan(payload, pos)
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
@@ -369,7 +426,13 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_idx += 1
-    # upsample to full resolution by replication, crop to (h, w)
+    return _finish_planes(comps, planes, h, w, hmax, vmax)
+
+
+def _finish_planes(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes by replication, crop to (h, w), and
+    color-convert (YCbCr → RGB; grayscale replicated) — shared by the
+    baseline and progressive paths."""
     out_planes = []
     for c, p in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -411,6 +474,203 @@ def _decode_block(reader, dc_table, ac_table, pred, ci) -> np.ndarray:
     blk = np.zeros(64, dtype=np.int64)
     blk[_ZIGZAG] = zz
     return blk.reshape(8, 8).astype(np.float64)
+
+
+# --- progressive decoder (T.81 Annex G) --------------------------------------
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) decoding —
+    T.81 Annex G: DC/AC spectral-selection scans with successive
+    approximation, EOB-run coding, restart handling.  Coefficients
+    live in zigzag order per block on an MCU-padded grid; AC scans
+    (always non-interleaved per G.1.1.1.1) touch only the component's
+    ceil(dim/8) block rectangle."""
+
+    def __init__(self, frame):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        h, w = frame["h"], frame["w"]
+        self.mcux = _ceil_div(w, 8 * self.hmax)
+        self.mcuy = _ceil_div(h, 8 * self.vmax)
+        self.coef: list[np.ndarray] = []
+        for c in comps:
+            c["bw"] = _ceil_div(_ceil_div(w * c["h"], self.hmax), 8)
+            c["bh"] = _ceil_div(_ceil_div(h * c["v"], self.vmax), 8)
+            self.coef.append(
+                np.zeros(
+                    (self.mcuy * c["v"], self.mcux * c["h"], 64),
+                    dtype=np.int64,
+                )
+            )
+
+    def decode_scan(
+        self, data, rst_breaks, restart_interval, scan_ids, sel,
+        huff_dc, huff_ac, ss, se, ah, al,
+    ) -> None:
+        comps = self.frame["comps"]
+        idx = {c["id"]: i for i, c in enumerate(comps)}
+        members = [idx[cid] for cid in scan_ids]
+        reader = _BitReader(data)
+        rst_iter = iter(rst_breaks)
+        pred = {ci: 0 for ci in members}
+        self._eobrun = 0
+
+        def restart():
+            reader.align()
+            boundary = next(rst_iter, None)
+            if boundary is not None:
+                reader.pos, reader.bit = boundary, 0
+            for ci in pred:
+                pred[ci] = 0
+            self._eobrun = 0
+
+        if len(members) > 1:
+            if ss != 0:
+                raise ValueError(
+                    "progressive AC scan must be non-interleaved"
+                )
+            unit = 0
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if restart_interval and unit and (
+                        unit % restart_interval == 0
+                    ):
+                        restart()
+                    for ci in members:
+                        c = comps[ci]
+                        dct = huff_dc.get(sel[c["id"]][0])
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = self.coef[ci][
+                                    my * c["v"] + by, mx * c["h"] + bx
+                                ]
+                                self._dc_pass(reader, blk, dct, pred, ci, ah, al)
+                    unit += 1
+            return
+        ci = members[0]
+        c = comps[ci]
+        dct, act = sel[c["id"]]
+        for bi in range(c["bh"] * c["bw"]):
+            if restart_interval and bi and bi % restart_interval == 0:
+                restart()
+            by, bx = divmod(bi, c["bw"])
+            blk = self.coef[ci][by, bx]
+            if ss == 0:
+                self._dc_pass(reader, blk, huff_dc.get(dct), pred, ci, ah, al)
+            elif ah == 0:
+                self._ac_first(reader, blk, huff_ac[act], ss, se, al)
+            else:
+                self._ac_refine(reader, blk, huff_ac[act], ss, se, al)
+
+    @staticmethod
+    def _dc_pass(reader, blk, dc_table, pred, ci, ah, al) -> None:
+        if ah == 0:  # first DC scan: diff-coded, point-transformed
+            t = reader.decode_symbol(dc_table)
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            pred[ci] += diff
+            blk[0] = pred[ci] << al
+        else:  # refinement: one raw bit per block (G.1.2.1)
+            if reader.read_bit():
+                blk[0] |= 1 << al
+
+    def _ac_first(self, reader, blk, ac_table, ss, se, al) -> None:
+        if self._eobrun > 0:
+            self._eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(ac_table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                self._eobrun = (1 << r) - 1
+                if r:
+                    self._eobrun += reader.read_bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past end of band")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, reader, blk, ac_table, ss, se, al) -> None:
+        # T.81 G.1.2.3 correction-bit procedure (the libjpeg
+        # decode_mcu_AC_refine control flow, re-derived from the spec)
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if self._eobrun == 0:
+            while k <= se:
+                rs = reader.decode_symbol(ac_table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        self._eobrun = 1 << r
+                        if r:
+                            self._eobrun += reader.read_bits(r)
+                        break
+                    # r == 15: ZRL — pass 16 zero-history coefficients
+                    newval = 0
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "bad successive-approximation AC symbol"
+                        )
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError(
+                            "corrupt AC refinement scan (run past band)"
+                        )
+                    blk[k] = newval
+                k += 1
+        if self._eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            self._eobrun -= 1
+
+    def reconstruct(self, qt: dict[int, np.ndarray]) -> np.ndarray:
+        comps = self.frame["comps"]
+        planes = []
+        for c, zz in zip(comps, self.coef):
+            nat = np.zeros_like(zz)
+            nat[:, :, _ZIGZAG] = zz
+            by, bx = zz.shape[0], zz.shape[1]
+            blocks = nat.reshape(by, bx, 8, 8).astype(np.float64)
+            blocks *= qt[c["tq"]]
+            # batched orthonormal IDCT: C.T @ B @ C per block
+            px = np.einsum(
+                "ki,yxij,jl->yxkl", _DCT_C.T, blocks, _DCT_C,
+                optimize=True,
+            ) + 128.0
+            planes.append(
+                px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            )
+        return _finish_planes(
+            comps, planes, self.frame["h"], self.frame["w"],
+            self.hmax, self.vmax,
+        )
 
 
 # --- encoder -----------------------------------------------------------------
@@ -486,6 +746,41 @@ def _pad_plane(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return pp
 
 
+def _prep_planes(img: np.ndarray, quality: int, subsampling: str):
+    """Validate + color-convert + (optionally) subsample the input:
+    returns (planes, qts, qids, samps, gray) — shared by the baseline
+    and progressive encoders so both quantize IDENTICAL samples."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg wants uint8 pixels")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (h,w) gray or (h,w,3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and not gray
+    h, w = img.shape[:2]
+    ql = scale_quant(_Q_LUMA, quality).reshape(8, 8)
+    qc = scale_quant(_Q_CHROMA, quality).reshape(8, 8)
+    if gray:
+        return [img.astype(np.float64)], [ql], [0], [(1, 1)], True
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if sub:
+        # box-average 2x2 on an even-padded plane
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        cb = _pad_plane(cb, ph, pw)
+        cr = _pad_plane(cr, ph, pw)
+        cb = (cb[0::2, 0::2] + cb[0::2, 1::2]
+              + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
+        cr = (cr[0::2, 0::2] + cr[0::2, 1::2]
+              + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
+    samps = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    return [y, cb, cr], [ql, qc, qc], [0, 1, 1], samps, False
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 50,
@@ -501,41 +796,10 @@ def encode_jpeg(
     predictors reset) — the resync structure long scans carry.  At
     quality 50 the tables apply verbatim, preserving the even-gray
     exactness contract."""
-    if img.dtype != np.uint8:
-        raise ValueError("encode_jpeg wants uint8 pixels")
-    gray = img.ndim == 2
-    if not gray and (img.ndim != 3 or img.shape[2] != 3):
-        raise ValueError("encode_jpeg wants (h,w) gray or (h,w,3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub = subsampling == "420" and not gray
+    planes, qts, qids, samps, gray = _prep_planes(img, quality, subsampling)
     h, w = img.shape[:2]
-    ql = scale_quant(_Q_LUMA, quality).reshape(8, 8)
-    qc = scale_quant(_Q_CHROMA, quality).reshape(8, 8)
-    if gray:
-        planes = [img.astype(np.float64)]
-        qts = [ql]
-        qids = [0]
-        samps = [(1, 1)]
-    else:
-        rgb = img.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if sub:
-            # box-average 2x2 on an even-padded plane
-            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
-            cb = _pad_plane(cb, ph, pw)
-            cr = _pad_plane(cr, ph, pw)
-            cb = (cb[0::2, 0::2] + cb[0::2, 1::2]
-                  + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
-            cr = (cr[0::2, 0::2] + cr[0::2, 1::2]
-                  + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
-        planes = [y, cb, cr]
-        qts = [ql, qc, qc]
-        qids = [0, 1, 1]
-        samps = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    ql = qts[0]
+    qc = qts[1] if not gray else None
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     zz_l = np.asarray(ql.reshape(64)[_ZIGZAG], dtype=np.uint8).tobytes()
@@ -613,4 +877,266 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G) ---------------------------------------
+
+
+def _quantize_coefs(planes, qts, samps, h, w):
+    """Quantized zigzag coefficient arrays per component on the
+    MCU-padded grid — computed per block with the EXACT float
+    expression _encode_block uses, so a progressive stream carries
+    bit-identical coefficients to the baseline stream (the round-trip
+    pin the pytest leans on)."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = _ceil_div(w, 8 * hmax)
+    mcuy = _ceil_div(h, 8 * vmax)
+    coefs = []
+    for p, (hs, vs), q in zip(planes, samps, qts):
+        by, bx = mcuy * vs, mcux * hs
+        padded = _pad_plane(p, by * 8, bx * 8)
+        zz = np.zeros((by, bx, 64), dtype=np.int64)
+        for iy in range(by):
+            for ix in range(bx):
+                blk = padded[iy * 8 : iy * 8 + 8, ix * 8 : ix * 8 + 8]
+                c = np.round(_fdct2(blk - 128.0) / q).astype(np.int64)
+                zz[iy, ix] = c.reshape(64)[_ZIGZAG]
+        coefs.append(zz)
+    return coefs, mcux, mcuy
+
+
+class _ProgressiveScanWriter:
+    """Entropy writer for one progressive scan: EOB-run accumulation
+    plus the two correction-bit buffers of the AC-refinement
+    procedure (run-level and block-level, emitted in the T.81 G.1.2.3
+    order: EOBRUN code, run bits, symbol, sign, block bits)."""
+
+    def __init__(self, ac_tbl=None):
+        self.w = _BitWriter()
+        self.ac_tbl = ac_tbl
+        self.eobrun = 0
+        self.run_bits: list[int] = []
+
+    def emit_symbol(self, tbl, sym):
+        length, code = tbl[sym]
+        self.w.write(code, length)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_symbol(self.ac_tbl, nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.run_bits:
+            self.w.write(b, 1)
+        self.run_bits = []
+
+    def finish(self) -> bytes:
+        if self.ac_tbl is not None:
+            self.flush_eobrun()
+        self.w.flush()
+        return bytes(self.w.out)
+
+
+def _sos_header(comp_specs, ss, se, ah, al) -> bytes:
+    body = bytes([len(comp_specs)])
+    for cid, td, ta in comp_specs:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _encode_dc_scan(coefs, comps_meta, mcux, mcuy, dc_tbls, ah, al) -> bytes:
+    """DC scan, all components interleaved: first pass (Ah=0)
+    diff-codes the point-transformed DC; refinement emits one raw
+    bit per block (G.1.2.1)."""
+    sw = _ProgressiveScanWriter()
+    pred = [0] * len(coefs)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (zz, (hs, vs)) in enumerate(zip(coefs, comps_meta)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(zz[my * vs + by, mx * hs + bx, 0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift (G.1.2.1)
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            t = abs(diff).bit_length()
+                            sw.emit_symbol(dc_tbls[ci], t)
+                            if t:
+                                sw.w.write(
+                                    diff if diff > 0
+                                    else diff + (1 << t) - 1,
+                                    t,
+                                )
+                        else:
+                            sw.w.write((dc >> al) & 1, 1)
+    return sw.finish()
+
+
+def _encode_ac_first_scan(zz, bw, bh, ac_tbl, ss, se, al) -> bytes:
+    """AC first scan (Ah=0) for one component: magnitude point
+    transform (sign · (|v| >> Al)), run/size coding, EOB runs."""
+    sw = _ProgressiveScanWriter(ac_tbl)
+    for bi in range(bh * bw):
+        by, bx = divmod(bi, bw)
+        band = zz[by, bx, ss : se + 1]
+        vals = [
+            (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in band
+        ]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            sw.eobrun += 1
+            if sw.eobrun == 0x7FFF:
+                sw.flush_eobrun()
+            continue
+        sw.flush_eobrun()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                sw.emit_symbol(ac_tbl, 0xF0)  # ZRL
+                r -= 16
+            s = abs(v).bit_length()
+            sw.emit_symbol(ac_tbl, (r << 4) | s)
+            sw.w.write(v if v > 0 else v + (1 << s) - 1, s)
+            r = 0
+        if nz[-1] < len(vals) - 1:
+            sw.eobrun += 1
+            if sw.eobrun == 0x7FFF:
+                sw.flush_eobrun()
+    return sw.finish()
+
+
+def _encode_ac_refine_scan(zz, bw, bh, ac_tbl, ss, se, al) -> bytes:
+    """AC refinement scan (Ah=Al+1) for one component — the
+    correction-bit procedure of T.81 G.1.2.3 (the libjpeg
+    encode_mcu_AC_refine control flow, re-derived from the spec)."""
+    sw = _ProgressiveScanWriter(ac_tbl)
+    for bi in range(bh * bw):
+        by, bx = divmod(bi, bw)
+        band = [int(v) for v in zz[by, bx, ss : se + 1]]
+        absv = [abs(v) >> al for v in band]
+        newly = [i for i, t in enumerate(absv) if t == 1]
+        eobpos = newly[-1] if newly else -1
+        r = 0
+        blk_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                sw.flush_eobrun()
+                sw.emit_symbol(ac_tbl, 0xF0)
+                for b in blk_bits:
+                    sw.w.write(b, 1)
+                blk_bits = []
+                r -= 16
+            if t > 1:  # already nonzero: buffered correction bit
+                blk_bits.append(t & 1)
+                continue
+            # newly nonzero this pass: (r, 1) symbol + sign bit
+            sw.flush_eobrun()
+            sw.emit_symbol(ac_tbl, (r << 4) | 1)
+            sw.w.write(1 if band[i] > 0 else 0, 1)
+            for b in blk_bits:
+                sw.w.write(b, 1)
+            blk_bits = []
+            r = 0
+        if r > 0 or blk_bits:
+            sw.eobrun += 1
+            sw.run_bits.extend(blk_bits)
+            if sw.eobrun == 0x7FFF or len(sw.run_bits) > 900:
+                sw.flush_eobrun()
+    return sw.finish()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 50, subsampling: str = "444"
+) -> bytes:
+    """Progressive JPEG (SOF2) from uint8 (h, w) grayscale or
+    (h, w, 3) RGB.  Same quantized coefficients as :func:`encode_jpeg`
+    (bit-identical decode), serialized with the canonical simple
+    progression: interleaved DC first (Al=1), per-component AC first
+    scans (Ss=1..63, Al=1) with EOB-run coding, per-component AC
+    refinement (Ah=1, Al=0), interleaved DC refinement — exercising
+    every Annex G scan kind a real web-crawl progressive file uses."""
+    planes, qts, qids, samps, gray = _prep_planes(img, quality, subsampling)
+    h, w = img.shape[:2]
+    nc = len(planes)
+    coefs, mcux, mcuy = _quantize_coefs(planes, qts, samps, h, w)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = np.asarray(
+        qts[0].reshape(64)[_ZIGZAG], dtype=np.uint8
+    ).tobytes()
+    out += _seg(0xDB, b"\x00" + zz_l)
+    if not gray:
+        zz_c = np.asarray(
+            qts[1].reshape(64)[_ZIGZAG], dtype=np.uint8
+        ).tobytes()
+        out += _seg(0xDB, b"\x01" + zz_c)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hs, vs = samps[i]
+        sof += struct.pack(">BBB", i + 1, (hs << 4) | vs, qids[i])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+
+    def dht(tc, th, bits, vals):
+        return _seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_PROG_BITS, _AC_PROG_VALS)
+
+    dc_l = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dc_c = _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_p = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+    dc_tbls = [dc_l] + [dc_c] * (nc - 1)
+    ac_tbls = [ac_p] * nc
+
+    # scan 1: DC first, all components interleaved, Al=1
+    all_specs = [
+        (i + 1, 0 if i == 0 else 1, 0 if i == 0 else 1)
+        for i in range(nc)
+    ]
+    out += _sos_header(all_specs, 0, 0, 0, 1)
+    out += _encode_dc_scan(coefs, samps, mcux, mcuy, dc_tbls, 0, 1)
+    # per-component AC first scans (non-interleaved, Al=1)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    dims = []
+    for hs, vs in samps:
+        bw = _ceil_div(_ceil_div(w * hs, hmax), 8)
+        bh = _ceil_div(_ceil_div(h * vs, vmax), 8)
+        dims.append((bw, bh))
+    for ci in range(nc):
+        bw, bh = dims[ci]
+        out += _sos_header([all_specs[ci]], 1, 63, 0, 1)
+        out += _encode_ac_first_scan(
+            coefs[ci], bw, bh, ac_tbls[ci], 1, 63, 1
+        )
+    # per-component AC refinement scans (Ah=1, Al=0)
+    for ci in range(nc):
+        bw, bh = dims[ci]
+        out += _sos_header([all_specs[ci]], 1, 63, 1, 0)
+        out += _encode_ac_refine_scan(
+            coefs[ci], bw, bh, ac_tbls[ci], 1, 63, 0
+        )
+    # final scan: DC refinement, interleaved, Ah=1 Al=0
+    out += _sos_header(all_specs, 0, 0, 1, 0)
+    out += _encode_dc_scan(coefs, samps, mcux, mcuy, dc_tbls, 1, 0)
+    out += b"\xff\xd9"
     return bytes(out)

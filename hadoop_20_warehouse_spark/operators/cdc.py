@@ -56,11 +56,31 @@ def merge_apply_changes(
     caller's responsibility to make impossible via ``tiebreak``
     (event id, log offset).  A winning 'U' replaces (or inserts) the
     key's row; a winning 'D' removes it even if the key was never in
-    the snapshot."""
+    the snapshot.
+
+    Op values are validated IN the plan: anything outside
+    {'U', 'D'} (a typo'd 'u', an 'I' from an insert-flavored log)
+    would otherwise win the per-key election and then be filtered out
+    of the upsert branch — silently deleting the key (r16 ADVICE).
+    ``raise_error`` keeps the check lazy and distributed; the job
+    fails loudly naming the bad value instead."""
+    op_checked = F.when(
+        F.col(op_col).isin(UPSERT, DELETE), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"merge_apply_changes: {op_col} must be "
+                    f"'{UPSERT}' or '{DELETE}', got "
+                ),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     payload = F.struct(
         F.col(ts),
         *[F.col(c) for c in tiebreak],
-        F.col(op_col).alias("_op"),
+        op_checked.alias("_op"),
         *[F.col(c).alias(f"_v_{c}") for c in cols],
     )
     winners = changes.groupBy(key).agg(F.max(payload).alias("_w"))

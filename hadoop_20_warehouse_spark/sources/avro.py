@@ -16,17 +16,26 @@ sync marker; then data blocks of (object count, byte size, objects,
 sync).  Objects encode fields in schema order: zigzag varints for
 int/long, little-endian IEEE for float/double, length-prefixed
 bytes/string, one byte for boolean, nothing for null; nullable fields
-are ``["null", T]`` unions (zigzag branch index, then the value).
+are ``["null", T]`` unions (zigzag branch index, then the value);
+arrays and maps are count-prefixed item blocks with a 0 terminator;
+nested records encode their fields inline in schema order.
 
-Scope: FLAT record schemas over the types a warehouse table uses
-(boolean/int/long/float/double/string/bytes, each optionally
-nullable), ``null`` and ``deflate`` codecs.  Nested records/arrays/
-maps/enums/fixed raise loudly — the honest-gate convention.
+Scope (widened in r17 per the r16 VERDICT): record schemas over
+boolean/int/long/float/double/string/bytes plus ``array<T>``,
+``map<string, T>`` and NESTED records, all recursively composable
+and optionally nullable; ``null`` and ``deflate`` codecs.  Enums,
+fixed, and non-null unions beyond ``["null", T]`` raise loudly — the
+honest-gate convention.
 
-Scale: files are the split unit (blocks carry sync markers, so a
-block-level splitter is possible; interop ingestion reads whole
-files — the reference's isSplitable=false posture); per-partition
-writers make file count = write parallelism.
+Scale: two read paths.  :func:`read_avro` schedules one task per
+file (interop ingestion of many part files).  :func:`read_avro_split`
+splits LARGE files at block boundaries using the 16-byte sync
+markers — the Hadoop AvroInputFormat discipline: each task seeks to
+its byte range, scans forward to the first sync, and owns every
+block whose preceding sync starts inside the range, so a single
+100 GB container fans out across the cluster without any task
+reading the whole file.  Per-partition writers make file count =
+write parallelism on the way out.
 """
 
 from __future__ import annotations
@@ -124,58 +133,250 @@ def _dec_value(b: bytes, pos: int, avro_type: str):
     raise ValueError(f"unsupported avro type {avro_type}")
 
 
+# --- recursive value codecs (unions / arrays / maps / nested records) ---------
+
+
+def _union_branches(node: list) -> tuple[int, object]:
+    """Validate a ``["null", T]`` union → (null branch index, T)."""
+    non_null = [x for x in node if x != "null"]
+    if len(node) != 2 or len(non_null) != 1:
+        raise ValueError(
+            f"only ['null', T] unions supported, got {node!r}"
+        )
+    return node.index("null"), non_null[0]
+
+
+def _enc_any(buf: bytearray, v, node) -> None:
+    """Encode one value against a (parsed-JSON) Avro schema node."""
+    if isinstance(node, list):  # union
+        null_idx, inner = _union_branches(node)
+        if v is None:
+            _zz_encode(buf, null_idx)
+            return
+        _zz_encode(buf, 1 - null_idx)
+        _enc_any(buf, v, inner)
+        return
+    if isinstance(node, str):
+        if v is None:
+            raise ValueError(f"null value for non-nullable {node}")
+        _enc_value(buf, v, node)
+        return
+    kind = node["type"]
+    if kind == "array":
+        items = list(v)
+        if items:
+            _zz_encode(buf, len(items))
+            for it in items:
+                _enc_any(buf, it, node["items"])
+        _zz_encode(buf, 0)
+    elif kind == "map":
+        entries = list(v.items()) if isinstance(v, dict) else list(v)
+        if entries:
+            _zz_encode(buf, len(entries))
+            for k, mv in entries:
+                _enc_value(buf, k, "string")
+                _enc_any(buf, mv, node["values"])
+        _zz_encode(buf, 0)
+    elif kind == "record":
+        fields = node["fields"]
+        if isinstance(v, dict):
+            vals = [v[f["name"]] for f in fields]
+        else:  # Row / tuple / list: positional, schema order
+            vals = list(v)
+        for fv, f in zip(vals, fields):
+            try:
+                _enc_any(buf, fv, f["type"])
+            except ValueError as e:
+                raise ValueError(f"field '{f['name']}': {e}") from None
+    else:
+        raise ValueError(f"unsupported avro type {node!r}")
+
+
+def _dec_any(b: bytes, pos: int, node):
+    if isinstance(node, list):  # union
+        null_idx, inner = _union_branches(node)
+        branch, pos = _zz_decode(b, pos)
+        if branch == null_idx:
+            return None, pos
+        return _dec_any(b, pos, inner)
+    if isinstance(node, str):
+        return _dec_value(b, pos, node)
+    kind = node["type"]
+    if kind == "array":
+        out = []
+        while True:
+            count, pos = _zz_decode(b, pos)
+            if count == 0:
+                break
+            if count < 0:  # negative count: byte size follows
+                count = -count
+                _size, pos = _zz_decode(b, pos)
+            for _ in range(count):
+                v, pos = _dec_any(b, pos, node["items"])
+                out.append(v)
+        return out, pos
+    if kind == "map":
+        out = {}
+        while True:
+            count, pos = _zz_decode(b, pos)
+            if count == 0:
+                break
+            if count < 0:
+                count = -count
+                _size, pos = _zz_decode(b, pos)
+            for _ in range(count):
+                k, pos = _dec_value(b, pos, "string")
+                v, pos = _dec_any(b, pos, node["values"])
+                out[k] = v
+        return out, pos
+    if kind == "record":
+        vals = []
+        for f in node["fields"]:
+            v, pos = _dec_any(b, pos, f["type"])
+            vals.append(v)
+        return tuple(vals), pos
+    raise ValueError(f"unsupported avro type {node!r}")
+
+
 # --- schema bridge ------------------------------------------------------------
+
+
+def _spark_type_to_avro(dt: T.DataType, nullable: bool, path: str):
+    """Spark DataType → Avro schema node (recursive); nullable wraps
+    the node in a ["null", T] union."""
+    if dt in _SPARK_TO_AVRO:
+        node = _SPARK_TO_AVRO[dt]
+    elif isinstance(dt, T.ArrayType):
+        node = {
+            "type": "array",
+            "items": _spark_type_to_avro(
+                dt.elementType, dt.containsNull, path + "_item"
+            ),
+        }
+    elif isinstance(dt, T.MapType):
+        if dt.keyType != T.StringType():
+            raise ValueError(
+                f"avro maps require string keys; column '{path}' has "
+                f"{dt.keyType.simpleString()}"
+            )
+        node = {
+            "type": "map",
+            "values": _spark_type_to_avro(
+                dt.valueType, dt.valueContainsNull, path + "_value"
+            ),
+        }
+    elif isinstance(dt, T.StructType):
+        node = {
+            "type": "record",
+            "name": f"r_{path}",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": _spark_type_to_avro(
+                        f.dataType, f.nullable, f"{path}_{f.name}"
+                    ),
+                }
+                for f in dt.fields
+            ],
+        }
+    else:
+        raise ValueError(
+            f"no Avro mapping for column '{path}' of type "
+            f"{dt.simpleString()}"
+        )
+    return ["null", node] if nullable else node
 
 
 def schema_to_avro_json(schema: T.StructType, name: str = "Record") -> str:
     """StructType → Avro record-schema JSON (nullable fields become
-    ["null", T] unions).  Unsupported Spark types raise loudly."""
-    fields = []
-    for f in schema.fields:
-        at = _SPARK_TO_AVRO.get(f.dataType)
-        if at is None:
-            raise ValueError(
-                f"no flat Avro mapping for column '{f.name}' of type "
-                f"{f.dataType.simpleString()}"
-            )
-        fields.append(
-            {"name": f.name, "type": ["null", at] if f.nullable else at}
-        )
+    ["null", T] unions; arrays/maps/nested structs recurse).
+    Unsupported Spark types raise loudly."""
     return json.dumps(
-        {"type": "record", "name": name, "fields": fields}
+        {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": _spark_type_to_avro(
+                        f.dataType, f.nullable, f.name
+                    ),
+                }
+                for f in schema.fields
+            ],
+        }
     )
 
 
-def _parse_avro_schema(schema_json: str) -> list[tuple[str, str, bool]]:
-    """Avro record JSON → [(name, primitive type, nullable)]."""
+def _validate_avro_node(node) -> None:
+    """Raise on any construct outside the supported surface (enums,
+    fixed, non-null unions, unknown primitives)."""
+    if isinstance(node, list):
+        _, inner = _union_branches(node)
+        _validate_avro_node(inner)
+        return
+    if isinstance(node, str):
+        if node not in _AVRO_TO_SPARK:
+            raise ValueError(f"unsupported Avro type {node!r}")
+        return
+    if not isinstance(node, dict):
+        raise ValueError(f"unsupported Avro type {node!r}")
+    kind = node.get("type")
+    if kind == "array":
+        _validate_avro_node(node["items"])
+    elif kind == "map":
+        _validate_avro_node(node["values"])
+    elif kind == "record":
+        for f in node["fields"]:
+            _validate_avro_node(f["type"])
+    else:
+        raise ValueError(f"unsupported Avro type {node!r}")
+
+
+def _parse_record(schema_json: str) -> dict:
     sch = json.loads(schema_json)
-    if sch.get("type") != "record":
+    if not isinstance(sch, dict) or sch.get("type") != "record":
         raise ValueError("only record top-level Avro schemas supported")
-    out = []
-    for f in sch["fields"]:
-        t = f["type"]
-        nullable = False
-        if isinstance(t, list):
-            branches = [x for x in t if x != "null"]
-            if len(branches) != 1 or len(t) != len(branches) + 1:
-                raise ValueError(
-                    f"field '{f['name']}': only ['null', T] unions supported"
-                )
-            t = branches[0]
-            nullable = True
-        if not isinstance(t, str) or t not in _AVRO_TO_SPARK:
-            raise ValueError(
-                f"field '{f['name']}': unsupported Avro type {t!r}"
-            )
-        out.append((f["name"], t, nullable))
-    return out
+    _validate_avro_node(sch)
+    return sch
+
+
+def _avro_node_to_spark(node) -> tuple[T.DataType, bool]:
+    """Avro schema node → (Spark DataType, nullable)."""
+    if isinstance(node, list):
+        _, inner = _union_branches(node)
+        dt, _ = _avro_node_to_spark(inner)
+        return dt, True
+    if isinstance(node, str):
+        return _AVRO_TO_SPARK[node], False
+    kind = node["type"]
+    if kind == "array":
+        et, en = _avro_node_to_spark(node["items"])
+        return T.ArrayType(et, en), False
+    if kind == "map":
+        vt, vn = _avro_node_to_spark(node["values"])
+        return T.MapType(T.StringType(), vt, vn), False
+    if kind == "record":
+        return (
+            T.StructType(
+                [
+                    T.StructField(
+                        f["name"], *_avro_node_to_spark(f["type"])
+                    )
+                    for f in node["fields"]
+                ]
+            ),
+            False,
+        )
+    raise ValueError(f"unsupported Avro type {node!r}")
 
 
 def avro_to_spark_schema(schema_json: str) -> T.StructType:
+    rec = _parse_record(schema_json)
     return T.StructType(
         [
-            T.StructField(n, _AVRO_TO_SPARK[t], nullable)
-            for n, t, nullable in _parse_avro_schema(schema_json)
+            T.StructField(f["name"], *_avro_node_to_spark(f["type"]))
+            for f in rec["fields"]
         ]
     )
 
@@ -193,7 +394,7 @@ def encode_avro_file(
     """Rows (tuples in schema field order) → one Avro OCF byte string."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec '{codec}'")
-    fields = _parse_avro_schema(schema_json)
+    rec = _parse_record(schema_json)
     sync = hashlib.md5(sync_seed + schema_json.encode()).digest()
     out = bytearray(_MAGIC)
     meta = {
@@ -226,15 +427,7 @@ def encode_avro_file(
     block = bytearray()
     count = 0
     for row in rows:
-        for v, (name, at, nullable) in zip(row, fields):
-            if nullable:
-                if v is None:
-                    _zz_encode(block, 0)  # union branch: null
-                    continue
-                _zz_encode(block, 1)
-            elif v is None:
-                raise ValueError(f"null in non-nullable field '{name}'")
-            _enc_value(block, v, at)
+        _enc_any(block, row, rec)
         count += 1
         if count >= block_records:
             flush(block, count)
@@ -244,8 +437,8 @@ def encode_avro_file(
     return bytes(out)
 
 
-def decode_avro_file(blob: bytes) -> tuple[str, list[tuple]]:
-    """One Avro OCF byte string → (schema JSON, rows as tuples)."""
+def _decode_header(blob: bytes) -> tuple[str, str, bytes, int]:
+    """Parse an OCF header → (schema JSON, codec, sync, header_end)."""
     if blob[:4] != _MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -268,9 +461,25 @@ def decode_avro_file(blob: bytes) -> tuple[str, list[tuple]]:
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec '{codec}'")
-    fields = _parse_avro_schema(schema_json)
+    if pos + 16 > len(blob):
+        raise IndexError("short avro header buffer")
     sync = blob[pos : pos + 16]
-    pos += 16
+    return schema_json, codec, sync, pos + 16
+
+
+def _decode_block_body(body: bytes, count: int, rec: dict) -> list[tuple]:
+    rows = []
+    bpos = 0
+    for _ in range(count):
+        row, bpos = _dec_any(body, bpos, rec)
+        rows.append(row)
+    return rows
+
+
+def decode_avro_file(blob: bytes) -> tuple[str, list[tuple]]:
+    """One Avro OCF byte string → (schema JSON, rows as tuples)."""
+    schema_json, codec, sync, pos = _decode_header(blob)
+    rec = _parse_record(schema_json)
     rows: list[tuple] = []
     n_blob = len(blob)
     while pos < n_blob:
@@ -283,18 +492,7 @@ def decode_avro_file(blob: bytes) -> tuple[str, list[tuple]]:
         pos += 16
         if codec == "deflate":
             body = zlib.decompress(body, -15)
-        bpos = 0
-        for _ in range(count):
-            vals = []
-            for _name, at, nullable in fields:
-                if nullable:
-                    branch, bpos = _zz_decode(body, bpos)
-                    if branch == 0:
-                        vals.append(None)
-                        continue
-                v, bpos = _dec_value(body, bpos, at)
-                vals.append(v)
-            rows.append(tuple(vals))
+        rows.extend(_decode_block_body(body, count, rec))
     return schema_json, rows
 
 
@@ -302,7 +500,8 @@ def decode_avro_file(blob: bytes) -> tuple[str, list[tuple]]:
 
 
 def write_avro(
-    df: DataFrame, path: str, codec: str = "deflate"
+    df: DataFrame, path: str, codec: str = "deflate",
+    block_records: int = 4096,
 ) -> int:
     """``df`` → one Avro OCF per partition under ``path`` (the
     recordio per-partition writer idiom: executors write part files,
@@ -322,6 +521,7 @@ def write_avro(
                 encode_avro_file(
                     iter(mat), schema_json, codec=codec,
                     sync_seed=f"part-{idx}".encode(),
+                    block_records=block_records,
                 )
             )
             with open(
@@ -330,12 +530,26 @@ def write_avro(
                 fh.write(buf.getvalue())
         yield n
 
-    return sum(df.rdd.mapPartitionsWithIndex(_write_part).collect())
+    total = sum(df.rdd.mapPartitionsWithIndex(_write_part).collect())
+    if total == 0:
+        # empty frame: emit ONE header-only OCF (metadata + sync, no
+        # blocks) so read_avro round-trips an empty result instead of
+        # raising on a fileless directory — a filtered-to-empty delta
+        # is a legal pipeline state (r16 ADVICE)
+        with open(os.path.join(path, "part-00000.avro"), "wb") as fh:
+            fh.write(
+                encode_avro_file(
+                    iter(()), schema_json, codec=codec,
+                    sync_seed=b"part-empty",
+                )
+            )
+    return total
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro OCFs → DataFrame (one task per file; schema from the
-    first file's embedded metadata, all files must agree)."""
+    first file's embedded metadata, all files must agree).  For a few
+    LARGE files prefer :func:`read_avro_split`."""
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.avro")
     )
@@ -358,5 +572,113 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         files.select("path", "content")
         .rdd.map(tuple)
         .flatMap(_decode)
+    )
+    return spark.createDataFrame(rdd, spark_schema)
+
+
+def _read_header_stream(fh) -> tuple[str, str, bytes, int]:
+    """Parse an OCF header from an open file WITHOUT reading the whole
+    file: the header is magic + metadata map + sync, typically a few
+    KB (the schema JSON dominates)."""
+    chunk = fh.read(4096)
+    while True:
+        try:
+            return _decode_header(chunk)
+        except IndexError:
+            more = fh.read(len(chunk))
+            if not more:
+                raise ValueError("truncated Avro header") from None
+            chunk += more
+
+
+def _decode_file_range(
+    fname: str, start: int, end: int, expect_schema: str | None
+) -> list[tuple]:
+    """Decode the blocks of ``fname`` owned by byte range
+    [start, end): the Hadoop AvroInputFormat split contract — scan
+    forward from ``start`` to the first 16-byte sync marker and own
+    every block whose preceding sync STARTS inside the range.  Only
+    the scan window and the owned blocks are read, never the whole
+    file."""
+    with open(fname, "rb") as fh:
+        schema_json, codec, sync, header_end = _read_header_stream(fh)
+        if expect_schema is not None and (
+            json.loads(schema_json) != json.loads(expect_schema)
+        ):
+            raise ValueError("avro schema mismatch across files")
+        rec = _parse_record(schema_json)
+        # the earliest sync is the header's trailing one
+        scan_from = max(start, header_end - 16)
+        if scan_from >= end:
+            return []
+        fh.seek(scan_from)
+        # sync STARTS in [scan_from, end) → window needs end+15
+        window = fh.read(end - scan_from + 15)
+        off = window.find(sync)
+        if off == -1 or scan_from + off >= end:
+            return []
+        boundary = scan_from + off + 16
+
+        def read_varint() -> int:
+            shift = 0
+            acc = 0
+            while True:
+                b = fh.read(1)
+                if not b:
+                    raise EOFError
+                byte = b[0]
+                acc |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            return (acc >> 1) ^ -(acc & 1)
+
+        rows: list[tuple] = []
+        fh.seek(boundary)
+        sync_pos = boundary - 16
+        while sync_pos < end:
+            try:
+                count = read_varint()
+            except EOFError:  # trailing sync was end-of-file
+                break
+            size = read_varint()
+            body = fh.read(size)
+            if fh.read(16) != sync:
+                raise ValueError("avro block sync mismatch (torn file?)")
+            if codec == "deflate":
+                body = zlib.decompress(body, -15)
+            rows.extend(_decode_block_body(body, count, rec))
+            sync_pos = fh.tell() - 16
+        return rows
+
+
+def read_avro_split(
+    spark: SparkSession, path: str, split_bytes: int = 32 << 20
+) -> DataFrame:
+    """Avro OCFs → DataFrame with BLOCK-LEVEL splits: each file is cut
+    into ~``split_bytes`` byte ranges and every range becomes one
+    task, which seeks to its offset, scans to the next sync marker,
+    and decodes only the blocks it owns — so one large container file
+    parallelizes across the cluster instead of serializing into a
+    single whole-file task (Avro spec "Object Container Files": sync
+    markers exist exactly to permit efficient splitting; the Hadoop
+    AvroInputFormat contract).  Requires executors to reach ``path``
+    (shared FS — the same posture as every file source on a real
+    cluster)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
+    with open(files[0], "rb") as fh:
+        schema_json, _codec, _sync, _he = _read_header_stream(fh)
+    spark_schema = avro_to_spark_schema(schema_json)
+    splits = []
+    for f in files:
+        size = os.path.getsize(f)
+        for s in range(0, max(size, 1), split_bytes):
+            splits.append((f, s, min(s + split_bytes, size)))
+    rdd = spark.sparkContext.parallelize(splits, len(splits)).flatMap(
+        lambda t: _decode_file_range(t[0], t[1], t[2], schema_json)
     )
     return spark.createDataFrame(rdd, spark_schema)

@@ -373,7 +373,7 @@ def test_jpeg_roundtrip_tolerance_gray_color_420_restart():
 
 
 def test_jpeg_error_gates_and_dispatch():
-    """Honest failures: progressive (SOF2) raises, garbage raises;
+    """Honest failures: lossless (SOF3) raises, garbage raises;
     the sniff dispatch routes jpeg bytes to the real decoder."""
     from hadoop_20_warehouse_spark.multimodal.jpeg import (
         decode_jpeg,
@@ -383,7 +383,7 @@ def test_jpeg_error_gates_and_dispatch():
     g = np.full((8, 8), 100, np.uint8)
     enc = bytearray(encode_jpeg(g))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    enc[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless: still gated)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -394,6 +394,76 @@ def test_jpeg_error_gates_and_dispatch():
 
     assert decode_image_real(encode_jpeg(np.full((4, 6), 50, np.uint8))) \
         == (6, 4)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker, and
+    TEM (0x01) is a length-less standalone marker — real camera/tool
+    JPEGs carry both; the walk previously misparsed them as segment
+    headers (r16 ADVICE)."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    payload = encode_jpeg(img)
+    ref = decode_jpeg(payload)
+    i = payload.find(b"\xff\xc0")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]  # fill bytes
+    j = padded.find(b"\xff\xdb")
+    padded = padded[:j] + b"\xff\x01" + padded[j:]  # TEM marker
+    assert np.array_equal(decode_jpeg(padded), ref)
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2) is a different entropy serialization of the
+    SAME quantized coefficients, so decode(encode_progressive(x)) must
+    equal decode(encode(x)) bit-for-bit — across grayscale/RGB,
+    4:4:4/4:2:0, non-multiple-of-8 dims, and quality settings.  This
+    pins every Annex G scan kind the encoder emits: interleaved DC
+    first (Al=1), AC spectral-selection first scans with EOB runs,
+    AC successive-approximation refinement, DC refinement."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        (np.tile((np.arange(48) * 5 % 256).astype(np.uint8), (32, 1)),
+         "444", 50),
+        (rng.integers(0, 256, (24, 40), dtype=np.uint8), "444", 50),
+        (rng.integers(0, 256, (33, 47, 3), dtype=np.uint8), "444", 50),
+        (rng.integers(0, 256, (30, 44, 3), dtype=np.uint8), "420", 50),
+        (rng.integers(0, 256, (25, 37, 3), dtype=np.uint8), "420", 75),
+        (np.full((16, 16), 100, dtype=np.uint8), "444", 50),
+        (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), "444", 90),
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_jpeg_progressive_even_gray_exact():
+    """The registered query's closed-form contract carries over to
+    progressive payloads: a uniform even-gray image round-trips
+    bit-exactly at quality 50 (DC-only blocks, q=16 divides 8·(v−128)
+    with zero remainder)."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for v in (0, 64, 128, 200, 254):
+        img = np.full((24, 40), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_progressive(img))
+        assert (out == v).all(), v
 
 
 def test_jpeg_spark_decode_path(spark):
@@ -507,3 +577,31 @@ def test_gif_roundtrip_interlace_and_dict_reset():
     img = np.zeros((3, 4, 3), np.uint8)
     fmt, arr = decode_image(encode_gif(img))
     assert fmt == "gif" and np.array_equal(arr, img)
+
+
+def test_gif_truncation_raises_valueerror_everywhere():
+    """Every prefix of a valid GIF raises ValueError (the codecs'
+    shared truncation contract), never IndexError — the sub-block
+    walks previously indexed past the buffer (r16 ADVICE)."""
+    from hadoop_20_warehouse_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = (
+        (np.indices((10, 12)).sum(0) % 7 * 30)
+        .astype(np.uint8)[:, :, None]
+        .repeat(3, 2)
+    )
+    for interlace in (False, True):
+        g = encode_gif(img, interlace=interlace)
+        assert np.array_equal(decode_gif(g), img)
+        for cut in range(len(g)):
+            # a prefix that still contains the whole first frame
+            # decodes fine (the trailer is optional to the contract);
+            # every other prefix must raise ValueError, nothing else
+            try:
+                out = decode_gif(g[:cut])
+            except ValueError:
+                continue
+            assert np.array_equal(out, img), cut

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from hadoop_20_warehouse_spark.sources.io import (
@@ -503,3 +504,123 @@ def test_avro_spark_write_read(spark, tmp_path):
     got = sorted(tuple(r) for r in back.collect())
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
+
+
+def test_avro_nested_types_roundtrip(spark, tmp_path):
+    """r17 (r16 VERDICT #6): array<T>, map<string,T> and NESTED record
+    columns — recursively composable, each optionally nullable —
+    survive the wire format; unsupported constructs (enum, non-null
+    unions, non-string map keys) raise loudly."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from hadoop_20_warehouse_spark.sources.avro import (
+        avro_to_spark_schema,
+        read_avro,
+        schema_to_avro_json,
+        write_avro,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField(
+            "counts", T.MapType(T.StringType(), T.LongType(), True), True
+        ),
+        T.StructField("meta", T.StructType([
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), False),
+            T.StructField("deep", T.ArrayType(T.LongType(), False), True),
+        ]), True),
+    ])
+    rows = [
+        Row(id=1, tags=["x", None, "y"], counts={"k": 3, "j": None},
+            meta=Row(a=None, b="hi", deep=[1, 2, 3])),
+        Row(id=2, tags=[], counts={}, meta=None),
+        Row(id=3, tags=None, counts=None, meta=Row(a=9, b="z", deep=None)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "nested")
+    write_avro(df, path)
+    back = read_avro(spark, path)
+    assert back.schema == schema
+    assert avro_to_spark_schema(schema_to_avro_json(schema)) == schema
+    got = sorted(
+        (r.asDict(recursive=True) for r in back.collect()),
+        key=lambda r: r["id"],
+    )
+    want = sorted(
+        (r.asDict(recursive=True) for r in df.collect()),
+        key=lambda r: r["id"],
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="string keys"):
+        schema_to_avro_json(T.StructType([T.StructField(
+            "m", T.MapType(T.LongType(), T.LongType()), True)]))
+    with pytest.raises(ValueError, match="unsupported"):
+        avro_to_spark_schema(
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"e","type":{"type":"enum","name":"E",'
+            '"symbols":["A"]}}]}'
+        )
+    with pytest.raises(ValueError, match="union"):
+        avro_to_spark_schema(
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"u","type":["int","string"]}]}'
+        )
+
+
+def test_avro_empty_write_roundtrips(spark, tmp_path):
+    """A filtered-to-empty frame writes ONE header-only OCF so the
+    read side round-trips an empty result with the right schema
+    instead of raising on a fileless directory (r16 ADVICE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.sources.avro import read_avro, write_avro
+
+    df = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    ).filter("id < 0")
+    path = str(tmp_path / "empty")
+    assert write_avro(df, path) == 0
+    files = [p for p in os.listdir(path) if p.endswith(".avro")]
+    assert len(files) == 1
+    back = read_avro(spark, path)
+    assert back.count() == 0
+    assert back.schema == df.schema
+
+
+def test_avro_block_split_read(spark, tmp_path):
+    """r17 (r16 VERDICT #6): a single multi-block container file
+    splits into >1 task at sync-marker boundaries with zero row loss
+    or duplication — for both codecs — and a split size larger than
+    the file degenerates to one task with the same rows."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.sources.avro import (
+        read_avro_split,
+        write_avro,
+    )
+
+    big = spark.range(0, 20000).select(
+        F.col("id"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        F.concat(F.lit("name_"), F.col("id")).alias("s"),
+    )
+    want_sum = big.agg(F.sum("id").alias("s")).collect()[0]["s"]
+    for codec in ("deflate", "null"):
+        path = str(tmp_path / f"big_{codec}")
+        write_avro(big.coalesce(1), path, codec=codec, block_records=256)
+        f = glob.glob(os.path.join(path, "*.avro"))
+        assert len(f) == 1 and os.path.getsize(f[0]) > 64 * 1024
+        sp = read_avro_split(spark, path, split_bytes=32 * 1024)
+        assert sp.rdd.getNumPartitions() > 1, codec
+        assert sp.count() == 20000, codec
+        assert sp.agg(F.sum("id").alias("s")).collect()[0]["s"] == want_sum
+        one = read_avro_split(spark, path, split_bytes=1 << 30)
+        assert one.count() == 20000, codec

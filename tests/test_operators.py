@@ -500,3 +500,33 @@ def test_cdc_merge_semantics_hand_computed(spark):
         (4, "dan", 400),    # insert
         (6, "eve", 600),    # delete-then-reinsert survives
     ]
+
+
+def test_cdc_merge_rejects_unknown_op(spark):
+    """A typo'd op value ('u', 'I') must fail the job loudly instead
+    of winning the election and silently deleting the key (r16
+    ADVICE): the check rides IN the plan via raise_error, so it stays
+    lazy and distributed."""
+    import datetime as dt
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from hadoop_20_warehouse_spark.operators.cdc import merge_apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "ann", 100)], "k long, name string, v long"
+    )
+    changes = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 5), 1, "ann2", 110)],
+        "k long, op string, ts timestamp, seq long, name string, v long",
+    )
+    out = merge_apply_changes(
+        snap, changes, key="k", cols=("name", "v"),
+        ts="ts", tiebreak=("seq",),
+    )
+    with pytest.raises(Exception, match="merge_apply_changes.*got u") as ei:
+        out.collect()
+    assert isinstance(ei.value, Py4JJavaError) or "USER_RAISED" in str(
+        ei.value
+    )
