@@ -40,6 +40,16 @@ Measurement methodology (post r2/r3 phantom-regression postmortems):
     is re-run once, isolated, and the flag is kept only if the re-run
     confirms it. r2 and r3 each shipped phantom flags the judge had to
     adjudicate manually; now the harness does it.
+  * session recycling (r16 postmortem — the binding fix): the timed
+    set runs in FAMILIES of SPARK_GRAFT_BENCH_FAMILY (default 14)
+    queries, each family in a fresh SparkContext, because one
+    JVM/Python-worker pool aging across the whole 55-query set
+    inflated tail one-shot readings ~2-2.5x their isolated re-runs
+    (BENCH_r16: knn_pq_rerank 3.68 s in-session vs 1.47 s isolated) —
+    and the driver's binding "within 2x" gate reads the RAW artifact,
+    not the guard's exonerations.  stop() kills the Python worker
+    daemons and shuffle state; the static codegen cache survives in
+    the gateway JVM, so the per-family re-warm is cheap.
   * watch tier — queries between WATCH_RATIO (1.5x) and the 2.0x
     regression bar get the same isolated re-run, reported under
     ``"watch"`` (not ``"regressions"``). The r4 postmortem found
@@ -100,7 +110,16 @@ from hadoop_20_warehouse_spark.catalog import load_table  # noqa: E402
 from hadoop_20_warehouse_spark.inventory import QUERIES  # noqa: E402
 from hadoop_20_warehouse_spark.session import get_session, set_pool  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def _is_default_sf_dir(sf_dir: str) -> bool:
+    """True iff ``sf_dir`` is THE default bench dataset — compared by
+    realpath so a trailing slash, symlink, or future default change
+    can't silently route the default dataset into the train-per-dir
+    branch (r16 ADVICE)."""
+    return os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR)
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 ANCHOR_PATH = os.path.join(REPO_DIR, "BASELINE.md")
 
@@ -173,7 +192,7 @@ def _tokenize_bpe_apply(spark, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    if sf_dir != "/root/testdata/sf0.1":
+    if not _is_default_sf_dir(sf_dir):
         merges = _BPE_MERGES_BY_DIR.get(sf_dir)
         if merges is None:
             merges = [tuple(r) for r in sorted(train_merges(docs).collect())]
@@ -396,6 +415,94 @@ def run_incremental_probe(spark, steady_time) -> dict:
     return out
 
 
+def run_cdc_axis_probe(spark, steady_time) -> dict:
+    """Two-axis scaling probe for the CDC merge (r16 VERDICT #7): the
+    delta-proportional claim says merge cost = |delta| term + ONE
+    snapshot anti-join scan.  The sf-dir two-point probe would grow
+    both together, so this probe grows each axis SEPARATELY — a fixed
+    ~1-day delta against a 1x vs 10x snapshot (user-disjoint base
+    replication, the probe_cdc_economics fixture), and a 1x vs 10x
+    delta against the fixed 1x snapshot.  Expected: the delta axis
+    tracks its own growth (≲ linear — the partial-agg election
+    combines map-side); the snapshot axis grows only by the anti-join
+    scan term (well under 10x).  All inputs localCheckpointed OUTSIDE
+    the timed region (the store-prebuilt rule)."""
+    from hadoop_20_warehouse_spark.operators.cdc import merge_apply_changes
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = F.lit("2024-01-30 00:00:00").cast("timestamp")
+
+    def replicate(df, mult):
+        return df.crossJoin(
+            spark.range(mult).select(F.col("id").alias("_i"))
+        ).select(
+            (F.col("user_id") + 1_000_000 * F.col("_i")).alias("user_id"),
+            "event_type",
+            "ts",
+            (F.col("event_id") + 1_000_000_000 * F.col("_i")).alias(
+                "event_id"
+            ),
+        )
+
+    def latest_state(df):
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.col("event_type").alias("st"),
+                    )
+                ).alias("_w")
+            )
+            .select("user_id", F.col("_w.st").alias("state"))
+        )
+
+    def as_changes(df):
+        return df.select(
+            "user_id",
+            F.lit("U").alias("op"),
+            "ts",
+            "event_id",
+            F.col("event_type").alias("state"),
+        )
+
+    base = ev.filter(F.col("ts") < cut)
+    delta_raw = ev.filter(F.col("ts") >= cut)
+    snap1 = latest_state(base).localCheckpoint(eager=True)
+    snap10 = latest_state(replicate(base, 10)).localCheckpoint(eager=True)
+    d1 = as_changes(delta_raw).localCheckpoint(eager=True)
+    d10 = as_changes(replicate(delta_raw, 10)).localCheckpoint(eager=True)
+
+    def merge_fn(snap, delta):
+        return lambda s, sd: merge_apply_changes(
+            snap, delta, key="user_id", cols=("state",),
+            ts="ts", tiebreak=("event_id",),
+        )
+
+    base_s = round(steady_time(merge_fn(snap1, d1), SF_DIR), 3)
+    delta10_s = round(steady_time(merge_fn(snap1, d10), SF_DIR), 3)
+    snap10_s = round(steady_time(merge_fn(snap10, d1), SF_DIR), 3)
+    return {
+        "delta_rows": d1.count(),
+        "snapshot_rows": snap1.count(),
+        "base_s": base_s,
+        "delta_axis": {
+            "large_s": delta10_s,
+            "data_ratio": 10.0,
+            "time_ratio": round(delta10_s / max(base_s, 0.01), 3),
+        },
+        "snapshot_axis": {
+            "large_s": snap10_s,
+            "data_ratio": 10.0,
+            "time_ratio": round(snap10_s / max(base_s, 0.01), 3),
+        },
+    }
+
+
 BENCH_QUERIES: dict[str, object] = {
     # name -> callable(spark, sf_dir) -> DataFrame
     "pricing_summary": QUERIES["pricing_summary"],
@@ -551,6 +658,17 @@ BENCH_QUERIES: dict[str, object] = {
     # landing per the BASELINE.md five-run protocol.
     "graph_triangle_count": QUERIES["graph_triangle_count"],
     "scd2_dimension_build": QUERIES["scd2_dimension_build"],
+    # round-17 (r16 VERDICT #5): the two headline codec-decode
+    # queries join the timed set — executor-side numpy per binary row
+    # is a novel data term no other timed query prices
+    # (multimodal_frame_sample times only the Arrow plumbing).
+    # Anchored on landing per the BASELINE.md five-run protocol; the
+    # 10x probes ride the sf0.01 -> sf0.1 loop (orders 15k -> 150k).
+    # multimodal_gif_decode / multimodal_mp4_meta stay untimed: LZW
+    # string-table work and box walking are the same
+    # per-row-Python-codec term the PNG/JPEG pair now tracks.
+    "multimodal_png_decode": QUERIES["multimodal_png_decode"],
+    "multimodal_jpeg_decode": QUERIES["multimodal_jpeg_decode"],
 }
 
 
@@ -1179,14 +1297,26 @@ def main() -> None:
             # three windows ride one user-keyed exchange).
             "graph_triangle_count",
             "scd2_dimension_build",
+            # r17 additions (r16 VERDICT #5/#7): the codec decode
+            # pair should track the order count ~linearly (per-row
+            # numpy, no shuffle); label propagation is rounds x keyed
+            # join + partial agg over the co-purchase graph — the
+            # probe alarms if the edge derivation densifies
+            # super-linearly (the pagerank/kcore posture).
+            "multimodal_png_decode",
+            "multimodal_jpeg_decode",
+            "graph_label_propagation",
         ):
+            # untimed-but-probed queries (graph_label_propagation)
+            # live only in the full registry
+            qfn = BENCH_QUERIES.get(name, QUERIES.get(name))
             scaling[name] = {
-                "small_s": round(steady_time(BENCH_QUERIES[name], small_dir), 3),
-                "large_s": round(steady_time(BENCH_QUERIES[name], SF_DIR), 3),
+                "small_s": round(steady_time(qfn, small_dir), 3),
+                "large_s": round(steady_time(qfn, SF_DIR), 3),
                 "data_ratio": round(sf / small_sf, 3),
             }
             probe_large[name] = (
-                lambda fn=BENCH_QUERIES[name]: steady_time(fn, SF_DIR)
+                lambda fn=qfn: steady_time(fn, SF_DIR)
             )
         # r14 additions (r13 VERDICT #3). tokenize_bpe_large_apply:
         # the mapInPandas replay corpus pass over the orders-backed
@@ -1288,6 +1418,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # CDC two-axis economics probe (r16 VERDICT #7): runs with the
+    # other probes, before the cooldown, for the same same-conditions
+    # reason.
+    try:
+        cdc_axes = run_cdc_axis_probe(spark, steady_time)
+    except Exception as e:  # noqa: BLE001 - reported, not raised
+        cdc_axes = {"error": f"{type(e).__name__}: {e}"}
+        print(f"CDC probe failed: {cdc_axes['error']}", file=sys.stderr)
+
     # Cooldown between probes and the timed set: the 10M-row probe
     # leaves ~1 GB of shuffle files whose async cleanup (and the GC of
     # their buffers) bleeds into whatever runs next — the r5 shakedown
@@ -1302,11 +1441,46 @@ def main() -> None:
 
     # Timed set (after the probes — see the scaling comment above for
     # why the probe ratios must not straddle the session).
+    #
+    # Session recycling (r16 VERDICT #1 — the binding gate): one JVM +
+    # Python-worker pool aging across the whole 55-query timed set
+    # inflated the tail's ONE-SHOT readings up to ~2.5x their isolated
+    # re-runs (knn_pq_rerank 3.68 s in-session vs 1.47 s isolated in
+    # BENCH_r16) — the guard's re-run exonerated every flag, but the
+    # driver's binding "within 2x" gate reads the RAW artifact.  So
+    # the timed set now runs in FAMILIES of SPARK_GRAFT_BENCH_FAMILY
+    # queries, each family in a fresh SparkContext: stop() tears down
+    # the block manager, shuffle files, and the Python worker daemons
+    # (SparkEnv-owned), while the static whole-stage-codegen cache
+    # survives in the shared gateway JVM, so the per-family re-warm
+    # only pays worker forks + parquet footers, not recompilation.
+    def recycle_session(upcoming: list[str]):
+        nonlocal spark
+        spark.catalog.clearCache()
+        spark.stop()
+        time.sleep(1.0)  # let executor threads/cleaners drain
+        spark = get_session(
+            extra_conf={"spark.ui.showConsoleProgress": "false"}
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        _force(QUERIES["join_broadcast_dims"](spark, SF_DIR))
+        for nm in upcoming:  # steady-state warmup, smallest SF
+            _force(BENCH_QUERIES[nm](spark, warm_dir))
+
+    family = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_FAMILY", "14")))
+    names = list(BENCH_QUERIES)
     timings: dict[str, float] = {}
-    for name, fn in BENCH_QUERIES.items():
+    for i, name in enumerate(names):
+        if i and i % family == 0:
+            recycle_session(names[i : i + family])
+        fn = BENCH_QUERIES[name]
         time_once(fn, SF_DIR)  # untimed settle run at the target SF
         runs = [time_once(fn, SF_DIR) for _ in range(BENCH_REPS)]
         timings[name] = round(min(runs), 3)
+
+    # Adjudication re-runs also get a fresh session: a retime in the
+    # tail-aged session could falsely CONFIRM a phantom flag.
+    recycle_session([])
 
     # Regression guard: compare against the committed steady-state
     # anchor table (BASELINE.md) in preference to the newest committed
@@ -1409,6 +1583,7 @@ def main() -> None:
         "sf": sf,
         "scaling": scaling,
         "incremental": incremental,
+        "cdc": cdc_axes,
         "gridmix": gridmix,
         "streaming": streaming,
         # only confirmed flags — a consumer checking for a

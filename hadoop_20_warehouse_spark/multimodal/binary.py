@@ -224,10 +224,14 @@ def frame_sample_stub(
     rows out, Arrow-batched).
 
     The "video" length is stood in by a digest-derived frame count in
-    [1, max_frames] and each frame payload by md5(content_md5:idx) —
-    swap for an ffmpeg demux in production. Output stays partitioned
-    with the input (no shuffle); downstream per-frame feature UDFs
-    chain onto this frame table directly.
+    [1, max_frames] and each frame payload by md5(content_md5:idx).
+    As of r17 the REAL path exists for MJPEG containers —
+    multimodal/video.decode_video_frames demuxes AVI/ISO-BMFF and
+    decodes actual frames with the same UDTF shape; this stub remains
+    the oracle-checkable stand-in for codec formats that genuinely
+    need ffmpeg (H.264/H.265). Output stays partitioned with the
+    input (no shuffle); downstream per-frame feature UDFs chain onto
+    this frame table directly.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -605,3 +605,89 @@ def test_gif_truncation_raises_valueerror_everywhere():
             except ValueError:
                 continue
             assert np.array_equal(out, img), cut
+
+
+def test_mjpeg_avi_and_mp4_container_roundtrip():
+    """MJPEG demux (r17): JPEG frames pack into a RIFF/AVI and an
+    ISO-BMFF container and come back byte-identical; the ISO-BMFF
+    parser resolves samples through the stsc/stco chunk walk
+    (multi-chunk layouts included); non-MJPEG streams raise the
+    honest ffmpeg gate; garbage raises ValueError."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from hadoop_20_warehouse_spark.multimodal.video import (
+        build_avi_mjpeg,
+        build_mp4_mjpeg,
+        extract_mjpeg_frames,
+        parse_avi_mjpeg,
+        parse_mp4_mjpeg_frames,
+    )
+
+    w, h = 24, 16
+    frames = [
+        encode_jpeg(np.full((h, w), 2 * ((10 + 7 * i) % 127), np.uint8))
+        for i in range(5)
+    ]
+    avi = build_avi_mjpeg(frames, w, h, fps=10)
+    meta, back = parse_avi_mjpeg(avi)
+    assert meta == {"width": w, "height": h, "n_frames": 5,
+                    "fourcc": "MJPG"}
+    assert back == frames
+    for i, f in enumerate(back):
+        assert (decode_jpeg(f) == 2 * ((10 + 7 * i) % 127)).all()
+    for fpc in (0, 2, 3):  # single chunk + two multi-chunk layouts
+        mp4 = build_mp4_mjpeg(frames, w, h, frames_per_chunk=fpc)
+        meta, back = parse_mp4_mjpeg_frames(mp4)
+        assert back == frames, fpc
+        assert meta["width"] == w and meta["n_frames"] == 5
+    c, _, fr = extract_mjpeg_frames(avi)
+    assert c == "avi" and len(fr) == 5
+    c, _, fr = extract_mjpeg_frames(build_mp4_mjpeg(frames, w, h))
+    assert c == "mp4" and len(fr) == 5
+    with pytest.raises(ValueError, match="container"):
+        extract_mjpeg_frames(b"garbage bytes everywhere")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        parse_avi_mjpeg(avi.replace(b"MJPG", b"H264"))
+    # the existing container-metadata parser reads the same file
+    from hadoop_20_warehouse_spark.multimodal.mp4 import parse_mp4_meta
+
+    mm = parse_mp4_meta(build_mp4_mjpeg(frames, w, h))
+    assert mm["n_video"] == 1 and mm["width"] == w and mm["n_samples"] == 5
+
+
+def test_video_frames_spark_decode_path(spark):
+    """decode_video_frames over real MJPEG payloads — the mapInPandas
+    UDTF leg the registered multimodal_video_frames query runs, at
+    unit scale: one row per sampled (step=2) frame, true dims, exact
+    even-gray means."""
+    from pyspark.sql import Row
+
+    from hadoop_20_warehouse_spark.multimodal.jpeg import encode_jpeg
+    from hadoop_20_warehouse_spark.multimodal.video import (
+        build_avi_mjpeg,
+        build_mp4_mjpeg,
+        decode_video_frames,
+    )
+
+    def clip(vals, w, h):
+        return [encode_jpeg(np.full((h, w), v, np.uint8)) for v in vals]
+
+    df = spark.createDataFrame([
+        Row(id=1, payload=bytearray(
+            build_avi_mjpeg(clip([10, 20, 30], 8, 6), 8, 6))),
+        Row(id=2, payload=bytearray(
+            build_mp4_mjpeg(clip([100, 200, 44, 66], 12, 4), 12, 4,
+                            frames_per_chunk=2))),
+    ])
+    rows = {(r["id"], r["frame_idx"]): r
+            for r in decode_video_frames(df, "id", "payload",
+                                         step=2).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 2)}
+    assert rows[(1, 0)]["container"] == "avi"
+    assert rows[(1, 0)]["n_frames"] == 3
+    assert rows[(1, 2)]["mean_g"] == 30.0
+    assert rows[(2, 0)]["container"] == "mp4"
+    assert rows[(2, 0)]["width"] == 12 and rows[(2, 0)]["height"] == 4
+    assert rows[(2, 2)]["mean_r"] == 44.0
