@@ -7,20 +7,32 @@ verified MinHash-LSH + components + rep election -> decontamination
 prepended, upsampled epoch mixture in the tail) at 10x the sf0.1
 corpus.
 
-Corpus: rehearse_sf1's 10x mutated documents replication, PLUS
-(VERDICT r14 #2 — the r14 rehearsal symlinked embeddings, so the
-composed number didn't price the SemDeDup stage growing with the
-corpus) a 10x cluster-structured embeddings table: each sf0.1 vector
-is replicated 10x with vec_id*10+copy ids (aligned with the upsampled
-doc ids, so the anti-join hits) — copy 0 exact, copies 1-9 perturbed
-by deterministic +-1e-3 noise, so every copy stays in its source's
-cell (cells stay skewed, 10x denser) and copies near-duplicate each
-other (a strictly HARDER SemDeDup load than organic 10x growth, the
-same argument rehearse_sf1 makes for its document mutation).  The
-registered plan keeps its fixed num_cells=32, so the grouped-GEMM
-pair term grows ~100x from its small base — the quadratic term the
-num_cells ∝ N production knob exists to bound; the composed ratio
-prices it honestly.
+Corpus (re-fixtured r17 — r16 VERDICT #3): the r16 mutated-copies
+fixture collapsed the tail to ZERO survivors at sf1 (suffix mutations
+left the leading-span exact key unchanged, so exact dedup folded each
+10-copy family to one doc, and the corpus-derived eval-gram set then
+decontaminated nearly everything — n_final sf1 = 0, so the
+tokenize/mixture/pack/export tail was priced on an EMPTY corpus).
+The new fixture is the ORGANIC-GROWTH model, 10 gram-disjoint
+strata:
+
+- **documents**: copy 0 = the sf0.1 corpus verbatim; copies 1-9 are
+  VOCABULARY-TRANSLATED (every word suffixed ``v<c>``) — a bijective
+  vocab map, so each stratum reproduces sf0.1's full duplication /
+  near-dup / gram-overlap structure EXACTLY while sharing zero
+  n-grams with any other stratum.  doc_ids are COPY-MAJOR
+  (c·100000 + d) so the chain's ``doc_id % 20`` eval selection
+  samples every stratum at sf0.1's rate.  Every hygiene stage
+  therefore attrites each stratum at sf0.1's fractions → survivor
+  counts ≈ 10x at every stage, and the tail runs on a REAL ~10x
+  population.
+- **embeddings**: per-stratum dimension ROLL (a fixed permutation
+  preserves intra-stratum pairwise cosines exactly), ids aligned
+  with the copy-major doc ids.  The registered plan keeps its fixed
+  num_cells=32, so cells are 10x denser and the grouped-GEMM pair
+  term still grows ~100x from its small base — the quadratic term
+  the num_cells ∝ N production knob exists to bound; the composed
+  ratio prices it honestly.
 
 Each point is settle + min-of-2 back-to-back in one fresh session.
 Prints one RESULT json line.
@@ -39,30 +51,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
-from rehearse_sf1 import SF01, build_sf1_documents, force, steady  # noqa: E402
+from rehearse_sf1 import SF01, force, steady  # noqa: E402
 
 
-def build_sf1_embeddings(spark, sf1: str) -> None:
-    """Replace the sf1 dir's embeddings symlink with the 10x
-    cluster-structured table (see module docstring)."""
+def build_sf1_strata(spark, root: str) -> str:
+    """The 10-strata organic-growth sf1 fixture (module docstring):
+    vocabulary-translated document strata with copy-major ids, plus
+    dimension-rolled embeddings with aligned ids."""
+    sf1 = os.path.join(root, "sf1")
+    os.makedirs(sf1, exist_ok=True)
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    # per-stratum Caesar cipher: a per-CHARACTER substitution commutes
+    # with shingle windowing, so every stratum's character-shingle AND
+    # word-trigram geometry is EXACTLY sf0.1's (bijective), while
+    # strata share no shingles with each other (word-suffix schemes
+    # failed here: a shared suffix on every word inflated intra-
+    # stratum overlap and collapsed near-dup survivors ~4x)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    translated = F.when(F.col("copy") == 0, F.col("text"))
+    for c in range(1, 10):
+        translated = translated.when(
+            F.col("copy") == c,
+            F.translate(F.col("text"), alpha, alpha[c:] + alpha[:c]),
+        )
+    up = docs.crossJoin(copies).select(
+        (F.col("copy") * 100_000 + F.col("doc_id")).alias("doc_id"),
+        translated.alias("text"),
+        "lang",
+        "source",
+        F.length(translated).alias("n_chars"),
+    )
+    up.write.mode("overwrite").parquet(
+        os.path.join(sf1, "documents.parquet")
+    )
+
     emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
-    pert = F.expr(
-        "transform(embedding, (x, i) -> cast(x + "
-        "(CASE WHEN copy = 0 THEN 0.0 "
-        " ELSE (abs(hash(vec_id, copy, i)) % 1000 - 500) / 500000.0 END)"
-        " as float))"
+    rolled = F.expr(
+        "concat(slice(embedding, copy * 7 % 64 + 1, 64 - copy * 7 % 64),"
+        " slice(embedding, 1, copy * 7 % 64))"
     )
-    up = emb.crossJoin(
-        spark.range(10).select(F.col("id").alias("copy"))
-    ).select(
-        (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"),
-        pert.alias("embedding"),
+    emb.crossJoin(copies).select(
+        (F.col("copy") * 100_000 + F.col("vec_id")).alias("vec_id"),
+        rolled.alias("embedding"),
         "label",
-    )
-    dst = os.path.join(sf1, "embeddings.parquet")
-    if os.path.islink(dst):
-        os.remove(dst)
-    up.write.mode("overwrite").parquet(dst)
+    ).write.mode("overwrite").parquet(os.path.join(sf1, "embeddings.parquet"))
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        src = os.path.join(SF01, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(sf1, f"{t}.parquet"))
+    return sf1
 
 
 def main() -> None:
@@ -82,8 +123,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="h20w_sf1_endgame_")
     out: dict[str, dict] = {}
     try:
-        sf1 = build_sf1_documents(spark, root)
-        build_sf1_embeddings(spark, sf1)
+        sf1 = build_sf1_strata(spark, root)
         for name in ("pipeline_release_endgame", "pipeline_release_endgame_full"):
             fn = QUERIES[name]
             small = steady(lambda: force(fn(spark, SF01)))
