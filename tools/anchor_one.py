@@ -14,6 +14,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 from hadoop_20_warehouse_spark.registry import QUERIES  # noqa: E402
 import hadoop_20_warehouse_spark.inventory  # noqa: E402,F401
 import hadoop_20_warehouse_spark.inventory_llm  # noqa: E402,F401
+import bench  # noqa: E402 - bench-local timed variants (sampled decodes)
 
 name = sys.argv[1]
 spark = (
@@ -25,7 +26,7 @@ spark = (
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
-fn = QUERIES[name]
+fn = bench.BENCH_QUERIES.get(name) or QUERIES[name]
 
 
 def force(df):
