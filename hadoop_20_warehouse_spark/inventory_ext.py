@@ -2490,6 +2490,120 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(vids, "id", "payload", step=2)
 
 
+# frame identity = (width, height, decoded gray value): the decoder
+# recovers v bit-exactly (even-gray contract), so content-keyed dedup
+# has a closed-form oracle over the generating columns
+_FRAME_DEDUP_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS id, o_custkey,
+         o_orderkey % 3 + 2 AS n_frames,
+         o_orderkey % 15 + 4 AS width,
+         o_orderkey % 11 + 4 AS height
+  FROM orders
+), frames AS (
+  SELECT id, width, height,
+         2 * ((o_custkey + 7 * frame_idx) % 127) AS v
+  FROM (
+    SELECT *, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+    FROM base
+  )
+)
+SELECT CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(v AS BIGINT) AS gray,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_clips,
+       CAST(MIN(id) AS BIGINT) AS keeper_clip
+FROM frames
+GROUP BY 1, 2, 3
+HAVING COUNT(*) > 1
+"""
+
+
+@register("multimodal_frame_dedup", oracle=_FRAME_DEDUP_SQL)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-clip FRAME dedup by decoded content (r17) — the
+    multimodal curation step a video training pipeline runs after
+    demux: near-identical frames repeated across clips (intros,
+    slates, test cards) waste tokens and leak across train/eval
+    splits, so dedup keys on DECODED content, not container bytes.
+    Clips are the multimodal_video_frames MJPEG fixtures (AVI even
+    keys / multi-chunk ISO-BMFF odd keys); every frame (step=1) is
+    demuxed and decoded executor-side, its identity is the decoded
+    (width, height, gray) triple — recoverable bit-exactly by the
+    even-gray contract — and ONE partial-aggregable groupBy elects
+    per duplicate-group occurrence count, clip spread, and the
+    min-clip keeper (the dedup_exact election shape on frame
+    identities).  The oracle expands the same frame inventory from
+    the generating columns, so the hash proves demux + decode +
+    dedup end-to-end.  At 100 TB the identity would be a perceptual
+    hash over the same decoded pixels — the plan (decode mapInPandas
+    → keyed partial agg) is unchanged.  Reference analog:
+    BytesWritable payloads + the wordcount combiner discipline."""
+    from hadoop_20_warehouse_spark.multimodal.video import (
+        decode_video_frames,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 3 + 2).cast("int").alias("nf"),
+        (F.col("o_orderkey") % 15 + 4).cast("int").alias("w"),
+        (F.col("o_orderkey") % 11 + 4).cast("int").alias("h"),
+        (F.col("o_custkey") % 127).cast("int").alias("v0"),
+        (F.col("o_orderkey") % 2 == 0).alias("use_avi"),
+    )
+
+    def enc(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from hadoop_20_warehouse_spark.multimodal.jpeg import encode_jpeg
+        from hadoop_20_warehouse_spark.multimodal.video import (
+            build_avi_mjpeg,
+            build_mp4_mjpeg,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for nf, w, h, v0, avi in zip(
+                pdf["nf"], pdf["w"], pdf["h"], pdf["v0"], pdf["use_avi"]
+            ):
+                frames = [
+                    encode_jpeg(
+                        _np.full(
+                            (h, w), 2 * ((v0 + 7 * i) % 127), _np.uint8
+                        )
+                    )
+                    for i in range(nf)
+                ]
+                payloads.append(
+                    build_avi_mjpeg(frames, int(w), int(h))
+                    if avi
+                    else build_mp4_mjpeg(
+                        frames, int(w), int(h), frames_per_chunk=2
+                    )
+                )
+            yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    vids = orders.mapInPandas(enc, "id long, payload binary")
+    frames = decode_video_frames(vids, "id", "payload", step=1)
+    return (
+        frames.select(
+            "id",
+            "width",
+            "height",
+            F.round(F.col("mean_r")).cast("long").alias("gray"),
+        )
+        .groupBy("width", "height", "gray")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("id").cast("long").alias("n_clips"),
+            F.min("id").cast("long").alias("keeper_clip"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
 _AUDIO_SQL = """
 SELECT c_custkey AS id,
        CAST(8000 + (c_custkey % 3) * 4000 AS BIGINT) AS sample_rate,
