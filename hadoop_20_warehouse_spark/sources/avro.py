@@ -23,9 +23,11 @@ nested records encode their fields inline in schema order.
 Scope (widened in r17 per the r16 VERDICT): record schemas over
 boolean/int/long/float/double/string/bytes plus ``array<T>``,
 ``map<string, T>`` and NESTED records, all recursively composable
-and optionally nullable; ``null`` and ``deflate`` codecs.  Enums,
-fixed, and non-null unions beyond ``["null", T]`` raise loudly — the
-honest-gate convention.
+and optionally nullable, plus ``enum`` (read as its symbol string)
+and ``fixed`` (read as binary) for foreign-written files; ``null``
+and ``deflate`` codecs.  Non-null unions beyond ``["null", T]``
+raise loudly — the honest-gate convention (general unions have no
+clean Spark type).
 
 Scale: two read paths.  :func:`read_avro` schedules one task per
 file (interop ingestion of many part files).  :func:`read_avro_split`
@@ -188,6 +190,22 @@ def _enc_any(buf: bytearray, v, node) -> None:
                 _enc_any(buf, fv, f["type"])
             except ValueError as e:
                 raise ValueError(f"field '{f['name']}': {e}") from None
+    elif kind == "enum":
+        symbols = node["symbols"]
+        try:
+            _zz_encode(buf, symbols.index(v))
+        except ValueError:
+            raise ValueError(
+                f"value {v!r} not in enum symbols {symbols}"
+            ) from None
+    elif kind == "fixed":
+        raw = bytes(v)
+        if len(raw) != node["size"]:
+            raise ValueError(
+                f"fixed value of {len(raw)} bytes, schema says "
+                f"{node['size']}"
+            )
+        buf += raw
     else:
         raise ValueError(f"unsupported avro type {node!r}")
 
@@ -235,6 +253,15 @@ def _dec_any(b: bytes, pos: int, node):
             v, pos = _dec_any(b, pos, f["type"])
             vals.append(v)
         return tuple(vals), pos
+    if kind == "enum":  # int index into the symbol table
+        idx, pos = _zz_decode(b, pos)
+        symbols = node["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"enum index {idx} out of range")
+        return symbols[idx], pos
+    if kind == "fixed":  # exactly `size` bytes, no length prefix
+        size = node["size"]
+        return bytes(b[pos : pos + size]), pos + size
     raise ValueError(f"unsupported avro type {node!r}")
 
 
@@ -329,6 +356,12 @@ def _validate_avro_node(node) -> None:
     elif kind == "record":
         for f in node["fields"]:
             _validate_avro_node(f["type"])
+    elif kind == "enum":
+        if not node.get("symbols"):
+            raise ValueError("enum schema without symbols")
+    elif kind == "fixed":
+        if not isinstance(node.get("size"), int) or node["size"] < 0:
+            raise ValueError("fixed schema without a valid size")
     else:
         raise ValueError(f"unsupported Avro type {node!r}")
 
@@ -368,6 +401,10 @@ def _avro_node_to_spark(node) -> tuple[T.DataType, bool]:
             ),
             False,
         )
+    if kind == "enum":  # read as its symbol string
+        return T.StringType(), False
+    if kind == "fixed":  # read as binary
+        return T.BinaryType(), False
     raise ValueError(f"unsupported Avro type {node!r}")
 
 

@@ -624,3 +624,51 @@ def test_avro_block_split_read(spark, tmp_path):
         assert sp.agg(F.sum("id").alias("s")).collect()[0]["s"] == want_sum
         one = read_avro_split(spark, path, split_bytes=1 << 30)
         assert one.count() == 20000, codec
+
+
+def test_avro_enum_and_fixed_foreign_schema():
+    """r17: foreign-written files with ``enum`` (read as its symbol
+    string, written back by symbol) and ``fixed`` (exactly ``size``
+    bytes, no length prefix) round-trip; Spark schema maps them to
+    string/binary; out-of-vocabulary symbols and wrong-size fixed
+    values raise.  Non-null unions beyond ['null', T] stay gated."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from hadoop_20_warehouse_spark.sources.avro import (
+        avro_to_spark_schema,
+        decode_avro_file,
+        encode_avro_file,
+    )
+
+    schema = json.dumps({
+        "type": "record", "name": "Foreign", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "status", "type": {"type": "enum", "name": "St",
+                                        "symbols": ["NEW", "OPEN", "DONE"]}},
+            {"name": "digest", "type": {"type": "fixed", "name": "Md5",
+                                        "size": 4}},
+            {"name": "maybe", "type": ["null", {"type": "enum",
+                                                "name": "E2",
+                                                "symbols": ["A", "B"]}]},
+        ],
+    })
+    rows = [
+        (1, "OPEN", b"\x01\x02\x03\x04", "B"),
+        (2, "NEW", b"\xff\x00\xff\x00", None),
+        (3, "DONE", b"abcd", "A"),
+    ]
+    for codec in ("null", "deflate"):
+        blob = encode_avro_file(iter(rows), schema, codec=codec)
+        assert decode_avro_file(blob)[1] == rows, codec
+    assert avro_to_spark_schema(schema) == T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("digest", T.BinaryType(), False),
+        T.StructField("maybe", T.StringType(), True),
+    ])
+    with pytest.raises(ValueError, match="enum symbols"):
+        encode_avro_file(iter([(1, "BOGUS", b"aaaa", None)]), schema)
+    with pytest.raises(ValueError, match="fixed"):
+        encode_avro_file(iter([(1, "NEW", b"toolong!", None)]), schema)
