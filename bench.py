@@ -1493,7 +1493,7 @@ def main() -> None:
         nonlocal spark
         spark.catalog.clearCache()
         spark.stop()
-        time.sleep(1.0)  # let executor threads/cleaners drain
+        time.sleep(2.5)  # let the OLD context's cleaners drain
         spark = get_session(
             extra_conf={"spark.ui.showConsoleProgress": "false"}
         )
@@ -1501,6 +1501,15 @@ def main() -> None:
         _force(QUERIES["join_broadcast_dims"](spark, SF_DIR))
         for nm in upcoming:  # steady-state warmup, smallest SF
             _force(BENCH_QUERIES[nm](spark, warm_dir))
+        # spacer drain (the probe-cooldown discipline): the first run
+        # validating the family split still showed the old context's
+        # async shuffle-file cleanup + GC bleeding into the NEW
+        # session's first ~2 timed queries (stream_tumbling_hourly
+        # 4.0x / pipeline_mix_place 3.3x one-shot, re-runs clean) —
+        # two untimed spacers + short sleeps let it finish off-clock.
+        for _ in range(2):
+            _force(QUERIES["join_broadcast_dims"](spark, SF_DIR))
+            time.sleep(1.5)
 
     family = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_FAMILY", "14")))
     names = list(BENCH_QUERIES)
