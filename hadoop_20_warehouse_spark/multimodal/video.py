@@ -315,11 +315,16 @@ def parse_mp4_mjpeg_frames(payload: bytes) -> tuple[dict, list[bytes]]:
                         "latin-1"
                     )
             elif btype == b"stsz":
-                _sz, cnt = struct.unpack_from(">II", payload, b0 + 4)
-                tables["sizes"] = [
-                    struct.unpack_from(">I", payload, b0 + 12 + 4 * i)[0]
-                    for i in range(cnt)
-                ]
+                usz, cnt = struct.unpack_from(">II", payload, b0 + 4)
+                if usz:  # uniform sample size: NO per-sample table
+                    tables["sizes"] = [usz] * cnt
+                else:
+                    tables["sizes"] = [
+                        struct.unpack_from(
+                            ">I", payload, b0 + 12 + 4 * i
+                        )[0]
+                        for i in range(cnt)
+                    ]
             elif btype == b"stsc":
                 cnt = struct.unpack_from(">I", payload, b0 + 4)[0]
                 tables["stsc"] = [

@@ -164,6 +164,8 @@ def _enc_any(buf: bytearray, v, node) -> None:
         _enc_value(buf, v, node)
         return
     kind = node["type"]
+    if v is None:  # complex nodes reject null too (same message shape)
+        raise ValueError(f"null value for non-nullable {kind}")
     if kind == "array":
         items = list(v)
         if items:
@@ -268,6 +270,9 @@ def _dec_any(b: bytes, pos: int, node):
 # --- schema bridge ------------------------------------------------------------
 
 
+_REC_SEQ = [0]  # per-process sequence for unique nested record names
+
+
 def _spark_type_to_avro(dt: T.DataType, nullable: bool, path: str):
     """Spark DataType → Avro schema node (recursive); nullable wraps
     the node in a ["null", T] union."""
@@ -293,9 +298,15 @@ def _spark_type_to_avro(dt: T.DataType, nullable: bool, path: str):
             ),
         }
     elif isinstance(dt, T.StructType):
+        # Avro named types must be UNIQUE within a schema; joining
+        # path segments with underscores can collide ('a'.'b' vs a
+        # sibling column 'a_b'), which foreign readers reject even
+        # though our own reader ignores names — a monotone counter
+        # makes every nested record name unique by construction.
+        _REC_SEQ[0] += 1
         node = {
             "type": "record",
-            "name": f"r_{path}",
+            "name": f"r{_REC_SEQ[0]}_{path}",
             "fields": [
                 {
                     "name": f.name,
@@ -648,13 +659,32 @@ def _decode_file_range(
         scan_from = max(start, header_end - 16)
         if scan_from >= end:
             return []
+        # chunked scan for the first sync STARTING in [scan_from, end)
+        # — never buffer the whole split window (32 MB by default)
+        # just to find a marker that is typically in the first block;
+        # a 15-byte carry handles syncs straddling chunk boundaries
         fh.seek(scan_from)
-        # sync STARTS in [scan_from, end) → window needs end+15
-        window = fh.read(end - scan_from + 15)
-        off = window.find(sync)
-        if off == -1 or scan_from + off >= end:
+        boundary = None
+        chunk_base = scan_from
+        carry = b""
+        remaining = end - scan_from + 15
+        while remaining > 0:
+            chunk = fh.read(min(64 * 1024, remaining))
+            if not chunk:
+                break
+            remaining -= len(chunk)
+            buf = carry + chunk
+            off = buf.find(sync)
+            if off != -1:
+                p = chunk_base - len(carry) + off
+                if p >= end:
+                    return []
+                boundary = p + 16
+                break
+            carry = buf[-15:]
+            chunk_base += len(chunk)
+        if boundary is None:
             return []
-        boundary = scan_from + off + 16
 
         def read_varint() -> int:
             shift = 0

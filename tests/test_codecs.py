@@ -691,3 +691,31 @@ def test_video_frames_spark_decode_path(spark):
     assert rows[(2, 0)]["container"] == "mp4"
     assert rows[(2, 0)]["width"] == 12 and rows[(2, 0)]["height"] == 4
     assert rows[(2, 2)]["mean_r"] == 44.0
+
+
+def test_mp4_stsz_uniform_sample_size():
+    """r17 review fix: stsz with sample_size != 0 carries NO
+    per-sample table (ISO 14496-12 §8.7.3.2) — sizes are uniform.
+    Rewrite a built file's stsz to the uniform form (padding with a
+    'free' box to keep parent sizes valid) and demux it."""
+    import struct
+
+    from hadoop_20_warehouse_spark.multimodal.jpeg import encode_jpeg
+    from hadoop_20_warehouse_spark.multimodal.video import (
+        build_mp4_mjpeg,
+        parse_mp4_mjpeg_frames,
+    )
+
+    f = encode_jpeg(np.full((8, 8), 100, np.uint8))
+    frames = [f, f, f]
+    mp4 = build_mp4_mjpeg(frames, 8, 8)
+    i = mp4.find(b"stsz")
+    old_size = struct.unpack_from(">I", mp4, i - 4)[0]
+    body = b"\x00\x00\x00\x00" + struct.pack(">II", len(f), 3)
+    new_box = struct.pack(">I", 8 + len(body)) + b"stsz" + body
+    pad = old_size - len(new_box)
+    assert pad >= 8
+    free = struct.pack(">I", pad) + b"free" + b"\x00" * (pad - 8)
+    uniform = mp4[: i - 4] + new_box + free + mp4[i - 4 + old_size:]
+    meta, back = parse_mp4_mjpeg_frames(uniform)
+    assert back == frames and meta["n_frames"] == 3

@@ -560,8 +560,7 @@ def test_avro_nested_types_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported"):
         avro_to_spark_schema(
             '{"type":"record","name":"r","fields":'
-            '[{"name":"e","type":{"type":"enum","name":"E",'
-            '"symbols":["A"]}}]}'
+            '[{"name":"e","type":{"type":"no-such-type"}}]}'
         )
     with pytest.raises(ValueError, match="union"):
         avro_to_spark_schema(
@@ -672,3 +671,52 @@ def test_avro_enum_and_fixed_foreign_schema():
         encode_avro_file(iter([(1, "BOGUS", b"aaaa", None)]), schema)
     with pytest.raises(ValueError, match="fixed"):
         encode_avro_file(iter([(1, "NEW", b"toolong!", None)]), schema)
+
+
+def test_avro_nested_record_names_unique_and_null_complex():
+    """r17 review fixes: sibling struct paths ('a'.'b' vs 'a_b') get
+    UNIQUE Avro record names (foreign readers reject duplicate named
+    types), and a null in a non-nullable complex field raises the
+    module's field-contextual ValueError, not a bare TypeError."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from hadoop_20_warehouse_spark.sources.avro import (
+        encode_avro_file,
+        schema_to_avro_json,
+    )
+
+    st = T.StructType([
+        T.StructField("a", T.StructType([
+            T.StructField("b", T.StructType([
+                T.StructField("x", T.LongType(), False)]), False),
+        ]), False),
+        T.StructField("a_b", T.StructType([
+            T.StructField("y", T.LongType(), False)]), False),
+    ])
+    sj = json.loads(schema_to_avro_json(st))
+    names = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("type") == "record":
+                names.append(n["name"])
+            for f in n.get("fields", []):
+                walk(f["type"])
+            for k in ("items", "values"):
+                if k in n:
+                    walk(n[k])
+        elif isinstance(n, list):
+            for x in n:
+                walk(x)
+
+    walk(sj)
+    assert len(names) == len(set(names)), names
+
+    schema = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "arr", "type": {"type": "array", "items": "long"}}],
+    })
+    with pytest.raises(ValueError, match="field 'arr'.*non-nullable"):
+        encode_avro_file(iter([(None,)]), schema)

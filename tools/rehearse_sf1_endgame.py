@@ -17,10 +17,13 @@ The new fixture is the ORGANIC-GROWTH model, 10 gram-disjoint
 strata:
 
 - **documents**: copy 0 = the sf0.1 corpus verbatim; copies 1-9 are
-  VOCABULARY-TRANSLATED (every word suffixed ``v<c>``) — a bijective
-  vocab map, so each stratum reproduces sf0.1's full duplication /
-  near-dup / gram-overlap structure EXACTLY while sharing zero
-  n-grams with any other stratum.  doc_ids are COPY-MAJOR
+  CAESAR-CIPHERED (per-character letter rotation by the copy index) —
+  a per-character bijection commutes with shingle windowing, so each
+  stratum reproduces sf0.1's full duplication / near-dup /
+  gram-overlap structure EXACTLY while sharing no shingles with any
+  other stratum (a word-SUFFIX scheme was tried first and rejected:
+  the shared suffix on every word inflated intra-stratum overlap and
+  collapsed near-dup survivors ~4x).  doc_ids are COPY-MAJOR
   (c·100000 + d) so the chain's ``doc_id % 20`` eval selection
   samples every stratum at sf0.1's rate.  Every hygiene stage
   therefore attrites each stratum at sf0.1's fractions → survivor
