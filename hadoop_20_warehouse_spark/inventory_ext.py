@@ -2490,6 +2490,54 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(vids, "id", "payload", step=2)
 
 
+_SSF_SQL = """
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+)
+WHERE w <> ''
+GROUP BY 1
+"""
+
+
+@register("ssf_seekable_text", oracle=_SSF_SQL)
+def q_ssf_seekable_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleSeekableFormat — the reference's OWN splittable-
+    compressed-stream format, implemented rather than mapped away
+    (r17; SURVEY §2.1 previously noted 'Parquet/ORC blocks do it
+    natively', which covers columnar tables but not the compressed
+    TEXT streams the FB format serves;
+    src/core/org/apache/hadoop/io/simpleseekableformat/
+    SimpleSeekableFormat.java:19-40).  The documents' text writes as
+    independently-deflated chunks, each framed by a 16-byte sync and
+    the (uncompressed, compressed) offset pair that IS the format's
+    interleaved metadata (sources/seekable.py); the read side cuts
+    the COMPRESSED files into byte ranges — each task seeks, scans to
+    the first chunk sync in-range, and inflates only its own chunks
+    (16 KB splits here, so the single part file fans out over
+    several tasks).  Chunks hold whole lines, so no record tears.
+    The wordcount over the split-read lines hash-matches the oracle's
+    wordcount over the source table — proving the chunk framing, the
+    ownership rule, AND lossless line reassembly across split
+    boundaries.  The uncompressed-offset seek (resume/tail contract)
+    is pytest-covered."""
+    from hadoop_20_warehouse_spark.sources.seekable import (
+        read_ssf_lines,
+        write_ssf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _fresh_subdir(_scratch_dir("ssf"), "documents")
+    write_ssf(docs.select("text"), "text", path, chunk_bytes=8192)
+    lines = read_ssf_lines(spark, path, split_bytes=16 * 1024)
+    return (
+        lines.select(F.explode(F.split(F.col("line"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 # frame identity = (width, height, decoded gray value): the decoder
 # recovers v bit-exactly (even-gray contract), so content-keyed dedup
 # has a closed-form oracle over the generating columns

@@ -720,3 +720,53 @@ def test_avro_nested_record_names_unique_and_null_complex():
     })
     with pytest.raises(ValueError, match="field 'arr'.*non-nullable"):
         encode_avro_file(iter([(None,)]), schema)
+
+
+def test_ssf_seekable_compressed_stream(spark, tmp_path):
+    """SimpleSeekableFormat analog (r17): chunked-deflate streams with
+    per-chunk (uncompressed, compressed) offset metadata — whole-
+    stream decode, uncompressed-offset seek WITHOUT inflating the
+    prefix, byte-range split reads with zero line loss, and the torn-
+    stream / non-SSF gates."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_spark.sources.seekable import (
+        decode_ssf,
+        encode_ssf,
+        read_ssf_lines,
+        seek_uncompressed,
+        ssf_meta,
+        write_ssf,
+    )
+
+    lines = [f"line {i} " + "x" * (i % 50) for i in range(2000)]
+    blob = encode_ssf(lines, chunk_bytes=4096)
+    assert decode_ssf(blob) == lines
+    p = tmp_path / "part-00000.ssf"
+    p.write_bytes(blob)
+    full = ("\n".join(lines) + "\n").encode()
+    for off in (0, 1, 5000, len(full) - 3, len(full)):
+        assert seek_uncompressed(str(p), off) == full[off:], off
+    meta = ssf_meta(str(tmp_path))
+    assert meta["chunks"] > 1 and meta["uncompressed"] == len(full)
+
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("t")
+    )
+    d = str(tmp_path / "spark")
+    n = write_ssf(df, "t", d, chunk_bytes=512)
+    back = read_ssf_lines(spark, d, split_bytes=1024)
+    assert back.rdd.getNumPartitions() > 1
+    got = sorted(r["line"] for r in back.collect())
+    assert len(got) == n == 500
+    assert got == sorted(f"doc {i}" for i in range(500))
+
+    with _pytest.raises(ValueError, match="SSF1"):
+        decode_ssf(b"NOTSSFjunkjunkjunkjunkjunk")
+    torn = bytearray(blob)
+    torn[22] ^= 0xFF  # corrupt the first CHUNK sync (bytes 20..35)
+    with _pytest.raises(ValueError, match="sync mismatch"):
+        decode_ssf(bytes(torn))
