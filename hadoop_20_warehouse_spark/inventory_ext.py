@@ -2480,8 +2480,13 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(
                     build_avi_mjpeg(frames, int(w), int(h))
                     if avi
+                    # half the ISO-BMFF fixtures carry an audio-FIRST
+                    # stub trak, so the parser's first-MJPEG-track
+                    # selection is load-bearing in the query (r17
+                    # review fix)
                     else build_mp4_mjpeg(
-                        frames, int(w), int(h), frames_per_chunk=2
+                        frames, int(w), int(h), frames_per_chunk=2,
+                        n_audio=int(nf) % 2,
                     )
                 )
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})

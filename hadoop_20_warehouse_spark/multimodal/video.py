@@ -141,12 +141,18 @@ def _riff_walk(data: bytes, start: int, end: int):
 
 def parse_avi_mjpeg(payload: bytes) -> tuple[dict, list[bytes]]:
     """AVI bytes → ({width, height, n_frames, fourcc}, frame payloads).
-    Raises on non-AVI bytes and on non-MJPG video streams (the honest
-    H.264 gate)."""
+    The video stream is identified by its strh ORDINAL (streams are
+    numbered in header order, and movi chunk ids carry that number —
+    '01dc' when video is stream 1 behind an audio stream 0), so
+    foreign layouts with audio first demux correctly instead of
+    silently yielding zero frames.  Raises on non-AVI bytes and on
+    non-MJPG video streams (the honest H.264 gate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     meta = {"width": 0, "height": 0, "n_frames": 0, "fourcc": ""}
     frames: list[bytes] = []
+    stream_no = [0]
+    vid_stream = [-1]
 
     def visit(start, end):
         for fourcc, b0, b1 in _riff_walk(payload, start, end):
@@ -160,14 +166,23 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[dict, list[bytes]]:
                 meta["width"], meta["height"] = w, h
                 meta["n_frames"] = total
             elif fourcc == b"strh":
-                if payload[b0 : b0 + 4] == b"vids":
+                if payload[b0 : b0 + 4] == b"vids" and vid_stream[0] < 0:
+                    vid_stream[0] = stream_no[0]
                     meta["fourcc"] = payload[b0 + 4 : b0 + 8].decode(
                         "latin-1"
                     )
-            elif fourcc in (b"00dc", b"00db"):
-                frames.append(payload[b0:b1])
+                stream_no[0] += 1
+            elif len(fourcc) == 4 and fourcc[2:] in (b"dc", b"db"):
+                try:
+                    sn = int(fourcc[:2])
+                except ValueError:
+                    continue
+                if sn == vid_stream[0]:
+                    frames.append(payload[b0:b1])
 
     visit(12, len(payload))
+    if vid_stream[0] < 0:
+        raise ValueError("AVI has no video stream")
     if meta["fourcc"] not in ("MJPG", "mjpg"):
         raise NotImplementedError(
             f"AVI video stream is '{meta['fourcc']}', not MJPG — "
@@ -185,12 +200,16 @@ def build_mp4_mjpeg(
     height: int,
     timescale: int = 1000,
     frames_per_chunk: int = 0,
+    n_audio: int = 0,
 ) -> bytes:
     """A minimal valid ISO-BMFF file whose video track carries the
     JPEG frames as REAL samples: stsd('jpeg' VideoSampleEntry) + stts
     + stsc/stco chunk mapping + stsz sizes, data in mdat.
     ``frames_per_chunk`` > 0 splits samples across several chunks so
-    the parser's stsc walk is load-bearing; 0 = one chunk."""
+    the parser's stsc walk is load-bearing; 0 = one chunk.
+    ``n_audio`` > 0 prepends that many stub 'mp4a' audio traks BEFORE
+    the video trak, so the parser's first-MJPEG-track selection is
+    load-bearing (audio-first layouts are the common foreign case)."""
     n = len(frames)
     fpc = frames_per_chunk if frames_per_chunk > 0 else max(n, 1)
     chunks = [frames[i : i + fpc] for i in range(0, n, fpc)] or [[]]
@@ -251,6 +270,42 @@ def build_mp4_mjpeg(
         + struct.pack(">HH", 0x55C4, 0),
     )
 
+    # stub audio traks ('mp4a' stsd, empty sample tables): foreign
+    # files commonly carry audio FIRST; the parser must pick the
+    # MJPEG track regardless of trak order
+    audio_stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + _box(b"mp4a", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20),
+    )
+    audio_stbl = _box(
+        b"stbl",
+        audio_stsd
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    audio_trak = _box(
+        b"trak",
+        _full(
+            b"tkhd", 0, 7,
+            struct.pack(">IIII", 0, 0, 99, 0) + struct.pack(">I", 0)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", 0, 0),
+        )
+        + _box(
+            b"mdia",
+            mdhd
+            + _full(
+                b"hdlr", 0, 0,
+                struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"\x00",
+            )
+            + _box(b"minf", audio_stbl),
+        ),
+    ) * n_audio
+
     def moov_with(stco_body: bytes) -> bytes:
         stco = _full(b"stco", 0, 0, stco_body)
         stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
@@ -265,7 +320,7 @@ def build_mp4_mjpeg(
                           0x40000000)
             + b"\x00" * 24 + struct.pack(">I", 2),
         )
-        return _box(b"moov", mvhd + trak)
+        return _box(b"moov", mvhd + audio_trak + trak)
 
     # two-pass: stco size depends only on the CHUNK COUNT, so sizing
     # with placeholder offsets is exact
@@ -286,26 +341,39 @@ def build_mp4_mjpeg(
     return ftyp + moov + mdat
 
 
+_MJPEG_FOURCCS = ("jpeg", "mjpa", "MJPG", "mjpg")
+
+
 def parse_mp4_mjpeg_frames(payload: bytes) -> tuple[dict, list[bytes]]:
     """ISO-BMFF bytes → ({width, height, n_frames, fourcc}, frames):
     resolve samples through stsd/stsz/stsc/stco the way a demuxer
-    does.  Raises on missing sample tables; NotImplementedError on
-    non-JPEG sample formats (the honest H.264 gate)."""
+    does.  Sample tables are scoped PER TRAK and the first MJPEG
+    track wins, so a multi-track file (audio + video in either order)
+    demuxes its decodable track instead of whichever trak happened to
+    come last.  Raises on missing sample tables; NotImplementedError
+    when no track carries a JPEG sample format (the honest H.264
+    gate)."""
     from hadoop_20_warehouse_spark.multimodal.mp4 import _walk
 
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF file (missing ftyp)")
-    tables: dict[str, object] = {}
+    traks: list[dict] = []
 
-    def visit(start, end):
+    def visit(start, end, tables):
         for btype, b0, b1 in _walk(payload, start, end):
-            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                visit(b0, b1)
+            if btype == b"trak":
+                t: dict[str, object] = {}
+                traks.append(t)
+                visit(b0, b1, t)
+            elif btype in (b"moov", b"mdia", b"minf", b"stbl"):
+                visit(b0, b1, tables)
+            elif tables is None:
+                continue
             elif btype == b"tkhd":
                 version = payload[b0]
                 off = b0 + 4 + (84 if version == 1 else 72)
                 wfx, hfx = struct.unpack_from(">II", payload, off)
-                if wfx and "width" not in tables:
+                if wfx:
                     tables["width"] = wfx >> 16
                     tables["height"] = hfx >> 16
             elif btype == b"stsd":
@@ -338,13 +406,17 @@ def parse_mp4_mjpeg_frames(payload: bytes) -> tuple[dict, list[bytes]]:
                     for i in range(cnt)
                 ]
 
-    visit(0, len(payload))
-    fourcc = tables.get("fourcc", "")
-    if fourcc not in ("jpeg", "mjpa", "MJPG", "mjpg"):
+    visit(0, len(payload), None)
+    tables = next(
+        (t for t in traks if t.get("fourcc") in _MJPEG_FOURCCS), None
+    )
+    if tables is None:
+        seen = [t.get("fourcc", "") for t in traks]
         raise NotImplementedError(
-            f"ISO-BMFF sample format '{fourcc}' needs ffmpeg, not "
-            "installed here (MJPEG decodes for real)"
+            f"no ISO-BMFF track carries a JPEG sample format (saw "
+            f"{seen}) — other codecs need ffmpeg, not installed here"
         )
+    fourcc = tables["fourcc"]
     sizes = tables.get("sizes")
     stco = tables.get("stco")
     stsc = tables.get("stsc")

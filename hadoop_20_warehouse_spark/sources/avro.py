@@ -50,6 +50,10 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+from hadoop_20_warehouse_spark.sources.splitscan import (
+    byte_range_splits,
+    scan_first_sync,
+)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -187,6 +191,11 @@ def _enc_any(buf: bytearray, v, node) -> None:
             vals = [v[f["name"]] for f in fields]
         else:  # Row / tuple / list: positional, schema order
             vals = list(v)
+        if len(vals) != len(fields):
+            raise ValueError(
+                f"record arity mismatch: {len(vals)} values for "
+                f"{len(fields)} schema fields"
+            )
         for fv, f in zip(vals, fields):
             try:
                 _enc_any(buf, fv, f["type"])
@@ -270,10 +279,9 @@ def _dec_any(b: bytes, pos: int, node):
 # --- schema bridge ------------------------------------------------------------
 
 
-_REC_SEQ = [0]  # per-process sequence for unique nested record names
-
-
-def _spark_type_to_avro(dt: T.DataType, nullable: bool, path: str):
+def _spark_type_to_avro(
+    dt: T.DataType, nullable: bool, path: str, seq: list[int]
+):
     """Spark DataType → Avro schema node (recursive); nullable wraps
     the node in a ["null", T] union."""
     if dt in _SPARK_TO_AVRO:
@@ -282,7 +290,7 @@ def _spark_type_to_avro(dt: T.DataType, nullable: bool, path: str):
         node = {
             "type": "array",
             "items": _spark_type_to_avro(
-                dt.elementType, dt.containsNull, path + "_item"
+                dt.elementType, dt.containsNull, path + "_item", seq
             ),
         }
     elif isinstance(dt, T.MapType):
@@ -294,24 +302,27 @@ def _spark_type_to_avro(dt: T.DataType, nullable: bool, path: str):
         node = {
             "type": "map",
             "values": _spark_type_to_avro(
-                dt.valueType, dt.valueContainsNull, path + "_value"
+                dt.valueType, dt.valueContainsNull, path + "_value", seq
             ),
         }
     elif isinstance(dt, T.StructType):
         # Avro named types must be UNIQUE within a schema; joining
         # path segments with underscores can collide ('a'.'b' vs a
         # sibling column 'a_b'), which foreign readers reject even
-        # though our own reader ignores names — a monotone counter
-        # makes every nested record name unique by construction.
-        _REC_SEQ[0] += 1
+        # though our own reader ignores names.  The counter is scoped
+        # PER schema_to_avro_json call, so identical Spark schemas
+        # always serialize to identical JSON — two write_avro calls
+        # into one directory must not trip the readers' exact-schema
+        # comparison.
+        seq[0] += 1
         node = {
             "type": "record",
-            "name": f"r{_REC_SEQ[0]}_{path}",
+            "name": f"r{seq[0]}_{path}",
             "fields": [
                 {
                     "name": f.name,
                     "type": _spark_type_to_avro(
-                        f.dataType, f.nullable, f"{path}_{f.name}"
+                        f.dataType, f.nullable, f"{path}_{f.name}", seq
                     ),
                 }
                 for f in dt.fields
@@ -328,7 +339,9 @@ def _spark_type_to_avro(dt: T.DataType, nullable: bool, path: str):
 def schema_to_avro_json(schema: T.StructType, name: str = "Record") -> str:
     """StructType → Avro record-schema JSON (nullable fields become
     ["null", T] unions; arrays/maps/nested structs recurse).
+    Deterministic: the same Spark schema always yields the same JSON.
     Unsupported Spark types raise loudly."""
+    seq = [0]
     return json.dumps(
         {
             "type": "record",
@@ -337,7 +350,7 @@ def schema_to_avro_json(schema: T.StructType, name: str = "Record") -> str:
                 {
                     "name": f.name,
                     "type": _spark_type_to_avro(
-                        f.dataType, f.nullable, f.name
+                        f.dataType, f.nullable, f.name, seq
                     ),
                 }
                 for f in schema.fields
@@ -558,25 +571,31 @@ def write_avro(
     schema_json = schema_to_avro_json(df.schema)
 
     def _write_part(idx: int, rows) -> Iterator[int]:
-        buf = io.BytesIO()
-        n = 0
-        mat = []
-        for r in rows:
-            mat.append(tuple(r))
-            n += 1
-        if n:
-            buf.write(
-                encode_avro_file(
-                    iter(mat), schema_json, codec=codec,
-                    sync_seed=f"part-{idx}".encode(),
-                    block_records=block_records,
-                )
-            )
-            with open(
-                os.path.join(path, f"part-{idx:05d}.avro"), "wb"
-            ) as fh:
-                fh.write(buf.getvalue())
-        yield n
+        import itertools
+
+        it = iter(rows)
+        try:
+            head = next(it)
+        except StopIteration:
+            yield 0
+            return
+        n = [0]
+
+        def gen():
+            for r in itertools.chain([head], it):
+                n[0] += 1
+                yield tuple(r)
+
+        blob = encode_avro_file(
+            gen(), schema_json, codec=codec,
+            sync_seed=f"part-{idx}".encode(),
+            block_records=block_records,
+        )
+        with open(
+            os.path.join(path, f"part-{idx:05d}.avro"), "wb"
+        ) as fh:
+            fh.write(blob)
+        yield n[0]
 
     total = sum(df.rdd.mapPartitionsWithIndex(_write_part).collect())
     if total == 0:
@@ -604,9 +623,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     first = files.select("content").head()
     if first is None:
         raise ValueError(f"no .avro files under {path}")
-    # schema from the first file's embedded metadata (files are
-    # interop-sized; a header-only fast path is easy if ever needed)
-    schema_json = decode_avro_file(bytes(first[0]))[0]
+    # schema from the first file's embedded metadata — header parse
+    # only (a few KB), never a whole-file decode on the driver
+    schema_json = _decode_header(bytes(first[0]))[0]
     spark_schema = avro_to_spark_schema(schema_json)
 
     def _decode(kv):
@@ -659,32 +678,13 @@ def _decode_file_range(
         scan_from = max(start, header_end - 16)
         if scan_from >= end:
             return []
-        # chunked scan for the first sync STARTING in [scan_from, end)
-        # — never buffer the whole split window (32 MB by default)
-        # just to find a marker that is typically in the first block;
-        # a 15-byte carry handles syncs straddling chunk boundaries
-        fh.seek(scan_from)
-        boundary = None
-        chunk_base = scan_from
-        carry = b""
-        remaining = end - scan_from + 15
-        while remaining > 0:
-            chunk = fh.read(min(64 * 1024, remaining))
-            if not chunk:
-                break
-            remaining -= len(chunk)
-            buf = carry + chunk
-            off = buf.find(sync)
-            if off != -1:
-                p = chunk_base - len(carry) + off
-                if p >= end:
-                    return []
-                boundary = p + 16
-                break
-            carry = buf[-15:]
-            chunk_base += len(chunk)
-        if boundary is None:
+        # chunked scan (sources/splitscan.py — shared with the
+        # seekable stream format) for the first sync STARTING in
+        # [scan_from, end): never buffers the whole split window
+        p0 = scan_first_sync(fh, sync, scan_from, end)
+        if p0 is None:
             return []
+        boundary = p0 + 16
 
         def read_varint() -> int:
             shift = 0
@@ -740,11 +740,7 @@ def read_avro_split(
     with open(files[0], "rb") as fh:
         schema_json, _codec, _sync, _he = _read_header_stream(fh)
     spark_schema = avro_to_spark_schema(schema_json)
-    splits = []
-    for f in files:
-        size = os.path.getsize(f)
-        for s in range(0, max(size, 1), split_bytes):
-            splits.append((f, s, min(s + split_bytes, size)))
+    splits = byte_range_splits(files, split_bytes)
     rdd = spark.sparkContext.parallelize(splits, len(splits)).flatMap(
         lambda t: _decode_file_range(t[0], t[1], t[2], schema_json)
     )

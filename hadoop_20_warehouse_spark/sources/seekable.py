@@ -46,6 +46,10 @@ import os
 import struct
 import zlib
 
+from hadoop_20_warehouse_spark.sources.splitscan import (
+    byte_range_splits,
+    scan_first_sync,
+)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,6 +84,15 @@ def encode_ssf(
         buf = bytearray()
 
     for line in lines:
+        if line is None:
+            raise ValueError(
+                "encode_ssf: null line (filter or fill nulls before "
+                "writing — \\n-delimited records cannot encode None)"
+            )
+        if "\n" in line:
+            raise ValueError(
+                "encode_ssf: line contains the record delimiter \\n"
+            )
         raw = line.encode("utf-8") + b"\n"
         buf += raw
         if len(buf) >= chunk_bytes:
@@ -112,7 +125,9 @@ def decode_ssf(blob: bytes) -> list[str]:
             raise ValueError("truncated SSF chunk")
         text += zlib.decompress(body, -15)
         pos += 32 + clen
-    return bytes(text).decode("utf-8").splitlines()
+    # \n is THE record delimiter (splitlines would also break on
+    # \x85/\u2028/\v etc. and disagree with read_ssf_lines)
+    return bytes(text).decode("utf-8").split("\n")[:-1]
 
 
 def seek_uncompressed(path: str, offset: int) -> bytes:
@@ -146,33 +161,11 @@ def _decode_file_range(fname: str, start: int, end: int) -> list[tuple]:
     (uncompressed_offset, line) tuples."""
     with open(fname, "rb") as fh:
         sync = _read_header(fh)
-        scan_from = max(start, 4)  # stream sync at 4..20 is not a chunk
-        if scan_from >= end:
-            return []
-        fh.seek(scan_from)
-        boundary = None
-        chunk_base = scan_from
-        carry = b""
-        remaining = end - scan_from + 15
-        while remaining > 0:
-            chunk = fh.read(min(64 * 1024, remaining))
-            if not chunk:
-                break
-            remaining -= len(chunk)
-            buf = carry + chunk
-            off = buf.find(sync)
-            # the 16 bytes at file offset 4 are the stream header's
-            # sync, not a chunk — skip that hit
-            while off != -1 and chunk_base - len(carry) + off == 4:
-                off = buf.find(sync, off + 1)
-            if off != -1:
-                p = chunk_base - len(carry) + off
-                if p >= end:
-                    return []
-                boundary = p
-                break
-            carry = buf[-15:]
-            chunk_base += len(chunk)
+        # shared chunked scan (sources/splitscan.py); the 16 bytes at
+        # file offset 4 are the stream header's sync, not a chunk
+        boundary = scan_first_sync(
+            fh, sync, max(start, 4), end, skip_positions=(4,)
+        )
         if boundary is None:
             return []
         fh.seek(boundary)
@@ -213,9 +206,15 @@ def write_ssf(
                 fh.write(blob)
         yield len(lines)
 
-    return sum(
+    total = sum(
         df.select(text_col).rdd.mapPartitionsWithIndex(_write_part).collect()
     )
+    if total == 0:
+        # header-only stream so an empty frame round-trips (the
+        # write_avro empty contract: filtered-to-empty is legal)
+        with open(os.path.join(path, "part-00000.ssf"), "wb") as fh:
+            fh.write(encode_ssf([], seed=b"part-empty"))
+    return total
 
 
 def read_ssf_lines(
@@ -229,11 +228,7 @@ def read_ssf_lines(
     files = sorted(_glob.glob(os.path.join(path, "*.ssf")))
     if not files:
         raise ValueError(f"no .ssf files under {path}")
-    splits = []
-    for f in files:
-        size = os.path.getsize(f)
-        for s in range(0, max(size, 1), split_bytes):
-            splits.append((f, s, min(s + split_bytes, size)))
+    splits = byte_range_splits(files, split_bytes)
     rdd = spark.sparkContext.parallelize(splits, len(splits)).flatMap(
         lambda t: _decode_file_range(t[0], t[1], t[2])
     )

@@ -719,3 +719,40 @@ def test_mp4_stsz_uniform_sample_size():
     uniform = mp4[: i - 4] + new_box + free + mp4[i - 4 + old_size:]
     meta, back = parse_mp4_mjpeg_frames(uniform)
     assert back == frames and meta["n_frames"] == 3
+
+
+def test_video_foreign_layouts_and_stream_numbers():
+    """r17 review fixes: ISO-BMFF files with audio traks FIRST demux
+    the MJPEG track regardless of trak order; AVI frame chunks attach
+    to the VIDEO stream's ordinal (a '01dc' chunk belongs to stream 1,
+    never to a stream-0 video); a file with no JPEG track raises the
+    ffmpeg gate naming what it saw."""
+    from hadoop_20_warehouse_spark.multimodal.jpeg import encode_jpeg
+    from hadoop_20_warehouse_spark.multimodal.video import (
+        build_avi_mjpeg,
+        build_mp4_mjpeg,
+        parse_avi_mjpeg,
+        parse_mp4_mjpeg_frames,
+    )
+
+    f1 = encode_jpeg(np.full((8, 8), 100, np.uint8))
+    f2 = encode_jpeg(np.full((8, 8), 102, np.uint8))
+    frames = [f1, f2, f1]
+    for n_audio in (0, 1, 2):
+        mp4 = build_mp4_mjpeg(
+            frames, 8, 8, frames_per_chunk=2, n_audio=n_audio
+        )
+        meta, back = parse_mp4_mjpeg_frames(mp4)
+        assert back == frames and meta["width"] == 8, n_audio
+    # H.264 file: rewrite the video stsd fourcc -> the gate fires
+    # naming the formats it saw (audio mp4a + video avc1)
+    h264 = build_mp4_mjpeg(frames, 8, 8, n_audio=1).replace(
+        b"jpeg", b"avc1"
+    )
+    with pytest.raises(NotImplementedError, match="avc1"):
+        parse_mp4_mjpeg_frames(h264)
+    # AVI: renaming chunks to stream 1 with video at stream 0 must
+    # detach them (stream-number honored, not hardcoded)
+    avi = build_avi_mjpeg(frames, 8, 8)
+    meta, fr = parse_avi_mjpeg(avi.replace(b"00dc", b"01dc"))
+    assert fr == []
