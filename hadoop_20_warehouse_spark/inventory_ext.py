@@ -2771,42 +2771,46 @@ def q_tfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TFile/BCFile interop round-trip (sources/tfile.py; reference
     io/file/tfile/TFile.java:128): 400 orders rows serialize as
     memcmp-sorted (key = zero-padded orderkey) gz-compressed TFile
-    records through the REAL JVM writer bundled in Spark's
-    hadoop-common, then the pure-Python classpath-free parser reads
-    the container back inside mapInPandas — BCFile tail/meta-index/
-    data-index, TFile.meta record count, chunked values, zlib blocks —
-    and the oracle regenerates the content from the original table:
-    equality proves the byte-level format round-trips losslessly.
-    Legacy-migration surface (SURVEY maps TFile's ROLE to parquet);
-    parallelism = file count, the format's own contract."""
+    records through the DISTRIBUTED pure-Python writer (r18: one
+    file per partition, executor-side encoding — the avro.py mold,
+    replacing the driver-local py4j loop), then the classpath-free
+    parser reads the containers back inside mapInPandas — BCFile
+    tail/meta-index/data-index, TFile.meta record count, chunked
+    values, zlib blocks — and the oracle regenerates the content from
+    the original table: equality proves the byte-level format
+    round-trips losslessly.  JVM-reader parity for the SAME encoder
+    bytes is pinned by tests/test_seqfile.py
+    (test_tfile_python_writer_jvm_reader_parity).  Legacy-migration
+    surface (SURVEY maps TFile's ROLE to parquet); parallelism = file
+    count, the format's own contract."""
     from hadoop_20_warehouse_spark.sources.tfile import (
         read_tfile,
-        write_tfile_jvm,
+        write_tfile,
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    rows = (
+    kv = (
         orders.select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")
         .limit(400)
-        .collect()
-    )
-    import hashlib
-
-    pairs = [
-        (
-            f"{r['o_orderkey']:020d}".encode(),
-            (
-                r["o_orderstatus"]
-                + "\t"
-                + hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()
-            ).encode(),
+        .select(
+            F.encode(F.format_string("%020d", "o_orderkey"), "UTF-8").alias(
+                "key"
+            ),
+            F.encode(
+                F.concat_ws(
+                    "\t",
+                    "o_orderstatus",
+                    F.md5(F.col("o_orderkey").cast("string")),
+                ),
+                "UTF-8",
+            ).alias("value"),
         )
-        for r in rows
-    ]
-    path = _fresh_subdir(_scratch_dir("tfilert"), "orders") + "/part0.tfile"
-    write_tfile_jvm(spark, path, pairs, compression="gz")
-    back = read_tfile(spark, path)
+        .repartition(4)
+    )
+    path = _fresh_subdir(_scratch_dir("tfilert"), "orders")
+    write_tfile(kv, path, compression="gz")
+    back = read_tfile(spark, path + "/*.tfile")
     return back.select(
         F.col("key").cast("string").cast("long").alias("o_orderkey"),
         F.split_part(F.col("value").cast("string"), F.lit("\t"), F.lit(1)).alias(
@@ -3034,4 +3038,102 @@ def q_multimodal_validate_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniffed.groupBy("declared_mime", "detected_mime").agg(
         F.count(F.lit(1)).cast("long").alias("n_blobs"),
         F.min("doc_id").cast("long").alias("example_doc_id"),
+    )
+
+
+# ===========================================================================
+# r18: compressed SequenceFile write + har:// archive read (VERDICT #4, #5)
+# ===========================================================================
+
+
+@register(
+    "sequence_compressed_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority
+FROM orders WHERE o_orderkey % 5 = 0
+""",
+)
+def q_sequence_compressed_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compressed SequenceFile WRITE (r18; the reference's
+    RecordCompressWriter/BlockCompressWriter variants —
+    io/SequenceFile.java:779,1047,1158): orders write block-gzip via
+    the JVM SequenceFileOutputFormat knobs, the JVM reader consumes
+    them back (the legacy-Hadoop-consumer contract), and the oracle
+    regenerates the rows from the source table — equality proves the
+    compressed container round-trips losslessly.  The pure-Python
+    parser's independent decode of the same bytes (all three stock
+    codecs, record AND block layout) is pinned by
+    tests/test_seqfile.py.  Scale: per-partition files, compression
+    inside the JVM write path, zero extra shuffle."""
+    from hadoop_20_warehouse_spark.sources.io import (
+        read_sequence,
+        write_sequence,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    kv = orders.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("value"),
+    )
+    path = _fresh_subdir(_scratch_dir("seqcomp"), "orders")
+    write_sequence(kv, path, compression="gzip", compress_type="block")
+    back = read_sequence(spark, path)
+    return back.select(
+        F.col("key").cast("long").alias("o_orderkey"),
+        F.split_part(F.col("value"), F.lit("|"), F.lit(1)).alias("status"),
+        F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("priority"),
+    )
+
+
+@register(
+    "har_archive_read",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS nbytes,
+       md5(text) AS digest
+FROM documents
+""",
+)
+def q_har_archive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """har:// Hadoop Archive end-to-end (r18; fs/HarFileSystem.java:48
+    index grammar + tools/HadoopArchives.java:570-699 writer): every
+    document becomes a member file, archived into part files +
+    hash-sorted ``_index`` + ``_masterindex`` hash-range blocks by the
+    per-partition writer, then served BACK out of the archive by the
+    index-driven distributed reader (sources/har.py) — so a user
+    arriving with historical .har data can land it.  doc_id parses
+    from the member NAME; byte length and md5 come from the member
+    PAYLOAD; the oracle recomputes all three from the source table —
+    equality proves naming, index round-trip, and payload slicing are
+    all lossless.  Scale: only index metadata (one line per member)
+    crosses the driver, exactly what the reference's single reducer
+    materializes; payload reads are (part, offset, length) slices
+    sorted for sequential access, fanned out across executors;
+    ``har_lookup`` point reads touch only the master-range-selected
+    index bytes (pytest-pinned)."""
+    from hadoop_20_warehouse_spark.sources.har import (
+        read_har_files,
+        write_har,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    named = docs.select(
+        F.format_string(
+            "/corpus/%s/doc_%08d.txt", F.col("lang"), F.col("doc_id")
+        ).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    path = _fresh_subdir(_scratch_dir("har"), "corpus")
+    write_har(named, "name", "payload", path, num_indexes=64)
+    back = read_har_files(spark, path, prefix="/corpus/")
+    return back.select(
+        F.regexp_extract("name", r"doc_(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("payload").cast("long").alias("nbytes"),
+        F.md5("payload").alias("digest"),
     )

@@ -173,10 +173,15 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[dict, list[bytes]]:
                     )
                 stream_no[0] += 1
             elif len(fourcc) == 4 and fourcc[2:] in (b"dc", b"db"):
+                # MAKEAVICKID encodes the stream index as two HEX
+                # ASCII digits ('0A' = stream 10), not decimal
                 try:
-                    sn = int(fourcc[:2])
+                    sn = int(fourcc[:2], 16)
                 except ValueError:
-                    continue
+                    raise ValueError(
+                        f"AVI chunk id {fourcc!r} has a non-hex "
+                        "stream number"
+                    ) from None
                 if sn == vid_stream[0]:
                     frames.append(payload[b0:b1])
 
@@ -459,6 +464,97 @@ def extract_mjpeg_frames(payload: bytes) -> tuple[str, dict, list[bytes]]:
         meta, frames = parse_mp4_mjpeg_frames(payload)
         return "mp4", meta, frames
     raise ValueError("not a recognized video container (AVI/ISO-BMFF)")
+
+
+# --- optional ffmpeg escape hatch (H.264 / H.265 / anything else) -------------
+
+
+def ffmpeg_binary() -> str | None:
+    """Path to ffmpeg if present, else None.  ``SPARK_GRAFT_FFMPEG``
+    overrides (a path forces it; empty string disables even if the
+    binary exists — the deterministic-CI knob)."""
+    import os
+    import shutil
+
+    env = os.environ.get("SPARK_GRAFT_FFMPEG")
+    if env is not None:
+        return env or None
+    return shutil.which("ffmpeg")
+
+
+def _split_png_stream(blob: bytes) -> list[bytes]:
+    """Concatenated PNG files → list of single PNGs, by walking the
+    chunk structure to each IEND (never by signature scan — IDAT bytes
+    can contain the 8-byte signature by chance)."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if blob[pos : pos + 8] != sig:
+            raise ValueError("ffmpeg output is not a PNG stream")
+        p = pos + 8
+        while True:
+            if p + 8 > n:
+                raise ValueError("truncated PNG in ffmpeg output")
+            (clen,) = struct.unpack_from(">I", blob, p)
+            ctype = blob[p + 4 : p + 8]
+            p += 12 + clen  # len + type + data + crc
+            if ctype == b"IEND":
+                break
+        out.append(blob[pos:p])
+        pos = p
+    return out
+
+
+def decode_frames_ffmpeg(
+    payload: bytes, binary: str | None = None
+) -> list[bytes]:
+    """Any-codec fallback: pipe the container through ffmpeg and get
+    the frames back as PNGs (decodable by multimodal/codecs.py's own
+    PNG decoder — no pixel-format negotiation, no known-dimensions
+    requirement).  Raises the honest NotImplementedError when ffmpeg
+    is absent — the same gate message the MJPEG parsers use."""
+    import subprocess
+
+    binary = binary or ffmpeg_binary()
+    if binary is None:
+        raise NotImplementedError(
+            "decoding this video codec requires ffmpeg, not installed "
+            "here (install ffmpeg or set SPARK_GRAFT_FFMPEG)"
+        )
+    proc = subprocess.run(
+        [
+            binary, "-v", "error", "-i", "pipe:0",
+            "-f", "image2pipe", "-c:v", "png", "pipe:1",
+        ],
+        input=payload,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        check=False,
+    )
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(
+            "ffmpeg failed to decode the payload: "
+            + proc.stderr.decode("utf-8", "replace")[:500]
+        )
+    return _split_png_stream(proc.stdout)
+
+
+def extract_frames_auto(payload: bytes) -> tuple[str, dict, list[bytes]]:
+    """:func:`extract_mjpeg_frames`, falling back to ffmpeg for
+    non-MJPEG codecs WHEN the binary is present (auto-enable,
+    VERDICT r17 #8).  The fallback returns container='ffmpeg' and
+    PNG-encoded frames (meta carries codec='png' so callers route to
+    the PNG decoder); with no ffmpeg the original NotImplementedError
+    gate propagates unchanged."""
+    try:
+        return extract_mjpeg_frames(payload)
+    except NotImplementedError:
+        if ffmpeg_binary() is None:
+            raise
+        frames = decode_frames_ffmpeg(payload)
+        return "ffmpeg", {"n_frames": len(frames), "codec": "png"}, frames
 
 
 VIDEO_FRAME_SCHEMA = (

@@ -46,6 +46,7 @@ import hashlib
 import io
 import json
 import os
+import re
 import struct
 import zlib
 from collections.abc import Iterator
@@ -272,6 +273,11 @@ def _dec_any(b: bytes, pos: int, node):
         return symbols[idx], pos
     if kind == "fixed":  # exactly `size` bytes, no length prefix
         size = node["size"]
+        if pos + size > len(b):
+            raise ValueError(
+                "truncated avro fixed value "
+                f"(need {size} bytes at {pos}, have {len(b) - pos})"
+            )
         return bytes(b[pos : pos + size]), pos + size
     raise ValueError(f"unsupported avro type {node!r}")
 
@@ -314,10 +320,14 @@ def _spark_type_to_avro(
         # always serialize to identical JSON — two write_avro calls
         # into one directory must not trip the readers' exact-schema
         # comparison.
+        # Raw Spark column names can carry characters outside the
+        # Avro name grammar [A-Za-z0-9_] (spaces, dashes, unicode);
+        # conforming foreign readers reject such schema JSON, so the
+        # path is sanitized — uniqueness still comes from the counter.
         seq[0] += 1
         node = {
             "type": "record",
-            "name": f"r{seq[0]}_{path}",
+            "name": f"r{seq[0]}_{re.sub(r'[^A-Za-z0-9_]', '_', path)}",
             "fields": [
                 {
                     "name": f.name,

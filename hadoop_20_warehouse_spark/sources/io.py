@@ -162,15 +162,51 @@ def read_sequence(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rdd, ["key", "value"])
 
 
-def write_sequence(df: DataFrame, path: str) -> None:
+_SEQ_CODECS = {
+    "default": "org.apache.hadoop.io.compress.DefaultCodec",
+    "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+    "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+}
+
+
+def write_sequence(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    compress_type: str = "block",
+) -> None:
     """DataFrame[key, value] → SequenceFile (SequenceFileOutputFormat).
     Keys/values must be Writable-convertible primitives (int, long,
     float, str, bytes) — or maps of them, which Spark's
     JavaToWritableConverter writes as MapWritable
-    (io/MapWritable.java:35)."""
+    (io/MapWritable.java:35).
+
+    ``compression`` (None | 'default' | 'gzip' | 'bzip2') +
+    ``compress_type`` ('record' | 'block') select the reference's
+    three writer variants — Writer / RecordCompressWriter /
+    BlockCompressWriter (io/SequenceFile.java:779,1047,1158) — via
+    the JVM SequenceFileOutputFormat's own conf knobs, so the bytes
+    are authentic Hadoop containers any legacy consumer reads."""
     if len(df.columns) != 2:
         raise ValueError("write_sequence expects exactly (key, value) columns")
-    df.rdd.map(tuple).saveAsSequenceFile(path)
+    rdd = df.rdd.map(tuple)
+    if compression is None:
+        rdd.saveAsSequenceFile(path)
+        return
+    codec = _SEQ_CODECS.get(compression, compression)
+    if compress_type.lower() not in ("record", "block"):
+        raise ValueError(
+            f"compress_type must be 'record' or 'block': {compress_type!r}"
+        )
+    rdd.saveAsHadoopFile(
+        path,
+        "org.apache.hadoop.mapred.SequenceFileOutputFormat",
+        conf={
+            "mapred.output.compress": "true",
+            "mapred.output.compression.codec": codec,
+            "mapred.output.compression.type": compress_type.upper(),
+        },
+    )
 
 
 def read_sequence_composite(

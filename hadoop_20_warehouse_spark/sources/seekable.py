@@ -123,7 +123,18 @@ def decode_ssf(blob: bytes) -> list[str]:
         body = blob[pos + 32 : pos + 32 + clen]
         if len(body) != clen:
             raise ValueError("truncated SSF chunk")
-        text += zlib.decompress(body, -15)
+        data = zlib.decompress(body, -15)
+        if len(data) != ulen:
+            raise ValueError(
+                "SSF chunk length mismatch "
+                f"(header says {ulen}, inflated {len(data)})"
+            )
+        if uoff != len(text):
+            raise ValueError(
+                "SSF chunk offset discontinuity "
+                f"(header says {uoff}, stream is at {len(text)})"
+            )
+        text += data
         pos += 32 + clen
     # \n is THE record delimiter (splitlines would also break on
     # \x85/\u2028/\v etc. and disagree with read_ssf_lines)
@@ -148,6 +159,11 @@ def seek_uncompressed(path: str, offset: int) -> bytes:
                 fh.seek(clen, os.SEEK_CUR)  # skip without inflating
                 continue
             data = zlib.decompress(fh.read(clen), -15)
+            if len(data) != ulen:
+                raise ValueError(
+                    "SSF chunk length mismatch "
+                    f"(header says {ulen}, inflated {len(data)})"
+                )
             start = max(0, offset - uoff)
             out += data[start:]
         return bytes(out)
@@ -181,6 +197,11 @@ def _decode_file_range(fname: str, start: int, end: int) -> list[tuple]:
                 break
             uoff, ulen, clen = struct.unpack(">QII", head[16:])
             data = zlib.decompress(fh.read(clen), -15)
+            if len(data) != ulen:
+                raise ValueError(
+                    "SSF chunk length mismatch "
+                    f"(header says {ulen}, inflated {len(data)})"
+                )
             off = uoff
             for raw in data.split(b"\n")[:-1]:
                 rows.append((off, raw.decode("utf-8")))

@@ -22,14 +22,16 @@ per variant.
 Scale: per-file parallelism (a SequenceFile is record-framed but the
 sync-marker scan is cheap and files are the natural split for interop
 ingestion); decode is a generator over bytes — no per-record Python
-object churn beyond the emitted tuples.  Uncompressed and
-record-compressed-off files only (Spark's ``saveAsSequenceFile``
-default) — compressed inputs fail loudly with the codec name.
+object churn beyond the emitted tuples.  Uncompressed, record- and
+block-compressed containers are all parsed (DefaultCodec/GzipCodec/
+BZip2Codec — each record or block buffer is a finished stream);
+other codecs fail loudly with the codec name.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -187,15 +189,11 @@ def parse_sequence_file(blob: bytes):
     if version >= 4:
         block_compressed = blob[pos] != 0
         pos += 1
-    if compressed or block_compressed:
-        codec = "(pre-v5 default)"
-        if version >= 5:
-            codec, pos = _read_text_string(blob, pos)
-        raise ValueError(
-            f"compressed SequenceFile not supported by the pure-Python "
-            f"container parser (codec {codec}); re-write uncompressed or "
-            f"read via a JVM path with the codec on the classpath"
-        )
+    codec = "org.apache.hadoop.io.compress.DefaultCodec"
+    if (compressed or block_compressed) and version >= 5:
+        codec, pos = _read_text_string(blob, pos)
+    inflate = _inflater_for(codec) if (compressed or block_compressed) \
+        else None
     if version >= 6:
         n_meta = struct.unpack_from(">i", blob, pos)[0]
         pos += 4
@@ -227,9 +225,76 @@ def parse_sequence_file(blob: bytes):
             key = bytes(blob[p : p + key_len])
             val = bytes(blob[p + key_len : p + rec_len])
             p += rec_len
-            yield key, val
+            # RecordCompressWriter (io/SequenceFile.java:1108-1139):
+            # same framing, value bytes are one fresh codec stream
+            yield key, inflate(val) if inflate else val
 
-    return key_class, value_class, records()
+    def block_records() -> Iterator[tuple[bytes, bytes]]:
+        # BlockCompressWriter.sync (io/SequenceFile.java:1257-1283) /
+        # Reader.readBlock (:1659): each block = sync escape (-1 int +
+        # 16-byte sync), vint nRecords, then FOUR framed buffers
+        # ([vint compressedLen][codec stream]): key lengths (vints),
+        # keys, value lengths (vints), values.
+        p = pos
+        end = len(blob)
+
+        def buf(q):
+            clen, q = _dec_vint(blob, q)
+            if q + clen > end:
+                raise ValueError("truncated SequenceFile block buffer")
+            return inflate(bytes(blob[q : q + clen])), q + clen
+
+        while p + 4 <= end:
+            esc = struct.unpack_from(">i", blob, p)[0]
+            p += 4
+            if esc != -1 or bytes(blob[p : p + 16]) != sync:
+                raise ValueError(
+                    "corrupt SequenceFile: block without sync prefix"
+                )
+            p += 16
+            n, p = _dec_vint(blob, p)
+            key_lens_b, p = buf(p)
+            keys_b, p = buf(p)
+            val_lens_b, p = buf(p)
+            vals_b, p = buf(p)
+            kq = vq = 0
+            koff = voff = 0
+            for _ in range(n):
+                klen, kq = _dec_vint(key_lens_b, kq)
+                vlen, vq = _dec_vint(val_lens_b, vq)
+                yield (
+                    bytes(keys_b[koff : koff + klen]),
+                    bytes(vals_b[voff : voff + vlen]),
+                )
+                koff += klen
+                voff += vlen
+
+    return (
+        key_class,
+        value_class,
+        block_records() if block_compressed else records(),
+    )
+
+
+def _inflater_for(codec: str):
+    """Pure-Python decompressor for the stock Hadoop codecs (each
+    record/block buffer is ONE finished stream — the writers call
+    resetState() + finish() around every unit)."""
+    short = codec.rsplit(".", 1)[-1]
+    if short == "DefaultCodec":
+        return zlib.decompress  # zlib-framed deflate
+    if short == "GzipCodec":
+        return lambda b: zlib.decompress(b, 16 + zlib.MAX_WBITS)
+    if short == "BZip2Codec":
+        import bz2
+
+        return bz2.decompress
+    raise ValueError(
+        f"compressed SequenceFile codec {codec} not supported by the "
+        f"pure-Python container parser (DefaultCodec/GzipCodec/"
+        f"BZip2Codec are); read via a JVM path with the codec on the "
+        f"classpath"
+    )
 
 
 def read_sequence_tagged(

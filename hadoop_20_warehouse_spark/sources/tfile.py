@@ -256,3 +256,218 @@ def write_tfile_jvm(
     finally:
         writer.close()
         out.close()
+
+
+# --- pure-Python writer (distributed; the read symmetry) --------------------
+
+
+def encode_vlong(n: int) -> bytes:
+    """TFile's variable-length integer ENCODER — the exact inverse of
+    :func:`read_vlong` (tfile/Utils.java:91-155 writeVLong: one byte
+    for [-32,128), then 2/3/4-byte forms keyed by shifted first-byte
+    bands, then explicit-length -125..-121 big-endian forms)."""
+    if -32 <= n < 128:
+        return struct.pack(">b", n)
+    un = ~n if n < 0 else n
+    length = un.bit_length() // 8 + 1
+    first = n >> ((length - 1) * 8)
+    if length == 1:
+        first >>= 8
+    if length <= 2:
+        if -20 <= first < 20:
+            return struct.pack(">bB", first - 52, n & 0xFF)
+        first >>= 8
+    if length <= 3:
+        if -16 <= first < 16:
+            return struct.pack(">bH", first - 88, n & 0xFFFF)
+        first >>= 8
+    if length <= 4:
+        if -8 <= first < 8:
+            return struct.pack(
+                ">bHB", first - 112, (n >> 8) & 0xFFFF, n & 0xFF
+            )
+        return struct.pack(">bI", 4 - 129, n & 0xFFFFFFFF)
+    if length == 5:
+        return struct.pack(">bIB", 5 - 129, (n >> 8) & 0xFFFFFFFF, n & 0xFF)
+    if length == 6:
+        return struct.pack(
+            ">bIH", 6 - 129, (n >> 16) & 0xFFFFFFFF, n & 0xFFFF
+        )
+    if length == 7:
+        return struct.pack(
+            ">bIHB", 7 - 129, (n >> 24) & 0xFFFFFFFF,
+            (n >> 8) & 0xFFFF, n & 0xFF,
+        )
+    return struct.pack(">bq", 8 - 129, n)
+
+
+def _enc_string(s: str | None) -> bytes:
+    # tfile/Utils.java:246 writeString: vint byte-length + UTF-8
+    if s is None:
+        return encode_vlong(-1)
+    b = s.encode("utf-8")
+    return encode_vlong(len(b)) + b
+
+
+def _enc_region(offset: int, csize: int, rsize: int) -> bytes:
+    return encode_vlong(offset) + encode_vlong(csize) + encode_vlong(rsize)
+
+
+def encode_tfile(
+    pairs,
+    compression: str = "gz",
+    comparator: str = "memcmp",
+    min_block_size: int = 256 * 1024,
+) -> bytes:
+    """Key/value pairs → one complete TFile, byte-compatible with the
+    JVM reader (assembly order per TFile.Writer.close +
+    BCFile.Writer.close: head magic, compressed data blocks, meta
+    blocks TFile.meta/TFile.index/BCFile.index, meta index, 28-byte
+    tail).  ``pairs`` must be non-descending bytewise when
+    ``comparator='memcmp'`` (TFile.java:452-457's append check);
+    values are written as single final chunks (Chunk.java:204's
+    terminal non-negative length — multi-chunk is a writer streaming
+    optimization, not a format requirement)."""
+    if compression == "gz":
+        deflate = zlib.compress
+    elif compression == "none":
+        def deflate(b):
+            return b
+    else:
+        raise ValueError(
+            f"unsupported TFile compression {compression!r} "
+            "('gz' and 'none' are)"
+        )
+
+    out = bytearray(_BCFILE_MAGIC)  # head magic (BCFile.java:296)
+    regions: list[tuple[int, int, int]] = []
+    index_entries: list[tuple[bytes, int]] = []  # (last key, n records)
+    first_key: bytes | None = None
+    record_count = 0
+
+    cur = bytearray()
+    cur_n = 0
+    last_key: bytes | None = None
+
+    def flush_block():
+        nonlocal cur, cur_n
+        if cur_n == 0:
+            return
+        comp = deflate(bytes(cur))
+        regions.append((len(out), len(comp), len(cur)))
+        index_entries.append((last_key, cur_n))
+        out.extend(comp)
+        cur = bytearray()
+        cur_n = 0
+
+    prev_key: bytes | None = None
+    for k, v in pairs:
+        k, v = bytes(k), bytes(v)
+        if comparator == "memcmp" and prev_key is not None and k < prev_key:
+            raise ValueError(
+                "keys are not added in sorted order (memcmp TFile)"
+            )
+        prev_key = k
+        if first_key is None:
+            first_key = k
+        cur += encode_vlong(len(k)) + k + encode_vlong(len(v)) + v
+        cur_n += 1
+        last_key = k
+        record_count += 1
+        if len(cur) >= min_block_size:
+            flush_block()
+    flush_block()
+
+    def meta_block(name: str, payload: bytes, algo: str):
+        comp = payload if algo == "none" else deflate(payload)
+        region = (len(out), len(comp), len(payload))
+        out.extend(comp)
+        return name, algo, region
+
+    default_algo = compression
+    metas = []
+    # TFile.meta: API version + vlong record count + comparator string
+    # — always uncompressed (TFile.java:312-315 COMPRESSION_NONE)
+    tm = struct.pack(">hh", 1, 0) + encode_vlong(record_count) + _enc_string(
+        comparator or ""
+    )
+    metas.append(meta_block("TFile.meta", tm, "none"))
+    # TFile.index: framed first-key entry, then per-block framed
+    # (last key, record count) entries (TFile.java:2259-2278)
+    ti = bytearray()
+    if first_key is None:
+        ti += encode_vlong(0)
+    else:
+        fk = encode_vlong(len(first_key)) + first_key
+        ti += encode_vlong(len(fk)) + fk
+        for lk, n in index_entries:
+            e = encode_vlong(len(lk)) + lk + encode_vlong(n)
+            ti += encode_vlong(len(e)) + e
+    metas.append(meta_block("TFile.index", bytes(ti), default_algo))
+    # BCFile.index: default compression + data block regions
+    di = _enc_string(default_algo) + encode_vlong(len(regions))
+    for r in regions:
+        di += _enc_region(*r)
+    metas.append(meta_block("BCFile.index", bytes(di), default_algo))
+
+    # meta index (TreeMap order = sorted by name), then the tail
+    offset_meta_index = len(out)
+    out += encode_vlong(len(metas))
+    for name, algo, region in sorted(metas):
+        out += _enc_string("data:" + name)
+        out += _enc_string(algo)
+        out += _enc_region(*region)
+    out += struct.pack(">q", offset_meta_index)
+    out += struct.pack(">hh", 1, 0)
+    out += _BCFILE_MAGIC
+    return bytes(out)
+
+
+def write_tfile(
+    df: DataFrame,
+    path: str,
+    compression: str = "gz",
+    comparator: str = "memcmp",
+    min_block_size: int = 256 * 1024,
+) -> int:
+    """DataFrame[key binary, value binary] → one TFile per partition
+    under ``path`` (the sources/avro.py per-partition writer mold —
+    executors each encode their own file; nothing but the row count
+    crosses the driver).  With ``comparator='memcmp'`` each partition
+    is sorted bytewise first (Spark's binary ordering IS memcmp), so
+    a range-partitioned frame yields the sorted-shards layout a
+    MapFile-style consumer expects.  Replaces the driver-local py4j
+    loop for data-scale writes; :func:`write_tfile_jvm` remains the
+    fixture path that pins parser parity against JVM bytes."""
+    import os as _os
+
+    if len(df.columns) != 2:
+        raise ValueError("write_tfile expects exactly (key, value) columns")
+    _os.makedirs(path, exist_ok=True)
+    kcol, vcol = df.columns
+    if comparator == "memcmp":
+        df = df.sortWithinPartitions(kcol)
+
+    def _write_part(idx: int, rows):
+        n = [0]
+
+        def gen():
+            for r in rows:
+                n[0] += 1
+                yield r[0], r[1]
+
+        blob = encode_tfile(
+            gen(), compression=compression, comparator=comparator,
+            min_block_size=min_block_size,
+        )
+        with open(
+            _os.path.join(path, f"part-{idx:05d}.tfile"), "wb"
+        ) as fh:
+            fh.write(blob)
+        yield n[0]
+
+    return sum(
+        df.select(kcol, vcol)
+        .rdd.mapPartitionsWithIndex(_write_part)
+        .collect()
+    )

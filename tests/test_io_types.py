@@ -770,3 +770,63 @@ def test_ssf_seekable_compressed_stream(spark, tmp_path):
     torn[22] ^= 0xFF  # corrupt the first CHUNK sync (bytes 20..35)
     with _pytest.raises(ValueError, match="sync mismatch"):
         decode_ssf(bytes(torn))
+
+
+def test_avro_fixed_truncation_and_name_sanitization():
+    """r18 ADVICE fixes: (1) a truncated buffer under a fixed-type
+    value raises like every other type instead of silently returning
+    short bytes; (2) nested-record names generated from Spark column
+    names are sanitized to the Avro name grammar [A-Za-z0-9_]."""
+    import json as _json
+    import re as _re
+
+    import pyspark.sql.types as T
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_spark.sources.avro import (
+        _dec_any,
+        schema_to_avro_json,
+    )
+
+    node = {"type": "fixed", "size": 8}
+    with _pytest.raises(ValueError, match="truncated avro fixed"):
+        _dec_any(b"\x01\x02\x03", 0, node)
+    val, pos = _dec_any(b"\x01\x02\x03\x04\x05\x06\x07\x08", 0, node)
+    assert val == bytes(range(1, 9)) and pos == 8
+
+    schema = T.StructType([
+        T.StructField(
+            "weird col-nameé",
+            T.StructType([T.StructField("x", T.LongType(), False)]),
+            False,
+        )
+    ])
+    sj = _json.loads(schema_to_avro_json(schema))
+    names = [
+        f["type"]["name"] for f in sj["fields"]
+        if isinstance(f["type"], dict) and f["type"]["type"] == "record"
+    ]
+    assert names and all(
+        _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n) for n in names
+    )
+
+
+def test_ssf_chunk_length_mismatch_detected():
+    """r18 ADVICE fix: a corrupt-but-well-framed SSF chunk whose
+    inflated length disagrees with its ulen header raises instead of
+    silently corrupting uncompressed offsets."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_spark.sources.seekable import (
+        decode_ssf,
+        encode_ssf,
+    )
+
+    blob = bytearray(encode_ssf(["alpha", "beta", "gamma"]))
+    # chunk header at 20: sync(16) + >QII (uoff, ulen, clen); bump ulen
+    uoff, ulen, clen = _struct.unpack_from(">QII", blob, 36)
+    _struct.pack_into(">QII", blob, 36, uoff, ulen + 1, clen)
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_ssf(bytes(blob))

@@ -116,16 +116,152 @@ def test_generic_writable_without_classpath(spark, tmp_path):
     assert rows[0]["v_Text"] == "alpha" and rows[1]["v_IntWritable"] == 7
 
 
-def test_compressed_rejected_loudly(spark, tmp_path):
-    path = str(tmp_path / "gz")
-    spark.sparkContext.parallelize([(1, bytearray(b"x"))], 1).saveAsSequenceFile(
-        path, compressionCodecClass="org.apache.hadoop.io.compress.DefaultCodec"
+def test_unknown_codec_rejected_loudly():
+    """r18: stock codecs now parse (see the compressed-write tests);
+    a codec outside DefaultCodec/Gzip/BZip2 still fails loudly with
+    its name.  Header hand-assembled: v6, Text classes, compressed
+    flag set, Snappy codec string."""
+
+    def text_str(s: bytes) -> bytes:
+        return bytes([len(s)]) + s  # vint fits one byte here
+
+    hdr = (
+        b"SEQ\x06"
+        + text_str(b"org.apache.hadoop.io.Text") * 2
+        + b"\x01\x00"
+        + text_str(b"org.apache.hadoop.io.compress.SnappyCodec")
+        + b"\x00\x00\x00\x00"  # zero metadata pairs
+        + b"S" * 16  # sync
     )
+    with pytest.raises(ValueError, match="SnappyCodec"):
+        key_cls, _, recs = parse_sequence_file(hdr)
+
+
+@pytest.mark.parametrize("codec", ["default", "gzip", "bzip2"])
+@pytest.mark.parametrize("ctype", ["record", "block"])
+def test_sequence_compressed_write_jvm_and_pure_parse(
+    spark, tmp_path, codec, ctype
+):
+    """r18 VERDICT #4: write_sequence's codec/record/block options
+    produce authentic Hadoop containers — the JVM reader consumes
+    them back (the legacy-consumer proof) AND the pure-Python parser
+    decompresses all three stock codecs in both layouts."""
     import glob
 
-    part = glob.glob(path + "/part-*")[0]
-    with pytest.raises(ValueError, match="compressed SequenceFile"):
-        parse_sequence_file(open(part, "rb").read())
+    from hadoop_20_warehouse_spark.sources.io import (
+        read_sequence,
+        write_sequence,
+    )
+
+    rows = [(f"k{i:04d}", f"value-{i}-" + "x" * (i % 37)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["key", "value"])
+    path = str(tmp_path / f"seq_{codec}_{ctype}")
+    write_sequence(df, path, compression=codec, compress_type=ctype)
+
+    back = sorted(
+        (r["key"], r["value"]) for r in read_sequence(spark, path).collect()
+    )
+    assert back == sorted(rows)
+
+    got = []
+    for part in sorted(glob.glob(path + "/part-*")):
+        blob = open(part, "rb").read()
+        kc, vc, recs = parse_sequence_file(blob)
+        assert kc == vc == "org.apache.hadoop.io.Text"
+        for kb, vb in recs:
+            k, _ = _dec_text_pub(kb, 0)
+            v, _ = _dec_text_pub(vb, 0)
+            got.append((k, v))
+    assert sorted(got) == sorted(rows)
+
+
+def _dec_text_pub(b, pos):
+    from hadoop_20_warehouse_spark.sources.seqfile import _dec_text
+
+    return _dec_text(b, pos)
+
+
+def test_tfile_python_writer_jvm_reader_parity(spark, tmp_path):
+    """r18 VERDICT #7: the pure-Python TFile ENCODER's bytes are
+    consumed by the real JVM TFile.Reader (scanner walk via py4j) —
+    write symmetry for the interop surface, per codec."""
+    from hadoop_20_warehouse_spark.sources import tfile as TF
+
+    pairs = _tfile_pairs(200)
+    for comp in ("gz", "none"):
+        blob = TF.encode_tfile(
+            iter(pairs), compression=comp, min_block_size=1024
+        )
+        p = str(tmp_path / f"py_{comp}.tfile")
+        open(p, "wb").write(blob)
+
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(conf)
+        flen = fs.getFileStatus(jpath).getLen()
+        fin = fs.open(jpath)
+        reader = jvm.org.apache.hadoop.io.file.tfile.TFile.Reader(
+            fin, flen, conf
+        )
+        try:
+            assert reader.getEntryCount() == len(pairs)
+            scanner = reader.createScanner()
+            got = []
+            kbw = jvm.org.apache.hadoop.io.BytesWritable()
+            vbw = jvm.org.apache.hadoop.io.BytesWritable()
+            while not scanner.atEnd():
+                entry = scanner.entry()
+                entry.get(kbw, vbw)  # copies into the writables
+                got.append(
+                    (bytes(kbw.copyBytes()), bytes(vbw.copyBytes()))
+                )
+                scanner.advance()
+            scanner.close()
+        finally:
+            reader.close()
+            fin.close()
+        assert got == pairs, comp
+
+
+def test_tfile_distributed_writer_roundtrip(spark, tmp_path):
+    """write_tfile: one sorted TFile per partition (executor-side
+    pure-Python encoder), read back classpath-free; per-partition
+    memcmp sort honored."""
+    from hadoop_20_warehouse_spark.sources import tfile as TF
+
+    rows = [
+        (f"key{i:05d}".encode(), f"val{i}".encode() * 3)
+        for i in range(0, 5000, 7)
+    ]
+    import random
+
+    shuffled = rows[:]
+    random.Random(5).shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(bytearray(k), bytearray(v)) for k, v in shuffled],
+        "key binary, value binary",
+    ).repartition(4)
+    path = str(tmp_path / "dist_tfiles")
+    n = TF.write_tfile(df, path, compression="gz", min_block_size=2048)
+    assert n == len(rows)
+    import glob as _glob
+
+    parts = sorted(_glob.glob(path + "/part-*.tfile"))
+    assert len(parts) == 4
+    all_pairs = []
+    for part in parts:
+        meta, recs = TF.parse_tfile(open(part, "rb").read())
+        pp = list(recs)
+        assert pp == sorted(pp), "partition not memcmp-sorted"
+        assert meta["comparator"] == "memcmp"
+        all_pairs.extend(pp)
+    assert sorted(all_pairs) == rows
+    back = sorted(
+        (bytes(r["key"]), bytes(r["value"]))
+        for r in TF.read_tfile(spark, path + "/*.tfile").collect()
+    )
+    assert back == rows
 
 
 def test_unknown_type_and_bad_tag(spark, tmp_path):
