@@ -1255,6 +1255,22 @@ def main() -> None:
     # earlier same-session probes never saw it). Every point uses the
     # same settle+min-of-2 statistic (the r4 shakedown showed cheaper
     # statistics inflate the large point up to 2x in-sequence).
+    #
+    # r18 (VERDICT r17 #3): the steady-state WARMUP itself (~60 query
+    # runs) ages the heap enough to inflate the 10M-row probe points
+    # ~3x — r17 recorded teragen_sort at 16.0x/10x while the
+    # fresh-session decomposition (tools/probe_teragen.py) reads
+    # gen 2.15x / sort 2.87x / gen+sort 4.85x, all sub-linear per
+    # unit.  The probes therefore get their OWN fresh context, same
+    # recycle+drain discipline as the timed families.
+    spark.catalog.clearCache()
+    spark.stop()
+    time.sleep(2.5)
+    spark = get_session(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    for _ in range(2):
+        _force(QUERIES["join_broadcast_dims"](spark, SF_DIR))
+        time.sleep(1.5)
     scaling: dict[str, dict] = {}
     # large-point thunk per probe, for the super-linear adjudication
     # re-run (the large point is where a contention burst lands)

@@ -53,58 +53,64 @@ def timed(spark, fn, reps: int = 2) -> float:
     return round(best, 3)
 
 
-def main() -> None:
-    write = "--write" in sys.argv
+def fresh_session(shuffle: int = 32) -> SparkSession:
+    import time as _t
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        _t.sleep(2.5)
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    write = "--write" in sys.argv
     from hadoop_20_warehouse_spark.operators.datagen import teragen
 
     root = tempfile.mkdtemp(prefix="h20w_teragen_")
     out: dict[str, dict] = {}
     try:
+        spark = fresh_session()
         pq = {}
         for tag, n in (("small", SMALL), ("large", LARGE)):
             pq[tag] = os.path.join(root, tag)
             teragen(spark, n, partitions=32).write.parquet(pq[tag])
 
-        stages = {
-            "gen": lambda n, tag: force(teragen(spark, n, partitions=32)),
-            "gen_sort": lambda n, tag: force(
-                teragen(spark, n, partitions=32).orderBy("key")
-            ),
-            "mat_sort": lambda n, tag: force(
-                spark.read.parquet(pq[tag]).orderBy("key")
-            ),
-        }
-        for stage, fn in stages.items():
-            s = timed(spark, lambda: fn(SMALL, "small"))
-            l = timed(spark, lambda: fn(LARGE, "large"))
+        # one FRESH session per stage (the r18 first cut timed all
+        # four in one aging session and read a 16x gen ratio that a
+        # later warmed stage contradicted at 1.16x — the decomposition
+        # itself must not share JVM state across stages)
+        stages = [
+            ("gen", 32,
+             lambda sp, n, tag: force(teragen(sp, n, partitions=32))),
+            ("gen_sort", 32,
+             lambda sp, n, tag: force(
+                 teragen(sp, n, partitions=32).orderBy("key"))),
+            ("mat_sort", 32,
+             lambda sp, n, tag: force(
+                 sp.read.parquet(pq[tag]).orderBy("key"))),
+            ("sort64", 64,
+             lambda sp, n, tag: force(
+                 sp.read.parquet(pq[tag]).orderBy("key"))),
+        ]
+        for stage, shuf, fn in stages:
+            spark = fresh_session(shuf)
+            s = timed(spark, lambda: fn(spark, SMALL, "small"))
+            l = timed(spark, lambda: fn(spark, LARGE, "large"))
             out[stage] = {
                 "small_s": s, "large_s": l,
                 "time_ratio": round(l / max(s, 1e-9), 2),
             }
             print(f"# {stage}: {out[stage]}", file=sys.stderr)
-
-        spark.conf.set("spark.sql.shuffle.partitions", "64")
-        s = timed(
-            spark, lambda: force(spark.read.parquet(pq["small"]).orderBy("key"))
-        )
-        l = timed(
-            spark, lambda: force(spark.read.parquet(pq["large"]).orderBy("key"))
-        )
-        out["sort64"] = {
-            "small_s": s, "large_s": l,
-            "time_ratio": round(l / max(s, 1e-9), 2),
-        }
-        print(f"# sort64: {out['sort64']}", file=sys.stderr)
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
