@@ -965,3 +965,84 @@ def test_label_propagation_matches_python_model(spark):
             ).fetchall()
         )
         assert sql_out == labels, (trial, "sql twin")
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_tfile_vlong_encode_decode_roundtrip(vals):
+    """r18: encode_vlong is the exact inverse of read_vlong over the
+    full signed-64 range (tfile/Utils.java's banded coding)."""
+    from hadoop_20_warehouse_spark.sources.tfile import (
+        encode_vlong,
+        read_vlong,
+    )
+
+    blob = b"".join(encode_vlong(v) for v in vals)
+    pos = 0
+    for v in vals:
+        got, pos = read_vlong(blob, pos)
+        assert got == v
+    assert pos == len(blob)
+
+
+@given(
+    st.lists(
+        st.tuples(st.binary(max_size=40), st.binary(max_size=200)),
+        max_size=40,
+    ),
+    st.sampled_from(["gz", "none"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_tfile_encode_parse_roundtrip(pairs, comp):
+    """r18: any byte pairs survive encode_tfile -> parse_tfile (keys
+    sorted first — memcmp files require it)."""
+    from hadoop_20_warehouse_spark.sources.tfile import (
+        encode_tfile,
+        parse_tfile,
+    )
+
+    pairs = sorted(pairs)
+    blob = encode_tfile(iter(pairs), compression=comp, min_block_size=64)
+    meta, recs = parse_tfile(blob)
+    assert list(recs) == pairs
+    assert meta["record_count"] == len(pairs)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="/\x00"
+            ),
+            min_size=1,
+            max_size=25,
+        ).map(lambda s: s.strip() or "x"),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_har_entry_grammar_arbitrary_names(names):
+    """r18: the har _index line grammar round-trips arbitrary unicode
+    member names (spaces, '+', '%', non-ASCII — the URL-encoding is
+    load-bearing, names with spaces would otherwise shift columns)."""
+    from hadoop_20_warehouse_spark.sources.har import (
+        HarEntry,
+        _format_entry,
+        _parse_entry,
+    )
+
+    for i, nm in enumerate(names):
+        e = HarEntry(f"/d/{nm}", False, f"part-{i}", i * 7, i * 13 + 1)
+        p = _parse_entry(_format_entry(e).rstrip())
+        assert (p.name, p.part, p.start, p.length) == (
+            e.name, e.part, e.start, e.length,
+        )
+    d = HarEntry("/d", True, "none", 0, 0, sorted(names))
+    q = _parse_entry(_format_entry(d).rstrip())
+    assert q.children == sorted(names) and q.is_dir
