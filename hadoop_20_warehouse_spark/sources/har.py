@@ -154,6 +154,11 @@ def write_har(
             raise ValueError(
                 f"har member names must be absolute file paths: {name!r}"
             )
+        if name in entries:
+            raise ValueError(
+                f"duplicate har member name {name!r} — an archive maps "
+                "each path to one (part, offset) slice"
+            )
         entries[name] = HarEntry(name, False, part, start, length)
     # synthesize the directory tree ('/' included), children = direct
     # entries only, the archiver's top-level-dirs discipline
@@ -272,23 +277,39 @@ def read_har_files(
     slices = [(e.name, e.part, e.start, e.length) for e in entries]
     if not slices:
         return spark.createDataFrame([], "name string, payload binary")
-    n_slices = min(len(slices), spark.sparkContext.defaultParallelism)
+    # Balance tasks by BYTES, not member count: archives routinely mix
+    # multi-GB members with thousands of tiny ones, and an even
+    # count-split would straggle on whichever task drew the big ones.
+    # Greedy contiguous chunking keeps each task's reads sequential
+    # within its part file while targeting equal byte shares.
+    n_tasks = min(len(slices), spark.sparkContext.defaultParallelism)
+    total = sum(s[3] for s in slices)
+    target = max(1, total // n_tasks)
+    groups: list[list] = [[]]
+    acc = 0
+    for s in slices:
+        if acc >= target and len(groups) < n_tasks:
+            groups.append([])
+            acc = 0
+        groups[-1].append(s)
+        acc += s[3]
 
-    def _read(rows):
-        fh = None
-        cur = None
-        for name, part, start, length in rows:
-            if part != cur:
-                if fh is not None:
-                    fh.close()
-                fh = open(os.path.join(har_dir, part), "rb")
-                cur = part
-            fh.seek(start)
-            yield name, bytearray(fh.read(length))
-        if fh is not None:
-            fh.close()
+    def _read(group_iter):
+        for group in group_iter:
+            fh = None
+            cur = None
+            for name, part, start, length in group:
+                if part != cur:
+                    if fh is not None:
+                        fh.close()
+                    fh = open(os.path.join(har_dir, part), "rb")
+                    cur = part
+                fh.seek(start)
+                yield name, bytearray(fh.read(length))
+            if fh is not None:
+                fh.close()
 
-    rdd = spark.sparkContext.parallelize(slices, n_slices)
+    rdd = spark.sparkContext.parallelize(groups, len(groups))
     return spark.createDataFrame(
         rdd.mapPartitions(_read), "name string, payload binary"
     )

@@ -135,3 +135,12 @@ def test_har_version_gate_and_bad_names(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="absolute"):
         write_har(bad, "name", "payload", str(tmp_path / "d.har"))
+
+
+def test_har_duplicate_member_names_rejected(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("/a.txt", bytearray(b"one")), ("/a.txt", bytearray(b"two"))],
+        "name string, payload binary",
+    )
+    with pytest.raises(ValueError, match="duplicate har member"):
+        write_har(df, "name", "payload", str(tmp_path / "dup.har"))
