@@ -3137,3 +3137,123 @@ def q_har_archive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("nbytes"),
         F.md5("payload").alias("digest"),
     )
+
+
+@register(
+    "sequence_sorter_total_order",
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+         AS position,
+       o_orderkey, o_orderstatus AS status
+FROM orders WHERE o_orderkey % 3 = 0
+""",
+)
+def q_sequence_sorter_total_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``SequenceFile.Sorter`` as a hash-CHECKED query (r18; reference
+    io/SequenceFile.java:2269 sort/merge — previously a pytest-only
+    row because a sorted WRITE is invisible to an order-insensitive
+    hash).  Unsorted orders write a SequenceFile; the Sorter analog is
+    the engine's total-order sort (range exchange) re-written as
+    block-gzip SequenceFiles whose part-file NAME order carries the
+    global key order — exactly the sorted-runs contract Sorter.merge
+    produces.  The readback makes sortedness a COLUMN: the pure parser
+    (compressed-container path) emits per-file record ordinals, and
+    per-file prefix offsets (O(files) metadata, the
+    global_shuffle_order discipline — no corpus-wide window) lift them
+    to a global ``position``.  The oracle's ROW_NUMBER over the source
+    table must match position-for-position: one hash proves the sort
+    is total, the zero-padded Text keys collate like the numeric
+    oracle order, AND the compressed write/parse round-trips.  Scale:
+    sort is one range exchange; readback is per-file parallel +
+    broadcast offsets."""
+    from hadoop_20_warehouse_spark.sources.io import write_sequence
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        read_sequence_with_position,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    kv = orders.select(
+        F.format_string("%020d", "o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("value"),
+    )
+    raw = _fresh_subdir(_scratch_dir("seqsort"), "unsorted")
+    write_sequence(kv, raw)
+    # the Sorter: read back, total-order sort, sorted-runs re-write
+    from hadoop_20_warehouse_spark.sources.io import read_sequence
+
+    sorted_dir = _fresh_subdir(_scratch_dir("seqsort"), "sorted")
+    write_sequence(
+        read_sequence(spark, raw).orderBy("key"),
+        sorted_dir,
+        compression="gzip",
+        compress_type="block",
+    )
+    back = read_sequence_with_position(spark, sorted_dir + "/part-*")
+    return back.select(
+        "position",
+        F.col("key").cast("long").alias("o_orderkey"),
+        F.col("value").alias("status"),
+    )
+
+
+@register(
+    "mapfile_interop_lookup",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority
+FROM orders
+WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+""",
+)
+def q_mapfile_interop_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format MapFile point lookups (r18; io/MapFile.java:33 —
+    complements mapfile_point_lookup's parquet-native analog with the
+    legacy byte format itself).  A MapFile directory is written
+    through the actual JVM MapFile.Writer (Text keys sorted, interval
+    index), then probed entirely classpath-free: the pure parser loads
+    the interval index ONCE, bisects every probe to its position
+    group, and does one BOUNDED data read + single forward merge-scan
+    per group (sources/mapfile.mapfile_get_many — never the whole
+    data file).  Probes mix present keys (%21 == 0) with absent ones;
+    the oracle recomputes the present set from the source table, so
+    the hash proves index bisection, bounded seeks, sync handling,
+    and the absent-probe walk all land exactly.  Scale: lookups are
+    the DRIVER-side serving pattern by design
+    (MapFileOutputFormat.getEntry's contract); the full-scan path
+    (read_mapfile) is per-file parallel."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        mapfile_get_many,
+        write_mapfile_jvm,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    pairs = [
+        (
+            f"{r['o_orderkey']:020d}",
+            r["o_orderstatus"] + "|" + r["o_orderpriority"],
+        )
+        for r in rows
+    ]
+    d = _fresh_subdir(_scratch_dir("mapfile_real"), "orders")
+    write_mapfile_jvm(spark, d, pairs, index_interval=32)
+    probes = [
+        f"{k:020d}"
+        for k in range(0, rows[-1]["o_orderkey"] + 1, 3)
+    ]
+    hits = mapfile_get_many(d, probes)
+    out = [
+        (int(k), v.split("|", 1)[0], v.split("|", 1)[1])
+        for k, v in hits.items()
+    ]
+    return spark.createDataFrame(
+        out, "o_orderkey long, status string, priority string"
+    )

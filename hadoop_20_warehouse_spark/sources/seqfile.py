@@ -148,9 +148,14 @@ def _read_utf8_string(b: bytes, pos: int) -> tuple[str, int]:
     return b[pos : pos + n].decode("utf-8"), pos + n
 
 
-def parse_sequence_file(blob: bytes):
+def parse_sequence_file(blob: bytes, start_at: int | None = None):
     """Parse one SequenceFile: returns ``(key_class, value_class,
     iter[(key_bytes, value_bytes)])`` of the RAW per-record wire bytes.
+
+    ``start_at`` starts record iteration at that byte offset instead
+    of the header end — the MapFile seek contract (index positions
+    point at record starts, possibly AT a sync escape, which the
+    record loop handles anywhere).
 
     Container layout (io/SequenceFile.java:1478-1540): ``SEQ`` magic,
     version byte, key/value class names (Text strings for v4+, UTF8
@@ -208,6 +213,9 @@ def parse_sequence_file(blob: bytes):
     if has_sync:
         sync = bytes(blob[pos : pos + 16])
         pos += 16
+
+    if start_at is not None:
+        pos = start_at
 
     def records() -> Iterator[tuple[bytes, bytes]]:
         p = pos
@@ -509,3 +517,69 @@ def encode_object_value(cls: str, value) -> bytes:
     name = cls.encode("utf-8")
     utf = struct.pack(">H", len(name)) + name
     return utf + utf + enc(value)
+
+
+def read_sequence_with_position(
+    spark: SparkSession, path: str, as_text: bool = True
+) -> DataFrame:
+    """SequenceFile part files → (position, key, value) where
+    ``position`` is the GLOBAL record rank in (file name, in-file
+    record order) — the order a range-partitioned sorted write (the
+    ``SequenceFile.Sorter`` analog) lays down, so sortedness becomes a
+    hash-checkable COLUMN instead of an order-sensitive read.
+
+    Scale shape: files parse in parallel (pure parser, any stock
+    codec); positions lift per-file ordinals by prefix offsets
+    computed from an O(files) metadata frame (the
+    ``global_shuffle_order`` discipline — no corpus-wide window).
+    ``as_text=True`` decodes Text-class keys/values to strings."""
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            paths, ords, keys, vals = [], [], [], []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                kc, vc, recs = parse_sequence_file(bytes(blob))
+                for i, (kb, vb) in enumerate(recs):
+                    paths.append(fpath)
+                    ords.append(i)
+                    if as_text:
+                        if kc != "org.apache.hadoop.io.Text" or vc != kc:
+                            raise ValueError(
+                                "as_text=True requires Text keys and "
+                                f"values; file has ({kc}, {vc})"
+                            )
+                        keys.append(_dec_text(kb, 0)[0])
+                        vals.append(_dec_text(vb, 0)[0])
+                    else:
+                        keys.append(bytearray(kb))
+                        vals.append(bytearray(vb))
+            yield pd.DataFrame(
+                {"path": paths, "ordinal": ords, "key": keys, "value": vals}
+            )
+
+    typ = "string" if as_text else "binary"
+    parsed = files.select("path", "content").mapInPandas(
+        gen, f"path string, ordinal long, key {typ}, value {typ}"
+    )
+    parsed = parsed.persist()
+    counts = sorted(
+        (r["path"], r["n"])
+        for r in parsed.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # O(files) metadata
+    offsets, acc = [], 0
+    for p, n in counts:
+        offsets.append((p, acc))
+        acc += n
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "path string, off long")
+    )
+    return parsed.join(off_df, "path").select(
+        (F.col("off") + F.col("ordinal")).alias("position"), "key", "value"
+    )

@@ -1,0 +1,116 @@
+"""Real-format MapFile interop — sources/mapfile.py vs JVM-written
+directories (reference io/MapFile.java:33; get contract :403-445)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hadoop_20_warehouse_spark.sources.mapfile import (
+    mapfile_get,
+    read_mapfile,
+    read_mapfile_index,
+    write_mapfile_jvm,
+)
+
+
+def _pairs(n=400):
+    return [
+        (f"k{i:05d}", f"val-{i}-" + "z" * (i % 23)) for i in range(0, n, 2)
+    ]
+
+
+@pytest.mark.parametrize("ctype", ["NONE", "RECORD", "BLOCK"])
+def test_mapfile_jvm_write_pure_read_and_get(spark, tmp_path, ctype):
+    pairs = _pairs()
+    d = str(tmp_path / f"mf_{ctype}")
+    write_mapfile_jvm(spark, d, pairs, index_interval=16, compress_type=ctype)
+    assert os.path.exists(os.path.join(d, "data"))
+    assert os.path.exists(os.path.join(d, "index"))
+
+    kc, keys, positions = read_mapfile_index(d)
+    assert kc == "org.apache.hadoop.io.Text"
+    if ctype == "BLOCK":
+        # the JVM writer indexes an interval key only when the data
+        # position ADVANCED (block mode buffers many records per
+        # block, so un-flushed intervals share a position and are
+        # skipped) — a small fixture may index only the first record
+        assert 1 <= len(keys) <= (len(pairs) + 15) // 16
+    else:
+        # one index row per interval (+ the first record)
+        assert len(keys) == (len(pairs) + 15) // 16
+    assert keys == sorted(keys)
+    assert positions == sorted(positions)
+
+    # full scan parity
+    got = sorted(
+        (r["key"], r["value"]) for r in read_mapfile(spark, d).collect()
+    )
+    assert got == pairs, ctype
+
+    # point lookups: present keys across the whole range (first,
+    # indexed, mid-interval, last), absent keys both between records
+    # ("k00001" is skipped by the stride-2 fixture) and beyond the end
+    for k, v in pairs[:3] + pairs[15:18] + pairs[-3:]:
+        assert mapfile_get(d, k) == v, (ctype, k)
+    assert mapfile_get(d, "k00001") is None  # between records
+    assert mapfile_get(d, "a") is None  # before the first key
+    assert mapfile_get(d, "zzz") is None  # past the last key
+
+
+def test_mapfile_bounded_scan_window(spark, tmp_path):
+    """The lookup reads ONLY [position, position+max_scan_bytes): a
+    window big enough for one interval succeeds; the target key is
+    still found even when the window tears mid-stream (clean stop at
+    the torn tail, no exception)."""
+    pairs = _pairs(600)
+    d = str(tmp_path / "mf_window")
+    write_mapfile_jvm(spark, d, pairs, index_interval=8)
+    k, v = pairs[123]
+    assert mapfile_get(d, k, max_scan_bytes=8 * 1024) == v
+    # pathologically small window that tears before reaching the key:
+    # clean None, never a parse crash
+    assert mapfile_get(d, pairs[130][0], max_scan_bytes=64) in (
+        pairs[130][1],
+        None,
+    )
+
+
+def test_mapfile_index_value_class_gate(spark, tmp_path):
+    """A directory whose 'index' is not (key, LongWritable) fails
+    loudly instead of misreading positions."""
+    from hadoop_20_warehouse_spark.sources.io import write_sequence
+
+    d = tmp_path / "not_a_mapfile"
+    kv = spark.createDataFrame(
+        [("a", "b")], "key string, value string"
+    )
+    write_sequence(kv, str(d / "index_tmp"))
+    import glob as _glob
+    import shutil
+
+    os.makedirs(d, exist_ok=True)
+    part = _glob.glob(str(d / "index_tmp" / "part-*"))[0]
+    shutil.copy(part, d / "index")
+    with pytest.raises(ValueError, match="LongWritable"):
+        read_mapfile_index(str(d))
+
+
+def test_mapfile_get_many_grouped_probes(spark, tmp_path):
+    """Batched lookup: one bounded read per position GROUP, sorted
+    probes resolved in a single merge-scan — hits exact, absents
+    silently missing, across interval boundaries."""
+    from hadoop_20_warehouse_spark.sources.mapfile import mapfile_get_many
+
+    pairs = _pairs(500)
+    d = str(tmp_path / "mf_many")
+    write_mapfile_jvm(spark, d, pairs, index_interval=8)
+    probes = (
+        [k for k, _ in pairs[::17]]
+        + ["k00001", "k00003", "zzz", "a"]  # absent
+        + [pairs[-1][0], pairs[0][0]]
+    )
+    got = mapfile_get_many(d, probes)
+    want = {k: v for k, v in pairs if k in set(probes)}
+    assert got == want
