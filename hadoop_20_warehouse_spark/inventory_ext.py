@@ -3257,3 +3257,47 @@ def q_mapfile_interop_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "o_orderkey long, status string, priority string"
     )
+
+
+@register(
+    "mapfile_sharded_serve",
+    oracle="""
+SELECT c_custkey, c_mktsegment AS segment
+FROM customer WHERE c_custkey % 3 = 0
+""",
+)
+def q_mapfile_sharded_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-sharded MapFile SERVING, written AND read classpath-free
+    (r18; mapred/MapFileOutputFormat.java:41 writer shape + :78
+    getEntry routing): customers range-partition into 4 shards, each
+    shard written by the executors as a REAL MapFile directory
+    (pure-Python v6 SequenceFile encoder with pre-append index
+    positions — sources/mapfile.write_mapfile; JVM MapFile.Reader
+    parity pytest-pinned), then a probe set (every third custkey,
+    plus absent keys past the range) is served by getEntry routing:
+    shard chosen by bisecting the O(shards) first-key bounds, probes
+    answered per shard with one batched bounded-I/O merge-scan.  The
+    oracle recomputes the hit set from the source table — the hash
+    proves the distributed write, the shard routing, and the lookup
+    walk end-to-end.  Scale: write is per-partition with zero extra
+    shuffle beyond the range exchange; serving I/O is
+    index-metadata + one bounded window per probe GROUP."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        mapfile_shards_get_many,
+        write_mapfile,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    kv = cust.select(
+        F.format_string("%010d", "c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("value"),
+    ).repartitionByRange(4, "key")
+    root = _fresh_subdir(_scratch_dir("mapfile_shards"), "customer")
+    write_mapfile(kv, root, index_interval=64, compression="gzip")
+    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    probes = [f"{k:010d}" for k in range(0, max_key + 151, 3)]
+    hits = mapfile_shards_get_many(root, probes)
+    return spark.createDataFrame(
+        [(int(k), v) for k, v in hits.items()],
+        "c_custkey long, segment string",
+    )

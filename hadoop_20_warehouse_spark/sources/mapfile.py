@@ -318,3 +318,110 @@ def mapfile_get_many(
                     out[k] = dec_v(vb, 0)[0]
                     pi += 1
     return out
+
+
+def write_mapfile(
+    df: DataFrame,
+    path: str,
+    index_interval: int = 128,
+    compression: str | None = None,
+) -> int:
+    """DataFrame[key, value] → one real MapFile DIRECTORY per
+    partition under ``path`` (``part-00000/{data,index}`` — exactly
+    ``MapFileOutputFormat``'s output shape,
+    mapred/MapFileOutputFormat.java:41), encoded entirely in Python
+    on the executors.  Keys sort within each partition (Text order ==
+    UTF-8 byte order == code-point order), every ``index_interval``-th
+    record's pre-append position lands in the interval index
+    (MapFile.java:189-199), and both files are version-6
+    SequenceFiles any Hadoop reader opens.  ``compression`` None or a
+    record codec (default/gzip/bzip2) — block mode's positions are
+    block-aligned and belong to the JVM fixture path.  Returns the
+    row count; JVM MapFile.Reader parity is pytest-pinned."""
+    import os as _os
+
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        _SPARK_TYPE_TO_WRITABLE,
+        WRITABLE_ENCODERS,
+        encode_sequence_file,
+    )
+
+    if len(df.columns) != 2:
+        raise ValueError("write_mapfile expects exactly (key, value) columns")
+    kcol, vcol = df.columns
+    ktype, vtype = (f.dataType.simpleString() for f in df.schema.fields)
+    kc, vc = (
+        _SPARK_TYPE_TO_WRITABLE[ktype],
+        _SPARK_TYPE_TO_WRITABLE[vtype],
+    )
+    enc_k, enc_v = WRITABLE_ENCODERS[kc], WRITABLE_ENCODERS[vc]
+    long_cls = "org.apache.hadoop.io.LongWritable"
+    enc_long = WRITABLE_ENCODERS[long_cls]
+    _os.makedirs(path, exist_ok=True)
+    df = df.sortWithinPartitions(kcol)
+
+    def _write_part(idx: int, rows):
+        pairs = [(enc_k(r[0]), enc_v(r[1])) for r in rows]
+        if not pairs:
+            yield 0
+            return
+        part_dir = _os.path.join(path, f"part-{idx:05d}")
+        _os.makedirs(part_dir, exist_ok=True)
+        data, positions = encode_sequence_file(
+            iter(pairs), kc, vc,
+            compression=compression, compress_type="record",
+            sync_seed=f"data-{idx}".encode(), record_positions=True,
+        )
+        index_pairs = [
+            (pairs[i][0], enc_long(positions[i]))
+            for i in range(0, len(pairs), index_interval)
+        ]
+        index = encode_sequence_file(
+            iter(index_pairs), kc, long_cls,
+            sync_seed=f"index-{idx}".encode(),
+        )
+        with open(_os.path.join(part_dir, "data"), "wb") as fh:
+            fh.write(data)
+        with open(_os.path.join(part_dir, "index"), "wb") as fh:
+            fh.write(index)
+        yield len(pairs)
+
+    return sum(
+        df.select(kcol, vcol).rdd.mapPartitionsWithIndex(_write_part).collect()
+    )
+
+
+def mapfile_shards_get_many(
+    root: str,
+    probe_keys,
+    max_scan_bytes: int = 4 * 1024 * 1024,
+) -> dict:
+    """``MapFileOutputFormat.getEntry`` for a range-sharded layout
+    (mapred/MapFileOutputFormat.java:78: pick the reader by
+    partitioner, then one ``get``): the shard boundaries come from
+    each part directory's FIRST indexed key (read once, O(shards)
+    metadata), each probe bisects to its shard, and each shard serves
+    its probes with ONE :func:`mapfile_get_many` batch.  Returns
+    {key: value} for hits."""
+    import glob as _glob
+
+    part_dirs = sorted(_glob.glob(os.path.join(root, "part-*")))
+    if not part_dirs:
+        raise ValueError(f"no part-* MapFile directories under {root}")
+    firsts = []
+    for d in part_dirs:
+        _, keys, _ = read_mapfile_index(d)
+        firsts.append(keys[0] if keys else None)
+    # empty shards (no index) can never hold a probe; drop them
+    shards = [(f, d) for f, d in zip(firsts, part_dirs) if f is not None]
+    bounds = [f for f, _ in shards]
+    routed: dict[str, list] = {}
+    for k in probe_keys:
+        i = bisect.bisect_right(bounds, k) - 1
+        if i < 0:
+            continue  # precedes every shard's first key: no shard holds it
+        routed.setdefault(shards[i][1], []).append(k)
+    out = {}
+    for d, probes in routed.items():
+        out.update(mapfile_get_many(d, probes, max_scan_bytes))
+    return out

@@ -114,3 +114,79 @@ def test_mapfile_get_many_grouped_probes(spark, tmp_path):
     got = mapfile_get_many(d, probes)
     want = {k: v for k, v in pairs if k in set(probes)}
     assert got == want
+
+
+def test_python_mapfile_writer_jvm_reader_parity(spark, tmp_path):
+    """r18: write_mapfile's directories are opened by the real JVM
+    MapFile.Reader — get() hits land, absents return null — and by
+    our own bounded-I/O lookup; per-partition dirs are each valid
+    MapFiles (MapFileOutputFormat's output shape)."""
+    import glob as _glob
+
+    from hadoop_20_warehouse_spark.sources.mapfile import write_mapfile
+
+    pairs = _pairs(600)
+    # keys land in partitions by range so each part dir is sorted
+    df = (
+        spark.createDataFrame(pairs, ["key", "value"])
+        .repartitionByRange(3, "key")
+    )
+    root = str(tmp_path / "pymf")
+    n = write_mapfile(df, root, index_interval=16)
+    assert n == len(pairs)
+    part_dirs = sorted(_glob.glob(root + "/part-*"))
+    assert len(part_dirs) == 3
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    found = {}
+    for d in part_dirs:
+        # pure-Python bounded lookup on our own bytes
+        kc, keys, positions = read_mapfile_index(d)
+        assert keys == sorted(keys)
+        fs = jvm.org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+        reader = jvm.org.apache.hadoop.io.MapFile.Reader(fs, d, conf)
+        try:
+            for k, v in pairs[::37]:
+                val = jvm.org.apache.hadoop.io.Text()
+                hit = reader.get(jvm.org.apache.hadoop.io.Text(k), val)
+                if hit is not None:
+                    found[k] = val.toString()
+            miss = reader.get(
+                jvm.org.apache.hadoop.io.Text("k99999"),
+                jvm.org.apache.hadoop.io.Text(),
+            )
+            assert miss is None
+        finally:
+            reader.close()
+        for k, v in pairs[::41]:
+            got = mapfile_get(d, k)
+            assert got in (None, v)
+    # every probed key found in exactly one partition, right value
+    assert found == {k: v for k, v in pairs[::37]}
+    # full parallel read across all part dirs
+    got_all = sorted(
+        (r["key"], r["value"])
+        for r in read_mapfile(spark, root + "/part-*").collect()
+    )
+    assert got_all == pairs
+
+
+def test_mapfile_shards_routing(spark, tmp_path):
+    """getEntry routing over range shards: every key found in its own
+    shard, probes before shard 0 or past the end come back absent,
+    empty shards are skipped."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        mapfile_shards_get_many,
+        write_mapfile,
+    )
+
+    pairs = _pairs(400)
+    df = spark.createDataFrame(pairs, ["key", "value"]).repartitionByRange(
+        4, "key"
+    )
+    root = str(tmp_path / "shards")
+    write_mapfile(df, root, index_interval=8)
+    probes = [k for k, _ in pairs[::7]] + ["a", "k00001", "zzzz"]
+    got = mapfile_shards_get_many(root, probes)
+    assert got == {k: v for k, v in pairs[::7]}
