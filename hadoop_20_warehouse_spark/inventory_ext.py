@@ -3301,3 +3301,84 @@ def q_mapfile_sharded_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(k), v) for k, v in hits.items()],
         "c_custkey long, segment string",
     )
+
+
+@register(
+    "setfile_interop_membership",
+    oracle="""
+SELECT p_partkey FROM part WHERE p_partkey % 6 = 0
+""",
+)
+def q_setfile_interop_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Real-format SetFile membership (r18; io/SetFile.java:34 — a
+    MapFile whose values are NullWritable, so PRESENCE is the
+    payload): even partkeys write as range-sharded SetFile
+    directories through the classpath-free per-partition encoder,
+    then every third partkey probes the set via getEntry shard
+    routing — the intersection (%6) must hash-match the oracle's
+    recomputation.  JVM SetFile.Reader parity is pytest-pinned.
+    Scale: write is per-partition; probes are index-metadata +
+    bounded windows, the format's own serving pattern."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        setfile_contains_many,
+        write_setfile,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    members = (
+        part.filter(F.col("p_partkey") % 2 == 0)
+        .select(F.format_string("%011d", "p_partkey").alias("key"))
+        .repartitionByRange(3, "key")
+    )
+    root = _fresh_subdir(_scratch_dir("setfile_real"), "part")
+    write_setfile(members, root, index_interval=64)
+    max_key = part.agg(F.max("p_partkey")).first()[0]
+    probes = [f"{k:011d}" for k in range(0, max_key + 1, 3)]
+    hits = setfile_contains_many(root, probes)
+    return spark.createDataFrame(
+        [(int(k),) for k in hits], "p_partkey long"
+    )
+
+
+@register(
+    "arrayfile_interop_lookup",
+    oracle="""
+SELECT position, name FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT)
+           AS position,
+         c_name AS name
+  FROM customer
+) WHERE position % 5 = 0
+""",
+)
+def q_arrayfile_interop_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format ArrayFile ordinal lookups (r18; io/ArrayFile.java:34
+    — a MapFile keyed by the global APPEND ordinal): customer names in
+    custkey order (range partitions + within-partition sort pin the
+    zipWithIndex global numbering deterministically) write as sharded
+    ArrayFile directories; every fifth ordinal then reads back through
+    the shard-routed bounded lookup, and the oracle's ROW_NUMBER
+    recomputes the same (position, name) pairs — the hash proves the
+    global numbering, the shard routing, and the LongWritable wire
+    round-trip at once.  JVM ArrayFile.Reader parity is
+    pytest-pinned."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        arrayfile_get_many,
+        write_arrayfile,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    ordered = (
+        cust.select("c_custkey", "c_name")
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .select("c_name")
+    )
+    root = _fresh_subdir(_scratch_dir("arrayfile_real"), "customer")
+    n = write_arrayfile(ordered, root, index_interval=64)
+    hits = arrayfile_get_many(root, list(range(0, n, 5)))
+    return spark.createDataFrame(
+        [(i, v) for i, v in hits.items()], "position long, name string"
+    )

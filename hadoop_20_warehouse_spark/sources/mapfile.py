@@ -425,3 +425,97 @@ def mapfile_shards_get_many(
     for d, probes in routed.items():
         out.update(mapfile_get_many(d, probes, max_scan_bytes))
     return out
+
+
+def write_setfile(
+    df: DataFrame, path: str, index_interval: int = 128
+) -> int:
+    """Real-format SetFile (io/SetFile.java:34 — a MapFile whose
+    values are NullWritable): one SetFile directory per partition of
+    the single-key-column frame.  Use :func:`setfile_contains_many`
+    (hit = key PRESENT in the result, value is None by construction)
+    to probe."""
+    if len(df.columns) != 1:
+        raise ValueError("write_setfile expects exactly one key column")
+    # NullWritable values encode as the empty wire form
+    return _write_mapfile_nullvalue(df, path, index_interval)
+
+
+def _write_mapfile_nullvalue(df, path, index_interval):
+    import os as _os
+
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        _SPARK_TYPE_TO_WRITABLE,
+        WRITABLE_ENCODERS,
+        encode_sequence_file,
+    )
+
+    kcol = df.columns[0]
+    ktype = df.schema.fields[0].dataType.simpleString()
+    kc = _SPARK_TYPE_TO_WRITABLE[ktype]
+    enc_k = WRITABLE_ENCODERS[kc]
+    null_cls = "org.apache.hadoop.io.NullWritable"
+    long_cls = "org.apache.hadoop.io.LongWritable"
+    enc_long = WRITABLE_ENCODERS[long_cls]
+    _os.makedirs(path, exist_ok=True)
+    df = df.sortWithinPartitions(kcol)
+
+    def _write_part(idx: int, rows):
+        pairs = [(enc_k(r[0]), b"") for r in rows]
+        if not pairs:
+            yield 0
+            return
+        part_dir = _os.path.join(path, f"part-{idx:05d}")
+        _os.makedirs(part_dir, exist_ok=True)
+        data, positions = encode_sequence_file(
+            iter(pairs), kc, null_cls,
+            sync_seed=f"data-{idx}".encode(), record_positions=True,
+        )
+        index_pairs = [
+            (pairs[i][0], enc_long(positions[i]))
+            for i in range(0, len(pairs), index_interval)
+        ]
+        index = encode_sequence_file(
+            iter(index_pairs), kc, long_cls,
+            sync_seed=f"index-{idx}".encode(),
+        )
+        open(_os.path.join(part_dir, "data"), "wb").write(data)
+        open(_os.path.join(part_dir, "index"), "wb").write(index)
+        yield len(pairs)
+
+    return sum(
+        df.select(kcol).rdd.mapPartitionsWithIndex(_write_part).collect()
+    )
+
+
+def setfile_contains_many(root: str, probe_keys) -> set:
+    """Membership probes against range-sharded SetFile directories:
+    a key is a member iff it appears in the routed lookup result
+    (NullWritable hits decode to None, so PRESENCE is the signal)."""
+    return set(mapfile_shards_get_many(root, probe_keys).keys())
+
+
+def write_arrayfile(df: DataFrame, path: str, index_interval: int = 128) -> int:
+    """Real-format ArrayFile (io/ArrayFile.java:34 — a MapFile keyed
+    by the GLOBAL append ordinal): the frame's single value column is
+    numbered 0..N-1 in partition order (zipWithIndex — Spark's global
+    ordinal without a total sort), then written as per-partition
+    MapFile dirs whose LongWritable keys carry the global positions,
+    so ordinal lookups route by the shard first-key bounds."""
+    from pyspark.sql import functions as F
+
+    if len(df.columns) != 1:
+        raise ValueError("write_arrayfile expects exactly one value column")
+    vcol = df.columns[0]
+    indexed = (
+        df.rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .map(lambda t: (t[1], t[0]))
+        .toDF(["key", "value"])
+    )
+    return write_mapfile(indexed, path, index_interval=index_interval)
+
+
+def arrayfile_get_many(root: str, ordinals) -> dict:
+    """{ordinal: value} for the requested global positions."""
+    return mapfile_shards_get_many(root, list(ordinals))

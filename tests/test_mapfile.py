@@ -190,3 +190,81 @@ def test_mapfile_shards_routing(spark, tmp_path):
     probes = [k for k, _ in pairs[::7]] + ["a", "k00001", "zzzz"]
     got = mapfile_shards_get_many(root, probes)
     assert got == {k: v for k, v in pairs[::7]}
+
+
+def test_setfile_real_format_membership(spark, tmp_path):
+    """SetFile = MapFile with NullWritable values (io/SetFile.java:34):
+    Python-written shards answer membership; the JVM SetFile.Reader
+    consumes the same bytes."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        setfile_contains_many,
+        write_setfile,
+    )
+
+    keys = [f"m{i:05d}" for i in range(0, 900, 3)]
+    df = spark.createDataFrame(
+        [(k,) for k in keys], ["key"]
+    ).repartitionByRange(3, "key")
+    root = str(tmp_path / "setfile")
+    n = write_setfile(df, root, index_interval=16)
+    assert n == len(keys)
+    probes = keys[::13] + ["m00001", "m00002", "zz"]
+    got = setfile_contains_many(root, probes)
+    assert got == set(keys[::13])
+    # JVM parity: SetFile.Reader#seek on one shard
+    import glob as _glob
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    d = sorted(_glob.glob(root + "/part-*"))[0]
+    fs = jvm.org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+    reader = jvm.org.apache.hadoop.io.SetFile.Reader(fs, d, conf)
+    try:
+        assert reader.seek(jvm.org.apache.hadoop.io.Text(keys[0]))
+        assert not reader.seek(jvm.org.apache.hadoop.io.Text("m00001"))
+    finally:
+        reader.close()
+
+
+def test_arrayfile_real_format_ordinal_lookup(spark, tmp_path):
+    """ArrayFile = MapFile keyed by the global append ordinal
+    (io/ArrayFile.java:34): zipWithIndex global numbering, shard-
+    routed ordinal lookups, JVM ArrayFile.Reader parity."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        arrayfile_get_many,
+        write_arrayfile,
+    )
+
+    vals = [f"payload-{i}" for i in range(700)]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"]).repartition(3)
+    root = str(tmp_path / "arrayfile")
+    n = write_arrayfile(df, root, index_interval=16)
+    assert n == len(vals)
+    # the global ordinal order is zipWithIndex's partition order —
+    # recover the expected mapping the same way
+    expected = dict(
+        df.rdd.map(lambda r: r[0]).zipWithIndex()
+        .map(lambda t: (t[1], t[0])).collect()
+    )
+    probe = list(range(0, 700, 29)) + [699, 0]
+    got = arrayfile_get_many(root, probe)
+    assert got == {i: expected[i] for i in probe}
+    assert arrayfile_get_many(root, [10_000]) == {}
+    # JVM parity: ArrayFile.Reader#get(n) on one shard (its ordinals
+    # start at that shard's first key)
+    import glob as _glob
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    d = sorted(_glob.glob(root + "/part-*"))[0]
+    from hadoop_20_warehouse_spark.sources.mapfile import read_mapfile_index
+
+    _, keys, _ = read_mapfile_index(d)
+    fs = jvm.org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+    reader = jvm.org.apache.hadoop.io.ArrayFile.Reader(fs, d, conf)
+    try:
+        val = jvm.org.apache.hadoop.io.Text()
+        got_j = reader.get(int(keys[0]), val)
+        assert got_j is not None and val.toString() == expected[keys[0]]
+    finally:
+        reader.close()
