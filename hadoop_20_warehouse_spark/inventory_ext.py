@@ -3382,3 +3382,51 @@ def q_arrayfile_interop_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v) for i, v in hits.items()], "position long, name string"
     )
+
+
+@register(
+    "bloommapfile_interop_lookup",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS status
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+""",
+)
+def q_bloommapfile_interop_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Real-format BloomMapFile serving (r18; io/BloomMapFile.java:47
+    + util/bloom/DynamicBloomFilter): every fourth order writes as
+    range-sharded BloomMapFile directories — MapFile data/index PLUS
+    the murmur-hashed DynamicBloomFilter ``bloom`` side file, all
+    encoded classpath-free on the executors (JVM BloomMapFile.Reader
+    parity and bit-exact MurmurHash parity pytest-pinned).  Every
+    third orderkey then probes the shards: the bloom GATE drops
+    absent keys before any data I/O (the format's reason to exist),
+    and survivors go through the exact bounded lookup — so the result
+    is deterministic even though the gate is probabilistic, and the
+    oracle's closed-form intersection (%12) must hash-match.  Scale:
+    gate cost is O(bloom bits) driver-side metadata per shard; data
+    I/O is touched only for maybe-present keys."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        bloom_shards_get_many,
+        write_bloommapfile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    members = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            F.format_string("%020d", "o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("value"),
+        )
+        .repartitionByRange(3, "key")
+    )
+    root = _fresh_subdir(_scratch_dir("bloommapfile"), "orders")
+    write_bloommapfile(members, root, index_interval=64)
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    probes = [f"{k:020d}" for k in range(0, max_key + 1, 3)]
+    hits, _skipped = bloom_shards_get_many(root, probes)
+    return spark.createDataFrame(
+        [(int(k), v) for k, v in hits.items()],
+        "o_orderkey long, status string",
+    )

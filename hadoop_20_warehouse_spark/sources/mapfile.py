@@ -519,3 +519,126 @@ def write_arrayfile(df: DataFrame, path: str, index_interval: int = 128) -> int:
 def arrayfile_get_many(root: str, ordinals) -> dict:
     """{ordinal: value} for the requested global positions."""
     return mapfile_shards_get_many(root, list(ordinals))
+
+
+def write_bloommapfile(
+    df: DataFrame,
+    path: str,
+    index_interval: int = 128,
+    compression: str | None = None,
+    bloom_num_keys: int = 1024 * 1024,
+    bloom_error_rate: float = 0.005,
+) -> int:
+    """Real-format BloomMapFile (io/BloomMapFile.java:47): each
+    partition writes its MapFile directory PLUS the ``bloom`` side
+    file (DynamicBloomFilter over exact key wire bytes, murmur-hashed
+    — sources/bloomfile.py).  Readers gate lookups on the bloom so
+    absent keys cost zero data I/O; JVM BloomMapFile.Reader parity is
+    pytest-pinned."""
+    import os as _os
+
+    from hadoop_20_warehouse_spark.sources.bloomfile import (
+        write_bloom_file,
+    )
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        _SPARK_TYPE_TO_WRITABLE,
+        WRITABLE_ENCODERS,
+        encode_sequence_file,
+    )
+
+    if len(df.columns) != 2:
+        raise ValueError(
+            "write_bloommapfile expects exactly (key, value) columns"
+        )
+    kcol, vcol = df.columns
+    ktype, vtype = (f.dataType.simpleString() for f in df.schema.fields)
+    kc, vc = (
+        _SPARK_TYPE_TO_WRITABLE[ktype], _SPARK_TYPE_TO_WRITABLE[vtype],
+    )
+    enc_k, enc_v = WRITABLE_ENCODERS[kc], WRITABLE_ENCODERS[vc]
+    long_cls = "org.apache.hadoop.io.LongWritable"
+    enc_long = WRITABLE_ENCODERS[long_cls]
+    _os.makedirs(path, exist_ok=True)
+    df = df.sortWithinPartitions(kcol)
+
+    def _write_part(idx: int, rows):
+        pairs = [(enc_k(r[0]), enc_v(r[1])) for r in rows]
+        if not pairs:
+            yield 0
+            return
+        part_dir = _os.path.join(path, f"part-{idx:05d}")
+        _os.makedirs(part_dir, exist_ok=True)
+        data, positions = encode_sequence_file(
+            iter(pairs), kc, vc,
+            compression=compression, compress_type="record",
+            sync_seed=f"data-{idx}".encode(), record_positions=True,
+        )
+        index_pairs = [
+            (pairs[i][0], enc_long(positions[i]))
+            for i in range(0, len(pairs), index_interval)
+        ]
+        index = encode_sequence_file(
+            iter(index_pairs), kc, long_cls,
+            sync_seed=f"index-{idx}".encode(),
+        )
+        open(_os.path.join(part_dir, "data"), "wb").write(data)
+        open(_os.path.join(part_dir, "index"), "wb").write(index)
+        write_bloom_file(
+            part_dir, (kb for kb, _ in pairs),
+            num_keys=bloom_num_keys, error_rate=bloom_error_rate,
+        )
+        yield len(pairs)
+
+    return sum(
+        df.select(kcol, vcol).rdd.mapPartitionsWithIndex(_write_part).collect()
+    )
+
+
+def bloom_shards_get_many(
+    root: str,
+    probe_keys,
+    max_scan_bytes: int = 4 * 1024 * 1024,
+) -> tuple[dict, int]:
+    """getEntry routing with the bloom GATE: probes whose shard bloom
+    says absent are dropped before any data I/O (BloomMapFile.Reader's
+    get discipline — probabilistic gate, EXACT lookup behind it, so
+    the result is deterministic).  Returns ({key: value},
+    n_bloom_skipped)."""
+    import glob as _glob
+
+    from hadoop_20_warehouse_spark.sources.bloomfile import (
+        read_bloom_file,
+    )
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        WRITABLE_ENCODERS,
+    )
+
+    part_dirs = sorted(_glob.glob(os.path.join(root, "part-*")))
+    if not part_dirs:
+        raise ValueError(f"no part-* MapFile directories under {root}")
+    firsts = []
+    for d in part_dirs:
+        _, keys, _ = read_mapfile_index(d)
+        firsts.append(keys[0] if keys else None)
+    shards = [(f, d) for f, d in zip(firsts, part_dirs) if f is not None]
+    bounds = [f for f, _ in shards]
+    routed: dict[str, list] = {}
+    for k in probe_keys:
+        i = bisect.bisect_right(bounds, k) - 1
+        if i >= 0:
+            routed.setdefault(shards[i][1], []).append(k)
+    out = {}
+    skipped = 0
+    for d, probes in routed.items():
+        kc, _, _ = read_mapfile_index(d)
+        enc_k = WRITABLE_ENCODERS[kc]
+        bloom = read_bloom_file(d)
+        survivors = []
+        for k in probes:
+            if bloom.maybe_contains(enc_k(k)):
+                survivors.append(k)
+            else:
+                skipped += 1
+        if survivors:
+            out.update(mapfile_get_many(d, survivors, max_scan_bytes))
+    return out, skipped

@@ -268,3 +268,94 @@ def test_arrayfile_real_format_ordinal_lookup(spark, tmp_path):
         assert got_j is not None and val.toString() == expected[keys[0]]
     finally:
         reader.close()
+
+
+def test_murmur_and_bloom_jvm_parity(spark, tmp_path):
+    """r18 BloomMapFile: (1) Python murmur2 is bit-exact vs the JVM
+    MurmurHash over random (data, seed); (2) a JVM-written
+    BloomMapFile's bloom file parses in Python with IDENTICAL
+    membership answers; (3) a Python-written BloomMapFile dir is
+    opened by the JVM BloomMapFile.Reader — probablyHasKey true for
+    every member, get() exact."""
+    import random
+
+    from hadoop_20_warehouse_spark.sources.bloomfile import (
+        murmur2,
+        read_bloom_file,
+    )
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        bloom_shards_get_many,
+        write_bloommapfile,
+    )
+    from hadoop_20_warehouse_spark.sources.seqfile import _enc_text
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    mh = jvm.org.apache.hadoop.util.hash.MurmurHash.getInstance()
+    rng = random.Random(7)
+    for _ in range(40):
+        n = rng.randint(1, 32)
+        data = bytes(rng.randint(0, 255) for _ in range(n))
+        seed = rng.randint(-(2**31), 2**31 - 1)
+        assert mh.hash(bytearray(data), n, seed) == murmur2(data, seed)
+
+    # (2) JVM write -> Python bloom read
+    d_jvm = str(tmp_path / "bmf_jvm")
+    fs = jvm.org.apache.hadoop.fs.Path(d_jvm).getFileSystem(conf)
+    text_cls = jvm.org.apache.hadoop.io.Text().getClass()
+    writer = jvm.org.apache.hadoop.io.BloomMapFile.Writer(
+        conf, fs, d_jvm, text_cls, text_cls
+    )
+    members = [f"k{i:04d}" for i in range(0, 300, 2)]
+    try:
+        for k in members:
+            writer.append(
+                jvm.org.apache.hadoop.io.Text(k),
+                jvm.org.apache.hadoop.io.Text("v" + k),
+            )
+    finally:
+        writer.close()
+    bloom = read_bloom_file(d_jvm)
+    reader = jvm.org.apache.hadoop.io.BloomMapFile.Reader(fs, d_jvm, conf)
+    try:
+        for k in members[::7] + ["k0001", "k0003", "nope", "zzz"]:
+            jv = reader.probablyHasKey(jvm.org.apache.hadoop.io.Text(k))
+            pv = bloom.maybe_contains(_enc_text(k))
+            assert jv == pv, k
+        assert all(bloom.maybe_contains(_enc_text(k)) for k in members)
+    finally:
+        reader.close()
+
+    # (3) Python write -> JVM BloomMapFile.Reader
+    pairs = _pairs(400)
+    df = spark.createDataFrame(pairs, ["key", "value"]).repartitionByRange(
+        2, "key"
+    )
+    root = str(tmp_path / "bmf_py")
+    n = write_bloommapfile(df, root, index_interval=16)
+    assert n == len(pairs)
+    import glob as _glob
+
+    part_dirs = sorted(_glob.glob(root + "/part-*"))
+    hit_count = 0
+    for d in part_dirs:
+        r = jvm.org.apache.hadoop.io.BloomMapFile.Reader(fs, d, conf)
+        try:
+            for k, v in pairs[::31]:
+                val = jvm.org.apache.hadoop.io.Text()
+                got = r.get(jvm.org.apache.hadoop.io.Text(k), val)
+                if got is not None:
+                    assert val.toString() == v
+                    assert r.probablyHasKey(jvm.org.apache.hadoop.io.Text(k))
+                    hit_count += 1
+        finally:
+            r.close()
+    assert hit_count == len(pairs[::31])
+
+    # bloom-gated serving: every member found, absent probes mostly
+    # skipped with zero data I/O (false positives allowed, exactness
+    # guaranteed by the gate-then-get design)
+    probes = [k for k, _ in pairs[::5]] + [f"x{i:04d}" for i in range(50)]
+    got, skipped = bloom_shards_get_many(root, probes)
+    assert got == {k: v for k, v in pairs[::5]}
+    assert skipped >= 40  # ~all 50 absents, minus rare false positives
