@@ -960,3 +960,4 @@ from hadoop_20_warehouse_spark import inventory_ext  # noqa: E402,F401
 from hadoop_20_warehouse_spark import inventory_sql  # noqa: E402,F401
 from hadoop_20_warehouse_spark import inventory_curation  # noqa: E402,F401
 from hadoop_20_warehouse_spark import inventory_analytics  # noqa: E402,F401
+from hadoop_20_warehouse_spark import inventory_snapshots  # noqa: E402,F401

@@ -1,0 +1,211 @@
+"""Registered queries for the versioned snapshot table layer
+(``sources/snapshots.py``): time travel, incremental reads, copy-on-
+write delete + compaction, and stats-pruned scans — each hash-checked
+against an oracle that recomputes the expected state straight from the
+source table, so manifest resolution, atomic commits, file pruning and
+provenance tracking all sit inside the checked path.
+
+Reference analog: the reference has no table format — its "versioned
+dataset" is FileOutputCommitter's directory rename
+(``src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java``)
+plus dated-directory conventions; these queries cover the capability a
+corpus release pipeline layers on top of that today."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.catalog import load_table
+from hadoop_20_warehouse_spark.registry import register
+
+
+def _orders_slice(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == mod)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+def _build_three_version_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = keys ≡0 (mod 3), v2 appends ≡1, v3 appends ≡2 — one fresh
+    table per invocation (concurrent tenants each get their own)."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_append,
+        create_table,
+    )
+
+    table = _fresh_subdir(_scratch_dir("snap"), "orders3v")
+    create_table(
+        spark,
+        table,
+        _orders_slice(spark, sf_dir, 0),
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+    )
+    commit_append(
+        spark, table, _orders_slice(spark, sf_dir, 1), cluster_by="o_orderkey"
+    )
+    commit_append(
+        spark, table, _orders_slice(spark, sf_dir, 2), cluster_by="o_orderkey"
+    )
+    return table
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 <= 1
+""",
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: three commits land (keys ≡0, then ≡1, then ≡2 mod
+    3), the read binds to version 2 — the oracle recomputes exactly the
+    first two slices from the source table, so equality proves manifest
+    resolution returns the historical file set untouched by the later
+    commit.  Scale: the as-of read costs the same as a latest read —
+    one manifest JSON resolves the file list; no log replay."""
+    from hadoop_20_warehouse_spark.sources.snapshots import read_snapshot
+
+    table = _build_three_version_table(spark, sf_dir)
+    return read_snapshot(spark, table, version=2)
+
+
+@register(
+    "snapshot_incremental_read",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 >= 1
+""",
+)
+def q_snapshot_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental (CDC-style) read: rows landed in versions (1, 3] =
+    the second and third commits — the train-on-the-delta feed between
+    two corpus releases.  A compaction commits BETWEEN the reads (v4);
+    because compaction merges only within one ``added`` group, the
+    incremental result over the compacted layout must still equal the
+    raw slices the oracle recomputes.  Scale: reads only the delta's
+    files, never rescans the base — delta-proportional by
+    construction."""
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_compact,
+        incremental_read,
+    )
+
+    table = _build_three_version_table(spark, sf_dir)
+    commit_compact(spark, table)  # v4: merge small files per group
+    return incremental_read(spark, table, from_version=1)
+
+
+@register(
+    "snapshot_delete_compact",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderstatus <> 'F'
+""",
+)
+def q_snapshot_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write delete then compaction: create from the full
+    table, DELETE WHERE o_orderstatus = 'F' (files with matches are
+    rewritten without the victims; untouched files keep their exact
+    entries), then compact.  The latest read must equal the oracle's
+    anti-filter — one hash covers the rewrite arithmetic, the survivor
+    bookkeeping, and compaction's row-preservation at once.  Scale:
+    the delete scans only candidate files and rewrites only touched
+    ones; compaction is a metadata-plus-small-file operation."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_compact,
+        commit_delete_where,
+        create_table,
+        read_snapshot,
+    )
+
+    table = _fresh_subdir(_scratch_dir("snap"), "orders_del")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(
+        spark,
+        table,
+        base,
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+    )
+    commit_delete_where(spark, table, "o_orderstatus = 'F'")
+    commit_compact(spark, table)
+    return read_snapshot(spark, table)
+
+
+@register(
+    "snapshot_pruned_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 2000 AND 4000
+""",
+)
+def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level file pruning: the table is written clustered on
+    o_orderkey (range partition → tight per-file min/max), the read
+    hands [2000, 4000] to the pruner so only overlapping files are
+    opened, then applies the exact filter.  Equality against the
+    oracle's BETWEEN proves the prune is sound (drops nothing it
+    shouldn't); that it actually DROPS files is pinned by
+    tests/test_snapshots.py on the same layout.  Scale: this is the
+    free partition-pruning win — at 100 TB a keyed point-range scan
+    opens O(range) files, not O(table)."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        create_table,
+        read_snapshot,
+    )
+
+    table = _fresh_subdir(_scratch_dir("snap"), "orders_prune")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(
+        spark,
+        table,
+        base,
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+        n_files=8,
+    )
+    pruned = read_snapshot(
+        spark, table, prune=("o_orderkey", 2000, 4000)
+    )
+    return pruned.filter(F.col("o_orderkey").between(2000, 4000))

@@ -1,0 +1,481 @@
+"""Versioned snapshot tables: atomic commits, time travel, incremental
+reads — the dataset-versioning layer a corpus release pipeline needs.
+
+The reference engine has no table format: a "dataset version" there is
+a directory convention plus ``FileOutputCommitter``'s job-level rename
+(``src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java:soft``
+commit = rename of the temporary output dir), and readers that want
+"the corpus as of last Tuesday" keep dated directory copies.  This
+module supplies the missing capability Spark-first, in the shape of the
+public log-structured table formats (Iceberg's snapshot + manifest
+model, Hive ACID's base/delta model — design ideas only, no code):
+
+* a table is a directory: immutable parquet **data files** plus a
+  ``_snapshots/`` log of JSON **manifests**, one per committed version;
+* a commit writes new data files, then publishes a manifest naming the
+  complete file set of the new version — publication is a single
+  atomic create-no-overwrite of ``v{N}.json``, so concurrent writers
+  race on the version slot and exactly one wins
+  (:class:`SnapshotConflictError` for the loser — optimistic
+  concurrency, no locks);
+* readers resolve a manifest (latest or ``version=``) and read exactly
+  the files it names — writers never disturb a concurrent reader, and
+  any historical version stays readable (time travel) until expired.
+
+Scale posture (the point of the design): ONLY metadata crosses the
+manifest layer — O(files) JSON entries per version, no row data.  Data
+files are written by ordinary distributed ``df.write.parquet`` jobs;
+copy-on-write delete rewrites only the files whose stats admit a match;
+compaction coalesces small files without touching row content; per-file
+min/max stats let :func:`read_snapshot` drop non-overlapping files
+before Spark ever opens a footer.  On local[*] the atomic create is a
+POSIX hard link; on a real cluster the same contract is HDFS
+``create(..., overwrite=false)`` or an object store's conditional put
+(documented here, same code path gated by filesystem).
+
+Every file entry carries ``added`` — the version whose commit
+introduced its ROWS.  Copy-on-write delete preserves it (surviving rows
+keep their provenance) and compaction merges only within one ``added``
+group, so :func:`incremental_read` (rows landed in ``(from, to]``) is
+EXACT across arbitrary later deletes and compactions, not best-effort.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "SnapshotConflictError",
+    "create_table",
+    "commit_append",
+    "commit_delete_where",
+    "commit_compact",
+    "read_snapshot",
+    "incremental_read",
+    "snapshot_history",
+    "latest_version",
+]
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency).  Re-read the latest manifest and retry the commit."""
+
+
+# --------------------------------------------------------------------------
+# manifest plumbing (driver-side metadata only)
+# --------------------------------------------------------------------------
+
+
+def _snap_dir(table: str) -> str:
+    return os.path.join(table, "_snapshots")
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(_snap_dir(table), f"v{version:08d}.json")
+
+
+def latest_version(table: str) -> int:
+    """Highest committed version, 0 if the table does not exist yet.
+    Resolution is a directory listing — no pointer file, so there is
+    nothing to get stale and the commit CAS is the only write race."""
+    d = _snap_dir(table)
+    if not os.path.isdir(d):
+        return 0
+    vers = [
+        int(name[1:9])
+        for name in os.listdir(d)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(vers, default=0)
+
+
+def _load_manifest(table: str, version: int) -> dict:
+    path = _manifest_path(table, version)
+    try:
+        with open(path, "rb") as f:
+            return json.loads(f.read())
+    except FileNotFoundError:
+        raise ValueError(
+            f"snapshot table {table!r} has no version {version}"
+        ) from None
+
+
+def _publish(table: str, manifest: dict) -> int:
+    """Atomically publish ``manifest`` as the next version.
+
+    Write to a temp name, then hard-link it to the final ``v{N}.json``:
+    ``os.link`` fails with EEXIST if any other writer already claimed
+    the slot, which is the whole concurrency story — one syscall, no
+    lock, loser retries from the new latest.  (HDFS analog:
+    ``create(path, overwrite=false)``; S3 analog: conditional PUT with
+    If-None-Match.)"""
+    version = manifest["version"]
+    d = _snap_dir(table)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    final = _manifest_path(table, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"version {version} of {table!r} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+# --------------------------------------------------------------------------
+# data-file plumbing (distributed writes, one stats job per commit)
+# --------------------------------------------------------------------------
+
+
+def _write_data_files(
+    df: DataFrame,
+    table: str,
+    added: int,
+    stats_cols: tuple[str, ...],
+) -> list[dict]:
+    """Write ``df`` as parquet under a fresh per-commit subdir and
+    return manifest entries (relative path, rows, bytes, per-column
+    min/max) for every file produced.
+
+    The write is an ordinary distributed parquet job; the stats pass is
+    ONE distributed aggregation grouped by ``input_file_name`` — file
+    count many output rows, so the collect is bounded metadata, same
+    contract as the MapFile first-key table."""
+    sub = f"data/c{added:08d}-{uuid.uuid4().hex[:8]}"
+    staged = os.path.join(table, sub)
+    df.write.mode("errorifexists").parquet(staged)
+    spark = df.sparkSession
+    files = sorted(glob(os.path.join(staged, "part-*.parquet")))
+    if not files:
+        return []
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    stat_rows = (
+        spark.read.parquet(staged)
+        .groupBy(F.input_file_name().alias("_file"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_name = {os.path.basename(r["_file"]): r for r in stat_rows}
+    entries = []
+    for path in files:
+        base = os.path.basename(path)
+        r = by_name.get(base)
+        if r is None:  # empty part file: no rows, carry no entry
+            continue
+        stats = {
+            c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
+        }
+        entries.append(
+            {
+                "path": f"{sub}/{base}",
+                "rows": int(r["_rows"]),
+                "bytes": os.path.getsize(path),
+                "added": added,
+                "stats": stats,
+            }
+        )
+    return entries
+
+
+def _next_manifest(
+    table: str,
+    parent: int,
+    operation: str,
+    files: list[dict],
+    schema_json: str,
+    stats_cols: tuple[str, ...],
+) -> dict:
+    return {
+        "version": parent + 1,
+        "parent": parent,
+        "operation": operation,
+        "committed_at": time.time(),
+        "schema": schema_json,
+        "stats_cols": list(stats_cols),
+        "files": files,
+    }
+
+
+# --------------------------------------------------------------------------
+# public commit API
+# --------------------------------------------------------------------------
+
+
+def _layout(
+    df: DataFrame, cluster_by: str | None, n_files: int | None
+) -> DataFrame:
+    if cluster_by is not None:
+        if n_files is not None:
+            return df.repartitionByRange(n_files, F.col(cluster_by))
+        return df.repartitionByRange(F.col(cluster_by))
+    if n_files is not None:
+        return df.repartition(n_files)
+    return df
+
+
+def create_table(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stats_cols: tuple[str, ...] = (),
+    cluster_by: str | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Create version 1 from ``df``.  ``stats_cols`` get per-file
+    min/max recorded for pruning; ``cluster_by`` range-partitions the
+    write on that column so the per-file ranges are TIGHT and pruning
+    actually drops files (unsorted input gives every file the full
+    range — stats stay correct but prune nothing).  ``n_files`` pins
+    the output file count (AQE otherwise coalesces small writes to one
+    file, which is right for data but defeats pruning tests/demos)."""
+    if latest_version(table) != 0:
+        raise ValueError(f"table {table!r} already exists")
+    df = _layout(df, cluster_by, n_files)
+    files = _write_data_files(df, table, added=1, stats_cols=stats_cols)
+    manifest = _next_manifest(
+        table, 0, "create", files, df.schema.json(), stats_cols
+    )
+    return _publish(table, manifest)
+
+
+def commit_append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    cluster_by: str | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Append ``df`` as the next version: parent's file set plus the
+    new files, stats columns inherited from the table."""
+    parent = latest_version(table)
+    prev = _load_manifest(table, parent)
+    stats_cols = tuple(prev["stats_cols"])
+    df = _layout(df, cluster_by, n_files)
+    new = _write_data_files(
+        df, table, added=parent + 1, stats_cols=stats_cols
+    )
+    manifest = _next_manifest(
+        table,
+        parent,
+        "append",
+        prev["files"] + new,
+        prev["schema"],
+        stats_cols,
+    )
+    return _publish(table, manifest)
+
+
+def _overlaps(entry: dict, col: str, lo, hi) -> bool:
+    """Conservative file-range overlap test against [lo, hi]; files
+    without stats for ``col`` (or with a null bound, meaning the column
+    was all-null or mixed) always count as overlapping."""
+    bounds = entry.get("stats", {}).get(col)
+    if not bounds or bounds[0] is None or bounds[1] is None:
+        return True
+    fmin, fmax = bounds
+    if lo is not None and fmax < lo:
+        return False
+    if hi is not None and fmin > hi:
+        return False
+    return True
+
+
+def commit_delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    prune: tuple[str, object, object] | None = None,
+) -> int:
+    """Copy-on-write delete: files containing NO matching row survive
+    untouched (same entry, same bytes, same provenance); files with
+    matches are rewritten without the matching rows, grouped by their
+    ``added`` version so surviving rows keep exact provenance for
+    :func:`incremental_read`.
+
+    ``prune=(col, lo, hi)`` optionally skips files whose recorded
+    min/max cannot contain a match — those are not even scanned by the
+    match-count job.  Cost is therefore O(files that might match), not
+    O(table): one bounded match-count job plus one rewrite job per
+    touched ``added`` group (group count == commit count, small)."""
+    parent = latest_version(table)
+    prev = _load_manifest(table, parent)
+    stats_cols = tuple(prev["stats_cols"])
+
+    candidates = [
+        e
+        for e in prev["files"]
+        if prune is None or _overlaps(e, *prune)
+    ]
+    cand_set = {e["path"] for e in candidates}
+    untouched = [e for e in prev["files"] if e["path"] not in cand_set]
+
+    touched_paths: set[str] = set()
+    if candidates:
+        cand_paths = [os.path.join(table, e["path"]) for e in candidates]
+        hits = (
+            spark.read.parquet(*cand_paths)
+            .filter(predicate)
+            .groupBy(F.input_file_name().alias("_file"))
+            .count()
+            .collect()
+        )
+        touched_paths = {os.path.basename(r["_file"]) for r in hits}
+
+    new_files: list[dict] = list(untouched)
+    rewrite: dict[int, list[dict]] = {}
+    for e in candidates:
+        if os.path.basename(e["path"]) in touched_paths:
+            rewrite.setdefault(e["added"], []).append(e)
+        else:
+            new_files.append(e)
+
+    for added, group in sorted(rewrite.items()):
+        paths = [os.path.join(table, e["path"]) for e in group]
+        kept = spark.read.parquet(*paths).filter(f"NOT ({predicate})")
+        new_files.extend(
+            _write_data_files(kept, table, added=added, stats_cols=stats_cols)
+        )
+
+    manifest = _next_manifest(
+        table, parent, "delete", new_files, prev["schema"], stats_cols
+    )
+    return _publish(table, manifest)
+
+
+def commit_compact(
+    spark: SparkSession,
+    table: str,
+    small_file_bytes: int = 64 * 1024 * 1024,
+) -> int:
+    """Coalesce small files WITHIN each ``added`` group into one file
+    per group (row content identical, so the new version reads
+    byte-for-byte equal to its parent; history still serves the old
+    layout).  Grouping by ``added`` is what keeps
+    :func:`incremental_read` exact across compaction — merging across
+    groups would smear provenance.  Groups whose files all exceed
+    ``small_file_bytes`` are left alone."""
+    parent = latest_version(table)
+    prev = _load_manifest(table, parent)
+    stats_cols = tuple(prev["stats_cols"])
+
+    groups: dict[int, list[dict]] = {}
+    for e in prev["files"]:
+        groups.setdefault(e["added"], []).append(e)
+
+    new_files: list[dict] = []
+    for added, group in sorted(groups.items()):
+        small = [e for e in group if e["bytes"] < small_file_bytes]
+        if len(small) < 2:
+            new_files.extend(group)
+            continue
+        new_files.extend(e for e in group if e["bytes"] >= small_file_bytes)
+        paths = [os.path.join(table, e["path"]) for e in small]
+        merged = spark.read.parquet(*paths).coalesce(1)
+        new_files.extend(
+            _write_data_files(
+                merged, table, added=added, stats_cols=stats_cols
+            )
+        )
+
+    manifest = _next_manifest(
+        table, parent, "compact", new_files, prev["schema"], stats_cols
+    )
+    return _publish(table, manifest)
+
+
+# --------------------------------------------------------------------------
+# read API
+# --------------------------------------------------------------------------
+
+
+def _read_entries(
+    spark: SparkSession, table: str, manifest: dict, entries: list[dict]
+) -> DataFrame:
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not entries:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table, e["path"]) for e in entries]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read the table as of ``version`` (default: latest).  The reader
+    binds to one manifest's explicit file list — concurrent commits
+    never change what it reads (snapshot isolation).
+
+    ``prune=(col, lo, hi)`` drops files whose min/max stats are
+    disjoint from [lo, hi] BEFORE Spark plans the scan — manifest-level
+    partition pruning on top of parquet's own row-group pruning.  The
+    prune is conservative only (kept files may still hold non-matching
+    rows), so callers still apply their exact filter; with
+    ``cluster_by`` writes the two prunes compose into a scan that opens
+    only the overlapping files."""
+    v = latest_version(table) if version is None else version
+    manifest = _load_manifest(table, v)
+    entries = manifest["files"]
+    if prune is not None:
+        entries = [e for e in entries if _overlaps(e, *prune)]
+    return _read_entries(spark, table, manifest, entries)
+
+
+def incremental_read(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows that landed in ``(from_version, to_version]`` and still
+    survive at ``to_version`` — the CDC feed between two releases.
+    Exact under later deletes (survivors keep their ``added``) and
+    compaction (merges stay within one ``added`` group); a delete
+    inside the window correctly removes its victims from the feed,
+    i.e. the result is the NET new content, which is what a
+    train-on-the-delta consumer wants."""
+    v_to = latest_version(table) if to_version is None else to_version
+    manifest = _load_manifest(table, v_to)
+    entries = [
+        e for e in manifest["files"] if from_version < e["added"] <= v_to
+    ]
+    return _read_entries(spark, table, manifest, entries)
+
+
+def snapshot_history(table: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, operation, file
+    count, row count — metadata only, never opens a data file."""
+    out = []
+    for v in range(1, latest_version(table) + 1):
+        m = _load_manifest(table, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(e["rows"] for e in m["files"]),
+            }
+        )
+    return out

@@ -1,0 +1,199 @@
+"""Snapshot table layer (sources/snapshots.py): atomic-commit
+concurrency, time travel, provenance-exact incremental reads, copy-on-
+write delete, compaction equivalence, and stats pruning effectiveness
+(the hash-checked queries prove soundness; these pin the parts a value
+hash cannot see — conflicts, which files were touched, how many files
+a pruned scan opens)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_spark.sources.snapshots import (
+    SnapshotConflictError,
+    _load_manifest,
+    _manifest_path,
+    commit_append,
+    commit_compact,
+    commit_delete_where,
+    create_table,
+    incremental_read,
+    latest_version,
+    read_snapshot,
+    snapshot_history,
+)
+
+
+def _orders(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+def _keys(df):
+    return sorted(r["o_orderkey"] for r in df.collect())
+
+
+@pytest.fixture()
+def table(tmp_path, spark, sf_dir):
+    path = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir)
+    create_table(
+        spark,
+        path,
+        base.filter("o_orderkey % 3 = 0"),
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+    )
+    commit_append(
+        spark, path, base.filter("o_orderkey % 3 = 1"), cluster_by="o_orderkey"
+    )
+    commit_append(
+        spark, path, base.filter("o_orderkey % 3 = 2"), cluster_by="o_orderkey"
+    )
+    return path
+
+
+def test_time_travel_and_history(table, spark, sf_dir):
+    base = _orders(spark, sf_dir)
+    assert latest_version(table) == 3
+    for v in (1, 2, 3):
+        want = _keys(base.filter(F.col("o_orderkey") % 3 < v))
+        got = _keys(read_snapshot(spark, table, version=v))
+        assert got == want, f"version {v}"
+    hist = snapshot_history(table)
+    assert [h["operation"] for h in hist] == ["create", "append", "append"]
+    assert hist[2]["n_rows"] == base.count()
+
+
+def test_commit_conflict_atomicity(table, spark, sf_dir, monkeypatch):
+    """Two writers racing on the same version slot: exactly one wins.
+    Simulate the loser by letting another writer claim the slot AFTER
+    this writer resolved its parent (stale-parent view)."""
+    from hadoop_20_warehouse_spark.sources import snapshots as S
+
+    stale = latest_version(table)
+    nxt = stale + 1
+    with open(_manifest_path(table, nxt), "w") as f:
+        json.dump({"version": nxt, "claimed": "by-other-writer"}, f)
+    monkeypatch.setattr(S, "latest_version", lambda _t: stale)
+    with pytest.raises(SnapshotConflictError):
+        commit_append(
+            spark, table, _orders(spark, sf_dir).limit(5)
+        )
+    # the loser left no partial manifest behind
+    snaps = [
+        n
+        for n in os.listdir(os.path.join(table, "_snapshots"))
+        if n.startswith(".tmp")
+    ]
+    assert snaps == []
+
+
+def test_reader_isolation_across_commit(table, spark, sf_dir):
+    """A reader bound to version 2 sees version 2 even after later
+    commits mutate the table (snapshot isolation)."""
+    df_v2 = read_snapshot(spark, table, version=2)
+    commit_delete_where(spark, table, "o_orderkey % 3 = 1")
+    base = _orders(spark, sf_dir)
+    assert _keys(df_v2) == _keys(base.filter("o_orderkey % 3 < 2"))
+
+
+def test_delete_rewrites_only_touched_files(table, spark):
+    before = {e["path"]: e for e in _load_manifest(table, 3)["files"]}
+    # keys ≡2 (mod 3) live only in v3's files; delete a key range of them
+    commit_delete_where(
+        spark,
+        table,
+        "o_orderkey % 3 = 2 AND o_orderkey < 300",
+        prune=("o_orderkey", None, 299),
+    )
+    after = {e["path"]: e for e in _load_manifest(table, 4)["files"]}
+    untouched = [p for p in after if p in before]
+    # every surviving original entry is byte-identical metadata
+    for p in untouched:
+        assert after[p] == before[p]
+    # at least one original file genuinely survived AND one was rewritten
+    assert untouched and set(after) != set(before)
+    # provenance: rewritten files keep added=3
+    rewritten = [e for p, e in after.items() if p not in before]
+    assert rewritten and all(e["added"] == 3 for e in rewritten)
+
+
+def test_incremental_exact_across_delete_and_compact(table, spark, sf_dir):
+    base = _orders(spark, sf_dir)
+    # delete some v2-provenance rows, then compact
+    commit_delete_where(spark, table, "o_orderkey % 3 = 1 AND o_orderkey < 500")
+    commit_compact(spark, table, small_file_bytes=1 << 30)
+    inc = incremental_read(spark, table, from_version=1)
+    want = base.filter(
+        "(o_orderkey % 3 = 1 AND o_orderkey >= 500) OR o_orderkey % 3 = 2"
+    )
+    assert _keys(inc) == _keys(want)
+    # and the compacted latest still equals its parent version's content
+    assert _keys(read_snapshot(spark, table, version=5)) == _keys(
+        read_snapshot(spark, table, version=4)
+    )
+
+
+def test_compact_merges_within_added_groups(table, spark):
+    commit_compact(spark, table, small_file_bytes=1 << 30)
+    files = _load_manifest(table, latest_version(table))["files"]
+    by_added = {}
+    for e in files:
+        by_added.setdefault(e["added"], []).append(e)
+    # each commit's group collapsed to one file, provenance intact
+    assert set(by_added) == {1, 2, 3}
+    assert all(len(g) == 1 for g in by_added.values())
+
+
+def test_prune_drops_files_and_stays_sound(tmp_path, spark, sf_dir):
+    path = str(tmp_path / "pruned")
+    base = _orders(spark, sf_dir)
+    create_table(
+        spark,
+        path,
+        base,
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+        n_files=8,
+    )
+    n_total = len(_load_manifest(path, 1)["files"])
+    lo, hi = 2000, 4000
+    pruned = read_snapshot(spark, path, prune=("o_orderkey", lo, hi))
+    n_pruned = len(
+        {os.path.basename(f) for f in pruned.inputFiles()}
+    )
+    assert n_total > 1 and n_pruned < n_total  # effectiveness
+    got = _keys(pruned.filter(F.col("o_orderkey").between(lo, hi)))
+    want = _keys(base.filter(F.col("o_orderkey").between(lo, hi)))
+    assert got == want  # soundness
+
+
+def test_empty_read_keeps_schema(tmp_path, spark, sf_dir):
+    path = str(tmp_path / "empty")
+    base = _orders(spark, sf_dir)
+    create_table(spark, path, base, stats_cols=("o_orderkey",))
+    df = read_snapshot(spark, path, prune=("o_orderkey", -10, -5))
+    assert df.count() == 0
+    assert df.schema == base.schema
+    inc = incremental_read(spark, path, from_version=1)
+    assert inc.count() == 0 and inc.schema == base.schema
+
+
+def test_create_refuses_existing(tmp_path, spark, sf_dir):
+    path = str(tmp_path / "dup")
+    base = _orders(spark, sf_dir).limit(10)
+    create_table(spark, path, base)
+    with pytest.raises(ValueError):
+        create_table(spark, path, base)
