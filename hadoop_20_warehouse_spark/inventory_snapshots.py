@@ -209,3 +209,141 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, prune=("o_orderkey", 2000, 4000)
     )
     return pruned.filter(F.col("o_orderkey").between(2000, 4000))
+
+
+@register(
+    "snapshot_merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <= 1
+),
+src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM src
+UNION ALL
+SELECT * FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+""",
+)
+def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) on a snapshot table: the base holds keys
+    ≡0,1 (mod 3); the source upserts every even key with doubled price
+    and status 'U' — updates where the key exists, inserts where it
+    does not.  The oracle recomputes the upsert relationally
+    (source ∪ base-minus-matched), so one hash covers the match join,
+    the copy-on-write rewrite of touched files, and the insert path.
+    Scale: only files containing a matched key are rewritten (stats-
+    pruned match job); the source lands as new files in one write —
+    delta-proportional exactly like the delete path."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_merge,
+        create_table,
+        read_snapshot,
+    )
+
+    table = _fresh_subdir(_scratch_dir("snap"), "orders_merge")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 <= 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(
+        spark,
+        table,
+        base,
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+        n_files=4,
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+    )
+    commit_merge(spark, table, source, on="o_orderkey")
+    return read_snapshot(spark, table)
+
+
+@register(
+    "stream_snapshot_ingest",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(value AS DOUBLE) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts
+FROM events
+""",
+)
+def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion: events are staged as four
+    parquet files, read back as a REAL Structured Streaming source
+    (maxFilesPerTrigger=1 → four micro-batches), and appended into a
+    snapshot table through the foreachBatch :func:`streaming_sink`.
+    After the stream drains, the first batch is REPLAYED through the
+    sink with its original batch id — the at-least-once failure mode —
+    and the manifest's transaction marker turns it into a no-op.  The
+    oracle is simply ALL events: equality proves every batch landed
+    exactly once (a lost batch or a doubled replay both break the
+    hash).  Scale: each micro-batch commit is one distributed parquet
+    write + one O(files) metadata CAS; the marker map adds one entry
+    per stream, not per batch."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        last_committed_batch,
+        latest_version,
+        read_snapshot,
+        streaming_sink,
+    )
+
+    import os
+
+    stage = _fresh_subdir(_scratch_dir("snap"), "ingest_src")
+    # underscore-prefixed siblings inside the staging dir are invisible
+    # to Spark's file listing, so the stream source never reads them;
+    # they ride along with the generation's cleanup
+    table = os.path.join(stage, "_table")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+    )
+    events.repartition(4).write.parquet(stage)
+
+    sink = streaming_sink(table, stream_id="ingest_demo")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # replay batch 0 — the at-least-once retry a failure would produce
+    v_before = latest_version(table)
+    replay = spark.read.schema(events.schema).parquet(stage).limit(50)
+    sink(replay, 0)
+    assert latest_version(table) == v_before, "replayed batch committed"
+    assert last_committed_batch(table, "ingest_demo") >= 3
+
+    return read_snapshot(spark, table)

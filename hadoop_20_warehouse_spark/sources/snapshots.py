@@ -58,10 +58,13 @@ __all__ = [
     "commit_append",
     "commit_delete_where",
     "commit_compact",
+    "commit_merge",
     "read_snapshot",
     "incremental_read",
     "snapshot_history",
     "latest_version",
+    "last_committed_batch",
+    "streaming_sink",
 ]
 
 
@@ -203,7 +206,17 @@ def _next_manifest(
     files: list[dict],
     schema_json: str,
     stats_cols: tuple[str, ...],
+    streams: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
+    """``streams`` maps stream_id → last committed batch id, copied
+    forward by EVERY commit (bounded: one entry per distinct writing
+    stream) so :func:`streaming_sink` idempotence survives interleaved
+    batch commits — the same transaction-version table the public
+    log-structured formats keep for exactly-once sinks."""
+    streams = dict(streams or {})
+    if txn is not None:
+        streams[txn[0]] = txn[1]
     return {
         "version": parent + 1,
         "parent": parent,
@@ -211,6 +224,7 @@ def _next_manifest(
         "committed_at": time.time(),
         "schema": schema_json,
         "stats_cols": list(stats_cols),
+        "streams": streams,
         "files": files,
     }
 
@@ -263,11 +277,24 @@ def commit_append(
     df: DataFrame,
     cluster_by: str | None = None,
     n_files: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` as the next version: parent's file set plus the
-    new files, stats columns inherited from the table."""
+    new files, stats columns inherited from the table.  ``txn``
+    (stream_id, batch_id) records an exactly-once marker in the
+    manifest — see :func:`streaming_sink`.  Appending to a table that
+    does not exist yet creates it (version 1, no stats columns) — the
+    contract a streaming sink's first micro-batch needs."""
     parent = latest_version(table)
-    prev = _load_manifest(table, parent)
+    if parent == 0:
+        prev = {
+            "files": [],
+            "schema": df.schema.json(),
+            "stats_cols": [],
+            "streams": {},
+        }
+    else:
+        prev = _load_manifest(table, parent)
     stats_cols = tuple(prev["stats_cols"])
     df = _layout(df, cluster_by, n_files)
     new = _write_data_files(
@@ -280,6 +307,8 @@ def commit_append(
         prev["files"] + new,
         prev["schema"],
         stats_cols,
+        streams=prev.get("streams"),
+        txn=txn,
     )
     return _publish(table, manifest)
 
@@ -356,7 +385,13 @@ def commit_delete_where(
         )
 
     manifest = _next_manifest(
-        table, parent, "delete", new_files, prev["schema"], stats_cols
+        table,
+        parent,
+        "delete",
+        new_files,
+        prev["schema"],
+        stats_cols,
+        streams=prev.get("streams"),
     )
     return _publish(table, manifest)
 
@@ -397,9 +432,164 @@ def commit_compact(
         )
 
     manifest = _next_manifest(
-        table, parent, "compact", new_files, prev["schema"], stats_cols
+        table,
+        parent,
+        "compact",
+        new_files,
+        prev["schema"],
+        stats_cols,
+        streams=prev.get("streams"),
     )
     return _publish(table, manifest)
+
+
+def commit_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: str,
+    cluster_by: str | None = None,
+) -> int:
+    """MERGE (upsert): rows of ``source`` replace target rows with the
+    same ``on`` key; unmatched source rows are inserted.  Copy-on-write
+    and delta-proportional: only files CONTAINING a matched key are
+    rewritten (minus their matched rows, provenance preserved), and the
+    whole ``source`` lands as new files with ``added`` = the new
+    version — so :func:`incremental_read` of the window yields exactly
+    the upserted rows, the CDC feed a downstream consumer wants.
+
+    ``source`` must be unique on ``on`` (classic upsert precondition —
+    checked with one aggregate; ambiguous-match merges raise instead of
+    picking a winner silently).  Cost: one stats-pruned match-count job
+    over candidate files + one anti-join rewrite per touched ``added``
+    group + the source write.  The key-match join is a plain equi-join
+    — AQE broadcasts a small source and skew-splits a large one."""
+    parent = latest_version(table)
+    prev = _load_manifest(table, parent)
+    stats_cols = tuple(prev["stats_cols"])
+
+    dup = source.groupBy(on).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError(f"merge source is not unique on {on!r}")
+
+    keys = source.select(on)
+    lo_hi = source.agg(
+        F.min(on).alias("lo"), F.max(on).alias("hi")
+    ).collect()[0]
+    candidates = [
+        e
+        for e in prev["files"]
+        if _overlaps(e, on, lo_hi["lo"], lo_hi["hi"])
+    ]
+    cand_set = {e["path"] for e in candidates}
+    untouched = [e for e in prev["files"] if e["path"] not in cand_set]
+
+    touched_paths: set[str] = set()
+    if candidates:
+        cand_paths = [os.path.join(table, e["path"]) for e in candidates]
+        # capture the file name AT SCAN TIME: input_file_name() is only
+        # defined on the scan side, not after the join's shuffle
+        scan = spark.read.parquet(*cand_paths).withColumn(
+            "_file", F.input_file_name()
+        )
+        hits = (
+            scan.join(keys, on=on, how="left_semi")
+            .groupBy("_file")
+            .count()
+            .collect()
+        )
+        touched_paths = {os.path.basename(r["_file"]) for r in hits}
+
+    new_files: list[dict] = list(untouched)
+    rewrite: dict[int, list[dict]] = {}
+    for e in candidates:
+        if os.path.basename(e["path"]) in touched_paths:
+            rewrite.setdefault(e["added"], []).append(e)
+        else:
+            new_files.append(e)
+
+    for added, group in sorted(rewrite.items()):
+        paths = [os.path.join(table, e["path"]) for e in group]
+        kept = spark.read.parquet(*paths).join(keys, on=on, how="left_anti")
+        new_files.extend(
+            _write_data_files(kept, table, added=added, stats_cols=stats_cols)
+        )
+
+    src = _layout(source, cluster_by, None)
+    new_files.extend(
+        _write_data_files(src, table, added=parent + 1, stats_cols=stats_cols)
+    )
+
+    manifest = _next_manifest(
+        table,
+        parent,
+        "merge",
+        new_files,
+        prev["schema"],
+        stats_cols,
+        streams=prev.get("streams"),
+    )
+    return _publish(table, manifest)
+
+
+# --------------------------------------------------------------------------
+# exactly-once streaming sink
+# --------------------------------------------------------------------------
+
+
+def last_committed_batch(table: str, stream_id: str) -> int:
+    """Highest batch id ``stream_id`` has committed, -1 if none —
+    resolved from the latest manifest's carried-forward stream map."""
+    v = latest_version(table)
+    if v == 0:
+        return -1
+    return int(
+        _load_manifest(table, v).get("streams", {}).get(stream_id, -1)
+    )
+
+
+def streaming_sink(
+    table: str,
+    stream_id: str,
+    cluster_by: str | None = None,
+    max_retries: int = 5,
+):
+    """``foreachBatch`` callable giving a Structured Streaming query
+    EXACTLY-ONCE appends into a snapshot table.
+
+    Structured Streaming's foreachBatch is at-least-once: after a
+    failure the engine replays the last micro-batch with the SAME
+    ``batch_id``.  The sink makes the replay a no-op by recording
+    (stream_id → batch_id) inside the atomically-published manifest —
+    data files and the idempotence marker commit in the same atomic
+    unit, so there is no window where rows landed but the marker did
+    not (the transaction-version pattern of the public log-structured
+    table formats).  A :class:`SnapshotConflictError` from a concurrent
+    writer triggers a re-read-and-retry, re-checking the marker first
+    in case the winner WAS this batch's earlier attempt."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for _ in range(max_retries + 1):
+            if batch_id <= last_committed_batch(table, stream_id):
+                return  # replayed batch: already durable, skip
+            try:
+                commit_append(
+                    spark,
+                    table,
+                    batch_df,
+                    cluster_by=cluster_by,
+                    txn=(stream_id, int(batch_id)),
+                )
+                return
+            except SnapshotConflictError:
+                continue  # lost the slot race; re-check marker, retry
+        raise SnapshotConflictError(
+            f"batch {batch_id} of stream {stream_id!r} lost the commit "
+            f"race {max_retries + 1} times"
+        )
+
+    return sink
 
 
 # --------------------------------------------------------------------------

@@ -197,3 +197,92 @@ def test_create_refuses_existing(tmp_path, spark, sf_dir):
     create_table(spark, path, base)
     with pytest.raises(ValueError):
         create_table(spark, path, base)
+
+
+def test_merge_rewrites_only_matched_files(table, spark, sf_dir):
+    """Upsert a narrow key range: files without matched keys keep
+    byte-identical entries; the source lands with new-version
+    provenance; incremental read of the merge window yields exactly
+    the upserted rows."""
+    from hadoop_20_warehouse_spark.sources.snapshots import commit_merge
+
+    base = _orders(spark, sf_dir)
+    before = {e["path"]: e for e in _load_manifest(table, 3)["files"]}
+    source = (
+        base.filter("o_orderkey % 3 = 0 AND o_orderkey < 200")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 10)
+    )
+    n_src = source.count()
+    assert n_src > 0
+    v = commit_merge(spark, table, source, on="o_orderkey")
+    after = {e["path"]: e for e in _load_manifest(table, v)["files"]}
+    untouched = [p for p in after if p in before]
+    for p in untouched:
+        assert after[p] == before[p]
+    assert untouched  # v2/v3 files (keys ≡1,2) never matched
+    new_entries = [e for p, e in after.items() if p not in before]
+    assert {e["added"] for e in new_entries} <= {1, v}
+    assert sum(e["rows"] for e in new_entries if e["added"] == v) == n_src
+    # upsert arithmetic: total rows unchanged (pure update, no insert)
+    assert sum(e["rows"] for e in after.values()) == base.count()
+    # CDC feed of the window = exactly the upserted rows
+    inc = incremental_read(spark, table, from_version=3)
+    assert _keys(inc) == _keys(source)
+
+
+def test_merge_insert_and_update(tmp_path, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import commit_merge
+
+    path = str(tmp_path / "m")
+    base = _orders(spark, sf_dir)
+    create_table(
+        spark,
+        path,
+        base.filter("o_orderkey % 2 = 0"),
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+    )
+    source = base.filter("o_orderkey % 4 < 2").withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    commit_merge(spark, path, source, on="o_orderkey")
+    got = read_snapshot(spark, path)
+    # expected: source rows + even keys not in source
+    want_n = source.count() + base.filter(
+        "o_orderkey % 2 = 0 AND o_orderkey % 4 >= 2"
+    ).count()
+    assert got.count() == want_n
+    assert got.filter("o_orderstatus = 'U'").count() == source.count()
+
+
+def test_merge_rejects_duplicate_source(table, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import commit_merge
+
+    dup = _orders(spark, sf_dir).limit(4).union(
+        _orders(spark, sf_dir).limit(2)
+    )
+    with pytest.raises(ValueError, match="unique"):
+        commit_merge(spark, table, dup, on="o_orderkey")
+
+
+def test_streaming_sink_idempotent_replay(tmp_path, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        last_committed_batch,
+        streaming_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    sink = streaming_sink(path, stream_id="s1")
+    b0 = _orders(spark, sf_dir).filter("o_orderkey % 2 = 0")
+    b1 = _orders(spark, sf_dir).filter("o_orderkey % 2 = 1")
+    sink(b0, 0)  # first batch auto-creates the table
+    sink(b1, 1)
+    assert latest_version(path) == 2
+    assert last_committed_batch(path, "s1") == 1
+    sink(b0, 0)  # replay: must be a no-op
+    sink(b1, 1)
+    assert latest_version(path) == 2
+    total = read_snapshot(spark, path).count()
+    assert total == b0.count() + b1.count()
+    # a DIFFERENT stream's batch ids are independent
+    assert last_committed_batch(path, "other") == -1
