@@ -277,6 +277,106 @@ def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_schema_evolution",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_channel
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       o_orderpriority AS o_channel
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE ADD COLUMN: even keys commit under the
+    narrow schema, the column lands as a pure manifest operation (zero
+    files touched), odd keys append WITH the column — the latest read
+    must serve old files as NULL and new files with values, which is
+    exactly what the oracle's union recomputes.  Scale: the evolution
+    commit is O(1) regardless of table size; no rewrite-the-world
+    migration."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_add_columns,
+        commit_append,
+        create_table,
+        read_snapshot,
+    )
+
+    table = _fresh_subdir(_scratch_dir("snap"), "orders_evolve")
+    orders = load_table(spark, sf_dir, "orders")
+    narrow = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(spark, table, narrow, stats_cols=("o_orderkey",))
+    commit_add_columns(spark, table, {"o_channel": "string"})
+    wide = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_orderpriority").alias("o_channel"),
+    )
+    commit_append(spark, table, wide)
+    return read_snapshot(spark, table)
+
+
+@register(
+    "snapshot_vacuum_read",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderstatus <> 'F'
+""",
+)
+def q_snapshot_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry (vacuum): a delete commit strands the
+    pre-delete files; expire_snapshots retains only the latest
+    manifest, physically removes every unreferenced data file (the
+    query asserts at least one deletion happened and that survivors
+    still exist), and the latest read over the vacuumed table must
+    still match the oracle's anti-filter — storage reclaim without
+    touching live data.  Scale: the referenced-set union is O(files)
+    metadata; deletes are unlinks over that list."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_delete_where,
+        create_table,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    table = _fresh_subdir(_scratch_dir("snap"), "orders_vacuum")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(
+        spark,
+        table,
+        base,
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+        n_files=4,
+    )
+    commit_delete_where(spark, table, "o_orderstatus = 'F'")
+    stats = expire_snapshots(table, keep_last=1)
+    assert stats["deleted_files"] > 0, "vacuum removed nothing"
+    return read_snapshot(spark, table)
+
+
+@register(
     "stream_snapshot_ingest",
     oracle="""
 SELECT event_id, user_id, event_type,

@@ -59,6 +59,8 @@ __all__ = [
     "commit_delete_where",
     "commit_compact",
     "commit_merge",
+    "commit_add_columns",
+    "expire_snapshots",
     "read_snapshot",
     "incremental_read",
     "snapshot_history",
@@ -530,6 +532,80 @@ def commit_merge(
         streams=prev.get("streams"),
     )
     return _publish(table, manifest)
+
+
+def commit_add_columns(
+    spark: SparkSession, table: str, columns: dict[str, str]
+) -> int:
+    """Schema evolution, metadata-only: add nullable columns (name →
+    Spark DDL type string) by publishing a manifest with the widened
+    schema and the UNCHANGED file set.  No data file is touched — the
+    reader pins the manifest schema on the scan, so parquet files
+    written before the evolution yield NULL for the new columns, and
+    later appends carry real values.  This is the O(1) ALTER TABLE a
+    100 TB table needs (a rewrite-the-world migration is exactly what
+    the manifest layer exists to avoid)."""
+    parent = latest_version(table)
+    prev = _load_manifest(table, parent)
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    existing = {f.name for f in schema.fields}
+    clash = existing & set(columns)
+    if clash:
+        raise ValueError(f"columns already exist: {sorted(clash)}")
+    widened = schema
+    for name, ddl in columns.items():
+        widened = widened.add(name, ddl, nullable=True)
+    manifest = _next_manifest(
+        table,
+        parent,
+        "schema",
+        prev["files"],
+        widened.json(),
+        tuple(prev["stats_cols"]),
+        streams=prev.get("streams"),
+    )
+    return _publish(table, manifest)
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> dict:
+    """Garbage-collect history: retain the newest ``keep_last``
+    manifests, delete older manifest files AND every data file no
+    retained manifest references.  Time travel to an expired version
+    raises afterwards (its manifest is gone) — the documented trade of
+    reclaiming storage.  Metadata-only decision procedure: the
+    referenced set is a union over retained manifests' file lists,
+    never a data scan; deletes are driver-side unlinks (on a cluster,
+    a distributed delete over the same list)."""
+    latest = latest_version(table)
+    if latest == 0:
+        return {"expired_versions": 0, "deleted_files": 0}
+    keep_from = max(1, latest - max(keep_last, 1) + 1)
+    referenced: set[str] = set()
+    for v in range(keep_from, latest + 1):
+        referenced.update(
+            e["path"] for e in _load_manifest(table, v)["files"]
+        )
+    deleted_files = 0
+    expired = 0
+    for v in range(1, keep_from):
+        try:
+            m = _load_manifest(table, v)
+        except ValueError:
+            continue  # already expired by an earlier run
+        expired += 1
+        for e in m["files"]:
+            if e["path"] in referenced:
+                continue
+            path = os.path.join(table, e["path"])
+            if os.path.exists(path):
+                os.unlink(path)
+                deleted_files += 1
+            referenced.add(e["path"])  # unlink once even if re-listed
+        os.unlink(_manifest_path(table, v))
+    return {
+        "expired_versions": expired,
+        "deleted_files": deleted_files,
+    }
 
 
 # --------------------------------------------------------------------------

@@ -286,3 +286,48 @@ def test_streaming_sink_idempotent_replay(tmp_path, spark, sf_dir):
     assert total == b0.count() + b1.count()
     # a DIFFERENT stream's batch ids are independent
     assert last_committed_batch(path, "other") == -1
+
+
+def test_schema_evolution_metadata_only(table, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_add_columns,
+    )
+
+    files_before = _load_manifest(table, 3)["files"]
+    v = commit_add_columns(spark, table, {"note": "string", "score": "double"})
+    m = _load_manifest(table, v)
+    assert m["files"] == files_before  # zero files touched
+    df = read_snapshot(spark, table)
+    assert df.schema.fieldNames()[-2:] == ["note", "score"]
+    assert df.filter("note IS NOT NULL OR score IS NOT NULL").count() == 0
+    # appends after evolution carry the new columns
+    extra = _orders(spark, sf_dir).limit(7).withColumn(
+        "note", F.lit("x")
+    ).withColumn("score", F.lit(1.5))
+    commit_append(spark, table, extra)
+    got = read_snapshot(spark, table)
+    assert got.filter("note = 'x'").count() == 7
+    with pytest.raises(ValueError, match="already exist"):
+        commit_add_columns(spark, table, {"note": "string"})
+
+
+def test_expire_snapshots_gc(table, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    commit_delete_where(spark, table, "o_orderkey % 3 = 0")  # v4 strands v1-3 files
+    live_before = _keys(read_snapshot(spark, table))
+    stats = expire_snapshots(table, keep_last=1)
+    assert stats["expired_versions"] == 3
+    assert stats["deleted_files"] > 0
+    # expired version unreadable, latest intact
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, version=1)
+    assert _keys(read_snapshot(spark, table)) == live_before
+    # every file the latest manifest references still exists on disk
+    for e in _load_manifest(table, 4)["files"]:
+        assert os.path.exists(os.path.join(table, e["path"]))
+    # idempotent re-run deletes nothing further
+    again = expire_snapshots(table, keep_last=1)
+    assert again["deleted_files"] == 0
