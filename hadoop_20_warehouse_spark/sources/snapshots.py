@@ -61,6 +61,7 @@ __all__ = [
     "commit_merge",
     "commit_add_columns",
     "expire_snapshots",
+    "clean_orphans",
     "read_snapshot",
     "incremental_read",
     "snapshot_history",
@@ -148,6 +149,18 @@ def _publish(table: str, manifest: dict) -> int:
 # --------------------------------------------------------------------------
 
 
+def _json_safe(v):
+    """Stats bounds must survive a JSON round-trip AND compare
+    consistently with caller-supplied prune bounds.  Numbers, strings,
+    bools and None pass through; temporal and other types serialize as
+    their ISO-ish ``str()`` — which preserves ordering for timestamps/
+    dates, so pruning on them works when the caller passes the same
+    string form (documented on :func:`read_snapshot`)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
 def _write_data_files(
     df: DataFrame,
     table: str,
@@ -187,7 +200,8 @@ def _write_data_files(
         if r is None:  # empty part file: no rows, carry no entry
             continue
         stats = {
-            c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
+            c: [_json_safe(r[f"_min_{c}"]), _json_safe(r[f"_max_{c}"])]
+            for c in stats_cols
         }
         entries.append(
             {
@@ -597,15 +611,69 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
             if e["path"] in referenced:
                 continue
             path = os.path.join(table, e["path"])
-            if os.path.exists(path):
+            try:
                 os.unlink(path)
                 deleted_files += 1
+            except FileNotFoundError:
+                pass  # concurrent expiry already removed it
             referenced.add(e["path"])  # unlink once even if re-listed
-        os.unlink(_manifest_path(table, v))
+        try:
+            os.unlink(_manifest_path(table, v))
+        except FileNotFoundError:
+            pass
     return {
         "expired_versions": expired,
         "deleted_files": deleted_files,
     }
+
+
+def clean_orphans(table: str, older_than_s: float = 3600.0) -> int:
+    """Delete data files no EXISTING manifest references — the debris a
+    commit leaves when it crashes between writing its files and
+    publishing its manifest (publication is the atomic point; anything
+    unpublished is garbage by definition).  ``older_than_s`` is the
+    in-flight-writer guard, same as the public formats' orphan cleanup:
+    a concurrent commit's files are unreferenced until its CAS lands,
+    so only files older than the threshold are eligible.  Returns the
+    number of files removed."""
+    data_root = os.path.join(table, "data")
+    if not os.path.isdir(data_root):
+        return 0
+    referenced: set[str] = set()
+    for v in range(1, latest_version(table) + 1):
+        try:
+            m = _load_manifest(table, v)
+        except ValueError:
+            continue  # expired
+        referenced.update(e["path"] for e in m["files"])
+    cutoff = time.time() - older_than_s
+    removed = 0
+    for sub in sorted(os.listdir(data_root)):
+        subdir = os.path.join(data_root, sub)
+        if not os.path.isdir(subdir):
+            continue
+        for name in os.listdir(subdir):
+            rel = f"data/{sub}/{name}"
+            path = os.path.join(subdir, name)
+            if rel in referenced or name.startswith(("_", ".")):
+                continue  # live file, or write-metadata (_SUCCESS/.crc)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue
+                os.unlink(path)
+                removed += 1
+            except FileNotFoundError:
+                continue
+        # a commit dir with no referenced file left holds only write
+        # metadata (_SUCCESS, .crc) — drop it wholesale
+        left = os.listdir(subdir)
+        if not any(f"data/{sub}/{n}" in referenced for n in left) and all(
+            n.startswith(("_", ".")) for n in left
+        ):
+            import shutil
+
+            shutil.rmtree(subdir, ignore_errors=True)
+    return removed
 
 
 # --------------------------------------------------------------------------

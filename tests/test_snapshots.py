@@ -331,3 +331,50 @@ def test_expire_snapshots_gc(table, spark, sf_dir):
     # idempotent re-run deletes nothing further
     again = expire_snapshots(table, keep_last=1)
     assert again["deleted_files"] == 0
+
+
+def test_clean_orphans(table, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        _write_data_files,
+        clean_orphans,
+    )
+
+    # simulate a crashed commit: files written, manifest never published
+    orphans = _write_data_files(
+        _orders(spark, sf_dir).limit(20), table, added=99, stats_cols=()
+    )
+    assert orphans
+    live_before = _keys(read_snapshot(spark, table))
+    # fresh files are protected by the in-flight guard
+    assert clean_orphans(table, older_than_s=3600) == 0
+    removed = clean_orphans(table, older_than_s=0)
+    assert removed >= len(orphans)
+    for e in orphans:
+        assert not os.path.exists(os.path.join(table, e["path"]))
+    # live data untouched
+    assert _keys(read_snapshot(spark, table)) == live_before
+
+
+def test_timestamp_stats_json_safe(tmp_path, spark, sf_dir):
+    """A timestamp stats column must not break manifest serialization,
+    and its ISO string bounds must still prune correctly."""
+    path = str(tmp_path / "ts")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    create_table(
+        spark, path, ev, stats_cols=("ts",), cluster_by="ts", n_files=4
+    )
+    bounds = _load_manifest(path, 1)["files"][0]["stats"]["ts"]
+    assert all(isinstance(b, str) for b in bounds)
+    lo = min(
+        b for e in _load_manifest(path, 1)["files"]
+        for b in [e["stats"]["ts"][0]]
+    )
+    hi_mid = sorted(
+        e["stats"]["ts"][1] for e in _load_manifest(path, 1)["files"]
+    )[0]  # first file's max: a range that should prune later files
+    pruned = read_snapshot(spark, path, prune=("ts", lo, hi_mid))
+    n_all = len(_load_manifest(path, 1)["files"])
+    n_kept = len({os.path.basename(f) for f in pruned.inputFiles()})
+    assert n_kept < n_all
