@@ -62,6 +62,8 @@ __all__ = [
     "commit_add_columns",
     "expire_snapshots",
     "clean_orphans",
+    "create_tag",
+    "list_tags",
     "read_snapshot",
     "incremental_read",
     "snapshot_history",
@@ -589,19 +591,29 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     reclaiming storage.  Metadata-only decision procedure: the
     referenced set is a union over retained manifests' file lists,
     never a data scan; deletes are driver-side unlinks (on a cluster,
-    a distributed delete over the same list)."""
+    a distributed delete over the same list).  Versions pinned by
+    :func:`create_tag` are ALWAYS retained — a named release stays
+    readable however far history rolls forward."""
     latest = latest_version(table)
     if latest == 0:
         return {"expired_versions": 0, "deleted_files": 0}
     keep_from = max(1, latest - max(keep_last, 1) + 1)
+    keep_versions = set(range(keep_from, latest + 1)) | set(
+        list_tags(table).values()
+    )
     referenced: set[str] = set()
-    for v in range(keep_from, latest + 1):
-        referenced.update(
-            e["path"] for e in _load_manifest(table, v)["files"]
-        )
+    for v in sorted(keep_versions):
+        try:
+            referenced.update(
+                e["path"] for e in _load_manifest(table, v)["files"]
+            )
+        except ValueError:
+            continue  # tag pinned to an already-expired version
     deleted_files = 0
     expired = 0
     for v in range(1, keep_from):
+        if v in keep_versions:
+            continue  # tagged: retained
         try:
             m = _load_manifest(table, v)
         except ValueError:
@@ -751,11 +763,58 @@ def _read_entries(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def create_tag(table: str, name: str, version: int | None = None) -> int:
+    """Pin an IMMUTABLE name ("release-v2.1-train") to a version
+    (default: latest) — the reproducibility handle a training run
+    records instead of a raw version number.  Published with the same
+    hard-link CAS as manifests, so a tag can never be silently
+    repointed (re-tagging the SAME version is an idempotent no-op;
+    a different version raises).  A tagged version also survives
+    :func:`expire_snapshots` only if retained — tag before expiry is
+    the caller's contract, checked there via :func:`list_tags`."""
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    v = latest_version(table) if version is None else version
+    _load_manifest(table, v)  # must exist
+    d = _snap_dir(table)
+    final = os.path.join(d, f"tag-{name}.json")
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"tag": name, "version": v, "created_at": time.time()}, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        with open(final, "rb") as f:
+            existing = json.loads(f.read())["version"]
+        if existing != v:
+            raise SnapshotConflictError(
+                f"tag {name!r} already pins version {existing}"
+            ) from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def list_tags(table: str) -> dict[str, int]:
+    """name → pinned version, from the immutable tag files."""
+    d = _snap_dir(table)
+    out: dict[str, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for fn in os.listdir(d):
+        if fn.startswith("tag-") and fn.endswith(".json"):
+            with open(os.path.join(d, fn), "rb") as f:
+                t = json.loads(f.read())
+            out[t["tag"]] = int(t["version"])
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest).  The reader
     binds to one manifest's explicit file list — concurrent commits
@@ -767,7 +826,16 @@ def read_snapshot(
     prune is conservative only (kept files may still hold non-matching
     rows), so callers still apply their exact filter; with
     ``cluster_by`` writes the two prunes compose into a scan that opens
-    only the overlapping files."""
+    only the overlapping files.  ``tag`` resolves a named release
+    pinned by :func:`create_tag` (mutually exclusive with
+    ``version``)."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        tags = list_tags(table)
+        if tag not in tags:
+            raise ValueError(f"no tag {tag!r} on {table!r}")
+        version = tags[tag]
     v = latest_version(table) if version is None else version
     manifest = _load_manifest(table, v)
     entries = manifest["files"]

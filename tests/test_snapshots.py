@@ -378,3 +378,34 @@ def test_timestamp_stats_json_safe(tmp_path, spark, sf_dir):
     n_all = len(_load_manifest(path, 1)["files"])
     n_kept = len({os.path.basename(f) for f in pruned.inputFiles()})
     assert n_kept < n_all
+
+
+def test_tags_immutable_and_retained(table, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        create_tag,
+        expire_snapshots,
+        list_tags,
+    )
+
+    base = _orders(spark, sf_dir)
+    assert create_tag(table, "release-a", version=2) == 2
+    create_tag(table, "release-a", version=2)  # idempotent re-tag
+    with pytest.raises(SnapshotConflictError, match="already pins"):
+        create_tag(table, "release-a", version=3)
+    with pytest.raises(ValueError):
+        create_tag(table, "bad/name")
+    with pytest.raises(ValueError):
+        create_tag(table, "ghost", version=99)
+    assert list_tags(table) == {"release-a": 2}
+    # tag read resolves the pinned version
+    got = _keys(read_snapshot(spark, table, tag="release-a"))
+    assert got == _keys(base.filter("o_orderkey % 3 < 2"))
+    # expiry retains the tagged version and its files
+    commit_delete_where(spark, table, "o_orderkey % 3 = 0")  # v4
+    stats = expire_snapshots(table, keep_last=1)
+    assert stats["expired_versions"] == 2  # v1, v3 gone; v2 tagged
+    assert _keys(read_snapshot(spark, table, tag="release-a")) == _keys(
+        base.filter("o_orderkey % 3 < 2")
+    )
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, version=1)
