@@ -704,6 +704,18 @@ BENCH_QUERIES: dict[str, object] = {
     # per-row-Python-codec term the PNG/JPEG pair now tracks.
     "multimodal_png_decode": _png_decode_sampled,
     "multimodal_jpeg_decode": _jpeg_decode_sampled,
+    # round-18 session 3: the snapshot table layer's write path joins
+    # the timed set via its heaviest composed query — clustered create
+    # (4-file range write + stats job + manifest CAS), unique-key
+    # check, stats-pruned match job, per-group copy-on-write rewrite,
+    # source landing, and the latest read, end-to-end (the
+    # corpus_export_roundtrip precedent: the write IS the point).
+    # The other seven snapshot queries stay untimed: time-travel /
+    # incremental / pruned / vacuum reads are ordinary parquet scans
+    # over manifest-listed files, schema evolution is O(1) metadata,
+    # and stream_snapshot_ingest's cost is streaming-engine startup
+    # plus the same commit term merge already prices.
+    "snapshot_merge_upsert": QUERIES["snapshot_merge_upsert"],
 }
 
 
@@ -1357,6 +1369,13 @@ def main() -> None:
             "multimodal_png_decode",
             "multimodal_jpeg_decode",
             "graph_label_propagation",
+            # r18 session-3 addition: the snapshot MERGE is a composed
+            # write path (clustered create + match job + copy-on-write
+            # rewrite + source landing) — the probe alarms if the
+            # match join or the per-commit stats job ever grows
+            # super-linearly in the table size; by design every term
+            # is rows-linear plus O(files) metadata.
+            "snapshot_merge_upsert",
         ):
             # untimed-but-probed queries (graph_label_propagation)
             # live only in the full registry

@@ -397,7 +397,12 @@ def commit_delete_where(
 
     for added, group in sorted(rewrite.items()):
         paths = [os.path.join(table, e["path"]) for e in group]
-        kept = spark.read.parquet(*paths).filter(f"NOT ({predicate})")
+        # survivors are rows where the predicate is FALSE **or NULL** —
+        # SQL DELETE only removes TRUE matches, and a bare NOT(pred)
+        # would silently drop NULL-evaluating rows from the rewrite
+        kept = spark.read.parquet(*paths).filter(
+            f"({predicate}) IS NOT TRUE"
+        )
         new_files.extend(
             _write_data_files(kept, table, added=added, stats_cols=stats_cols)
         )

@@ -409,3 +409,23 @@ def test_tags_immutable_and_retained(table, spark, sf_dir):
     )
     with pytest.raises(ValueError):
         read_snapshot(spark, table, version=1)
+
+
+def test_delete_keeps_null_predicate_rows(tmp_path, spark, sf_dir):
+    """SQL DELETE removes only TRUE matches: rows where the predicate
+    evaluates NULL must survive the copy-on-write rewrite."""
+    path = str(tmp_path / "nulls")
+    base = _orders(spark, sf_dir).withColumn(
+        "flag",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("x")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    create_table(spark, path, base, stats_cols=("o_orderkey",))
+    commit_delete_where(spark, path, "flag = 'x'")
+    got = read_snapshot(spark, path)
+    # NULL-flag rows all survive; only flag='x' rows are gone
+    assert got.filter("flag IS NULL").count() == base.filter(
+        "flag IS NULL"
+    ).count()
+    assert got.filter("flag = 'x'").count() == 0
