@@ -429,3 +429,106 @@ def test_delete_keeps_null_predicate_rows(tmp_path, spark, sf_dir):
         "flag IS NULL"
     ).count()
     assert got.filter("flag = 'x'").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# model-based property test: random op sequences vs a driver-side model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_op = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 9)),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 3)),
+    st.tuples(
+        st.just("merge"),
+        st.dictionaries(
+            st.integers(0, 30), st.integers(100, 109), min_size=1, max_size=6
+        ),
+    ),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_snapshot_ops_match_model(ops, tmp_path_factory):
+    """Random append/delete/merge/compact sequences: the table's
+    latest content, every historical version, and every incremental
+    window must match a trivially-correct driver-side model.  Rows are
+    (id, val); ids may repeat across appends (multiset semantics);
+    merge removes EVERY matching target row and inserts the source row
+    once — the model implements the same contract independently."""
+    from hadoop_20_warehouse_spark.session import get_session
+    from hadoop_20_warehouse_spark.sources.snapshots import commit_merge
+
+    spark = get_session()
+    path = str(tmp_path_factory.mktemp("prop") / "tbl")
+
+    model: list[tuple[int, int, int]] = []  # (id, val, added)
+    history: dict[int, list[tuple[int, int]]] = {}
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "id int, val int")
+
+    version = 0
+    for op in ops:
+        if op[0] == "append":
+            rows = op[1]
+            version = commit_append(spark, path, _df(rows))
+            model.extend((i, v, version) for i, v in rows)
+        elif op[0] == "delete":
+            if version == 0:
+                continue
+            _, k, r = op
+            version = commit_delete_where(spark, path, f"val % {k} = {r}")
+            model = [t for t in model if t[1] % k != r]
+        elif op[0] == "merge":
+            if version == 0:
+                continue
+            src = sorted(op[1].items())
+            version = commit_merge(
+                spark, path, _df(src), on="id"
+            )
+            ids = set(op[1])
+            model = [t for t in model if t[0] not in ids]
+            model.extend((i, v, version) for i, v in src)
+        else:
+            if version == 0:
+                continue
+            version = commit_compact(spark, path, small_file_bytes=1 << 30)
+        history[version] = sorted((i, v) for i, v, _ in model)
+
+    if version == 0:
+        return
+
+    # latest content
+    got = sorted(
+        (r["id"], r["val"]) for r in read_snapshot(spark, path).collect()
+    )
+    assert got == history[version]
+
+    # every historical version (time travel)
+    for v, want in history.items():
+        got_v = sorted(
+            (r["id"], r["val"])
+            for r in read_snapshot(spark, path, version=v).collect()
+        )
+        assert got_v == want, f"version {v}"
+
+    # every incremental window from each recorded version to latest
+    for v in history:
+        want_inc = sorted((i, vv) for i, vv, a in model if a > v)
+        got_inc = sorted(
+            (r["id"], r["val"])
+            for r in incremental_read(spark, path, from_version=v).collect()
+        )
+        assert got_inc == want_inc, f"incremental from {v}"
