@@ -49,6 +49,10 @@ PROBES = [
     "bpe_train_natural",
     "knn_ivfpq_trained",
     "scd2_dimension_build",
+    # r18 session 3: the snapshot MERGE write path — clustered create
+    # over the full orders table + match job + copy-on-write rewrite +
+    # source landing; every term should be rows-linear + O(files)
+    "snapshot_merge_upsert",
 ]
 RECYCLE_EVERY = 4  # queries per session (2 timed points + settles each)
 
@@ -206,8 +210,16 @@ def main() -> None:
     if write:
         path = "/root/repo/BENCH_DETAIL.json"
         detail = json.load(open(path)) if os.path.exists(path) else {}
-        detail["scaling_100x"] = out
-        detail["scaling_100x_super_linear"] = sorted(flagged)
+        # merge, don't clobber — an --only rerun must not erase the
+        # other probes' recorded points
+        merged = dict(detail.get("scaling_100x", {}))
+        merged.update(out)
+        detail["scaling_100x"] = merged
+        detail["scaling_100x_super_linear"] = sorted(
+            n
+            for n, r in merged.items()
+            if r["time_ratio"] > r["data_ratio"]
+        )
         json.dump(detail, open(path, "w"), indent=1, sort_keys=True)
 
 
