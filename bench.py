@@ -1678,8 +1678,17 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         ),
     )
+    # preserve keys other tools own (tools/probe_100x.py writes the
+    # 100x probe table here) — a bench run must not erase them (the
+    # r18 round-close run silently dropped scaling_100x this way)
+    try:
+        with open(detail_path) as fh:
+            existing = json.load(fh)
+    except (OSError, ValueError):
+        existing = {}
+    existing.update(detail)
     with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
+        json.dump(existing, fh, indent=1, sort_keys=True)
         fh.write("\n")
     compact = {
         "metric": "total_bench_seconds",
