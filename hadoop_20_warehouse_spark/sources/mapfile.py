@@ -185,9 +185,18 @@ def mapfile_get(
     """``MapFile.Reader.get``: bisect the index, read ONLY the bounded
     data range from the chosen position, scan forward until the key is
     found or passed (keys are sorted, so a larger key ends the scan).
-    Returns the decoded value or None."""
+    Returns the decoded value or None.
+
+    ``max_scan_bytes`` is a STARTING window, not a correctness bound:
+    if the scan exhausts the window without reaching a key >= target
+    and the file has more bytes (oversized values can make one index
+    interval span any window), the window doubles and the scan
+    retries — the JVM Reader contract (any present key IS found)
+    holds at a geometric constant-factor cost, never a silent miss
+    (r18 review)."""
     kc, keys, positions = read_mapfile_index(map_dir)
     data_path = os.path.join(map_dir, "data")
+    fsize = os.path.getsize(data_path)
     with open(data_path, "rb") as fh:
         head = fh.read(_HEADER_PROBE)
         info = _header_info(head)
@@ -199,17 +208,21 @@ def mapfile_get(
             # (unindexed) records before it — start at data_start
             i = bisect.bisect_right(keys, key) - 1
             seek = positions[i] if i >= 0 else info["data_start"]
-        fh.seek(seek)
-        window = fh.read(max_scan_bytes)
-    _, dec_k = _decoder(info["key_class"])
-    _, dec_v = _decoder(info["value_class"])
-    for kb, vb in _iter_range(window, info):
-        k, _ = dec_k(kb, 0)
-        if k == key:
-            return dec_v(vb, 0)[0]
-        if k > key:
-            return None
-    return None
+        _, dec_k = _decoder(info["key_class"])
+        _, dec_v = _decoder(info["value_class"])
+        scan = max_scan_bytes
+        while True:
+            fh.seek(seek)
+            window = fh.read(scan)
+            for kb, vb in _iter_range(window, info):
+                k, _ = dec_k(kb, 0)
+                if k == key:
+                    return dec_v(vb, 0)[0]
+                if k > key:
+                    return None
+            if seek + len(window) >= fsize:
+                return None  # scanned to EOF: genuinely absent
+            scan *= 2
 
 
 def read_mapfile(spark: SparkSession, path: str) -> DataFrame:
@@ -281,14 +294,22 @@ def mapfile_get_many(
     map_dir: str,
     probe_keys,
     max_scan_bytes: int = 4 * 1024 * 1024,
+    index: tuple | None = None,
 ) -> dict:
     """Batched ``get``: load the index ONCE, group the probes by the
     index position their bisect lands on, and do one bounded data
     read + forward scan per GROUP (sorted probes inside a group
     resolve in a single pass — the ``MapFileOutputFormat.getEntry``
-    access pattern amortized).  Returns {key: value} for hits only."""
-    kc, keys, positions = read_mapfile_index(map_dir)
+    access pattern amortized).  Returns {key: value} for hits only.
+    ``max_scan_bytes`` is a starting window that doubles until each
+    group's probes resolve or EOF — see :func:`mapfile_get`.
+    ``index`` accepts a pre-parsed ``read_mapfile_index`` result so
+    shard routers that already read it don't re-parse per call."""
+    kc, keys, positions = (
+        index if index is not None else read_mapfile_index(map_dir)
+    )
     data_path = os.path.join(map_dir, "data")
+    fsize = os.path.getsize(data_path)
     out = {}
     with open(data_path, "rb") as fh:
         head = fh.read(_HEADER_PROBE)
@@ -305,18 +326,25 @@ def mapfile_get_many(
             groups.setdefault(seek, []).append(k)
         for seek, probes in sorted(groups.items()):
             probes = sorted(probes)
-            fh.seek(seek)
-            window = fh.read(max_scan_bytes)
-            pi = 0
-            for kb, vb in _iter_range(window, info):
-                k, _ = dec_k(kb, 0)
-                while pi < len(probes) and probes[pi] < k:
-                    pi += 1  # absent probe: passed without a match
-                if pi >= len(probes):
+            scan = max_scan_bytes
+            while True:
+                fh.seek(seek)
+                window = fh.read(scan)
+                pi = 0
+                hits = {}
+                for kb, vb in _iter_range(window, info):
+                    k, _ = dec_k(kb, 0)
+                    while pi < len(probes) and probes[pi] < k:
+                        pi += 1  # absent probe: passed without a match
+                    if pi >= len(probes):
+                        break
+                    if probes[pi] == k:
+                        hits[k] = dec_v(vb, 0)[0]
+                        pi += 1
+                if pi >= len(probes) or seek + len(window) >= fsize:
+                    out.update(hits)
                     break
-                if probes[pi] == k:
-                    out[k] = dec_v(vb, 0)[0]
-                    pi += 1
+                scan *= 2  # unresolved probes beyond a torn tail
     return out
 
 
@@ -408,10 +436,10 @@ def mapfile_shards_get_many(
     part_dirs = sorted(_glob.glob(os.path.join(root, "part-*")))
     if not part_dirs:
         raise ValueError(f"no part-* MapFile directories under {root}")
-    firsts = []
-    for d in part_dirs:
-        _, keys, _ = read_mapfile_index(d)
-        firsts.append(keys[0] if keys else None)
+    idx_cache = {d: read_mapfile_index(d) for d in part_dirs}
+    firsts = [
+        idx_cache[d][1][0] if idx_cache[d][1] else None for d in part_dirs
+    ]
     # empty shards (no index) can never hold a probe; drop them
     shards = [(f, d) for f, d in zip(firsts, part_dirs) if f is not None]
     bounds = [f for f, _ in shards]
@@ -423,7 +451,9 @@ def mapfile_shards_get_many(
         routed.setdefault(shards[i][1], []).append(k)
     out = {}
     for d, probes in routed.items():
-        out.update(mapfile_get_many(d, probes, max_scan_bytes))
+        out.update(
+            mapfile_get_many(d, probes, max_scan_bytes, index=idx_cache[d])
+        )
     return out
 
 
@@ -616,10 +646,13 @@ def bloom_shards_get_many(
     part_dirs = sorted(_glob.glob(os.path.join(root, "part-*")))
     if not part_dirs:
         raise ValueError(f"no part-* MapFile directories under {root}")
-    firsts = []
-    for d in part_dirs:
-        _, keys, _ = read_mapfile_index(d)
-        firsts.append(keys[0] if keys else None)
+    # parse each shard's index ONCE (r18 review: this function used to
+    # re-read it three times per probed shard — firsts, key class,
+    # and inside get_many)
+    idx_cache = {d: read_mapfile_index(d) for d in part_dirs}
+    firsts = [
+        idx_cache[d][1][0] if idx_cache[d][1] else None for d in part_dirs
+    ]
     shards = [(f, d) for f, d in zip(firsts, part_dirs) if f is not None]
     bounds = [f for f, _ in shards]
     routed: dict[str, list] = {}
@@ -630,7 +663,7 @@ def bloom_shards_get_many(
     out = {}
     skipped = 0
     for d, probes in routed.items():
-        kc, _, _ = read_mapfile_index(d)
+        kc = idx_cache[d][0]
         enc_k = WRITABLE_ENCODERS[kc]
         bloom = read_bloom_file(d)
         survivors = []
@@ -640,5 +673,9 @@ def bloom_shards_get_many(
             else:
                 skipped += 1
         if survivors:
-            out.update(mapfile_get_many(d, survivors, max_scan_bytes))
+            out.update(
+                mapfile_get_many(
+                    d, survivors, max_scan_bytes, index=idx_cache[d]
+                )
+            )
     return out, skipped

@@ -566,7 +566,12 @@ def read_sequence_with_position(
     parsed = files.select("path", "content").mapInPandas(
         gen, f"path string, ordinal long, key {typ}, value {typ}"
     )
-    parsed = parsed.persist()
+    # generation-bounded cache (r18 review): a bare persist() leaked a
+    # fully-decoded corpus copy per invocation in long-lived sessions;
+    # the FIFO helper releases generations older than the newest two
+    from hadoop_20_warehouse_spark.session import persist_generation
+
+    parsed = persist_generation("seqfile_position", parsed)
     counts = sorted(
         (r["path"], r["n"])
         for r in parsed.groupBy("path")

@@ -252,6 +252,32 @@ def _next_manifest(
 # --------------------------------------------------------------------------
 
 
+def _check_schema(df: DataFrame, schema_json: str, what: str) -> None:
+    """Reject a frame whose columns don't match the table (by name and
+    type, order- and nullability-insensitive).  Without this, a
+    misspelled column silently lands as all-NULL under the
+    manifest-pinned read schema — a rejected commit beats corrupted
+    data.  Appends to an evolved table must carry the widened column
+    (write the NULLs explicitly); that keeps every file self-
+    describing for foreign parquet readers."""
+    want = {
+        f.name: f.dataType.simpleString()
+        for f in StructType.fromJson(json.loads(schema_json)).fields
+    }
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if got != want:
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        changed = sorted(
+            n for n in set(want) & set(got) if want[n] != got[n]
+        )
+        raise ValueError(
+            f"{what} schema mismatch vs table: missing={missing} "
+            f"extra={extra} type-changed="
+            f"{[(n, want[n], got[n]) for n in changed]}"
+        )
+
+
 def _layout(
     df: DataFrame, cluster_by: str | None, n_files: int | None
 ) -> DataFrame:
@@ -313,6 +339,7 @@ def commit_append(
         }
     else:
         prev = _load_manifest(table, parent)
+        _check_schema(df, prev["schema"], "append")
     stats_cols = tuple(prev["stats_cols"])
     df = _layout(df, cluster_by, n_files)
     new = _write_data_files(
@@ -366,6 +393,11 @@ def commit_delete_where(
     parent = latest_version(table)
     prev = _load_manifest(table, parent)
     stats_cols = tuple(prev["stats_cols"])
+    # pin the manifest schema on every scan: after commit_add_columns
+    # the file set mixes pre/post-evolution layouts, and an unpinned
+    # read would infer from one arbitrary file (nondeterministic
+    # unresolved-column errors)
+    schema = StructType.fromJson(json.loads(prev["schema"]))
 
     candidates = [
         e
@@ -379,7 +411,7 @@ def commit_delete_where(
     if candidates:
         cand_paths = [os.path.join(table, e["path"]) for e in candidates]
         hits = (
-            spark.read.parquet(*cand_paths)
+            spark.read.schema(schema).parquet(*cand_paths)
             .filter(predicate)
             .groupBy(F.input_file_name().alias("_file"))
             .count()
@@ -400,7 +432,7 @@ def commit_delete_where(
         # survivors are rows where the predicate is FALSE **or NULL** —
         # SQL DELETE only removes TRUE matches, and a bare NOT(pred)
         # would silently drop NULL-evaluating rows from the rewrite
-        kept = spark.read.parquet(*paths).filter(
+        kept = spark.read.schema(schema).parquet(*paths).filter(
             f"({predicate}) IS NOT TRUE"
         )
         new_files.extend(
@@ -490,6 +522,8 @@ def commit_merge(
     parent = latest_version(table)
     prev = _load_manifest(table, parent)
     stats_cols = tuple(prev["stats_cols"])
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    _check_schema(source, prev["schema"], "merge source")
 
     dup = source.groupBy(on).count().filter("count > 1").limit(1).count()
     if dup:
@@ -499,10 +533,12 @@ def commit_merge(
     lo_hi = source.agg(
         F.min(on).alias("lo"), F.max(on).alias("hi")
     ).collect()[0]
+    # stats bounds are stored JSON-safe (temporal types as ordered
+    # strings) — compare like with like or a date-keyed merge would
+    # raise on str < datetime
+    src_lo, src_hi = _json_safe(lo_hi["lo"]), _json_safe(lo_hi["hi"])
     candidates = [
-        e
-        for e in prev["files"]
-        if _overlaps(e, on, lo_hi["lo"], lo_hi["hi"])
+        e for e in prev["files"] if _overlaps(e, on, src_lo, src_hi)
     ]
     cand_set = {e["path"] for e in candidates}
     untouched = [e for e in prev["files"] if e["path"] not in cand_set]
@@ -512,7 +548,7 @@ def commit_merge(
         cand_paths = [os.path.join(table, e["path"]) for e in candidates]
         # capture the file name AT SCAN TIME: input_file_name() is only
         # defined on the scan side, not after the join's shuffle
-        scan = spark.read.parquet(*cand_paths).withColumn(
+        scan = spark.read.schema(schema).parquet(*cand_paths).withColumn(
             "_file", F.input_file_name()
         )
         hits = (
@@ -533,7 +569,9 @@ def commit_merge(
 
     for added, group in sorted(rewrite.items()):
         paths = [os.path.join(table, e["path"]) for e in group]
-        kept = spark.read.parquet(*paths).join(keys, on=on, how="left_anti")
+        kept = spark.read.schema(schema).parquet(*paths).join(
+            keys, on=on, how="left_anti"
+        )
         new_files.extend(
             _write_data_files(kept, table, added=added, stats_cols=stats_cols)
         )
@@ -872,10 +910,14 @@ def incremental_read(
 
 def snapshot_history(table: str) -> list[dict]:
     """Commit log, oldest first: version, parent, operation, file
-    count, row count — metadata only, never opens a data file."""
+    count, row count — metadata only, never opens a data file.
+    Versions removed by :func:`expire_snapshots` are simply absent."""
     out = []
     for v in range(1, latest_version(table) + 1):
-        m = _load_manifest(table, v)
+        try:
+            m = _load_manifest(table, v)
+        except ValueError:
+            continue  # expired
         out.append(
             {
                 "version": m["version"],

@@ -359,3 +359,35 @@ def test_murmur_and_bloom_jvm_parity(spark, tmp_path):
     got, skipped = bloom_shards_get_many(root, probes)
     assert got == {k: v for k, v in pairs[::5]}
     assert skipped >= 40  # ~all 50 absents, minus rare false positives
+
+
+def test_get_extends_window_past_oversized_values(tmp_path, spark):
+    """Values large enough that one index interval outruns the scan
+    window: the lookup must grow the window and find the key, never
+    report a false miss (r18 review)."""
+    from hadoop_20_warehouse_spark.sources.mapfile import (
+        mapfile_get,
+        mapfile_get_many,
+        write_mapfile,
+    )
+    from pyspark.sql import functions as F
+
+    big = "x" * 40_000
+    df = (
+        spark.range(64)
+        .select(
+            F.format_string("k%03d", F.col("id")).alias("key"),
+            F.concat(F.lit(big), F.col("id").cast("string")).alias("value"),
+        )
+        .coalesce(1)
+    )
+    path = str(tmp_path / "bigvals")
+    write_mapfile(df, path, index_interval=128)  # one interval > 2.5MB
+    d = path + "/part-00000"
+    # tiny starting window forces the growth path repeatedly
+    assert mapfile_get(d, "k063", max_scan_bytes=4096) == big + "63"
+    got = mapfile_get_many(
+        d, ["k000", "k031", "k063", "nope"], max_scan_bytes=4096
+    )
+    assert set(got) == {"k000", "k031", "k063"}
+    assert got["k031"] == big + "31"

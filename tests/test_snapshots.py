@@ -532,3 +532,71 @@ def test_snapshot_ops_match_model(ops, tmp_path_factory):
             for r in incremental_read(spark, path, from_version=v).collect()
         )
         assert got_inc == want_inc, f"incremental from {v}"
+
+
+def test_history_survives_expiry(table, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    expire_snapshots(table, keep_last=1)
+    hist = snapshot_history(table)
+    assert [h["version"] for h in hist] == [3]
+
+
+def test_delete_and_merge_after_schema_evolution(table, spark, sf_dir):
+    """Mixed pre/post-evolution file sets: delete predicates and merges
+    on the NEW column must work (manifest-pinned scan schema), whatever
+    file Spark would have inferred from."""
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        commit_add_columns,
+        commit_merge,
+    )
+
+    commit_add_columns(spark, table, {"note": "string"})
+    extra = _orders(spark, sf_dir).limit(30).withColumn("note", F.lit("n"))
+    commit_append(spark, table, extra)
+    v = commit_delete_where(spark, table, "note = 'n'")
+    got = read_snapshot(spark, table, version=v)
+    assert got.filter("note IS NOT NULL").count() == 0
+    # merge keyed through the evolved schema
+    src = (
+        _orders(spark, sf_dir)
+        .limit(10)
+        .withColumn("note", F.lit("m"))
+    )
+    commit_merge(spark, table, src, on="o_orderkey")
+    assert read_snapshot(spark, table).filter("note = 'm'").count() == 10
+
+
+def test_append_rejects_schema_mismatch(table, spark, sf_dir):
+    bad = _orders(spark, sf_dir).withColumnRenamed(
+        "o_totalprice", "total_price"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_append(spark, table, bad.limit(5))
+    wrong_type = _orders(spark, sf_dir).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string")
+    )
+    with pytest.raises(ValueError, match="type-changed"):
+        commit_append(spark, table, wrong_type.limit(5))
+
+
+def test_merge_on_temporal_stats_key(tmp_path, spark, sf_dir):
+    """Merge keyed on a date column whose stats serialize as strings:
+    bounds must compare like-with-like, not str < datetime."""
+    from hadoop_20_warehouse_spark.sources.snapshots import commit_merge
+
+    path = str(tmp_path / "tkey")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = orders.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    ).groupBy("d").agg(F.sum("o_orderkey").alias("ksum"))
+    create_table(
+        spark, path, base, stats_cols=("d",), cluster_by="d", n_files=4
+    )
+    src = base.limit(5).withColumn("ksum", F.col("ksum") + 1)
+    commit_merge(spark, path, src, on="d")
+    got = read_snapshot(spark, path)
+    assert got.count() == base.count()
