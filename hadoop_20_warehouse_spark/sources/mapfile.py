@@ -348,48 +348,39 @@ def mapfile_get_many(
     return out
 
 
-def write_mapfile(
+def _write_parts(
     df: DataFrame,
     path: str,
-    index_interval: int = 128,
+    kc: str,
+    vc: str,
+    make_pairs,
+    index_interval: int,
     compression: str | None = None,
+    post_hook=None,
 ) -> int:
-    """DataFrame[key, value] → one real MapFile DIRECTORY per
-    partition under ``path`` (``part-00000/{data,index}`` — exactly
-    ``MapFileOutputFormat``'s output shape,
-    mapred/MapFileOutputFormat.java:41), encoded entirely in Python
-    on the executors.  Keys sort within each partition (Text order ==
-    UTF-8 byte order == code-point order), every ``index_interval``-th
-    record's pre-append position lands in the interval index
-    (MapFile.java:189-199), and both files are version-6
-    SequenceFiles any Hadoop reader opens.  ``compression`` None or a
-    record codec (default/gzip/bzip2) — block mode's positions are
-    block-aligned and belong to the JVM fixture path.  Returns the
-    row count; JVM MapFile.Reader parity is pytest-pinned."""
+    """Shared per-partition MapFile-family writer (r18 review: the
+    data+index body existed in three near-identical copies).  Sorts
+    within partitions, encodes ``data`` with pre-append record
+    positions and ``index`` with every ``index_interval``-th key
+    (MapFile.java:189-199), both as version-6 SequenceFiles with the
+    fixed per-part sync seeds the parity tests pin.  ``make_pairs``
+    maps partition rows → encoded (key_bytes, value_bytes);
+    ``post_hook(part_dir, pairs)`` writes format-specific side files
+    (BloomMapFile's ``bloom``)."""
     import os as _os
 
     from hadoop_20_warehouse_spark.sources.seqfile import (
-        _SPARK_TYPE_TO_WRITABLE,
         WRITABLE_ENCODERS,
         encode_sequence_file,
     )
 
-    if len(df.columns) != 2:
-        raise ValueError("write_mapfile expects exactly (key, value) columns")
-    kcol, vcol = df.columns
-    ktype, vtype = (f.dataType.simpleString() for f in df.schema.fields)
-    kc, vc = (
-        _SPARK_TYPE_TO_WRITABLE[ktype],
-        _SPARK_TYPE_TO_WRITABLE[vtype],
-    )
-    enc_k, enc_v = WRITABLE_ENCODERS[kc], WRITABLE_ENCODERS[vc]
     long_cls = "org.apache.hadoop.io.LongWritable"
     enc_long = WRITABLE_ENCODERS[long_cls]
     _os.makedirs(path, exist_ok=True)
-    df = df.sortWithinPartitions(kcol)
+    df = df.sortWithinPartitions(df.columns[0])
 
     def _write_part(idx: int, rows):
-        pairs = [(enc_k(r[0]), enc_v(r[1])) for r in rows]
+        pairs = make_pairs(rows)
         if not pairs:
             yield 0
             return
@@ -412,10 +403,52 @@ def write_mapfile(
             fh.write(data)
         with open(_os.path.join(part_dir, "index"), "wb") as fh:
             fh.write(index)
+        if post_hook is not None:
+            post_hook(part_dir, pairs)
         yield len(pairs)
 
-    return sum(
-        df.select(kcol, vcol).rdd.mapPartitionsWithIndex(_write_part).collect()
+    return sum(df.rdd.mapPartitionsWithIndex(_write_part).collect())
+
+
+def write_mapfile(
+    df: DataFrame,
+    path: str,
+    index_interval: int = 128,
+    compression: str | None = None,
+) -> int:
+    """DataFrame[key, value] → one real MapFile DIRECTORY per
+    partition under ``path`` (``part-00000/{data,index}`` — exactly
+    ``MapFileOutputFormat``'s output shape,
+    mapred/MapFileOutputFormat.java:41), encoded entirely in Python
+    on the executors.  Keys sort within each partition (Text order ==
+    UTF-8 byte order == code-point order), every ``index_interval``-th
+    record's pre-append position lands in the interval index
+    (MapFile.java:189-199), and both files are version-6
+    SequenceFiles any Hadoop reader opens.  ``compression`` None or a
+    record codec (default/gzip/bzip2) — block mode's positions are
+    block-aligned and belong to the JVM fixture path.  Returns the
+    row count; JVM MapFile.Reader parity is pytest-pinned."""
+    from hadoop_20_warehouse_spark.sources.seqfile import (
+        _SPARK_TYPE_TO_WRITABLE,
+        WRITABLE_ENCODERS,
+    )
+
+    if len(df.columns) != 2:
+        raise ValueError("write_mapfile expects exactly (key, value) columns")
+    ktype, vtype = (f.dataType.simpleString() for f in df.schema.fields)
+    kc, vc = (
+        _SPARK_TYPE_TO_WRITABLE[ktype],
+        _SPARK_TYPE_TO_WRITABLE[vtype],
+    )
+    enc_k, enc_v = WRITABLE_ENCODERS[kc], WRITABLE_ENCODERS[vc]
+    return _write_parts(
+        df,
+        path,
+        kc,
+        vc,
+        lambda rows: [(enc_k(r[0]), enc_v(r[1])) for r in rows],
+        index_interval,
+        compression=compression,
     )
 
 
@@ -472,49 +505,21 @@ def write_setfile(
 
 
 def _write_mapfile_nullvalue(df, path, index_interval):
-    import os as _os
-
     from hadoop_20_warehouse_spark.sources.seqfile import (
         _SPARK_TYPE_TO_WRITABLE,
         WRITABLE_ENCODERS,
-        encode_sequence_file,
     )
 
-    kcol = df.columns[0]
     ktype = df.schema.fields[0].dataType.simpleString()
     kc = _SPARK_TYPE_TO_WRITABLE[ktype]
     enc_k = WRITABLE_ENCODERS[kc]
-    null_cls = "org.apache.hadoop.io.NullWritable"
-    long_cls = "org.apache.hadoop.io.LongWritable"
-    enc_long = WRITABLE_ENCODERS[long_cls]
-    _os.makedirs(path, exist_ok=True)
-    df = df.sortWithinPartitions(kcol)
-
-    def _write_part(idx: int, rows):
-        pairs = [(enc_k(r[0]), b"") for r in rows]
-        if not pairs:
-            yield 0
-            return
-        part_dir = _os.path.join(path, f"part-{idx:05d}")
-        _os.makedirs(part_dir, exist_ok=True)
-        data, positions = encode_sequence_file(
-            iter(pairs), kc, null_cls,
-            sync_seed=f"data-{idx}".encode(), record_positions=True,
-        )
-        index_pairs = [
-            (pairs[i][0], enc_long(positions[i]))
-            for i in range(0, len(pairs), index_interval)
-        ]
-        index = encode_sequence_file(
-            iter(index_pairs), kc, long_cls,
-            sync_seed=f"index-{idx}".encode(),
-        )
-        open(_os.path.join(part_dir, "data"), "wb").write(data)
-        open(_os.path.join(part_dir, "index"), "wb").write(index)
-        yield len(pairs)
-
-    return sum(
-        df.select(kcol).rdd.mapPartitionsWithIndex(_write_part).collect()
+    return _write_parts(
+        df,
+        path,
+        kc,
+        "org.apache.hadoop.io.NullWritable",
+        lambda rows: [(enc_k(r[0]), b"") for r in rows],
+        index_interval,
     )
 
 
@@ -565,62 +570,39 @@ def write_bloommapfile(
     — sources/bloomfile.py).  Readers gate lookups on the bloom so
     absent keys cost zero data I/O; JVM BloomMapFile.Reader parity is
     pytest-pinned."""
-    import os as _os
-
     from hadoop_20_warehouse_spark.sources.bloomfile import (
         write_bloom_file,
     )
     from hadoop_20_warehouse_spark.sources.seqfile import (
         _SPARK_TYPE_TO_WRITABLE,
         WRITABLE_ENCODERS,
-        encode_sequence_file,
     )
 
     if len(df.columns) != 2:
         raise ValueError(
             "write_bloommapfile expects exactly (key, value) columns"
         )
-    kcol, vcol = df.columns
     ktype, vtype = (f.dataType.simpleString() for f in df.schema.fields)
     kc, vc = (
         _SPARK_TYPE_TO_WRITABLE[ktype], _SPARK_TYPE_TO_WRITABLE[vtype],
     )
     enc_k, enc_v = WRITABLE_ENCODERS[kc], WRITABLE_ENCODERS[vc]
-    long_cls = "org.apache.hadoop.io.LongWritable"
-    enc_long = WRITABLE_ENCODERS[long_cls]
-    _os.makedirs(path, exist_ok=True)
-    df = df.sortWithinPartitions(kcol)
 
-    def _write_part(idx: int, rows):
-        pairs = [(enc_k(r[0]), enc_v(r[1])) for r in rows]
-        if not pairs:
-            yield 0
-            return
-        part_dir = _os.path.join(path, f"part-{idx:05d}")
-        _os.makedirs(part_dir, exist_ok=True)
-        data, positions = encode_sequence_file(
-            iter(pairs), kc, vc,
-            compression=compression, compress_type="record",
-            sync_seed=f"data-{idx}".encode(), record_positions=True,
-        )
-        index_pairs = [
-            (pairs[i][0], enc_long(positions[i]))
-            for i in range(0, len(pairs), index_interval)
-        ]
-        index = encode_sequence_file(
-            iter(index_pairs), kc, long_cls,
-            sync_seed=f"index-{idx}".encode(),
-        )
-        open(_os.path.join(part_dir, "data"), "wb").write(data)
-        open(_os.path.join(part_dir, "index"), "wb").write(index)
+    def _bloom_hook(part_dir, pairs):
         write_bloom_file(
             part_dir, (kb for kb, _ in pairs),
             num_keys=bloom_num_keys, error_rate=bloom_error_rate,
         )
-        yield len(pairs)
 
-    return sum(
-        df.select(kcol, vcol).rdd.mapPartitionsWithIndex(_write_part).collect()
+    return _write_parts(
+        df,
+        path,
+        kc,
+        vc,
+        lambda rows: [(enc_k(r[0]), enc_v(r[1])) for r in rows],
+        index_interval,
+        compression=compression,
+        post_hook=_bloom_hook,
     )
 
 
