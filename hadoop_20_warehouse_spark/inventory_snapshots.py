@@ -377,6 +377,78 @@ def q_snapshot_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_change_feed",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <= 1
+),
+src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT *, 'delete' AS _change_type, 2 AS _change_version
+FROM base WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT *, 'delete' AS _change_type, 3 AS _change_version
+FROM base
+WHERE o_orderstatus <> 'F' AND o_orderkey % 2 = 0
+UNION ALL
+SELECT *, 'insert' AS _change_type, 3 AS _change_version FROM src
+""",
+)
+def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data feed reconstructed from manifest diffs
+    (no change log is written at commit time): v1 creates keys ≡0,1
+    (mod 3); v2 DELETEs status 'F'; v3 MERGEs every even key (doubled
+    price, status 'U').  The feed over (1, 3] must contain exactly the
+    v2 delete events, the v3 delete half of each update pair, and the
+    v3 inserts — all recomputed relationally by the oracle, so one
+    hash covers the per-version file-diff bookkeeping AND the
+    multiset EXCEPT that separates deleted rows from rewritten
+    survivors.  Scale: cost ∝ files touched in the window; the
+    per-group EXCEPT ALL is an ordinary AQE-planned shuffle."""
+    from hadoop_20_warehouse_spark.inventory_ext import (
+        _fresh_subdir,
+        _scratch_dir,
+    )
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        change_feed,
+        commit_delete_where,
+        commit_merge,
+        create_table,
+    )
+
+    table = _fresh_subdir(_scratch_dir("snap"), "orders_cdf")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 <= 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(
+        spark,
+        table,
+        base,
+        stats_cols=("o_orderkey",),
+        cluster_by="o_orderkey",
+        n_files=4,
+    )
+    commit_delete_where(spark, table, "o_orderstatus = 'F'")
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+    )
+    commit_merge(spark, table, source, on="o_orderkey")
+    return change_feed(spark, table, from_version=1)
+
+
+@register(
     "stream_snapshot_ingest",
     oracle="""
 SELECT event_id, user_id, event_type,

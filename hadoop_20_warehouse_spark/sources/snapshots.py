@@ -66,6 +66,7 @@ __all__ = [
     "list_tags",
     "read_snapshot",
     "incremental_read",
+    "change_feed",
     "snapshot_history",
     "latest_version",
     "last_committed_batch",
@@ -906,6 +907,113 @@ def incremental_read(
         e for e in manifest["files"] if from_version < e["added"] <= v_to
     ]
     return _read_entries(spark, table, manifest, entries)
+
+
+def change_feed(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change-data feed for ``(from_version, to_version]``:
+    every row tagged ``_change_type`` ('insert' | 'delete') and
+    ``_change_version`` — the full CDC contract (deletions included),
+    where :func:`incremental_read` gives only the net additions.
+
+    Reconstruction is a manifest DIFF per version step, no change log
+    is written at commit time (the storage-free design the manifests
+    make possible):
+
+    * inserts at v = rows of files whose ``added`` == v in manifest v;
+    * deletes at v = rows of the files v REMOVED, minus the rows its
+      same-``added``-group replacement files kept (an EXCEPT ALL per
+      touched group — multiset semantics, so N copies deleted report
+      N delete events).  Compaction replaces files with row-identical
+      content, so its diff is empty by construction.
+
+    A merge therefore reports its updates as delete+insert pairs at
+    the same version — the standard upsert decomposition.  Requires
+    the window's manifests (not expired) and their removed files (not
+    yet vacuumed): change feeds are consumed before history is
+    reclaimed; expired windows raise through ``_load_manifest``.
+    Scale: cost is proportional to files TOUCHED in the window; the
+    per-group EXCEPT ALL is an ordinary shuffle Spark plans (AQE
+    broadcasts small replacement sides)."""
+    v_to = latest_version(table) if to_version is None else to_version
+    schema_json = _load_manifest(table, v_to)["schema"]
+    schema = StructType.fromJson(json.loads(schema_json))
+    # copy the field list — StructType wraps it by REFERENCE, so a
+    # bare StructType(schema.fields).add(...) would mutate the read
+    # schema too and every scan would grow phantom columns
+    out_schema = (
+        StructType(list(schema.fields))
+        .add("_change_type", "string", nullable=False)
+        .add("_change_version", "integer", nullable=False)
+    )
+    parts: list[DataFrame] = []
+
+    def _tagged(paths, change, version):
+        df = spark.read.schema(schema).parquet(*paths)
+        return df.select(
+            "*",
+            F.lit(change).alias("_change_type"),
+            F.lit(version).cast("int").alias("_change_version"),
+        )
+
+    prev_files = {
+        e["path"]: e
+        for e in _load_manifest(table, from_version)["files"]
+    } if from_version > 0 else {}
+    for v in range(from_version + 1, v_to + 1):
+        m = _load_manifest(table, v)
+        cur_files = {e["path"]: e for e in m["files"]}
+        inserts = [
+            e["path"] for e in m["files"] if e["added"] == v
+        ]
+        if inserts:
+            parts.append(
+                _tagged(
+                    [os.path.join(table, p) for p in inserts], "insert", v
+                )
+            )
+        # removed files, grouped by provenance, diffed against their
+        # same-group replacements (rewrites keep `added`; compaction
+        # diffs to empty)
+        removed: dict[int, list[str]] = {}
+        for p, e in prev_files.items():
+            if p not in cur_files:
+                removed.setdefault(e["added"], []).append(p)
+        for added, old_paths in sorted(removed.items()):
+            if added == v:
+                continue  # this version's own inserts, never deletes
+            new_paths = [
+                e["path"]
+                for e in m["files"]
+                if e["added"] == added and e["path"] not in prev_files
+            ]
+            old_df = spark.read.schema(schema).parquet(
+                *[os.path.join(table, p) for p in old_paths]
+            )
+            if new_paths:
+                new_df = spark.read.schema(schema).parquet(
+                    *[os.path.join(table, p) for p in new_paths]
+                )
+                old_df = old_df.exceptAll(new_df)
+            parts.append(
+                old_df.select(
+                    "*",
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(v).cast("int").alias("_change_version"),
+                )
+            )
+        prev_files = cur_files
+
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snapshot_history(table: str) -> list[dict]:

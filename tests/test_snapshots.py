@@ -600,3 +600,61 @@ def test_merge_on_temporal_stats_key(tmp_path, spark, sf_dir):
     commit_merge(spark, path, src, on="d")
     got = read_snapshot(spark, path)
     assert got.count() == base.count()
+
+
+def test_change_feed_events(table, spark, sf_dir):
+    from hadoop_20_warehouse_spark.sources.snapshots import (
+        change_feed,
+        commit_merge,
+    )
+
+    base = _orders(spark, sf_dir)
+    commit_delete_where(spark, table, "o_orderkey % 3 = 0 AND o_orderkey < 400")
+    commit_compact(spark, table, small_file_bytes=1 << 30)  # v5: no events
+    src = base.filter("o_orderkey % 3 = 1 AND o_orderkey < 200").withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    commit_merge(spark, table, src, on="o_orderkey")  # v6
+
+    feed = change_feed(spark, table, from_version=3)
+    ev = {
+        (r["o_orderkey"], r["_change_type"], r["_change_version"])
+        for r in feed.collect()
+    }
+    del_v4 = set(
+        r["o_orderkey"]
+        for r in base.filter(
+            "o_orderkey % 3 = 0 AND o_orderkey < 400"
+        ).collect()
+    )
+    src_keys = set(r["o_orderkey"] for r in src.collect())
+    want = (
+        {(k, "delete", 4) for k in del_v4}
+        | {(k, "delete", 6) for k in src_keys}
+        | {(k, "insert", 6) for k in src_keys}
+    )
+    assert ev == want
+    # compaction window alone: empty feed with the tagged schema
+    v5 = change_feed(spark, table, from_version=4, to_version=5)
+    assert v5.count() == 0
+    assert v5.schema.fieldNames()[-2:] == ["_change_type", "_change_version"]
+    # append-only window: feed == incremental tagged insert
+    v13 = change_feed(spark, table, from_version=1, to_version=3)
+    assert v13.filter("_change_type = 'delete'").count() == 0
+    assert v13.count() == incremental_read(
+        spark, table, 1, to_version=3
+    ).count()
+
+
+def test_change_feed_multiset_duplicates(tmp_path, spark, sf_dir):
+    """Duplicate rows deleted together must produce one delete event
+    per copy (EXCEPT ALL, not EXCEPT)."""
+    from hadoop_20_warehouse_spark.sources.snapshots import change_feed
+
+    path = str(tmp_path / "dups")
+    one = _orders(spark, sf_dir).limit(6)
+    create_table(spark, path, one.union(one), stats_cols=())
+    commit_delete_where(spark, path, "o_orderkey % 2 = 0")
+    feed = change_feed(spark, path, from_version=1)
+    n_even_rows = one.union(one).filter("o_orderkey % 2 = 0").count()
+    assert feed.filter("_change_type = 'delete'").count() == n_even_rows
