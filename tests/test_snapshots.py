@@ -658,3 +658,32 @@ def test_change_feed_multiset_duplicates(tmp_path, spark, sf_dir):
     feed = change_feed(spark, path, from_version=1)
     n_even_rows = one.union(one).filter("o_orderkey % 2 = 0").count()
     assert feed.filter("_change_type = 'delete'").count() == n_even_rows
+
+
+def test_concurrent_appenders_all_land(tmp_path, spark, sf_dir):
+    """Six writers race the version CAS from threads (real contention,
+    not simulated): with a retry-on-conflict loop every append lands
+    exactly once — six new versions, union content, no lost updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "race")
+    base = _orders(spark, sf_dir)
+    create_table(spark, path, base.filter("o_orderkey % 10 = 9"))
+
+    def worker(mod):
+        batch = base.filter(F.col("o_orderkey") % 10 == mod)
+        for _ in range(50):
+            try:
+                return commit_append(spark, path, batch)
+            except SnapshotConflictError:
+                continue
+        raise AssertionError(f"writer {mod} starved")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = list(ex.map(worker, range(6)))
+
+    assert sorted(versions) == [2, 3, 4, 5, 6, 7]  # every slot used once
+    got = read_snapshot(spark, path)
+    want = base.filter("o_orderkey % 10 <= 5 OR o_orderkey % 10 = 9")
+    assert got.count() == want.count()
+    assert _keys(got) == _keys(want)
