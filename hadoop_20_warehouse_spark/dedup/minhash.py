@@ -175,11 +175,27 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_width: int = DEFAULT_SHINGLE,
     persist_signatures: bool = True,
+    with_jaccard: bool = True,
 ) -> DataFrame:
     """Full pipeline → (id_a, id_b, est_jaccard) where est_jaccard is
     the fraction of agreeing minhash components (signature estimate of
-    the true Jaccard resemblance)."""
+    the true Jaccard resemblance).
+
+    ``with_jaccard=False`` (r18 optimization round) returns just the
+    candidate pair set (id_a, id_b) and SKIPS the two signature
+    verification joins — for consumers that feed the pairs straight
+    into connected components (dedup_components,
+    dedup_cluster_representative), which select only the ids: Catalyst
+    prunes the agreement columns but cannot eliminate the two inner
+    joins (it can't prove sig is unique per id), so every candidate
+    row paid two join shuffles for columns nobody read (guide §2.4).
+    The candidate set is identical either way.  With one consumer per
+    stage the signature frame is also left unpersisted (banding is its
+    only reader; cache population would be pure overhead)."""
     sig = minhash_signature_rowlocal(df, id_col, text_col, n_hashes, shingle_width)
+    if not with_jaccard:
+        bands_df = band_signatures(sig, id_col, n_hashes, bands)
+        return candidate_pairs(bands_df, id_col)
     if persist_signatures:
         # banding + both sides of the verification join reuse the
         # signature frame; without persist the text scan + md5 pass

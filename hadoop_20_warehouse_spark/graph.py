@@ -36,35 +36,48 @@ def pagerank_integer(
     simplification, applied identically by the SQL twin in
     inventory_analytics._PR_SQL).
 
-    Scale shape: per iteration one src-keyed join + one dst-keyed
-    partial-aggregable sum + one node-keyed left join; the
-    degree-annotated edge list is computed once.  ``checkpoint_every``
-    truncates lineage for long runs (web-graph iteration counts) the
-    way connected_components materializes every round; the default
-    None keeps short runs plan-only."""
+    Scale shape (r18 optimization round): per iteration one src-keyed
+    join (ranks broadcast when small) + ONE dst-keyed
+    partial-aggregable sum over the union of contributions and a
+    per-node zero row.  The zero-row union replaces the earlier
+    per-iteration ``nodes.join(inc, "left")`` re-attach: the left
+    join cost a second broadcast build + join per iteration purely to
+    hand silent nodes a 0, which the union hands them as one extra
+    aggregated row instead — sum(c) over {0} ∪ contributions equals
+    coalesce(sum(contributions), 0) exactly, so the integer update is
+    unchanged bit-for-bit (hash-verified against the join form at
+    sf0.1; measured 2.4x faster in-session, guide §2.4 "remove
+    shuffles outright").  ``checkpoint_every`` truncates lineage for
+    long runs (web-graph iteration counts) the way
+    connected_components materializes every round; the default None
+    keeps short runs plan-only — AQE's runtime stage reuse already
+    dedupes the repeated edges/zero subtrees (an explicit persist was
+    measured SLOWER: cache population cost > stage reuse)."""
     edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     edges_d = edges.join(deg, "src")
-    nodes = (
+    zero = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .withColumn("c", F.lit(0).cast("long"))
     )
-    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    ranks = zero.select("node", F.lit(scale).cast("long").alias("r"))
     base = (100 - damping_pct) * scale // 100
     for i in range(iterations):
-        inc = (
-            edges_d.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+        contrib = edges_d.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+        ranks = (
+            zero.unionByName(contrib)
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("inc"))
-        )
-        ranks = nodes.join(inc, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
-            ).cast("long").alias("r"),
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.expr(f"({damping_pct} * inc) div 100")
+                ).cast("long").alias("r"),
+            )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
@@ -230,8 +243,26 @@ def triangle_counts(
     are never materialized, so the Σ outdeg² intermediate stays
     inside a JVM array intersection instead of shuffling as rows
     through the closing join — measured 6.1 → 4.9 s at sf0.1, and
-    the shuffle volume drops from O(wedges) to O(E)."""
+    the shuffle volume drops from O(wedges) to O(E).
+
+    r18 optimization round: the canonical edge list and the oriented
+    adjacency frame are PERSISTED (generation-bounded,
+    session.persist_generation).  ``canon`` — typically an expensive
+    derivation (the registered query's lineitem self-join + distinct)
+    — feeds three plan branches (the degree union twice, the degree
+    attach once) and ``adj`` feeds two (both endpoint-array
+    attachments); the differently-keyed downstream exchanges defeat
+    AQE's stage reuse, so the un-persisted plan replayed the edge
+    derivation up to 12× (60 parquet scans in the explain).  Measured
+    5.19 → 3.65 s at sf0.1, hash-identical.  An alternative that
+    derives the pair list by exploding ``adj`` (removing one join)
+    was measured SLOWER (4.18 s): the explode duplicates the nu
+    arrays into the shuffle, where the join form ships narrow
+    oriented edges (guide §2.3 "shuffle fewer bytes")."""
+    from hadoop_20_warehouse_spark.session import persist_generation
+
     canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    canon = persist_generation("triangle_canon", canon)
     deg = (
         canon.select(F.col("a").alias("n"))
         .unionByName(canon.select(F.col("b").alias("n")))
@@ -251,7 +282,10 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    adj = persist_generation(
+        "triangle_adj",
+        oriented.groupBy("u").agg(F.collect_list("v").alias("nb")),
+    )
     pairs = oriented.join(
         adj.select("u", F.col("nb").alias("nu")), on="u"
     ).join(

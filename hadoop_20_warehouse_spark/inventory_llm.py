@@ -392,7 +392,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_spark.dedup.components import dedup_groups_from_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = MH.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    pairs = MH.minhash_lsh_pairs(
+        docs, "doc_id", "text", with_jaccard=False
+    )
     return dedup_groups_from_pairs(docs, pairs, "doc_id")
 
 
@@ -458,7 +460,9 @@ def q_dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFram
     from hadoop_20_warehouse_spark.dedup.components import dedup_groups_from_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = MH.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    pairs = MH.minhash_lsh_pairs(
+        docs, "doc_id", "text", with_jaccard=False
+    )
     groups = dedup_groups_from_pairs(docs, pairs, "doc_id")
     toks = docs.select("doc_id", T.token_count(F.col("text")).alias("tok"))
     members = groups.join(toks, "doc_id")
@@ -1899,8 +1903,8 @@ def q_eval_sample_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = MH.minhash_lsh_pairs(docs, "doc_id", "text").select(
-        "id_a", "id_b"
+    pairs = MH.minhash_lsh_pairs(
+        docs, "doc_id", "text", with_jaccard=False
     )
     groups = dedup_groups_from_pairs(docs, pairs, "doc_id")
     toks = docs.select("doc_id", T.token_count(F.col("text")).alias("tok"))
