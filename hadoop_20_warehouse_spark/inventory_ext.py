@@ -21,6 +21,15 @@ from hadoop_20_warehouse_spark.operators import agg as AGG
 from hadoop_20_warehouse_spark.operators import pipe as P
 from hadoop_20_warehouse_spark.operators import sort as SORT
 from hadoop_20_warehouse_spark.registry import register
+# r18 optimization round: every per-row codec synthesis stage spreads
+# its narrow input across the cluster first — a single-file parquet
+# scan plans ONE task (measured: orders at sf0.1 = 1 partition), so an
+# unscattered mapInPandas encode ran on 1 of 32 cores (guide §2.5
+# input skew; the NLineInputFormat analog session.scatter exists for).
+# Measured png 3.27→1.19 s, jpeg 4.51→1.19 s at sf0.1, hash-identical
+# (row-local work, order-insensitive oracle).  At 100 TB scatter is a
+# no-op: wide inputs pass through unshuffled.
+from hadoop_20_warehouse_spark.session import scatter as _scatter
 
 
 @register(
@@ -2090,7 +2099,7 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    imgs = _scatter(orders).mapInPandas(enc, "id long, payload binary")
     return decode_image_meta(imgs, "id", "payload")
 
 
@@ -2172,7 +2181,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(img, filters="cycle"))
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    imgs = _scatter(orders).mapInPandas(enc, "id long, payload binary")
     return decode_image_meta(imgs, "id", "payload")
 
 
@@ -2251,7 +2260,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    imgs = _scatter(orders).mapInPandas(enc, "id long, payload binary")
     return decode_image_meta(imgs, "id", "payload")
 
 
@@ -2319,7 +2328,7 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_gif(img, interlace=bool(il)))
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    imgs = orders.mapInPandas(enc, "id long, payload binary")
+    imgs = _scatter(orders).mapInPandas(enc, "id long, payload binary")
     return decode_image_meta(imgs, "id", "payload")
 
 
@@ -2389,7 +2398,7 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    vids = orders.mapInPandas(enc, "id long, payload binary")
+    vids = _scatter(orders).mapInPandas(enc, "id long, payload binary")
     return video_container_meta(vids, "id", "payload")
 
 
@@ -2491,7 +2500,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    vids = orders.mapInPandas(enc, "id long, payload binary")
+    vids = _scatter(orders).mapInPandas(enc, "id long, payload binary")
     return decode_video_frames(vids, "id", "payload", step=2)
 
 
@@ -2638,7 +2647,7 @@ def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    vids = orders.mapInPandas(enc, "id long, payload binary")
+    vids = _scatter(orders).mapInPandas(enc, "id long, payload binary")
     frames = decode_video_frames(vids, "id", "payload", step=1)
     return (
         frames.select(
@@ -2698,7 +2707,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    wavs = cust.mapInPandas(enc, "id long, payload binary")
+    wavs = _scatter(cust).mapInPandas(enc, "id long, payload binary")
     return audio_features(wavs, "id", "payload")
 
 
@@ -2752,7 +2761,7 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    imgs = docs.mapInPandas(enc, "id long, payload binary")
+    imgs = _scatter(docs).mapInPandas(enc, "id long, payload binary")
     return resize_image_real(imgs, "id", "payload", box_w=64, box_h=48).drop(
         "resized_ppm"
     )
