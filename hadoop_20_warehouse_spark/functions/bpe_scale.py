@@ -102,6 +102,14 @@ from hadoop_20_warehouse_spark.functions.bpe import (
 # where the DuckDB oracle unrolls them).
 LARGE_MERGE_THRESHOLD = 64
 
+# Word-table size up to which the driver-local trainer is the
+# dispatch default (r18 optimization round): the collect is bounded by
+# max_words rows of short strings — a few MB at this bound, far under
+# spark.driver.maxResultSize — and the driver loop removes the
+# ~1-Spark-job-per-round cost of the aggregation form.  Vocabularies
+# capped above this train with the per-round Spark aggregation.
+DRIVER_VOCAB_MAX = 262_144
+
 import re as _re_mod  # noqa: E402
 
 # Worker-side normalization for the mapInPandas apply path.  The

@@ -72,14 +72,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (combiner: Task.CombinerRunner, MapTask.sortAndSpill:1210) — in
     Spark a single hash aggregate with map-side partials, whole-stage
     codegen, and only (flag, status) grouping keys shuffled.
+
+    r18 optimization round: the filtered scan is scattered before the
+    partial aggregation — the single-row-group local file plans ≤3
+    tasks, serializing the decimal-heavy partial agg on 3 of 32 cores
+    (measured 1.37 → 1.06 s at sf0.1).  The date filter still pushes
+    to parquet (scatter sits above the scan), and a well-split
+    production scan passes through with no extra exchange.
     """
+    from hadoop_20_warehouse_spark.session import scatter
+
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     charge = disc_price * (F.lit(1) + dec("l_tax"))
     n = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        scatter(
+            li.filter(
+                F.col("l_shipdate")
+                <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
