@@ -43,8 +43,13 @@ def test_predicate_pushdown_reaches_parquet(spark, sf_dir):
 
 def test_single_agg_single_shuffle(spark, sf_dir):
     df = QUERIES["pricing_summary"](spark, sf_dir)
-    # one hash-aggregate pair → exactly one exchange
-    assert count_exchanges(df) == 1
+    # one hash-aggregate pair → one exchange, plus at most the scatter
+    # round-robin (paid only on single-split local inputs so the
+    # decimal partial agg parallelizes — r18; a well-split production
+    # scan passes through and the plan is back to exactly one)
+    assert 1 <= count_exchanges(df) <= 2
+    # the partial-agg pair must still sit under the exchange
+    assert "HashAggregate" in physical_plan(df)
 
 
 def test_no_python_row_eval_on_jvm_operators(spark, sf_dir):
