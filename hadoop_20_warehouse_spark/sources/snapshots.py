@@ -526,14 +526,25 @@ def commit_merge(
     schema = StructType.fromJson(json.loads(prev["schema"]))
     _check_schema(source, prev["schema"], "merge source")
 
-    dup = source.groupBy(on).count().filter("count > 1").limit(1).count()
-    if dup:
+    # ONE aggregate job answers both preconditions (r18 optimization
+    # round — was two: a dup-check job plus a bounds job): after the
+    # key-grouped count, max(count) detects ambiguity and min/max of
+    # the key are the stats bounds — the group keys ARE the keys.
+    pre = (
+        source.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(
+            F.max("_cnt").alias("dup"),
+            F.min(on).alias("lo"),
+            F.max(on).alias("hi"),
+        )
+        .collect()
+    )
+    if pre and (pre[0]["dup"] or 0) > 1:
         raise ValueError(f"merge source is not unique on {on!r}")
 
     keys = source.select(on)
-    lo_hi = source.agg(
-        F.min(on).alias("lo"), F.max(on).alias("hi")
-    ).collect()[0]
+    lo_hi = pre[0] if pre else {"lo": None, "hi": None}
     # stats bounds are stored JSON-safe (temporal types as ordered
     # strings) — compare like with like or a date-keyed merge would
     # raise on str < datetime
