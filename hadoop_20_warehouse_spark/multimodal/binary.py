@@ -76,7 +76,9 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
     )
 
 
-def decode_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def decode_meta(
+    df: DataFrame, id_col: str, bin_col: str, scatter_input: bool = True
+) -> DataFrame:
     """(id, byte_len, content_md5, width, height) per binary payload
     via Arrow-batched mapInPandas.
 
@@ -114,7 +116,8 @@ def decode_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=DECODE_META_SCHEMA
     )
 
@@ -126,7 +129,8 @@ RESIZE_SCHEMA = (
 
 
 def resize_stub(
-    df: DataFrame, id_col: str, bin_col: str, box_w: int = 256, box_h: int = 256
+    df: DataFrame, id_col: str, bin_col: str, box_w: int = 256, box_h: int = 256,
+    scatter_input: bool = True,
 ) -> DataFrame:
     """Aspect-fit image resize plumbing: (id, width, height, out_width,
     out_height, resized_md5) via Arrow-batched mapInPandas.
@@ -177,7 +181,8 @@ def resize_stub(
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=RESIZE_SCHEMA
     )
 
@@ -217,7 +222,8 @@ FRAME_SAMPLE_SCHEMA = "id long, n_frames long, frame_idx long, frame_md5 string"
 
 
 def frame_sample_stub(
-    df: DataFrame, id_col: str, bin_col: str, step: int = 10, max_frames: int = 120
+    df: DataFrame, id_col: str, bin_col: str, step: int = 10, max_frames: int = 120,
+    scatter_input: bool = True,
 ) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     (every ``step``-th), a UDTF-shaped mapInPandas (1 row in → many
@@ -255,7 +261,8 @@ def frame_sample_stub(
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
     )
 
@@ -294,7 +301,9 @@ IMAGE_META_SCHEMA = (
 )
 
 
-def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def decode_image_meta(
+    df: DataFrame, id_col: str, bin_col: str, scatter_input: bool = True
+) -> DataFrame:
     """REAL image decode over Arrow batches: sniff the container magic,
     parse PPM/BMP/PNG/JPEG pixels with numpy (PNG: zlib inflate +
     scanline unfiltering; JPEG: baseline Huffman + IDCT), and emit
@@ -333,7 +342,8 @@ def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=IMAGE_META_SCHEMA
     )
 
@@ -344,7 +354,9 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def audio_features(
+    df: DataFrame, id_col: str, bin_col: str, scatter_input: bool = True
+) -> DataFrame:
     """REAL audio feature extraction: PCM WAV parsed with stdlib
     ``wave``, sample statistics (peak, RMS) computed with numpy over
     the actual int16 samples."""
@@ -371,7 +383,8 @@ def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
 
@@ -382,7 +395,9 @@ VIDEO_META_SCHEMA = (
 )
 
 
-def video_container_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def video_container_meta(
+    df: DataFrame, id_col: str, bin_col: str, scatter_input: bool = True
+) -> DataFrame:
     """REAL ISO-BMFF container metadata over Arrow batches
     (multimodal/mp4.parse_mp4_meta): duration, track inventory, video
     dimensions, sample counts — the catalog/validate stage of a video
@@ -414,7 +429,8 @@ def video_container_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=VIDEO_META_SCHEMA
     )
 
@@ -426,7 +442,8 @@ RESIZE_REAL_SCHEMA = (
 
 
 def resize_image_real(
-    df: DataFrame, id_col: str, bin_col: str, box_w: int = 256, box_h: int = 256
+    df: DataFrame, id_col: str, bin_col: str, box_w: int = 256, box_h: int = 256,
+    scatter_input: bool = True,
 ) -> DataFrame:
     """REAL aspect-fit resize: decode (PPM/BMP), integer-exact fit-box
     (same math as resize_stub and its SQL twin), numpy nearest-neighbor
@@ -469,6 +486,7 @@ def resize_image_real(
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=RESIZE_REAL_SCHEMA
     )

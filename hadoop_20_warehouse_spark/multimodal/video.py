@@ -565,7 +565,8 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def decode_video_frames(
-    df: DataFrame, id_col: str, bin_col: str, step: int = 1
+    df: DataFrame, id_col: str, bin_col: str, step: int = 1,
+    scatter_input: bool = True,
 ) -> DataFrame:
     """REAL video frame decode over Arrow batches: demux the container
     (AVI or ISO-BMFF), decode every ``step``-th JPEG frame with the
@@ -614,6 +615,7 @@ def decode_video_frames(
 
     from hadoop_20_warehouse_spark.session import scatter
 
-    return scatter(df.select(F.col(id_col), F.col(bin_col))).mapInPandas(
+    sel = df.select(F.col(id_col), F.col(bin_col))
+    return (scatter(sel) if scatter_input else sel).mapInPandas(
         run, schema=VIDEO_FRAME_SCHEMA
     )
