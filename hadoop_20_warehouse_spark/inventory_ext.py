@@ -2399,7 +2399,7 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
     vids = _scatter(orders).mapInPandas(enc, "id long, payload binary")
-    return video_container_meta(vids, "id", "payload")
+    return video_container_meta(vids, "id", "payload", scatter_input=False)
 
 
 # per-frame gray value 2·((custkey + 7·i) % 127) is EVEN → the
@@ -2762,7 +2762,9 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
     imgs = _scatter(docs).mapInPandas(enc, "id long, payload binary")
-    return resize_image_real(imgs, "id", "payload", box_w=64, box_h=48).drop(
+    return resize_image_real(
+        imgs, "id", "payload", box_w=64, box_h=48, scatter_input=False
+    ).drop(
         "resized_ppm"
     )
 
