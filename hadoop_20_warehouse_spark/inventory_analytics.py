@@ -394,16 +394,35 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the C4/CCNet boilerplate scrub is the operator that handles those).
     The containment VERIFY then runs on candidates only, exact.
 
-    Scale shape: gram document frequency is a keyed partial agg;
-    anchors bound the pair fan-out; the verify is one gram-keyed join
-    + a pair-keyed count.  No all-pairs anywhere.  The gram frame
-    feeds FIVE plan branches (sizes, anchors, both verify sides), so
-    it is STAGED to scratch parquet once (the mix_place staging shape)
-    — the un-staged plan re-ran the tokenize+explode+distinct corpus
-    pass up to 8× (explain-audited), and the in-memory persist was
-    measured SLOWER than both (cache population cost > recompute at
-    bench scale, and worse at 100 TB where corpus-scale grams don't
-    fit memory; the parquet staging is what a production job does).
+    Scale shape (reworked in the r19 optimization round, guide §3
+    candidate pruning / §2.3 shuffle fewer bytes): staging now runs
+    in TWO parquet stages — the distinct (doc, gram) stream first
+    (unchanged derivation), then the same rows ANNOTATED with the
+    gram's corpus document frequency (df) and the doc's distinct-gram
+    count (ng), each aggregate computed ONCE from stage 1.  Every
+    read-side term is then a pure filter or a carried column:
+
+    - anchors are ``df BETWEEN 2 AND {DF}`` — a parquet-pushed
+      filter, replacing the twice-computed rare-gram aggregation +
+      join of the old plan;
+    - both VERIFY sides drop grams with ``df = 1`` before the join: a
+      gram in exactly one document can never be shared, so n_shared
+      is unchanged — EXACT — while the verify join ships only the
+      shareable minority of the gram stream (sf0.1: 82% of distinct
+      gram rows are df=1);
+    - ``ng`` rides the verify join (+8 bytes on the df>=2 rows), so
+      the two ``sizes`` aggregations and their pair-keyed join-backs
+      disappear.
+
+    The old single-stage plan re-ran rare TWICE and sizes TWICE from
+    the staged file (explain-audited); the r8 finding stands (an
+    in-memory persist was slower than parquet staging, and at 100 TB
+    corpus-scale grams don't fit memory) — the second stage is the
+    same medicine applied to the aggregates.  A row-local
+    ``array_distinct`` per-doc dedup (which would hand ng out for
+    free and skip the distinct shuffle) was A/B-measured 8x WORSE
+    (7.3 s vs 0.9 s for the explode+distinct derivation at sf0.1):
+    Catalyst's array_distinct is quadratic on large string arrays.
     Caveat (same class as every
     anchor scheme): a true near-subset pair sharing ONLY ubiquitous
     grams is missed; lowering the df cap trades recall for fan-out,
@@ -433,19 +452,21 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    staged = _fresh_subdir(_scratch_dir("containment"), "grams")
-    gram_stage.write.parquet(staged)
-    grams = spark.read.parquet(staged)
-    sizes = grams.groupBy("doc_id").agg(
+    staged_raw = _fresh_subdir(_scratch_dir("containment"), "grams_raw")
+    gram_stage.write.parquet(staged_raw)
+    raw = spark.read.parquet(staged_raw)
+    gf = raw.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    sizes = raw.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("ng")
     )
-    rare = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _CONT_DF_MAX))
-        .select("gram")
+    staged = _fresh_subdir(_scratch_dir("containment"), "grams")
+    raw.join(gf, "gram").join(sizes, "doc_id").select(
+        "doc_id", "gram", "ng", "df"
+    ).write.parquet(staged)
+    grams = spark.read.parquet(staged)
+    anchored = grams.filter(
+        (F.col("df") >= 2) & (F.col("df") <= _CONT_DF_MAX)
     )
-    anchored = grams.join(rare, "gram")
     cand = (
         anchored.select(F.col("doc_id").alias("id_a"), "gram")
         .join(anchored.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
@@ -453,24 +474,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    shareable = grams.filter(F.col("df") >= 2)
+    ga = shareable.select(
+        F.col("doc_id").alias("id_a"), "gram", F.col("ng").alias("ng_a")
+    )
+    gb = shareable.select(
+        F.col("doc_id").alias("id_b"), "gram", F.col("ng").alias("ng_b")
+    )
     shared = (
         cand.join(ga, "id_a")
         .join(gb, ["id_b", "gram"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.min("ng_a").alias("ng_a"),
+            F.min("ng_b").alias("ng_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
     cont = F.col("n_shared").cast("double") / F.least("ng_a", "ng_b")
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", cont.alias("containment"))
-        .filter(F.col("containment") >= _CONT_T)
-        .orderBy("id_a", "id_b")
-    )
+    return shared.select(
+        "id_a", "id_b", cont.alias("containment")
+    ).filter(F.col("containment") >= _CONT_T).orderBy("id_a", "id_b")
 
 
 q_dedup_containment.__doc__ = (
