@@ -76,6 +76,16 @@ def connected_components(
     label, i.e. the fixpoint (at worst one wasted extra step inside
     the final round).  ``stats['rounds']`` counts MATERIALIZED rounds;
     ``stats['steps']`` the propagation steps executed.
+
+    r19 optimization round: the label-seed materialization is FUSED
+    into round 1's first step.  With labels initialized to the node
+    id, step 1 reduces to ``min(least(u, v)) GROUP BY u`` over the
+    (bidirected, self-loop-equivalent) edge list — one aggregation,
+    no seed ``distinct`` job and no first join: sum of own id {u} and
+    neighbor ids {v} is exactly own-label ∪ neighbor-labels when
+    every label IS the id.  One eager job less per call, and round 1
+    trades a join for a cheap agg; steps 2+ are byte-identical to
+    before (guide §2.4 job count).
     """
 
     def _materialize(df: DataFrame) -> DataFrame:
@@ -91,16 +101,16 @@ def connected_components(
     und = _materialize(
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
-    labels = _materialize(
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
     from pyspark.sql import Observation
 
     rounds = 0
     steps = 0
     k = max(1, steps_per_round)
+    labels = None
+    if max_iterations < 1:  # degenerate cap: labels are the seeds
+        return und.select(F.col("u").alias("node")).distinct().withColumn(
+            "component", F.col("node")
+        )
     for _i in range(max_iterations):
         # Candidate labels: own + min neighbor label.  The node's OWN
         # branch also carries its previous label in a second column
@@ -113,10 +123,28 @@ def connected_components(
         # prev must be the LABEL column's own type: a hard-coded long
         # would fail (or silently widen) unionByName for node-id types
         # that don't coerce with long (decimal/string ids).
-        label_type = labels.schema["component"].dataType
         obs = Observation()
-        cur = labels
-        for s in range(k):
+        if labels is None:
+            # round 1, step 1: seed + first propagation fused into one
+            # aggregation (labels == ids, so own ∪ neighbor-labels is
+            # exactly {u} ∪ {v : (u,v) ∈ und})
+            cur = und.groupBy(F.col("u").alias("node")).agg(
+                F.min(F.least("u", "v")).alias("component")
+            )
+            if k == 1:
+                cur = cur.observe(
+                    obs,
+                    F.sum(
+                        (F.col("component") != F.col("node")).cast("long")
+                    ).alias("changed"),
+                )
+            steps += 1
+            start = 1
+        else:
+            cur = labels
+            start = 0
+        label_type = cur.schema["component"].dataType
+        for s in range(start, k):
             neighbor_labels = (
                 und.join(cur.withColumnRenamed("node", "v"), on="v")
                 .select(
