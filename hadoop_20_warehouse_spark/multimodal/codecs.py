@@ -248,9 +248,12 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     None and Up are whole-row numpy ops; Sub is a per-``bpp``-lane
     cumulative sum (uint8 cumsum IS mod-256, exactly the spec's
     arithmetic); Average and Paeth depend on the just-decoded left
-    neighbor so they scan the row serially — fine for Arrow-batched
-    thumbnails/fixtures; a 100 TB image pipeline would push these two
-    hot loops through numba/Cython with the same semantics."""
+    neighbor so they scan the row serially.  r19 optimization round
+    (guide §4.2): the two serial loops run over plain Python ints
+    (``bytes``/``list`` row buffers) — per-element numpy scalar
+    indexing was ~6x slower than list access, and the loop bodies
+    inline the Paeth predictor; a 100 TB image pipeline would push
+    these through numba/Cython with the same semantics."""
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -270,16 +273,43 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
         elif ft == 2:  # Up
             cur = line + prev  # uint8 wraps = mod 256
         elif ft == 3:  # Average
-            cur = line.copy()
+            ln = raw[pos - stride : pos]  # the filtered row, as bytes
+            pv = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+                a = cur_l[i - bpp] if i >= bpp else 0
+                cur_l[i] = (ln[i] + ((a + pv[i]) >> 1)) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.uint8)
         elif ft == 4:  # Paeth
-            cur = line.copy()
+            ln = raw[pos - stride : pos]
+            pv = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(cur[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+                if i >= bpp:
+                    a = cur_l[i - bpp]
+                    c = pv[i - bpp]
+                else:
+                    a = c = 0
+                b = pv[i]
+                # inlined Paeth predictor (png-3 §9.4)
+                p = a + b - c
+                pa = p - a
+                if pa < 0:
+                    pa = -pa
+                pb = p - b
+                if pb < 0:
+                    pb = -pb
+                pc = p - c
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur_l[i] = (ln[i] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur

@@ -188,6 +188,7 @@ def scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
 _TABLE_CACHE_MAX = 64
 _DECODE_TABLE_CACHE: dict[tuple, dict] = {}
 _ENCODE_TABLE_CACHE: dict[tuple, dict] = {}
+_DECODE_LUT_CACHE: dict[tuple, list] = {}
 
 
 def _build_decode_table(bits, values) -> dict[tuple[int, int], int]:
@@ -211,6 +212,37 @@ def _build_decode_table(bits, values) -> dict[tuple[int, int], int]:
     return table
 
 
+def _build_decode_lut(bits, values) -> list:
+    """Flat 2^16-entry decode table (r19 optimization round, guide
+    §4.2): entry[next-16-bits] = (code_length << 8) | symbol, 0 for
+    bit patterns that start no code.  Canonical codes are prefix-free
+    and at most 16 bits, so peeking 16 bits and one list index
+    replaces the per-bit dict probes of ``_build_decode_table`` (the
+    cProfile-dominant decode term after the r18 memoization).  Built
+    with two numpy fills + one ``tolist`` and memoized per DHT
+    content under the same size cap as the dict tables."""
+    key = (tuple(bits), tuple(values))
+    cached = _DECODE_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (length << 8) | values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    if len(_DECODE_LUT_CACHE) >= _TABLE_CACHE_MAX:
+        _DECODE_LUT_CACHE.clear()
+    _DECODE_LUT_CACHE[key] = out
+    return out
+
+
 def _build_encode_table(bits, values) -> dict[int, tuple[int, int]]:
     """symbol -> (code_length, code)."""
     key = (tuple(bits), tuple(values))
@@ -225,42 +257,87 @@ def _build_encode_table(bits, values) -> dict[int, tuple[int, int]]:
 
 
 class _BitReader:
-    """MSB-first bit reader over an UNSTUFFED scan byte string."""
+    """MSB-first bit reader over an UNSTUFFED scan byte string.
+
+    r19 optimization round (guide §4.2): accumulator-based — bytes
+    refill an integer window, ``read_bits`` is one shift+mask instead
+    of n method calls, and ``decode_symbol`` peeks 16 bits into the
+    flat LUT (``_build_decode_lut``) instead of probing a dict once
+    per bit.  Error behavior is unchanged: consuming past the end of
+    the stream raises 'truncated', an impossible 16-bit prefix raises
+    'bad Huffman code'."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.n = len(data)
+        self.pos = 0  # next byte to load into the accumulator
+        self.acc = 0
+        self.nbits = 0
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG scan data")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        return self.read_bits(1)
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        nbits = self.nbits
+        acc = self.acc
+        pos = self.pos
+        data = self.data
+        end = self.n
+        while nbits < n:
+            if pos >= end:
+                raise ValueError("truncated JPEG scan data")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= n
+        v = (acc >> nbits) & ((1 << n) - 1)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.pos = pos
         return v
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad Huffman code in JPEG scan")
+    def decode_symbol(self, table: list) -> int:
+        nbits = self.nbits
+        acc = self.acc
+        pos = self.pos
+        data = self.data
+        end = self.n
+        while nbits < 16 and pos < end:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits >= 16:
+            idx = (acc >> (nbits - 16)) & 0xFFFF
+        else:  # stream tail: left-align what remains, zero-pad
+            idx = (acc << (16 - nbits)) & 0xFFFF
+        ent = table[idx]
+        length = ent >> 8
+        if length == 0 or length > nbits:
+            # no code starts with these bits, or the stream ended
+            # inside a code — match the per-bit reader's errors
+            if nbits < 16:
+                raise ValueError("truncated JPEG scan data")
+            raise ValueError("bad Huffman code in JPEG scan")
+        nbits -= length
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.pos = pos
+        return ent & 0xFF
 
     def align(self) -> None:
-        if self.bit:
-            self.bit = 0
-            self.pos += 1
+        # drop to the previous byte boundary (discard partial bits)
+        drop = self.nbits & 7
+        if drop:
+            self.nbits -= drop
+            self.acc &= (1 << self.nbits) - 1
+
+    def seek_byte(self, boundary: int) -> None:
+        """Jump to an absolute byte offset (restart-marker resync)."""
+        self.pos = boundary
+        self.acc = 0
+        self.nbits = 0
 
 
 def _extend(v: int, t: int) -> int:
@@ -337,7 +414,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                (huff_ac if tc else huff_dc)[th] = _build_decode_table(
+                (huff_ac if tc else huff_dc)[th] = _build_decode_lut(
                     bits, vals
                 )
                 p += 17 + nv
@@ -418,43 +495,41 @@ def _unstuff_scan(payload: bytes, pos: int):
 def _decode_scan(
     payload, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval
 ):
+    # r19 optimization round (guide §4.2): the entropy loop stores each
+    # block's zigzag coefficients (a plain Python list from
+    # _decode_block) into the progressive accumulator's layout, and
+    # dequant + IDCT + upsample/color-convert run BATCHED over every
+    # block at once via _ProgressiveState.reconstruct — the einsum
+    # path whose bit-identity to the per-block _idct2 form is already
+    # pinned by the baseline-vs-progressive round-trip pytest.
     data, rst_breaks, _ = _unstuff_scan(payload, pos)
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
-    ]
+    acc = _ProgressiveState(frame)
     reader = _BitReader(bytes(data))
     pred = [0] * len(comps)
     rst_iter = iter(rst_breaks)
     mcu_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(acc.mcuy):
+        for mx in range(acc.mcux):
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 # byte-align at the recorded restart boundary and
                 # reset DC predictors (T.81 F.2.1.3.1)
                 reader.align()
                 boundary = next(rst_iter, None)
                 if boundary is not None:
-                    reader.pos, reader.bit = boundary, 0
+                    reader.seek_byte(boundary)
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dct, act = sel[c["id"]]
+                coef = acc.coef[ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = _decode_block(
+                        zz = _decode_block(
                             reader, huff_dc[dct], huff_ac[act], pred, ci
                         )
-                        px = _idct2(blk * qt[c["tq"]]) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        coef[my * c["v"] + by, mx * c["h"] + bx] = zz
             mcu_idx += 1
-    return _finish_planes(comps, planes, h, w, hmax, vmax)
+    return acc.reconstruct(qt)
 
 
 def _finish_planes(comps, planes, h, w, hmax, vmax) -> np.ndarray:
@@ -479,11 +554,16 @@ def _finish_planes(comps, planes, h, w, hmax, vmax) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def _decode_block(reader, dc_table, ac_table, pred, ci) -> np.ndarray:
-    zz = np.zeros(64, dtype=np.int64)
+def _decode_block(reader, dc_table, ac_table, pred, ci) -> list:
+    """One block's coefficients in ZIGZAG order as a Python list —
+    per-element numpy scalar stores were the loop's hot cost; the
+    caller batch-converts whole planes at reconstruct time."""
+    zz = [0] * 64
     t = reader.decode_symbol(dc_table)
-    diff = _extend(reader.read_bits(t), t) if t else 0
-    pred[ci] += diff
+    if t:
+        v = reader.read_bits(t)
+        # inlined _extend (hot loop: ~1.2M calls per 600 images)
+        pred[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
     zz[0] = pred[ci]
     k = 1
     while k < 64:
@@ -497,11 +577,10 @@ def _decode_block(reader, dc_table, ac_table, pred, ci) -> np.ndarray:
         k += r
         if k > 63:
             raise ValueError("JPEG AC run past end of block")
-        zz[k] = _extend(reader.read_bits(s), s)
+        v = reader.read_bits(s)
+        zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
-    blk = np.zeros(64, dtype=np.int64)
-    blk[_ZIGZAG] = zz
-    return blk.reshape(8, 8).astype(np.float64)
+    return zz
 
 
 # --- progressive decoder (T.81 Annex G) --------------------------------------
@@ -554,7 +633,7 @@ class _ProgressiveState:
             reader.align()
             boundary = next(rst_iter, None)
             if boundary is not None:
-                reader.pos, reader.bit = boundary, 0
+                reader.seek_byte(boundary)
             for ci in pred:
                 pred[ci] = 0
             self._eobrun = 0
@@ -727,21 +806,44 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
 
 
-def _encode_block(writer, blk, q, dc_tbl, ac_tbl, pred, ci) -> None:
-    coeff = np.round(_fdct2(blk - 128.0) / q).astype(np.int64)
-    # natural -> zigzag: _ZIGZAG maps zigzag position to natural index
-    zz = coeff.reshape(64)[_ZIGZAG]
-    diff = int(zz[0]) - pred[ci]
-    pred[ci] = int(zz[0])
-    t = int(diff).bit_length() if diff else 0
+def _quantize_plane_zz(padded: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) ZIGZAG-order quantized coefficients for one
+    MCU-padded plane — the whole plane's FDCT in one broadcast
+    ``matmul`` chain (r19 optimization round, guide §4.2).  The
+    arithmetic is element-for-element the expression _encode_block
+    used per block: ``round(((C @ (blk-128)) @ C.T) / q)`` — matmul
+    broadcasting runs the SAME two 8x8 GEMMs per block, so the
+    coefficients are bit-identical (pinned by the baseline-vs-
+    progressive round-trip pytest and the fixture hashes)."""
+    ph, pw = padded.shape
+    bh, bw = ph // 8, pw // 8
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.round(
+        np.matmul(np.matmul(_DCT_C, blocks - 128.0), _DCT_C.T) / q
+    ).astype(np.int64)
+    return coef.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+
+
+def _encode_block_zz(writer, zz, dc_tbl, ac_tbl, pred, ci) -> None:
+    """Serialize one block from its ZIGZAG quantized coefficients
+    (a plain Python list — the numpy per-element reads were the
+    encoder loop's hot cost)."""
+    dc = zz[0]
+    diff = dc - pred[ci]
+    pred[ci] = dc
+    t = diff.bit_length() if diff else 0  # bit_length ignores sign
     length, code = dc_tbl[t]
     writer.write(code, length)
     if t:
         writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
     run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
     for k in range(1, 64):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             if k > last_nz:
                 length, code = ac_tbl[0x00]  # EOB
@@ -753,7 +855,7 @@ def _encode_block(writer, blk, q, dc_tbl, ac_tbl, pred, ci) -> None:
                 writer.write(code, length)
                 run = 0
             continue
-        s = abs(v).bit_length()
+        s = v.bit_length()  # == abs(v).bit_length()
         length, code = ac_tbl[(run << 4) | s]
         writer.write(code, length)
         writer.write(v if v > 0 else v + (1 << s) - 1, s)
@@ -870,9 +972,13 @@ def encode_jpeg(
     vmax = max(s[1] for s in samps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    padded = [
-        _pad_plane(p, mcuy * s[1] * 8, mcux * s[0] * 8)
-        for p, s in zip(planes, samps)
+    # whole-plane FDCT + quantization up front (guide §4.2); the MCU
+    # loop below only serializes precomputed Python-int coefficients
+    zz_planes = [
+        _quantize_plane_zz(
+            _pad_plane(p, mcuy * s[1] * 8, mcux * s[0] * 8), qts[ci]
+        ).tolist()
+        for ci, (p, s) in enumerate(zip(planes, samps))
     ]
     writer = _BitWriter()
     pred = [0] * nc
@@ -888,18 +994,17 @@ def encode_jpeg(
                 pred = [0] * nc
             for ci in range(nc):
                 hs, vs = samps[ci]
+                rows = zz_planes[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        zz = rows[my * vs + by][mx * hs + bx]
                         if ci == 0:
-                            _encode_block(
-                                writer, blk, qts[0], dc_l, ac_l, pred, ci
+                            _encode_block_zz(
+                                writer, zz, dc_l, ac_l, pred, ci
                             )
                         else:
-                            _encode_block(
-                                writer, blk, qts[ci], dc_c, ac_c, pred, ci
+                            _encode_block_zz(
+                                writer, zz, dc_c, ac_c, pred, ci
                             )
             mcu_idx += 1
     writer.flush()
@@ -913,8 +1018,8 @@ def encode_jpeg(
 
 def _quantize_coefs(planes, qts, samps, h, w):
     """Quantized zigzag coefficient arrays per component on the
-    MCU-padded grid — computed per block with the EXACT float
-    expression _encode_block uses, so a progressive stream carries
+    MCU-padded grid — the SAME whole-plane ``_quantize_plane_zz``
+    the baseline encoder runs, so a progressive stream carries
     bit-identical coefficients to the baseline stream (the round-trip
     pin the pytest leans on)."""
     hmax = max(s[0] for s in samps)
@@ -925,13 +1030,7 @@ def _quantize_coefs(planes, qts, samps, h, w):
     for p, (hs, vs), q in zip(planes, samps, qts):
         by, bx = mcuy * vs, mcux * hs
         padded = _pad_plane(p, by * 8, bx * 8)
-        zz = np.zeros((by, bx, 64), dtype=np.int64)
-        for iy in range(by):
-            for ix in range(bx):
-                blk = padded[iy * 8 : iy * 8 + 8, ix * 8 : ix * 8 + 8]
-                c = np.round(_fdct2(blk - 128.0) / q).astype(np.int64)
-                zz[iy, ix] = c.reshape(64)[_ZIGZAG]
-        coefs.append(zz)
+        coefs.append(_quantize_plane_zz(padded, q))
     return coefs, mcux, mcuy
 
 
@@ -983,12 +1082,13 @@ def _encode_dc_scan(coefs, comps_meta, mcux, mcuy, dc_tbls, ah, al) -> bytes:
     bit per block (G.1.2.1)."""
     sw = _ProgressiveScanWriter()
     pred = [0] * len(coefs)
+    dc_planes = [zz[:, :, 0].tolist() for zz in coefs]
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, (zz, (hs, vs)) in enumerate(zip(coefs, comps_meta)):
+            for ci, (dcp, (hs, vs)) in enumerate(zip(dc_planes, comps_meta)):
                 for by in range(vs):
                     for bx in range(hs):
-                        dc = int(zz[my * vs + by, mx * hs + bx, 0])
+                        dc = dcp[my * vs + by][mx * hs + bx]
                         if ah == 0:
                             v = dc >> al  # arithmetic shift (G.1.2.1)
                             diff = v - pred[ci]
@@ -1010,11 +1110,13 @@ def _encode_ac_first_scan(zz, bw, bh, ac_tbl, ss, se, al) -> bytes:
     """AC first scan (Ah=0) for one component: magnitude point
     transform (sign · (|v| >> Al)), run/size coding, EOB runs."""
     sw = _ProgressiveScanWriter(ac_tbl)
+    # slice the component's block RECTANGLE before flattening: the
+    # coef array is MCU-grid padded and can be wider than bw
+    rows = zz[:bh, :bw].reshape(bh * bw, 64).tolist()
     for bi in range(bh * bw):
-        by, bx = divmod(bi, bw)
-        band = zz[by, bx, ss : se + 1]
+        band = rows[bi][ss : se + 1]
         vals = [
-            (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in band
+            (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
         ]
         nz = [i for i, v in enumerate(vals) if v]
         if not nz:
@@ -1048,9 +1150,9 @@ def _encode_ac_refine_scan(zz, bw, bh, ac_tbl, ss, se, al) -> bytes:
     correction-bit procedure of T.81 G.1.2.3 (the libjpeg
     encode_mcu_AC_refine control flow, re-derived from the spec)."""
     sw = _ProgressiveScanWriter(ac_tbl)
+    rows = zz[:bh, :bw].reshape(bh * bw, 64).tolist()
     for bi in range(bh * bw):
-        by, bx = divmod(bi, bw)
-        band = [int(v) for v in zz[by, bx, ss : se + 1]]
+        band = rows[bi][ss : se + 1]
         absv = [abs(v) >> al for v in band]
         newly = [i for i, t in enumerate(absv) if t == 1]
         eobpos = newly[-1] if newly else -1
