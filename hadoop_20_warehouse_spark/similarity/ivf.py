@@ -190,6 +190,7 @@ def _cells(
     nprobe: int,
     cents: DataFrame | None = None,
     method: str | None = None,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, centroid_id, crank): each vector's ``nprobe`` nearest
     centroids by rounded cosine, centroid-id tiebreak. Computed ONCE —
@@ -212,7 +213,14 @@ def _cells(
 
     ``method=None`` auto-picks by ``num_centroids``; results are
     bit-identical either way (property-tested), so the choice is pure
-    physical planning."""
+    physical planning.
+
+    ``carry_vec=True`` (r19 optimization round, guide §2.3 / §8
+    "shuffle keys AND the payload once"): the vector and its norm
+    ride along as ``vec``/``vn`` columns so the serving join can
+    compute similarities directly at the bucket join instead of
+    re-attaching vectors with two corpus-scale post-candidate joins
+    (the minhash signature carry-through applied to IVF)."""
     if cents is None:
         cents = centroids(corpus, id_col, vec_col, num_centroids)
     from hadoop_20_warehouse_spark.similarity import assign as ASSIGN
@@ -222,12 +230,22 @@ def _cells(
             "gemm" if num_centroids >= ASSIGN.GEMM_ASSIGN_MIN_K else "hof"
         )
     if method == "gemm":
-        return ASSIGN.assign_topn(
-            corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        out = ASSIGN.assign_topn(
+            corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+            include_vec=carry_vec,
         )
+        if carry_vec:
+            out = out.select(
+                F.col(id_col), "centroid_id", "crank",
+                F.col(vec_col).alias("vec"),
+                _norm(F.col(vec_col)).alias("vn"),
+            )
+        return out
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vn")
     )
+    carried = ([F.col(vec_col).alias("vec"), F.col("vn")]
+               if carry_vec else [])
     top = vecs.crossJoin(F.broadcast(_centroid_array(cents))).select(
         F.col(id_col),
         F.slice(
@@ -237,13 +255,16 @@ def _cells(
             1,
             nprobe,
         ).alias("probes"),
+        *carried,
     )
     return top.select(
-        F.col(id_col), F.posexplode(F.col("probes")).alias("pos", "p")
+        F.col(id_col), F.posexplode(F.col("probes")).alias("pos", "p"),
+        *(["vec", "vn"] if carry_vec else []),
     ).select(
         id_col,
         F.col("p")["cid"].alias("centroid_id"),
         (F.col("pos") + 1).cast("int").alias("crank"),
+        *(["vec", "vn"] if carry_vec else []),
     )
 
 
@@ -273,34 +294,35 @@ def ivf_topk(
     corpus = scatter(corpus)
     from hadoop_20_warehouse_spark.session import persist_generation
 
+    # r19 optimization round (guide §2.3/§8, the minhash signature
+    # carry-through applied to IVF serving): the cells frame carries
+    # each vector and its norm THROUGH the bucket join, so the cosine
+    # is computed right at the join output and the two corpus-scale
+    # post-candidate joins (query vectors by query_id, neighbor
+    # vectors by neighbor_id) disappear — at 100 TB those re-shuffled
+    # the candidate set twice with vector payloads attached, where
+    # the bucket join ships each vector (1 + nprobe) times total.
+    # Hash-identical: the candidate set is unchanged and sim is the
+    # same expression over the same vector values.
     cells = persist_generation(
         "ivf_cells",
-        _cells(corpus, id_col, vec_col, num_centroids, nprobe, cents, method),
+        _cells(corpus, id_col, vec_col, num_centroids, nprobe, cents,
+               method, carry_vec=True),
     )
     assign = cells.filter(F.col("crank") == 1).select(
-        F.col(id_col).alias("neighbor_id"), "centroid_id"
+        F.col(id_col).alias("neighbor_id"), "centroid_id",
+        F.col("vec").alias("nv"), F.col("vn").alias("nn"),
     )
-    probes = cells.select(F.col(id_col).alias("query_id"), "centroid_id")
+    probes = cells.select(
+        F.col(id_col).alias("query_id"), "centroid_id",
+        F.col("vec").alias("qv"), F.col("vn").alias("qn"),
+    )
     # no distinct needed: a neighbor has exactly ONE rank-1 cell and a
     # query's probe centroids are distinct, so (query, neighbor) pairs
     # are already unique — skipping distinct saves a full shuffle.
-    cand = (
+    sims = (
         probes.join(assign, on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
-    vecs = corpus.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
-    )
-    q = vecs.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("nrm").alias("qn")
-    )
-    n = vecs.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), F.col("nrm").alias("nn")
-    )
-    sims = (
-        cand.join(q, on="query_id")
-        .join(n, on="neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
