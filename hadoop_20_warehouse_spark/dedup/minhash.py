@@ -199,13 +199,23 @@ def minhash_lsh_pairs(
     corpus-sized, so they could never broadcast); locally measured
     1.47 → 1.17 s at sf0.1, hash-identical.  est_jaccard is a pure
     function of the pair, so distinct() over (id_a, id_b, est) equals
-    the old attach-after-distinct exactly.  The signature frame now
-    has a single consumer, so the former persist (and the
-    ``persist_signatures`` flag) is a no-op kept for API
-    compatibility."""
+    the old attach-after-distinct exactly.
+
+    ``persist_signatures`` (r19 optimization round, per r18 ADVICE)
+    now gates a generation-bounded persist of the BAND frame: the
+    band self-join consumes bands_df on both sides, whose
+    differently-aliased exchanges defeat stage reuse (the r18
+    explain showed two full text-scan → shingle → md5 → signature
+    pipelines, one per side), so without the persist the most
+    expensive map pass in the operator executes twice — once more in
+    the broadcast build when one side broadcasts."""
+    from hadoop_20_warehouse_spark.session import persist_generation
+
     sig = minhash_signature_rowlocal(df, id_col, text_col, n_hashes, shingle_width)
     if not with_jaccard:
         bands_df = band_signatures(sig, id_col, n_hashes, bands)
+        if persist_signatures:
+            bands_df = persist_generation("minhash_bands", bands_df)
         return candidate_pairs(bands_df, id_col)
     rows_per_band = n_hashes // bands
     band_structs = [
@@ -229,6 +239,8 @@ def minhash_lsh_pairs(
     ).select(
         F.col(id_col), *mcols, F.col("blk.band_idx"), F.col("blk.band_hash")
     )
+    if persist_signatures:
+        bands_df = persist_generation("minhash_bands", bands_df)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash",
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
