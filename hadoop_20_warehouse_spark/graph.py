@@ -245,24 +245,23 @@ def triangle_counts(
     through the closing join — measured 6.1 → 4.9 s at sf0.1, and
     the shuffle volume drops from O(wedges) to O(E).
 
-    r18 optimization round: the canonical edge list and the oriented
-    adjacency frame are PERSISTED (generation-bounded,
-    session.persist_generation).  ``canon`` — typically an expensive
-    derivation (the registered query's lineitem self-join + distinct)
-    — feeds three plan branches (the degree union twice, the degree
-    attach once) and ``adj`` feeds two (both endpoint-array
-    attachments); the differently-keyed downstream exchanges defeat
-    AQE's stage reuse, so the un-persisted plan replayed the edge
-    derivation up to 12× (60 parquet scans in the explain).  Measured
-    5.19 → 3.65 s at sf0.1, hash-identical.  An alternative that
-    derives the pair list by exploding ``adj`` (removing one join)
-    was measured SLOWER (4.18 s): the explode duplicates the nu
-    arrays into the shuffle, where the join form ships narrow
-    oriented edges (guide §2.3 "shuffle fewer bytes")."""
-    from hadoop_20_warehouse_spark.session import persist_generation
-
+    r19 optimization round: the r18 canon+adj persist is REMOVED.  It
+    was kept in r18 on plan-shape grounds (60 → 32 parquet scans)
+    despite being bench-neutral at sf0.1 under the fresh-session
+    protocol, pending an sf1 proof (r18 VERDICT #3).  The sf1 probe
+    (tools/probe_triangle_sf1.py: a 6M-row synthetic co-purchase
+    table, 10x sf0.1, fresh session per arm, settle + min-of-2)
+    REFUTED it decisively: nopersist 7.0-11.8 s vs canon+adj 40.3 s,
+    canon-only 27.5 s, adj-only 14.6 s — cache population plus
+    MEMORY_AND_DISK block pressure cost far more than the replays it
+    saved, because AQE's runtime stage reuse already dedupes the
+    identically-keyed subtrees (the same finding as r18's pagerank
+    persist dead-end, now measured at 10x).  An alternative deriving
+    the pair list by exploding ``adj`` (removing one join) stays
+    rejected from r18: the explode duplicates the nu arrays into the
+    shuffle, where the join form ships narrow oriented edges (guide
+    §2.3 "shuffle fewer bytes")."""
     canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    canon = persist_generation("triangle_canon", canon)
     deg = (
         canon.select(F.col("a").alias("n"))
         .unionByName(canon.select(F.col("b").alias("n")))
@@ -282,10 +281,7 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    adj = persist_generation(
-        "triangle_adj",
-        oriented.groupBy("u").agg(F.collect_list("v").alias("nb")),
-    )
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
     pairs = oriented.join(
         adj.select("u", F.col("nb").alias("nu")), on="u"
     ).join(
