@@ -310,6 +310,7 @@ def tokenize_with_merges(
     merges: list[tuple],
     id_col: str = "doc_id",
     text_col: str = "text",
+    scatter_input: bool = True,
 ) -> DataFrame:
     """(id, bpe_len, tok_digest): per-document subword-token count and
     an md5 digest of the space-joined token stream — the corpus
@@ -323,11 +324,26 @@ def tokenize_with_merges(
     inexpressible at a production 32k-merge vocabulary); the large
     form (bpe_scale.tokenize_with_merges_large, one Arrow-batched
     replay pass with the merge table broadcast) takes over with the
-    identical output contract."""
+    identical output contract.
+
+    ``scatter_input`` (r19 optimization round, guide §2.5): the
+    N-replace chain + per-doc md5 digest is CPU-dense per row, and a
+    single-row-group parquet scan plans ONE task — scatter spreads it
+    across the cluster (no-op on well-split production scans;
+    interleaved A/B at sf0.1: 0.96 → 0.36 s, ~2.7x).  Applies to the
+    small-merge JVM-expression branch only — the large mapInPandas
+    branch is shared by STREAMING tokenize_stream (a batch-only
+    repartition cannot compose with readStream) and its synthetic-doc
+    bench input was A/B-measured not to benefit (r18 dead-ends
+    list)."""
     from hadoop_20_warehouse_spark.functions import bpe_scale as BS
 
     if len(merges) > BS.LARGE_MERGE_THRESHOLD:
         return BS.tokenize_with_merges_large(docs, merges, id_col, text_col)
+    if scatter_input:
+        from hadoop_20_warehouse_spark.session import scatter
+
+        docs = scatter(docs)
     flat = bpe_tokens_expr(text_col, merges)
     return docs.select(
         F.col(id_col),

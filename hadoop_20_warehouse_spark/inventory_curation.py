@@ -708,11 +708,17 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The weight vector here is md5-derived (functions/text.py
     hashed_weight_array) so the oracle can reproduce it; a TRAINED
     model drops in as the same one-row broadcast array.  Scale shape:
-    zero shuffle — tokenize, hash, and sum are one codegen'd
-    projection against the broadcast weights; at 100 TB this is the
-    cheapest possible classifier inference (no Python, no explode,
-    no join — the explode+join twin is what the oracle runs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    zero WIDE shuffle — tokenize, hash, and sum are one projection
+    against the broadcast weights; at 100 TB this is the cheapest
+    possible classifier inference (no Python, no explode, no join —
+    the explode+join twin is what the oracle runs).  r19 optimization
+    round (guide §2.5): the projection is CPU-dense (one md5 per
+    token, interpreted HOFs) and a single-row-group scan plans ONE
+    task, so the input is scattered first (no-op on well-split
+    production scans; interleaved A/B at sf0.1: 0.63 → 0.37 s)."""
+    from hadoop_20_warehouse_spark.session import scatter
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     wrow = spark.range(1).select(T.hashed_weight_array().alias("w"))
     scored = (
         docs.crossJoin(F.broadcast(wrow))
