@@ -25,6 +25,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--only", default="")
+    ap.add_argument("--round", default="r18", help="plans/<round>/ output dir")
+    ap.add_argument("--outdir", default="", help="absolute output dir override")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -34,7 +36,7 @@ def main() -> None:
     from hadoop_20_warehouse_spark.session import get_session
 
     only = {s for s in args.only.split(",") if s}
-    outdir = os.path.join(REPO, "plans", "r18")
+    outdir = args.outdir or os.path.join(REPO, "plans", args.round)
     os.makedirs(outdir, exist_ok=True)
     spark = get_session()
     for name, fn in BENCH_QUERIES.items():
