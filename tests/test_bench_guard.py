@@ -220,3 +220,30 @@ def test_guard_end_to_end_against_committed_r02():
     name, before = next(iter(prior.items()))
     regs = bench.find_regressions(prior, {name: before * 3 + 1.0})
     assert name in regs
+
+
+def test_guard_flags_injected_slowdown_against_committed_anchors():
+    """r18 VERDICT #1 'done' criterion for the re-anchor: with the
+    COMMITTED anchor table, a deliberately injected slowdown in a
+    canary query must flag — 1.55x lands in the watch tier (above
+    WATCH_RATIO, under the 2.0x regression bar), 2.1x lands in the
+    regression tier; both clear the 0.5s absolute floor because the
+    canary is the largest anchor in the table."""
+    anchors = bench.load_anchor(bench.ANCHOR_PATH)
+    assert anchors
+    canary = max(anchors, key=anchors.get)
+    base = anchors[canary]
+    assert base > 1.0, f"canary anchor too small for the 0.5s floor: {canary}"
+    timings = dict(anchors)
+
+    timings[canary] = round(base * 1.55, 3)
+    assert bench.find_regressions(anchors, timings) == {}
+    watch = bench.find_watch(anchors, timings, flagged={})
+    assert canary in watch
+
+    timings[canary] = round(base * 2.1, 3)
+    regs = bench.find_regressions(anchors, timings)
+    assert canary in regs
+    # and a clean set of timings flags nothing at all
+    assert bench.find_regressions(anchors, dict(anchors)) == {}
+    assert bench.find_watch(anchors, dict(anchors), flagged={}) == {}
